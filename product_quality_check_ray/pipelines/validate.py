@@ -1,0 +1,536 @@
+"""Flagship pipeline: streaming validation of a sequences Parquet corpus.
+
+Dataflow (SURVEY.md §3.1 "our engine's equivalent plan")::
+
+    read_parquet(fragments, include_paths)            # blocks = Arrow tables
+      └ map_batches(RowCheckStage, concurrency=pool)  # ONE fused pass:
+           • schema conformance + all row checks (vectorized, zero-copy)
+           • violation rows → partition-local parquet (side sink, no shuffle)
+           • per-(partition, source) partials: counts, n_tok histogram,
+             t-digest + HLL sketch bytes     ← the ONLY data leaving the stage
+      └ driver merge of tiny partials → per-partition lineage + verdicts
+    uniqueness phase: read doc_id column only → per-batch combiner →
+      groupby(doc_id) shuffle of (doc_id, n) pairs → dup set → broadcast →
+      filtered re-read materializes duplicate violation rows
+    drift phase: merged per-source histograms vs reference dimension (no rows)
+
+Scale notes (100 TB / 256 nodes):
+- The full-row pass never shuffles: token payloads stay inside their input
+  partition; only O(batches × sources) partial rows (a few KB each) move.
+- The uniqueness shuffle ships ONLY (doc_id, n) pairs — never tokens
+  (SURVEY.md §7.4). Per-batch pre-aggregation is the combiner; Ray's hash
+  shuffle handles the skewed key volume because hot *sources* do not make hot
+  *doc_ids* (each doc_id is globally rare), and the final dup set is tiny.
+- Duplicate-row materialization re-reads with a doc_id predicate (row-group
+  statistics pushdown when the dup set is small; broadcast-set filter
+  otherwise) — the assumption is |duplicates| ≪ |corpus|, which holds for
+  training-data QA; if it ever doesn't, the dup set itself should become a
+  Dataset and the materialization a hash join on doc_id.
+- Waves of input files bound the checkpoint granularity: lineage records are
+  published per wave, so a killed job re-validates at most one wave.
+
+Reference analogs: candidate→verdict per-row loop (``app.py:986-1448``),
+failed-rows CSV (``app.py:1516-1521``), durability/resume
+(``utils/durability.py:5-31``) — re-architected as above, not ported.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..checks.drift import drift_verdicts
+from ..checks.row_checks import ROW_CHECK_NAMES, annotate_batch
+from ..core.schema import HIST_BIN_WIDTH, HIST_NUM_BINS, SOURCE_ALLOWLIST
+from ..sources.dimensions import build_check_ctx, reference_histograms_dim
+from ..state import lineage as lin
+from ..state.sketches import HyperLogLog, TDigest
+
+_SENTINEL_MIN = 2**62
+
+
+def _default_pool() -> tuple[int, int]:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(2, cpus - 2))
+
+
+class RowCheckStage:
+    """Actor-pool stage: fused row checks + violation side-sink + partials.
+
+    Dimension state (allowlist, caps, vocab) is built ONCE per actor in
+    ``__init__`` from constructor kwargs — the Ray-native version of the
+    reference's module-global dictionary indexes (``banningredients.py:25``).
+    """
+
+    def __init__(
+        self,
+        allowlist_rows: list[dict] | None = None,
+        out_dir: str | None = None,
+        write_violations: bool = True,
+        sketch_delta: int = 100,
+    ):
+        self.ctx = build_check_ctx(allowlist_rows)
+        self.out_dir = out_dir
+        self.write_violations = write_violations and out_dir is not None
+        self.sketch_delta = sketch_delta
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        paths = batch.column("path")
+        data = batch.drop_columns(["path"])
+        out_rows: list[dict] = []
+        # a block almost always comes from one file; group defensively anyway
+        for path in pc.unique(paths).to_pylist():
+            sel = data.filter(pc.equal(paths, path))
+            out_rows.extend(self._process_group(path, sel))
+        return pa.Table.from_pylist(out_rows, schema=_PARTIAL_SCHEMA)
+
+    def _process_group(self, path: str, t: pa.Table) -> list[dict]:
+        annotated, mat = annotate_batch(t, self.ctx)
+        ok = np.asarray(annotated.column("ok").to_numpy(zero_copy_only=False), dtype=bool)
+        pid = lin.part_id_for(path)
+        n_viol = int((~ok).sum())
+        if n_viol and self.write_violations:
+            viol = annotated.filter(pa.array(~ok))
+            self._write_violations(pid, viol)
+
+        src = annotated.column("source").to_pandas()
+        src_filled = src.fillna("\x00null")
+        n_tok = np.asarray(
+            pc.fill_null(annotated.column("n_tok"), -1).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        doc_ids = annotated.column("doc_id")
+        rows_out = []
+        for s, idx in src_filled.groupby(src_filled).groups.items():
+            ii = np.asarray(idx)
+            nt = n_tok[ii]
+            valid = nt >= 0
+            ntv = nt[valid]
+            hist = np.bincount(
+                np.minimum(ntv // HIST_BIN_WIDTH, HIST_NUM_BINS),
+                minlength=HIST_NUM_BINS + 1,
+            ).astype(np.int64)
+            td = TDigest(self.sketch_delta).add(ntv.astype(np.float64))
+            ids = doc_ids.take(pa.array(ii)).combine_chunks()
+            hll = HyperLogLog()
+            if len(ids) - ids.null_count > 0:
+                hll.add_strings(ids.drop_null())
+            counts = mat[ii].sum(axis=0)
+            rows_out.append(
+                {
+                    "path": path,
+                    "source": None if s == "\x00null" else s,
+                    "rows": int(len(ii)),
+                    "ok_rows": int(ok[ii].sum()),
+                    "viol_rows": int((~ok[ii]).sum()),
+                    **{f"c_{n}": int(counts[j]) for j, n in enumerate(ROW_CHECK_NAMES)},
+                    "hist": hist.tolist(),
+                    "sum_n_tok": int(ntv.sum()),
+                    "min_n_tok": int(ntv.min()) if ntv.size else _SENTINEL_MIN,
+                    "max_n_tok": int(ntv.max()) if ntv.size else -1,
+                    "td": td.to_bytes(),
+                    "hll": hll.to_bytes(),
+                }
+            )
+        return rows_out
+
+    def _write_violations(self, pid: str, viol: pa.Table) -> None:
+        d = lin.violations_dir(self.out_dir, pid)
+        os.makedirs(d, exist_ok=True)
+        # content-addressed filename → task retries overwrite identically
+        # instead of appending duplicates (idempotent side sink)
+        digest = hashlib.sha1()
+        digest.update(pid.encode())
+        for c in viol.column("doc_id").to_pylist():
+            digest.update(repr(c).encode())
+        digest.update(str(viol.num_rows).encode())
+        pq.write_table(viol, os.path.join(d, f"rc-{digest.hexdigest()[:16]}.parquet"))
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("source", pa.string()),
+        ("rows", pa.int64()),
+        ("ok_rows", pa.int64()),
+        ("viol_rows", pa.int64()),
+        *[(f"c_{n}", pa.int64()) for n in ROW_CHECK_NAMES],
+        ("hist", pa.list_(pa.int64())),
+        ("sum_n_tok", pa.int64()),
+        ("min_n_tok", pa.int64()),
+        ("max_n_tok", pa.int64()),
+        ("td", pa.binary()),
+        ("hll", pa.binary()),
+    ]
+)
+
+
+@dataclass
+class ValidationReport:
+    partitions: dict[str, dict] = field(default_factory=dict)
+    per_source: dict[str, dict] = field(default_factory=dict)
+    drift: dict[str, dict] = field(default_factory=dict)
+    duplicates: dict[str, int] = field(default_factory=dict)  # doc_id → count
+    global_stats: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(p["processed_rows"] for p in self.partitions.values())
+
+    def check_counts(self) -> dict[str, int]:
+        out = {n: 0 for n in ROW_CHECK_NAMES}
+        for p in self.partitions.values():
+            for n in ROW_CHECK_NAMES:
+                out[n] += p["check_counts"][n]
+        out["dup_doc_id"] = self.global_stats.get("dup_rows", 0)
+        return out
+
+
+def input_fragments(input_path: str) -> list[str]:
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    return sorted(glob.glob(input_path))
+
+
+def _chunks(xs: list, k: int):
+    for i in range(0, len(xs), k):
+        yield xs[i : i + k]
+
+
+def run_validation(
+    input_path: str,
+    out_dir: str,
+    *,
+    allowlist_rows: list[dict] | None = None,
+    resume: bool = True,
+    wave_files: int = 8,
+    batch_size: int | None = 8192,
+    concurrency: tuple[int, int] | int | None = None,
+    write_violations: bool = True,
+    uniqueness: bool = True,
+) -> ValidationReport:
+    """Run the full validation suite; resumable at wave granularity."""
+    files = input_fragments(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet fragments under {input_path}")
+    os.makedirs(out_dir, exist_ok=True)
+    lin.clear_run_record(out_dir)
+    allow = allowlist_rows if allowlist_rows is not None else SOURCE_ALLOWLIST
+    pool = concurrency if concurrency is not None else _default_pool()
+
+    todo = []
+    for f in files:
+        if resume and lin.partition_complete(out_dir, f):
+            continue
+        lin.reset_partition(out_dir, lin.part_id_for(f))
+        todo.append(f)
+
+    for wave in _chunks(todo, max(1, wave_files)):
+        t0 = time.time()
+        ds = rd.read_parquet(wave, include_paths=True)
+        partials = ds.map_batches(
+            RowCheckStage,
+            fn_constructor_kwargs={
+                "allowlist_rows": allow,
+                "out_dir": out_dir,
+                "write_violations": write_violations,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=pool,
+            num_cpus=1,
+        ).take_all()
+        _publish_wave(out_dir, wave, partials, time.time() - t0)
+        lin.heartbeat(out_dir)
+
+    report = _assemble_report(out_dir, files)
+    if uniqueness:
+        dups = find_duplicate_doc_ids(files)
+        dup_rows = 0
+        if dups:
+            dup_rows = materialize_duplicates(
+                files, dups, out_dir, write_violations=write_violations
+            )
+        report.duplicates = dups
+        report.global_stats["dup_doc_ids"] = len(dups)
+        report.global_stats["dup_rows"] = dup_rows
+    lin.write_run_record(
+        out_dir,
+        {
+            "engine_version": lin.ENGINE_VERSION,
+            "input": input_path,
+            "partitions": len(files),
+            "rows": report.total_rows,
+            "check_counts": report.check_counts(),
+            "drift": report.drift,
+            "global": {
+                k: v for k, v in report.global_stats.items() if not isinstance(v, bytes)
+            },
+        },
+    )
+    return report
+
+
+def _publish_wave(out_dir: str, wave: list[str], partials: list[dict], wall_s: float) -> None:
+    by_pid: dict[str, list[dict]] = {}
+    for r in partials:
+        by_pid.setdefault(lin.part_id_for(r["path"]), []).append(r)
+    expected = {lin.part_id_for(f): (f, pq.read_metadata(f).num_rows) for f in wave}
+    for pid, (fpath, file_rows) in expected.items():
+        rows = by_pid.get(pid, [])
+        processed = sum(r["rows"] for r in rows)
+        if processed != file_rows:
+            # incomplete coverage — do not publish lineage; rerun will redo it
+            continue
+        per_source: dict[str, dict] = {}
+        # deterministic merge order for sketches (SURVEY.md §7.4)
+        for r in sorted(rows, key=lambda r: (r["source"] or "", r["rows"], r["sum_n_tok"], r["td"])):
+            s = r["source"] if r["source"] is not None else "\x00null"
+            agg = per_source.setdefault(
+                s,
+                {
+                    "rows": 0,
+                    "ok_rows": 0,
+                    "viol_rows": 0,
+                    "check_counts": {n: 0 for n in ROW_CHECK_NAMES},
+                    "hist": np.zeros(HIST_NUM_BINS + 1, dtype=np.int64),
+                    "sum_n_tok": 0,
+                    "min_n_tok": _SENTINEL_MIN,
+                    "max_n_tok": -1,
+                    "_td": TDigest(),
+                    "_hll": HyperLogLog(),
+                },
+            )
+            agg["rows"] += r["rows"]
+            agg["ok_rows"] += r["ok_rows"]
+            agg["viol_rows"] += r["viol_rows"]
+            for n in ROW_CHECK_NAMES:
+                agg["check_counts"][n] += r[f"c_{n}"]
+            agg["hist"] += np.asarray(r["hist"], dtype=np.int64)
+            agg["sum_n_tok"] += r["sum_n_tok"]
+            agg["min_n_tok"] = min(agg["min_n_tok"], r["min_n_tok"])
+            agg["max_n_tok"] = max(agg["max_n_tok"], r["max_n_tok"])
+            agg["_td"].merge(TDigest.from_bytes(r["td"]))
+            agg["_hll"].merge(HyperLogLog.from_bytes(r["hll"]))
+        record = {
+            "engine_version": lin.ENGINE_VERSION,
+            "part_id": pid,
+            "input_path": fpath,
+            "input_fingerprint": lin.file_fingerprint(fpath),
+            "file_rows": file_rows,
+            "processed_rows": processed,
+            "ok_rows": sum(a["ok_rows"] for a in per_source.values()),
+            "viol_rows": sum(a["viol_rows"] for a in per_source.values()),
+            "check_counts": {
+                n: sum(a["check_counts"][n] for a in per_source.values())
+                for n in ROW_CHECK_NAMES
+            },
+            "per_source": {
+                s: {
+                    "rows": a["rows"],
+                    "ok_rows": a["ok_rows"],
+                    "viol_rows": a["viol_rows"],
+                    "check_counts": a["check_counts"],
+                    "hist": a["hist"].tolist(),
+                    "sum_n_tok": a["sum_n_tok"],
+                    "min_n_tok": a["min_n_tok"],
+                    "max_n_tok": a["max_n_tok"],
+                    "td": lin.b64(a["_td"].to_bytes()),
+                    "hll": lin.b64(a["_hll"].to_bytes()),
+                }
+                for s, a in per_source.items()
+            },
+            "wall_s": round(wall_s, 3),
+        }
+        lin.write_lineage(out_dir, pid, record)
+
+
+def _assemble_report(out_dir: str, files: list[str]) -> ValidationReport:
+    report = ValidationReport()
+    records = lin.all_lineage(out_dir)
+    expected_pids = {lin.part_id_for(f) for f in files}
+    missing = expected_pids - set(records)
+    if missing:
+        raise RuntimeError(f"partitions incomplete after run: {sorted(missing)[:5]} ...")
+    per_source: dict[str, dict] = {}
+    g_td = TDigest()
+    g_hll = HyperLogLog()
+    for pid in sorted(expected_pids):
+        rec = records[pid]
+        report.partitions[pid] = {
+            k: rec[k]
+            for k in (
+                "input_path",
+                "file_rows",
+                "processed_rows",
+                "ok_rows",
+                "viol_rows",
+                "check_counts",
+                "wall_s",
+            )
+        }
+        report.partitions[pid]["pass"] = rec["viol_rows"] == 0
+        for s, a in rec["per_source"].items():
+            agg = per_source.setdefault(
+                s,
+                {
+                    "rows": 0,
+                    "viol_rows": 0,
+                    "hist": np.zeros(HIST_NUM_BINS + 1, dtype=np.int64),
+                    "sum_n_tok": 0,
+                    "min_n_tok": _SENTINEL_MIN,
+                    "max_n_tok": -1,
+                    "_td": TDigest(),
+                    "_hll": HyperLogLog(),
+                },
+            )
+            agg["rows"] += a["rows"]
+            agg["viol_rows"] += a["viol_rows"]
+            agg["hist"] += np.asarray(a["hist"], dtype=np.int64)
+            agg["sum_n_tok"] += a["sum_n_tok"]
+            agg["min_n_tok"] = min(agg["min_n_tok"], a["min_n_tok"])
+            agg["max_n_tok"] = max(agg["max_n_tok"], a["max_n_tok"])
+            agg["_td"].merge(TDigest.from_bytes(lin.unb64(a["td"])))
+            agg["_hll"].merge(HyperLogLog.from_bytes(lin.unb64(a["hll"])))
+    for s, a in per_source.items():
+        g_td.merge(TDigest.from_bytes(a["_td"].to_bytes()))
+        g_hll.merge(HyperLogLog.from_bytes(a["_hll"].to_bytes()))
+        report.per_source[s] = {
+            "rows": a["rows"],
+            "viol_rows": a["viol_rows"],
+            "mean_n_tok": a["sum_n_tok"] / max(a["rows"], 1),
+            "min_n_tok": None if a["min_n_tok"] == _SENTINEL_MIN else a["min_n_tok"],
+            "max_n_tok": None if a["max_n_tok"] < 0 else a["max_n_tok"],
+            "p50_n_tok": a["_td"].quantile(0.5),
+            "p99_n_tok": a["_td"].quantile(0.99),
+            "distinct_doc_est": a["_hll"].estimate(),
+            "hist": a["hist"],
+        }
+    observed = {s: a["hist"] for s, a in per_source.items() if not s.startswith("\x00")}
+    report.drift = drift_verdicts(observed, reference_histograms_dim())
+    report.global_stats = {
+        "rows": report.total_rows,
+        "ok_rows": sum(p["ok_rows"] for p in report.partitions.values()),
+        "viol_rows": sum(p["viol_rows"] for p in report.partitions.values()),
+        "p50_n_tok": g_td.quantile(0.5),
+        "p90_n_tok": g_td.quantile(0.9),
+        "p99_n_tok": g_td.quantile(0.99),
+        "distinct_doc_est": g_hll.estimate(),
+        "sources_observed": sorted(s for s in per_source if not s.startswith("\x00")),
+    }
+    return report
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness phase (SURVEY.md §7.2 step 5)
+# ---------------------------------------------------------------------------
+
+
+def find_duplicate_doc_ids(files: list[str]) -> dict[str, int]:
+    """Global doc_id duplicate detection.
+
+    Projected read (doc_id only) → per-batch value_counts combiner →
+    groupby(doc_id) sum of (doc_id, n) pairs → dups = n > 1. The shuffle
+    never carries token payloads. Returns {doc_id: total_count}.
+    """
+    ds = rd.read_parquet(files, columns=["doc_id"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("doc_id").drop_null().combine_chunks())
+        return pa.table(
+            {"doc_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("n")
+    )
+    dup = agg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum(n)"), 1)),
+        batch_format="pyarrow",
+    )
+    out: dict[str, int] = {}
+    for b in dup.iter_batches(batch_format="pyarrow"):
+        for d, n in zip(b.column("doc_id").to_pylist(), b.column("sum(n)").to_pylist()):
+            out[d] = int(n)
+    return out
+
+
+def materialize_duplicates(
+    files: list[str],
+    dups: dict[str, int],
+    out_dir: str,
+    *,
+    write_violations: bool = True,
+    pushdown_limit: int = 10_000,
+) -> int:
+    """Materialize the original rows of duplicated doc_ids as violation rows.
+
+    Small dup sets go down as a parquet row-group predicate (statistics
+    pushdown); larger ones are broadcast once via ``ray.put`` and filtered
+    inside ``map_batches`` (broadcast semi-join — never a row shuffle).
+    Rows keep their input columns byte-identical (token-array invariant).
+    """
+    dup_ids = sorted(dups)
+    use_pushdown = len(dup_ids) <= pushdown_limit
+    read_kwargs: dict[str, Any] = {"include_paths": True}
+    if use_pushdown:
+        read_kwargs["filter"] = pc.field("doc_id").isin(dup_ids)
+    ds = rd.read_parquet(files, **read_kwargs)
+    dup_ref = ray.put(frozenset(dup_ids))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ids = ray.get(dup_ref)
+        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(sorted(ids), type=pa.string()))
+        sel = batch.filter(pc.fill_null(mask, False))
+        if sel.num_rows == 0:
+            return pa.Table.from_pylist([], schema=pa.schema([("part_id", pa.string()), ("n", pa.int64())]))
+        out_rows = []
+        for path in pc.unique(sel.column("path")).to_pylist():
+            g = sel.filter(pc.equal(sel.column("path"), path))
+            pid = lin.part_id_for(path)
+            t = g.drop_columns(["path"])
+            n = t.num_rows
+            t = t.append_column("ok", pa.array([False] * n))
+            t = t.append_column(
+                "checks_failed",
+                pa.array([["dup_doc_id"]] * n, type=pa.list_(pa.string())),
+            )
+            if write_violations:
+                d = lin.violations_dir(out_dir, pid)
+                os.makedirs(d, exist_ok=True)
+                digest = hashlib.sha1(
+                    (pid + "|" + "|".join(map(repr, t.column("doc_id").to_pylist()))).encode()
+                ).hexdigest()[:16]
+                pq.write_table(t, os.path.join(d, f"dup-{digest}.parquet"))
+            out_rows.append({"part_id": pid, "n": n})
+        return pa.Table.from_pylist(
+            out_rows, schema=pa.schema([("part_id", pa.string()), ("n", pa.int64())])
+        )
+
+    marked = ds.map_batches(mark, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in marked))
+
+
+def violations_dataset(out_dir: str) -> "rd.Dataset | None":
+    """All materialized violation rows (row checks + duplicates) as a Dataset."""
+    files = sorted(glob.glob(os.path.join(lin.violations_dir(out_dir), "part=*", "*.parquet")))
+    if not files:
+        return None
+    return rd.read_parquet(files)

@@ -1,0 +1,58 @@
+"""Broadcast dimension tables and per-worker check context.
+
+Reference analog: the dictionary CSV loaders with required-column validation
+and module-global caches (``prompts/banningredients.py:29-67``,
+``novel_check_utils.py:17-46``, ``competitor_match.py:137-149``). In the Ray
+engine, dimension state is built ONCE on the driver, shipped to stages via
+actor constructor args (tiny: an allowlist + caps dict + histograms), and
+normalized into lookup-friendly form before shipping — never rebuilt per
+batch, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.schema import SOURCE_ALLOWLIST, VOCAB
+from ..datagen import reference_histograms
+
+
+def allowlist_table() -> pa.Table:
+    """The `source_allowlist` dimension as an Arrow table (FIXTURES.md §3)."""
+    return pa.Table.from_pylist(
+        SOURCE_ALLOWLIST,
+        schema=pa.schema(
+            [("source", pa.string()), ("status", pa.string()), ("max_n_tok", pa.int32())]
+        ),
+    )
+
+
+def build_check_ctx(
+    allowlist: "list[dict] | None" = None, vocab: int = VOCAB
+) -> dict:
+    """Build the broadcast context consumed by ``row_check_matrix``.
+
+    Validates the dimension's required columns (the reference pattern,
+    ``banningredients.py:43-46``) and pre-materializes the Arrow value_set so
+    the hot loop never reconstructs it.
+    """
+    rows = allowlist if allowlist is not None else SOURCE_ALLOWLIST
+    required = {"source", "status", "max_n_tok"}
+    for r in rows:
+        missing = required - set(r)
+        if missing:
+            raise ValueError(f"allowlist dimension missing columns {sorted(missing)}")
+    allowed = sorted(r["source"] for r in rows)
+    return {
+        "allowed_sources": frozenset(allowed),
+        "allowed_sources_arr": pa.array(allowed, type=pa.string()),
+        "max_n_tok": {r["source"]: int(r["max_n_tok"]) for r in rows},
+        "status": {r["source"]: r["status"] for r in rows},
+        "vocab": vocab,
+    }
+
+
+def reference_histograms_dim() -> dict[str, np.ndarray]:
+    """source → expected n_tok histogram counts (FIXTURES.md §4)."""
+    return reference_histograms()

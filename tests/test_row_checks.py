@@ -1,0 +1,138 @@
+"""Unit tests for the fused vectorized row checks (SURVEY.md §5 plan #1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from product_quality_check_ray.checks.row_checks import (
+    ROW_CHECK_NAMES,
+    annotate_batch,
+    checks_failed_list_array,
+    conform_schema,
+    row_check_matrix,
+)
+from product_quality_check_ray.core.schema import SEQUENCE_SCHEMA, VOCAB
+from product_quality_check_ray.sources.dimensions import build_check_ctx
+
+CTX = build_check_ctx()
+
+
+def tbl(rows):
+    return pa.Table.from_pylist(rows, schema=SEQUENCE_SCHEMA)
+
+
+def checks_for(rows):
+    mat = row_check_matrix(tbl(rows), CTX)
+    return [
+        {ROW_CHECK_NAMES[j] for j in range(mat.shape[1]) if mat[i, j]}
+        for i in range(mat.shape[0])
+    ]
+
+
+def test_clean_row_passes():
+    [c] = checks_for(
+        [{"doc_id": "web-1", "tokens": [1, 2, 3], "n_tok": 3, "source": "web"}]
+    )
+    assert c == set()
+
+
+def test_null_doc_id():
+    [c] = checks_for([{"doc_id": None, "tokens": [1], "n_tok": 1, "source": "web"}])
+    assert c == {"null_doc_id"}
+
+
+def test_null_tokens():
+    [c] = checks_for([{"doc_id": "a", "tokens": None, "n_tok": 1, "source": "web"}])
+    assert c == {"null_tokens"}
+
+
+def test_ntok_mismatch_and_empty():
+    cs = checks_for(
+        [
+            {"doc_id": "a", "tokens": [1, 2], "n_tok": 3, "source": "web"},
+            {"doc_id": "b", "tokens": [], "n_tok": 4, "source": "web"},
+            {"doc_id": "c", "tokens": [1, 2], "n_tok": None, "source": "web"},
+        ]
+    )
+    assert cs[0] == {"ntok_mismatch"}
+    assert cs[1] == {"ntok_mismatch"}
+    assert cs[2] == {"ntok_mismatch", "ntok_range"}
+
+
+def test_token_domain():
+    cs = checks_for(
+        [
+            {"doc_id": "a", "tokens": [0, VOCAB - 1, 5], "n_tok": 3, "source": "web"},
+            {"doc_id": "b", "tokens": [1, VOCAB, 2], "n_tok": 3, "source": "web"},
+            {"doc_id": "c", "tokens": [-1, 2, 3], "n_tok": 3, "source": "web"},
+        ]
+    )
+    assert cs[0] == set()
+    assert cs[1] == {"token_oov"}
+    assert cs[2] == {"token_neg"}
+
+
+def test_bad_source_and_range():
+    cs = checks_for(
+        [
+            {"doc_id": "a", "tokens": [1], "n_tok": 1, "source": "spam-1"},
+            {"doc_id": "b", "tokens": [1], "n_tok": 0, "source": "web"},
+            {"doc_id": "c", "tokens": list(range(3000)), "n_tok": 3000, "source": "web"},
+            {"doc_id": "d", "tokens": [1], "n_tok": 1, "source": None},
+        ]
+    )
+    assert cs[0] == {"bad_source"}
+    assert cs[1] == {"ntok_range", "ntok_mismatch"}
+    assert cs[2] == {"ntok_range"}
+    assert cs[3] == {"bad_source"}
+
+
+def test_conform_schema_missing_column():
+    t = pa.table({"doc_id": ["a"]})
+    with pytest.raises(ValueError, match="missing required columns"):
+        conform_schema(t)
+
+
+def test_conform_schema_casts_types():
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a"], type=pa.large_string()),
+            "tokens": pa.array([[1, 2]], type=pa.list_(pa.int64())),
+            "n_tok": pa.array([2], type=pa.int64()),
+            "source": pa.array(["web"]),
+        }
+    )
+    out = conform_schema(t)
+    assert out.schema == SEQUENCE_SCHEMA
+
+
+def test_checks_failed_list_array_layout():
+    mat = np.array([[True, False, True], [False, False, False]])
+    # build with a 3-check view: uses global names for first 3
+    arr = checks_failed_list_array(
+        np.pad(mat, ((0, 0), (0, len(ROW_CHECK_NAMES) - 3)), constant_values=False)
+    )
+    assert arr.to_pylist() == [[ROW_CHECK_NAMES[0], ROW_CHECK_NAMES[2]], []]
+
+
+def test_annotate_preserves_input_columns(small_corpus_table):
+    t = small_corpus_table.slice(0, 500)
+    annotated, _ = annotate_batch(t, CTX)
+    for col in SEQUENCE_SCHEMA.names:
+        assert annotated.column(col).to_pylist() == t.column(col).to_pylist()
+
+
+def test_sliced_list_min_max():
+    # regression: reduceat over a sliced ListArray must not read past the
+    # logical end of the slice
+    t = tbl(
+        [
+            {"doc_id": "a", "tokens": [5, 6], "n_tok": 2, "source": "web"},
+            {"doc_id": "b", "tokens": [VOCAB + 7], "n_tok": 1, "source": "web"},
+            {"doc_id": "c", "tokens": [1], "n_tok": 1, "source": "web"},
+        ]
+    )
+    sl = t.slice(0, 2)
+    mat = row_check_matrix(sl, CTX)
+    assert not mat[0, ROW_CHECK_NAMES.index("token_oov")]
+    assert mat[1, ROW_CHECK_NAMES.index("token_oov")]

@@ -1,0 +1,192 @@
+"""Golden end-to-end + differential oracle + parallelism invariance + resume
+(SURVEY.md §5 plan #2-#4)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.dataset as pds
+import pytest
+
+from product_quality_check_ray.checks.oracle_pandas import (
+    oracle_duplicates,
+    oracle_row_checks,
+    oracle_source_hist,
+)
+from product_quality_check_ray.core.schema import (
+    HIST_BIN_WIDTH,
+    HIST_NUM_BINS,
+    SEQUENCE_SCHEMA,
+)
+from product_quality_check_ray.datagen import load_injections
+from product_quality_check_ray.pipelines.validate import (
+    run_validation,
+    violations_dataset,
+)
+from product_quality_check_ray.state import lineage as lin
+
+
+@pytest.fixture(scope="module")
+def run(ray_session, small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("val") / "out")
+    report = run_validation(small_corpus, out, resume=False, wave_files=4)
+    return small_corpus, out, report
+
+
+def corpus_df(small_corpus_table):
+    df = small_corpus_table.to_pandas()
+    return df
+
+
+def test_counts_match_pandas_oracle(run, small_corpus_table):
+    _, _, report = run
+    df = corpus_df(small_corpus_table)
+    oracle = oracle_row_checks(df)
+    got = report.check_counts()
+    for check in oracle.columns:
+        if check == "ok":
+            continue
+        assert got[check] == int(oracle[check].sum()), check
+    assert report.global_stats["ok_rows"] == int(oracle["ok"].sum())
+
+
+def test_duplicates_match_oracle(run, small_corpus_table):
+    _, _, report = run
+    df = corpus_df(small_corpus_table)
+    exp = oracle_duplicates(df)
+    assert report.duplicates == exp
+    assert report.global_stats["dup_rows"] == sum(exp.values())
+
+
+def test_injected_corruptions_flagged(run, small_corpus_table):
+    seq_dir, out, report = run
+    inj = load_injections(seq_dir)
+    df = corpus_df(small_corpus_table)
+    v = violations_dataset(out).to_pandas()
+    flagged = set()
+    for _, r in v.iterrows():
+        for c in r["checks_failed"]:
+            flagged.add((r["doc_id"] if r["doc_id"] is not None else f"@{r.name}", c))
+    viol_ids = {r["doc_id"] for _, r in v.iterrows() if r["doc_id"] is not None}
+    expected_kind = {
+        "empty_tokens": "ntok_mismatch",
+        "ntok_mismatch": "ntok_mismatch",
+        "oov_token": "token_oov",
+        "neg_token": "token_neg",
+        "dup_doc_id": "dup_doc_id",
+        "bad_source": "bad_source",
+    }
+    for kind, check in expected_kind.items():
+        for row_idx in inj[kind]:
+            doc = df["doc_id"].iloc[row_idx]
+            assert doc in viol_ids, (kind, row_idx)
+            assert (doc, check) in flagged, (kind, row_idx, check)
+    assert len(inj["null_doc_id"]) == report.check_counts()["null_doc_id"]
+
+
+def test_violation_rows_token_equality(run, small_corpus_table):
+    """The driver's invariant: violation rows carry the original token arrays
+    byte-for-byte."""
+    _, out, _ = run
+    df = corpus_df(small_corpus_table).set_index("doc_id", drop=False)
+    v = violations_dataset(out).to_pandas()
+    v_nonnull = v[v["doc_id"].notna()]
+    for _, r in v_nonnull.iterrows():
+        orig = df.loc[r["doc_id"]]
+        if isinstance(orig, type(df)):  # duplicated doc_id → compare to any match
+            assert any(
+                np.array_equal(np.asarray(r["tokens"]), np.asarray(t))
+                for t in orig["tokens"]
+            )
+        else:
+            assert np.array_equal(np.asarray(r["tokens"]), np.asarray(orig["tokens"]))
+
+
+def test_histograms_match_oracle(run, small_corpus_table):
+    _, _, report = run
+    df = corpus_df(small_corpus_table)
+    exp = oracle_source_hist(df, HIST_BIN_WIDTH, HIST_NUM_BINS)
+    for src, hist in exp.items():
+        got = report.per_source[src]["hist"]
+        assert np.array_equal(np.asarray(got), hist), src
+
+
+def test_drift_flags_only_drifted_source(run):
+    _, _, report = run
+    assert report.drift["forums"]["drifted"] is True
+    for src in ("web", "books", "code", "wiki"):
+        assert report.drift[src]["drifted"] is False, (src, report.drift[src])
+
+
+def test_parallelism_invariance(ray_session, small_corpus, tmp_path):
+    """Same verdicts at different batch sizes / wave sizes (partition-count
+    invariance, SURVEY.md §5 plan #5)."""
+    r1 = run_validation(
+        small_corpus, str(tmp_path / "a"), resume=False, wave_files=1, batch_size=128
+    )
+    r2 = run_validation(
+        small_corpus, str(tmp_path / "b"), resume=False, wave_files=8, batch_size=4096
+    )
+    assert r1.check_counts() == r2.check_counts()
+    assert r1.duplicates == r2.duplicates
+    for src in r1.per_source:
+        assert np.array_equal(
+            np.asarray(r1.per_source[src]["hist"]), np.asarray(r2.per_source[src]["hist"])
+        )
+    assert {k: v["drifted"] for k, v in r1.drift.items()} == {
+        k: v["drifted"] for k, v in r2.drift.items()
+    }
+    va = violations_dataset(str(tmp_path / "a")).to_pandas()
+    vb = violations_dataset(str(tmp_path / "b")).to_pandas()
+    ka = sorted(map(str, zip(va["doc_id"], va["n_tok"], va["checks_failed"].map(list))))
+    kb = sorted(map(str, zip(vb["doc_id"], vb["n_tok"], vb["checks_failed"].map(list))))
+    assert ka == kb
+
+
+def test_resume_skips_completed_partitions(ray_session, small_corpus, tmp_path):
+    """Kill after k waves → restart skips completed partitions and converges
+    to the uninterrupted output (SURVEY.md §5 plan #4)."""
+    out = str(tmp_path / "out")
+    files = sorted(glob.glob(os.path.join(small_corpus, "frag-*.parquet")))
+
+    # simulate a killed run: process only the first 4 fragments (one wave)
+    run_partial = run_validation
+    try:
+        run_partial(
+            os.path.join(small_corpus, "frag-0000[0-3].parquet"),
+            out,
+            resume=False,
+            wave_files=4,
+            uniqueness=False,
+        )
+    except RuntimeError:
+        pass
+    done_before = set(lin.all_lineage(out))
+    assert len(done_before) == 4
+
+    fingerprints = {
+        pid: os.path.getmtime(lin.lineage_path(out, pid)) for pid in done_before
+    }
+    report = run_validation(small_corpus, out, resume=True, wave_files=4)
+    # completed partitions were not re-validated (lineage files untouched)
+    for pid, mtime in fingerprints.items():
+        assert os.path.getmtime(lin.lineage_path(out, pid)) == mtime
+    assert len(report.partitions) == len(files)
+
+    # equals an uninterrupted run
+    full = run_validation(small_corpus, str(tmp_path / "full"), resume=False)
+    assert report.check_counts() == full.check_counts()
+    assert report.duplicates == full.duplicates
+    v1 = violations_dataset(out).to_pandas()
+    v2 = violations_dataset(str(tmp_path / "full")).to_pandas()
+    assert sorted(map(str, v1["doc_id"])) == sorted(map(str, v2["doc_id"]))
+
+
+def test_violation_schema(run):
+    _, out, _ = run
+    v = violations_dataset(out)
+    sch = v.schema()
+    names = sch.names
+    for col in SEQUENCE_SCHEMA.names:
+        assert col in names
+    assert "ok" in names and "checks_failed" in names
