@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: neither this
+module nor the library calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,280 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from product_quality_check_ray.core.schema import HIST_BIN_WIDTH, VOCAB
+from product_quality_check_ray.datagen import ensure_sequences, sequences_glob
+from product_quality_check_ray.pipelines import relational as rel
+from product_quality_check_ray.pipelines import seq_queries as sq
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+# predicates shared by the Ray kernels (checks/row_checks.py) and the DuckDB
+# oracle; keep the two textually adjacent so drift is visible in review
+_ALLOWED = "('books','code','forums','web','wiki')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship validation pipeline on the sf0.001 synthetic sequences corpus.
+
+    Returns the per-source validation summary (rows, violations, n_tok stats)
+    as a pandas DataFrame — stable schema, ≥1 row.
+    """
+    import os
+    import tempfile
+
+    from product_quality_check_ray.pipelines.validate import run_validation
+
+    seq_dir = ensure_sequences(SF001)
+    out_dir = os.path.join(tempfile.gettempdir(), "pqcray_entry_out")
+    report = run_validation(seq_dir, out_dir, resume=False)
+    import pandas as pd
+
+    rows = []
+    for s, a in sorted(report.per_source.items()):
+        rows.append(
+            {
+                "source": None if s.startswith("\x00") else s,
+                "rows": a["rows"],
+                "viol_rows": a["viol_rows"],
+                "mean_n_tok": round(a["mean_n_tok"], 3),
+                "min_n_tok": a["min_n_tok"],
+                "max_n_tok": a["max_n_tok"],
+                "p50_n_tok": round(a["p50_n_tok"], 1),
+                "distinct_doc_est": int(a["distinct_doc_est"]),
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from product_quality_check_ray.pipelines import multimodal as mm
+    from product_quality_check_ray.pipelines import similarity as sim
+    from product_quality_check_ray.pipelines import text as tx
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- sequences validation engine (SURVEY.md §2 row checks / groupbys)
+        "seq_row_violations": lambda sf: sq.seq_row_violations(sf),
+        "seq_check_counts": lambda sf: sq.seq_check_counts(sf),
+        "seq_dup_doc_ids": lambda sf: sq.seq_dup_doc_ids(sf),
+        "seq_source_stats": lambda sf: sq.seq_source_stats(sf),
+        "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
+        # --- relational operator suite (joins / aggregates / top-k / anti-join)
+        "pricing_summary": rel.pricing_summary,
+        "top_revenue_orders": rel.top_revenue_orders,
+        "region_revenue": rel.region_revenue,
+        "grouped_topk_orders": rel.grouped_topk_orders,
+        "events_daily": rel.events_daily,
+        "customers_without_orders": rel.customers_without_orders,
+        "parts_matching_terms": rel.parts_matching_terms,
+        "order_priority_stats": rel.order_priority_stats,
+        # --- training-data text ops over documents
+        "doc_token_stats": tx.doc_token_stats,
+        "doc_fingerprints": tx.doc_fingerprints,
+        "doc_exact_dup_groups": tx.doc_exact_dup_groups,
+        "doc_quality_scores": tx.doc_quality_scores,
+        "doc_lang_id": tx.doc_lang_id,  # heuristic — rows-only check
+        "doc_minhash_dups": tx.doc_minhash_dups,  # non-SQL — rows-only
+        "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
+        # --- similarity search over embeddings
+        "knn_bruteforce": sim.knn_bruteforce,
+        "knn_lsh": sim.knn_lsh,  # approximate — rows-only
+        "embedding_label_stats": sim.embedding_label_stats,
+        # --- multimodal plumbing (decode stubbed; schema/layout real)
+        "multimodal_features": mm.multimodal_features,  # rows-only
+    }
+
+
+def _seq_glob_sql(sf_dir: str) -> str:
+    # the oracle reads the engine's own deterministic synthetic corpus;
+    # generation is idempotent and already done by the paired query callable
+    ensure_sequences(sf_dir)
+    return sequences_glob(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
+    flags = f"""
+        (doc_id IS NULL) AS null_doc_id,
+        (tokens IS NULL) AS null_tokens,
+        (tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok)) AS ntok_mismatch,
+        coalesce(list_max(tokens) >= {VOCAB}, false) AS token_oov,
+        coalesce(list_min(tokens) < 0, false) AS token_neg,
+        (source IS NULL OR source NOT IN {_ALLOWED}) AS bad_source,
+        (coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048) AS ntok_range
     """
-    return {}
+    any_flag = (
+        "(doc_id IS NULL OR tokens IS NULL"
+        " OR (tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok))"
+        f" OR coalesce(list_max(tokens) >= {VOCAB}, false)"
+        " OR coalesce(list_min(tokens) < 0, false)"
+        f" OR source IS NULL OR source NOT IN {_ALLOWED}"
+        " OR coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048)"
+    )
+    return {
+        "seq_row_violations": f"""
+            SELECT doc_id, n_tok, source, {flags}
+            FROM {seq} WHERE {any_flag}
+        """,
+        "seq_check_counts": f"""
+            SELECT source,
+                count(*) FILTER (WHERE doc_id IS NULL) AS null_doc_id,
+                count(*) FILTER (WHERE tokens IS NULL) AS null_tokens,
+                count(*) FILTER (WHERE tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok)) AS ntok_mismatch,
+                count(*) FILTER (WHERE coalesce(list_max(tokens) >= {VOCAB}, false)) AS token_oov,
+                count(*) FILTER (WHERE coalesce(list_min(tokens) < 0, false)) AS token_neg,
+                count(*) FILTER (WHERE source IS NULL OR source NOT IN {_ALLOWED}) AS bad_source,
+                count(*) FILTER (WHERE coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048) AS ntok_range,
+                count(*) AS rows,
+                count(*) FILTER (WHERE {any_flag}) AS viol_rows
+            FROM {seq} GROUP BY source ORDER BY source
+        """,
+        "seq_dup_doc_ids": f"""
+            SELECT doc_id, count(*) AS n FROM {seq}
+            WHERE doc_id IS NOT NULL
+            GROUP BY doc_id HAVING count(*) > 1 ORDER BY doc_id
+        """,
+        "seq_source_stats": f"""
+            SELECT source, count(*) AS rows,
+                   cast(sum(n_tok) AS BIGINT) AS sum_n_tok,
+                   min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok,
+                   round(cast(sum(n_tok) AS BIGINT) / count(*), 6) AS mean_n_tok
+            FROM {seq} GROUP BY source ORDER BY source
+        """,
+        "seq_ntok_histogram": f"""
+            SELECT cast(floor(n_tok / {HIST_BIN_WIDTH}.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM {seq} GROUP BY 1 ORDER BY 1
+        """,
+        # money aggregates: per-row round-to-cents before SUM, final round
+        # after — both engines then sum grid-aligned values, and averages are
+        # derived from the rounded sums (identical doubles on both sides)
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                round(sum(round(l_quantity, 2)), 2) AS sum_qty,
+                round(sum(round(l_extendedprice, 2)), 2) AS sum_base_price,
+                round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS sum_disc_price,
+                count(*) AS count_order,
+                round(round(sum(round(l_quantity, 2)), 2) / count(*), 6) AS avg_qty,
+                round(round(sum(round(l_extendedprice, 2)), 2) / count(*), 6) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{rel.Q1_CUTOFF} 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT l_orderkey AS o_orderkey,
+                   round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "grouped_topk_orders": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rank <= 3
+            ORDER BY c_mktsegment, rank
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   count(*) AS n_events, round(sum(round(value, 4)), 4) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "parts_matching_terms": """
+            SELECT p_partkey, p_type,
+                   regexp_extract(p_type, '(PROMO|ECONOMY)', 1) AS matched_term,
+                   p_retailprice
+            FROM part
+            WHERE regexp_matches(p_type, '(PROMO|ECONOMY)')
+            ORDER BY p_partkey
+        """,
+        "order_priority_stats": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   count(*) FILTER (WHERE o_totalprice > 100000) AS n_high_value,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(sum(round(o_totalprice, 2)), 2) AS total_price
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id, lang, source,
+                   length(text) AS n_chars_actual,
+                   len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish_tokens
+            FROM documents
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "doc_exact_dup_groups": r"""
+            SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+            FROM (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents
+            )
+            GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+        """,
+        "doc_quality_scores": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   len(regexp_extract_all(text, '\S+')) AS n_words,
+                   len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that|for|it)\b')) AS n_stopwords,
+                   round(len(regexp_extract_all(text, '[.!?,;:]')) * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that|for|it)\b')) * 1.0
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stopword_ratio
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+                ) AS rank FROM scored
+            ) WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+        "embedding_label_stats": """
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+    }

@@ -1,0 +1,454 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+These pipelines exercise the engine's generic operator inventory
+(SURVEY.md §2.2/§2.4/§2.5/§2.6): projection pushdown at the read, vectorized
+per-batch transforms, broadcast semi-/anti-joins for small dimension sides,
+native hash joins (``Dataset.join``) for large-large, partial (combiner-style)
+pre-aggregation before every ``groupby`` shuffle, grouped top-k, and
+sort/limit consumption of small results.
+
+Scale notes (the 100 TB contract):
+- Every ``groupby`` here is fed by a per-batch combiner, so the shuffle moves
+  O(batches × groups) rows, never the fact table.
+- Dimension sides (region/nation/customer-segment maps) are built once on the
+  driver from a projected read and shipped to tasks inside the UDF closure —
+  Ray serializes them once into the object store per stage (broadcast), not
+  per batch.
+- The one genuinely large-large equi-join (lineitem ⨝ orders) uses the native
+  hash-partitioned ``Dataset.join``; at cluster scale ``num_partitions``
+  should be ~cluster cores; here it is sized for the local test.
+
+Reference analogs cited per function: the reference's dictionary semi-joins
+(``prompts/banningredients.py:131-139``), fuzzy catalog join
+(``prompts/competitor_match.py:159-208``), grouped argmax/top-k
+(``banningredients.py:211-234``, ``green_claims.py:96-106``) — re-expressed as
+set-based Ray Data plans instead of per-row loops.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from ..core.rounding import round_half_away as _rha
+
+
+def _tbl(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None, **kw) -> rd.Dataset:
+    return rd.read_parquet(_tbl(sf_dir, name), columns=columns, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter → partial agg → tiny groupby → finalize
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """Per (returnflag, linestatus) pricing rollup over lineitem.
+
+    Pattern: predicate+projection pushdown at the read, per-batch pandas
+    groupby combiner, then a tiny ``groupby().aggregate(Sum)`` over partials
+    (the shuffle carries ~6 rows per batch). Reference analog: global boolean
+    rollups + counters (``app.py:652-659,1454-1459``) generalized to keyed
+    aggregation.
+    """
+    cutoff = pa.scalar(pd.Timestamp(Q1_CUTOFF), type=pa.timestamp("us"))
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+        filter=pc.field("l_shipdate") <= cutoff,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-row round-to-cents BEFORE summing: both engines then sum
+        # grid-aligned values, so the final round(…, 2) never sits on a
+        # half-cent boundary regardless of summation order (oracle parity)
+        disc_price = _rha(df["l_extendedprice"] * (1.0 - df["l_discount"]), 2)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": _rha(df["l_quantity"], 2),
+                "sum_base_price": _rha(df["l_extendedprice"], 2),
+                "sum_disc_price": disc_price,
+                "count_order": 1,
+            }
+        ).groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        g["count_order"] = g["count_order"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = _rha(df["sum_qty"], 2)
+        df["sum_base_price"] = _rha(df["sum_base_price"], 2)
+        df["sum_disc_price"] = _rha(df["sum_disc_price"], 2)
+        # averages from the ROUNDED sums: identical doubles in both engines
+        df["avg_qty"] = _rha(df["sum_qty"] / df["count_order"], 6)
+        df["avg_price"] = _rha(df["sum_base_price"] / df["count_order"], 6)
+        df["count_order"] = df["count_order"].astype(np.int64)
+        return df
+
+    out = agg.map_batches(finalize, batch_format="pandas")
+    return _collect(out.sort(["l_returnflag", "l_linestatus"]))
+
+
+from ..core.collect import collect_table as _collect
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: broadcast semi-join (segment filter) + hash join + grouped top-k
+# ---------------------------------------------------------------------------
+
+
+def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pa.Table:
+    """Top-k orders by revenue for one customer segment.
+
+    customer(segment) is a broadcast key-set semi-join into orders (reference
+    analog J2 exact dictionary semi-join, ``banningredients.py:131-139``);
+    orders ⨝ lineitem is the large-large native hash join; revenue is a
+    partial-agg groupby; top-k is ``sort().limit(k)`` on the tiny aggregate.
+    """
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = {
+        int(r["c_custkey"])
+        for r in cust.filter(expr=f"c_mktsegment == '{segment}'").take_all()
+    }
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("o_custkey"), value_set=pa.array(sorted(keys), type=pa.int64()))
+        return t.filter(pc.fill_null(mask, False)).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(filt_orders, batch_format="pyarrow")
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _rha(df["l_extendedprice"] * (1.0 - df["l_discount"]), 2)
+        g = pd.DataFrame({"l_orderkey": df["l_orderkey"], "revenue": rev}).groupby(
+            "l_orderkey", as_index=False
+        ).sum()
+        return g
+
+    rev = (
+        line.map_batches(partial_rev, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    joined = rev.join(
+        orders_f,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype(np.int64),
+                "revenue": _rha(df["revenue"], 2),
+                "o_orderdate": pd.to_datetime(df["o_orderdate"]).dt.strftime("%Y-%m-%d"),
+            }
+        )
+        return out
+
+    out = joined.map_batches(finalize, batch_format="pandas").sort(
+        ["revenue", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+    return _collect(out)
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: revenue per region via broadcast dimension chain + hash join
+# ---------------------------------------------------------------------------
+
+
+def region_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per region: lineitem ⨝ orders (hash join) with the
+    customer→nation→region chain collapsed into ONE broadcast dict.
+
+    The three dimension tables are small at any scale (region/nation are
+    constant-size; customer→region is a compact int→int8 map), so the chain
+    is composed on the driver and shipped once — the canonical "broadcast the
+    small side instead of a shuffle join" move.
+    """
+    region = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
+    nation = {
+        r["n_nationkey"]: region[r["n_regionkey"]]
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    cust_rows = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
+    cust_region = {int(r["c_custkey"]): nation[r["c_nationkey"]] for r in cust_rows}
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial_rev(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _rha(df["l_extendedprice"] * (1.0 - df["l_discount"]), 2)
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"], "revenue": rev}).groupby(
+            "l_orderkey", as_index=False
+        ).sum()
+
+    rev = (
+        line.map_batches(partial_rev, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    joined = rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def to_region(df: pd.DataFrame) -> pd.DataFrame:
+        reg = df["o_custkey"].map(cust_region)
+        return pd.DataFrame({"r_name": reg, "revenue": df["revenue"]}).groupby(
+            "r_name", as_index=False
+        ).sum()
+
+    agg = (
+        joined.map_batches(to_region, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = _rha(df["revenue"], 2)
+        return df
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("r_name"))
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k: top orders per market segment (reference analog G3,
+# per-section capped ranking, green_claims.py:96-106)
+# ---------------------------------------------------------------------------
+
+
+def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
+    """Top-k orders per customer market segment by total price.
+
+    Broadcast customer→segment map into a batch transform, then
+    per-batch local top-k combiner → groupby(segment) → exact top-k within
+    each group (map_groups). The shuffle only carries k rows per segment per
+    batch, never the orders table.
+    """
+    cust_rows = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    seg_map = {int(r["c_custkey"]): r["c_mktsegment"] for r in cust_rows}
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(c_mktsegment=df["o_custkey"].map(seg_map))
+        df = df.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return df.groupby("c_mktsegment", as_index=False).head(k)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]
+        ]
+
+    def group_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    out = (
+        orders.map_batches(local_topk, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(group_topk, batch_format="pandas")
+    )
+    tbl = _collect(out)
+    return tbl.sort_by([("c_mktsegment", "ascending"), ("rank", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Events: keyed daily aggregation (date scalar functions + multi-key groupby)
+# ---------------------------------------------------------------------------
+
+
+def events_daily(sf_dir: str) -> pa.Table:
+    """Per (day, event_type): event count and total value.
+
+    Date bucketing is a vectorized scalar transform; the groupby is fed by a
+    per-batch combiner keyed on (day, event_type) — low-cardinality keys, so
+    the shuffle is tiny regardless of input size.
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(df["ts"]).dt.strftime("%Y-%m-%d")
+        g = pd.DataFrame(
+            {"day": day, "event_type": df["event_type"], "n_events": 1, "total_value": _rha(df["value"], 4)}
+        ).groupby(["day", "event_type"], as_index=False).sum()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("total_value", alias_name="total_value"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = _rha(df["total_value"], 4)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return df
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort(["day", "event_type"]))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast anti-join: customers with no orders
+# ---------------------------------------------------------------------------
+
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti-join customer ∖ orders on custkey via broadcast key set.
+
+    The distinct order-custkey set is produced by a projected read + partial
+    distinct combiner + groupby (never the raw orders rows), then broadcast
+    into the customer scan (SURVEY.md §2.4 J2: anti-join = violations).
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column("o_custkey").combine_chunks())
+        return pa.table({"o_custkey": u})
+
+    key_ds = (
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    have = {int(r["o_custkey"]) for r in key_ds.take_all()}
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t.column("c_custkey"), value_set=pa.array(sorted(have), type=pa.int64())
+        )
+        return t.filter(pc.invert(pc.fill_null(mask, False)))
+
+    out = cust.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+    return _collect(
+        out,
+        schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()), ("c_acctbal", pa.float64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary semi-join on part type/brand (reference analog J2/J3)
+# ---------------------------------------------------------------------------
+
+PART_TYPE_TERMS: tuple[str, ...] = ("PROMO", "ECONOMY")
+
+
+def parts_matching_terms(sf_dir: str) -> pa.Table:
+    """Parts whose p_type matches a small dictionary of terms.
+
+    The term dictionary is compiled to ONE regex alternation (the reference's
+    chunked-alternation trick, ``banningredients.py:185-206``) applied with a
+    vectorized Arrow kernel — a dictionary semi-join with zero shuffle.
+    Emits per-part matched term (first alternation hit).
+    """
+    pattern = "(" + "|".join(PART_TYPE_TERMS) + ")"
+    named = "(?P<m>" + "|".join(PART_TYPE_TERMS) + ")"
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_retailprice"])
+
+    def match(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(t.column("p_type"), pattern)
+        sel = t.filter(pc.fill_null(hit, False))
+        term = pc.extract_regex(sel.column("p_type"), named)
+        matched = pc.struct_field(term, "m")
+        return pa.table(
+            {
+                "p_partkey": sel.column("p_partkey"),
+                "p_type": sel.column("p_type"),
+                "matched_term": matched,
+                "p_retailprice": sel.column("p_retailprice"),
+            }
+        )
+
+    return _collect(ds.map_batches(match, batch_format="pyarrow").sort("p_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# Order priority distribution with conditional aggregation (CASE analog)
+# ---------------------------------------------------------------------------
+
+
+def order_priority_stats(sf_dir: str) -> pa.Table:
+    """Per priority: order count, high-value count (>100k), max/total price."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        high = (df["o_totalprice"] > 100_000).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "n_orders": 1,
+                "n_high_value": high,
+                "max_price": df["o_totalprice"],
+                "total_price": _rha(df["o_totalprice"], 2),
+            }
+        ).groupby("o_orderpriority", as_index=False).agg(
+            {"n_orders": "sum", "n_high_value": "sum", "max_price": "max", "total_price": "sum"}
+        )
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_high_value", alias_name="n_high_value"),
+            Max("max_price", alias_name="max_price"),
+            Sum("total_price", alias_name="total_price"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["max_price"] = _rha(df["max_price"], 2)
+        df["total_price"] = _rha(df["total_price"], 2)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["n_high_value"] = df["n_high_value"].astype(np.int64)
+        return df
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("o_orderpriority"))

@@ -1,0 +1,188 @@
+"""SQL-matchable query views over the sequences validation engine.
+
+Each function runs the engine's vectorized check kernels
+(``checks/row_checks.py``) as streaming Ray Data pipelines over the
+deterministic synthetic sequences corpus (``datagen.ensure_sequences``) and
+returns a result a DuckDB oracle can reproduce exactly — the driver's
+correctness gate. The full flagship pipeline (sketches, lineage, drift,
+violation materialization) lives in ``pipelines/validate.py``; these views
+exercise the same predicates in oracle-comparable form.
+
+Scale notes: every aggregate here uses a per-batch combiner before the
+groupby, and per-row outputs carry no token payloads (only doc_id/n_tok/
+source + flags), so nothing here ships token arrays through a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Max, Min, Sum
+
+from ..core.rounding import round_half_away as _rha
+from ..checks.row_checks import ROW_CHECK_NAMES, conform_schema, row_check_matrix
+from ..core.schema import HIST_BIN_WIDTH
+from ..datagen import ensure_sequences, sequences_glob
+from ..sources.dimensions import build_check_ctx
+
+
+def _seq_ds(sf_dir: str, columns=None) -> rd.Dataset:
+    import glob
+
+    ensure_sequences(sf_dir)
+    files = sorted(glob.glob(sequences_glob(sf_dir)))
+    return rd.read_parquet(files, columns=columns)
+
+
+from ..core.collect import collect_table as _collect
+
+
+class _FlagStage:
+    """Stateless check-kernel stage; ctx built once per actor (analog A1)."""
+
+    def __init__(self):
+        self.ctx = build_check_ctx()
+
+    def flags(self, batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        t = conform_schema(batch)
+        return t, row_check_matrix(t, self.ctx)
+
+
+class RowViolationsStage(_FlagStage):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t, mat = self.flags(batch)
+        bad = mat.any(axis=1)
+        sel = t.filter(pa.array(bad))
+        m = mat[bad]
+        cols = {
+            "doc_id": sel.column("doc_id"),
+            "n_tok": sel.column("n_tok"),
+            "source": sel.column("source"),
+        }
+        for j, name in enumerate(ROW_CHECK_NAMES):
+            cols[name] = pa.array(m[:, j])
+        return pa.table(cols)
+
+
+def seq_row_violations(sf_dir: str) -> rd.Dataset:
+    """All violating rows with one boolean column per fused check."""
+    return _seq_ds(sf_dir).map_batches(RowViolationsStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+class CheckCountsStage(_FlagStage):
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        t, mat = self.flags(batch)
+        src = t.column("source").to_pandas()
+        df = pd.DataFrame(mat.astype(np.int64), columns=list(ROW_CHECK_NAMES))
+        df["rows"] = np.int64(1)
+        df["viol_rows"] = mat.any(axis=1).astype(np.int64)
+        df["source"] = src.to_numpy()
+        return df.groupby("source", as_index=False, dropna=False).sum()
+
+
+def seq_check_counts(sf_dir: str) -> pa.Table:
+    """Per-source violation counts for every fused row check."""
+    partial = _seq_ds(sf_dir).map_batches(
+        CheckCountsStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    agg = partial.groupby("source").aggregate(
+        *[Sum(n, alias_name=n) for n in ROW_CHECK_NAMES],
+        Sum("rows", alias_name="rows"),
+        Sum("viol_rows", alias_name="viol_rows"),
+    )
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if c != "source":
+                df[c] = df[c].astype(np.int64)
+        return df
+
+    return _collect(agg.map_batches(to_int, batch_format="pandas").sort("source"))
+
+
+def seq_dup_doc_ids(sf_dir: str) -> pa.Table:
+    """doc_ids appearing more than once (projected read, combiner, groupby).
+
+    The shuffle ships only (doc_id, n) partial-count pairs — never tokens
+    (SURVEY.md §7.4 skew note).
+    """
+    ds = _seq_ds(sf_dir, columns=["doc_id"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("doc_id").drop_null().combine_chunks())
+        return pa.table(
+            {"doc_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow").groupby("doc_id").aggregate(
+        Sum("n", alias_name="n")
+    )
+    dup = agg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), 1)), batch_format="pyarrow"
+    )
+    return _collect(dup.sort("doc_id"))
+
+
+def seq_source_stats(sf_dir: str) -> pa.Table:
+    """Per-source row count and n_tok sum/min/max/mean (combiner + groupby)."""
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False, dropna=False).agg(
+            rows=("n_tok", "size"),
+            sum_n_tok=("n_tok", "sum"),
+            min_n_tok=("n_tok", "min"),
+            max_n_tok=("n_tok", "max"),
+        )
+        g["rows"] = g["rows"].astype(np.int64)
+        g["sum_n_tok"] = g["sum_n_tok"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("rows", alias_name="rows"),
+            Sum("sum_n_tok", alias_name="sum_n_tok"),
+            Min("min_n_tok", alias_name="min_n_tok"),
+            Max("max_n_tok", alias_name="max_n_tok"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_n_tok"] = _rha(df["sum_n_tok"] / df["rows"], 6)
+        for c in ("rows", "sum_n_tok"):
+            df[c] = df[c].astype(np.int64)
+        for c in ("min_n_tok", "max_n_tok"):
+            df[c] = df[c].astype(np.int32)
+        return df
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("source"))
+
+
+def seq_ntok_histogram(sf_dir: str) -> pa.Table:
+    """Global n_tok histogram at the engine's drift-bin width (combiner +
+    low-cardinality groupby; the drift check's observable)."""
+    ds = _seq_ds(sf_dir, columns=["n_tok"])
+    w = HIST_BIN_WIDTH
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df["n_tok"].to_numpy(dtype=np.int64) // w).astype(np.int64)
+        g = pd.DataFrame({"bin": b, "n": np.int64(1)}).groupby("bin", as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("bin").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        df["bin"] = df["bin"].astype(np.int64)
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return _collect(agg.map_batches(to_int, batch_format="pandas").sort("bin"))

@@ -1,0 +1,520 @@
+"""Training-data text operators over the ``documents`` table.
+
+Large-scale-pipeline operators the reference lacks but a 100 TB training-data
+engine needs (round brief): token counting, document fingerprinting, exact
+dedup, quality scoring, language ID, MinHash+LSH and SimHash near-dedup.
+
+Design rules applied throughout:
+- All string kernels are vectorized ``pyarrow.compute`` (RE2 regexes — the
+  same engine DuckDB uses, so the oracle SQL matches byte-for-byte).
+- Per-doc hashing (md5/crc) is C-speed per-row work inside ``map_batches``;
+  no Python-level tokenization loops in hot paths.
+- Every groupby is fed by a per-batch combiner or ships only tiny rows
+  (fingerprints, band keys, signature pieces) — never document text.
+- Near-dup verification assumes |candidate pairs| ≪ |corpus| (standard LSH
+  contract); candidates are verified with exact similarity before reporting.
+
+Reference analogs: normalized-variant exact dedupe (``prompts/
+banningredients.py:175-183``), near-dup merge by IoU (``artwork_processing_
+warnings_advisory.py:223-236``), fuzzy dictionary joins (J3) — generalized to
+corpus-scale dedup primitives.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..core.rounding import round_half_away as _rha
+
+WS_TOKEN_RE = r"\S+"
+BPE_ISH_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+PUNCT_RE = r"[.!?,;:]"
+DIGIT_RE = r"[0-9]"
+STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "that", "for", "it")
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+from ..core.collect import collect_table as _collect
+
+
+def _count_re(col: pa.ChunkedArray, pattern: str) -> pa.Array:
+    return pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc character and token counts (whitespace + BPE-ish regex)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars_actual": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_ws_tokens": _count_re(text, WS_TOKEN_RE),
+                "n_bpe_ish_tokens": _count_re(text, BPE_ISH_RE),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting + exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _fingerprint_col(text: pa.ChunkedArray) -> pa.Array:
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+    )
+    fps = [
+        None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest()
+        for s in norm.to_pylist()
+    ]
+    return pa.array(fps, type=pa.string())
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Normalized-content md5 fingerprint per document (exact-dup key)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "fingerprint": _fingerprint_col(t.column("text"))}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_exact_dup_groups(sf_dir: str) -> pa.Table:
+    """Exact-duplicate groups: fingerprint → (n_docs, keeper = min doc_id).
+
+    hash-partitioned groupby on the 32-char fingerprint (never text);
+    keeper selection is the grouped argmin (reference analog G1 best-per-group
+    reduce, ``banningredients.py:211-234``).
+    """
+    fp = doc_fingerprints(sf_dir)
+    agg = fp.groupby("fingerprint").aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="keeper_doc_id")
+    )
+
+    def dups_only(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.greater(t.column("n_docs"), 1))
+        return pa.table(
+            {
+                "fingerprint": sel.column("fingerprint"),
+                "n_docs": pc.cast(sel.column("n_docs"), pa.int64()),
+                "keeper_doc_id": sel.column("keeper_doc_id"),
+            }
+        )
+
+    return _collect(
+        agg.map_batches(dups_only, batch_format="pyarrow").sort("fingerprint"),
+        schema=pa.schema(
+            [
+                ("fingerprint", pa.string()),
+                ("n_docs", pa.int64()),
+                ("keeper_doc_id", pa.int64()),
+            ]
+        ),
+    )
+
+
+def dedup_exact(ds: rd.Dataset, key_fn=None) -> rd.Dataset:
+    """Keep one row per exact-content group (min doc_id wins).
+
+    Two-pass broadcast design: the tiny loser set (doc_ids to drop) is
+    computed from the fingerprint groupby and broadcast back into a filter —
+    the corpus itself is never shuffled.
+    """
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "fingerprint": _fingerprint_col(t.column("text"))}
+        )
+
+    groups = (
+        ds.map_batches(fp, batch_format="pyarrow")
+        .groupby("fingerprint")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="keeper_doc_id"))
+    )
+    losers: set = set()
+    fps_with_dups = [r for r in groups.take_all() if r["n_docs"] > 1]
+    if fps_with_dups:
+        dup_fps = {r["fingerprint"]: r["keeper_doc_id"] for r in fps_with_dups}
+
+        def collect_losers(t: pa.Table) -> pa.Table:
+            f = _fingerprint_col(t.column("text"))
+            ids = t.column("doc_id").to_pylist()
+            out = [
+                i
+                for i, h in zip(ids, f.to_pylist())
+                if h in dup_fps and i != dup_fps[h]
+            ]
+            return pa.table({"loser": pa.array(out, type=pa.int64())})
+
+        losers = {
+            r["loser"] for r in ds.map_batches(collect_losers, batch_format="pyarrow").take_all()
+        }
+
+    def keep(t: pa.Table) -> pa.Table:
+        if not losers:
+            return t
+        mask = pc.is_in(t.column("doc_id"), value_set=pa.array(sorted(losers), type=pa.int64()))
+        return t.filter(pc.invert(pc.fill_null(mask, False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_scores(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality signals: length, punctuation/digit/stopword ratios."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = np.asarray(pc.utf8_length(text).to_numpy(zero_copy_only=False), dtype=np.int64)
+        n_words = np.asarray(_count_re(text, WS_TOKEN_RE).to_numpy(zero_copy_only=False))
+        n_punct = np.asarray(_count_re(text, PUNCT_RE).to_numpy(zero_copy_only=False))
+        n_digits = np.asarray(_count_re(text, DIGIT_RE).to_numpy(zero_copy_only=False))
+        n_stop = np.asarray(_count_re(text, STOPWORD_RE).to_numpy(zero_copy_only=False))
+        punct_ratio = _rha(n_punct / np.maximum(n_chars, 1), 6)
+        stop_ratio = _rha(n_stop / np.maximum(n_words, 1), 6)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars_actual": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "n_punct": pa.array(n_punct),
+                "n_digits": pa.array(n_digits),
+                "n_stopwords": pa.array(n_stop),
+                "punct_ratio": pa.array(punct_ratio),
+                "stopword_ratio": pa.array(stop_ratio),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram / stopword heuristic; rows-only check)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with", "for"),
+    "es": ("el", "la", "de", "que", "los", "una", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit"),
+}
+
+
+class LangIdStage:
+    """Actor-pool stage: marker regexes compiled once per actor (A4 analog)."""
+
+    def __init__(self):
+        self.patterns = {
+            lang: r"\b(" + "|".join(ws) + r")\b" for lang, ws in LANG_MARKERS.items()
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t.column("text"))
+        n_words = np.maximum(
+            np.asarray(_count_re(text, WS_TOKEN_RE).to_numpy(zero_copy_only=False)), 1
+        )
+        scores = np.zeros((t.num_rows, len(self.patterns)))
+        langs = list(self.patterns)
+        for j, lang in enumerate(langs):
+            hits = np.asarray(
+                _count_re(text, self.patterns[lang]).to_numpy(zero_copy_only=False)
+            )
+            scores[:, j] = hits / n_words
+        best = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(t.num_rows), best]
+        pred = np.where(best_score > 0.01, np.asarray(langs, dtype=object)[best], "und")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "lang_pred": pa.array(pred, type=pa.string()),
+                "lang_score": pa.array(np.round(best_score, 6)),
+            }
+        )
+
+
+def doc_lang_id(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_K // LSH_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(k: int = MINHASH_K, seed: int = 1234567) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Stable uint64 hashes of word n-gram shingles (crc32 pairs → 64-bit)."""
+    words = text.lower().split()
+    if len(words) < n:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        bs = s.encode("utf-8")
+        # compose two crc32 streams into a stable 64-bit hash (python ints —
+        # no int64 overflow before the uint64 store)
+        out[i] = (zlib.crc32(bs) << 32) | zlib.crc32(bs, 0x1E3779B9)
+    return np.unique(out)
+
+
+class MinHashStage:
+    """Actor-pool stage: hash-family params built once per actor.
+
+    Emits one row per (doc, band): (band_id, band_key, doc_id). The LSH
+    groupby then buckets by (band_id, band_key); only docs sharing a full
+    band collide (SURVEY.md D-gap: doc-scale near-dedup).
+    """
+
+    def __init__(self, k: int = MINHASH_K, bands: int = LSH_BANDS):
+        self.a, self.b = _hash_params(k)
+        self.k = k
+        self.bands = bands
+        self.r = k // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text)
+        # (a*h + b) mod p over the Mersenne prime, vectorized k × |shingles|
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        band_ids, band_keys, doc_ids = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if text is None:
+                continue
+            sig = self.signature(text)
+            for band in range(self.bands):
+                chunk = sig[band * self.r : (band + 1) * self.r]
+                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                band_ids.append(band)
+                band_keys.append(key)
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_key": pa.array(band_keys, type=pa.string()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+            }
+        )
+
+
+def _exact_jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
+    inter = np.intersect1d(h1, h2, assume_unique=True).size
+    union = h1.size + h2.size - inter
+    return inter / union if union else 1.0
+
+
+def doc_minhash_dups(
+    sf_dir: str, threshold: float = 0.8, max_bucket: int = 64
+) -> pa.Table:
+    """MinHash+LSH near-duplicate pairs, verified by exact shingle Jaccard.
+
+    shingle → minhash → band → bucket groupby → candidate pairs → exact
+    verification. The groupby ships only (band_id, band_key, doc_id) rows.
+    Buckets larger than ``max_bucket`` are truncated (logged via column
+    ``bucket_truncated`` absent here — they indicate degenerate content) to
+    bound the pair explosion; verification reads only candidate docs.
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4))
+
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].tolist())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+        a, b = zip(*combinations(ids, 2))
+        return pd.DataFrame({"a": np.asarray(a, dtype=np.int64), "b": np.asarray(b, dtype=np.int64)})
+
+    cand = (
+        bands.groupby(["band_id", "band_key"])
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+    cand_pairs = [(r["a"], r["b"]) for r in cand.take_all()]
+    if not cand_pairs:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+
+    # verification: fetch shingle sets for candidate docs only (assumed ≪ corpus)
+    need = sorted({d for p in cand_pairs for d in p})
+    need_set = pa.array(need, type=pa.int64())
+
+    def shingles_of(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("doc_id"), value_set=need_set)
+        sel = t.filter(pc.fill_null(mask, False))
+        rows = []
+        for doc_id, text in zip(sel.column("doc_id").to_pylist(), sel.column("text").to_pylist()):
+            rows.append({"doc_id": doc_id, "hashes": _shingle_hashes(text or "").tolist()})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("doc_id", pa.int64()), ("hashes", pa.list_(pa.uint64()))])
+        )
+
+    sh = {
+        r["doc_id"]: np.asarray(r["hashes"], dtype=np.uint64)
+        for r in ds.map_batches(shingles_of, batch_format="pyarrow").take_all()
+    }
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(cand_pairs):
+        j = _exact_jaccard(sh[a], sh[b])
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 6))
+    return pa.table(
+        {
+            "doc_id_a": pa.array(out_a, type=pa.int64()),
+            "doc_id_b": pa.array(out_b, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup (pigeonhole piece index, hamming verification)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_PIECES = 4  # hamming ≤ SIMHASH_PIECES-1 guaranteed to collide on ≥1 piece
+
+
+def _simhash(text: str) -> int:
+    words = text.lower().split()
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+    hs = np.empty(len(uniq), dtype=np.uint64)
+    for i, w in enumerate(uniq):
+        bs = w.encode("utf-8")
+        hs[i] = (zlib.crc32(bs) << 32) | zlib.crc32(bs, 0x05EBCA6B)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for j in range(64):
+        if acc[j] > 0:
+            out |= np.uint64(1) << np.uint64(j)
+    return int(out)
+
+
+class SimHashStage:
+    """Emits (piece_id, piece_val, doc_id, simhash) rows for the pigeonhole
+    index: two docs within hamming distance < SIMHASH_PIECES must agree on at
+    least one 16-bit piece."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        piece_ids, piece_vals, doc_ids, sims = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if text is None:
+                continue
+            s = _simhash(text)
+            for p in range(SIMHASH_PIECES):
+                piece = (s >> (16 * p)) & 0xFFFF
+                piece_ids.append(p)
+                piece_vals.append(piece)
+                doc_ids.append(doc_id)
+                sims.append(s)
+        return pa.table(
+            {
+                "piece_id": pa.array(piece_ids, type=pa.int32()),
+                "piece_val": pa.array(piece_vals, type=pa.int32()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "simhash": pa.array(sims, type=pa.uint64()),
+            }
+        )
+
+
+def doc_simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) -> pa.Table:
+    """SimHash near-duplicate pairs with hamming distance ≤ ``max_hamming``."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pieces = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(df["doc_id"].tolist(), df["simhash"].tolist()))[:max_bucket]
+        out_a, out_b, out_h = [], [], []
+        for (a, sa), (b, sb) in combinations(rows, 2):
+            h = int(int(sa) ^ int(sb)).bit_count()
+            if h <= max_hamming:
+                out_a.append(a)
+                out_b.append(b)
+                out_h.append(h)
+        return pd.DataFrame(
+            {
+                "doc_id_a": np.asarray(out_a, dtype=np.int64),
+                "doc_id_b": np.asarray(out_b, dtype=np.int64),
+                "hamming": np.asarray(out_h, dtype=np.int64),
+            }
+        )
+
+    pairs = (
+        pieces.groupby(["piece_id", "piece_val"])
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        df["hamming"] = df["hamming"].astype(np.int64)
+        return df
+
+    return _collect(
+        pairs.map_batches(to_int, batch_format="pandas").sort(["doc_id_a", "doc_id_b"]),
+        schema=pa.schema(
+            [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("hamming", pa.int64())]
+        ),
+    )

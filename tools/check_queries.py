@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry and, where an ``oracle_sql()`` entry exists,
+compares against DuckDB on the same parquet tables: row count, column-name
+set, and order-insensitive value comparison (rows sorted by all columns).
+
+Usage: python tools/check_queries.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        res = res.to_pandas()
+    if isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
+    problems = []
+    if set(mine.columns) != set(oracle.columns):
+        problems.append(f"columns differ: mine={sorted(mine.columns)} oracle={sorted(oracle.columns)}")
+        return problems
+    if len(mine) != len(oracle):
+        problems.append(f"row count differs: mine={len(mine)} oracle={len(oracle)}")
+    a, b = canon(mine), canon(oracle)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
+                np.asarray(bv).dtype, np.floating
+            ):
+                av = np.asarray(av, dtype=np.float64)
+                bv = np.asarray(bv, dtype=np.float64)
+                bad = ~(np.isclose(av, bv, rtol=0, atol=1e-9) | (np.isnan(av) & np.isnan(bv)))
+            else:
+                bad = ~(
+                    (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).to_numpy()
+                )
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
+                problems.append(f"col {c}: {int(bad.sum())} mismatches; first at row {i}: mine={av[i]!r} oracle={bv[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"FAIL  {name}: query raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(mine)} cols={sorted(mine.columns)} ({dt:.1f}s, rows-only)")
+            n_pass += 1
+            continue
+        sql = oracles[name]
+        if "sf0.01" in sql and "sf0.01" not in sf_dir:
+            sql = sql.replace("sf0.01", sf_dir.rstrip("/").split("/")[-1])
+        try:
+            oracle = con.sql(sql).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {ex}")
+            n_fail += 1
+            continue
+        problems = compare(name, mine, oracle)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name}: ({dt:.1f}s)")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            n_pass += 1
+            print(f"PASS  {name}: rows={len(mine)} ({dt:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
