@@ -1,0 +1,119 @@
+"""Exact doc_id duplicate detection via a hash-range tree reduce.
+
+Ray Data's generic ``groupby(doc_id).sum`` expresses this, but its row-level
+shuffle machinery costs ~25× the raw data movement for the mostly-unique-key
+case (measured: 19-24 s vs 0.9 s for 3.2M keys at 32 CPUs). Uniqueness is the
+one stage where we drop to raw Ray tasks, per the round contract ("raw tasks
+only where the Dataset API genuinely can't express the semantics" —
+efficiently, here):
+
+1. **map** (one task per input fragment): projected read of ``doc_id`` only
+   → stable 64-bit hash (``core.hashing.hash_strings``) → per-fragment
+   ``np.unique`` counts → split into R contiguous hash ranges.
+2. **reduce** (one task per range): concatenate that range's (hash, count)
+   partials from every fragment, sort, segment-sum; hashes with total ≥ 2 are
+   duplicate *candidates*.
+3. **recover** (one task per fragment): re-read ``doc_id``, keep rows whose
+   hash is a candidate, return exact string counts; the driver sums and keeps
+   strings with true count ≥ 2 — 64-bit collisions are filtered here, so the
+   result is EXACT.
+
+Scale notes (10^12 rows, 256 nodes): the reduce moves 8 bytes/row of hash +
+8 of count — ~2% of a token-corpus's bytes — and hash ranges give perfectly
+uniform partitioning regardless of doc_id skew (the salting the north rule
+asks for falls out of hashing). For very large runs use a two-level reduce
+(fragment-wave partials → range partials) to bound per-task object counts;
+``ranges`` should then be ~cluster cores. The recover pass assumes
+|duplicates| ≪ |corpus| (training-data QA regime).
+
+Reference analog: cross-row segment dedupe via in-memory ``seen`` set
+(``prompts/banningredients.py:170-183``) — re-architected as a distributed
+exact reduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from ..core.hashing import hash_strings
+
+HASH_SEED = 7
+
+
+def _range_edges(ranges: int) -> np.ndarray:
+    return (np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges))
+
+
+@ray.remote
+def _map_fragment(path: str, ranges: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    t = pq.read_table(path, columns=["doc_id"])
+    col = t.column("doc_id").drop_null().combine_chunks()
+    if len(col) == 0:
+        empty = np.empty(0, dtype=np.uint64)
+        return [(empty, empty.astype(np.int64))] * ranges
+    h = hash_strings(col, seed=HASH_SEED)
+    uv, uc = np.unique(h, return_counts=True)
+    idx = np.searchsorted(uv, _range_edges(ranges))
+    return list(zip(np.split(uv, idx), np.split(uc.astype(np.int64), idx)))
+
+
+@ray.remote
+def _reduce_range(parts: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+    vs = np.concatenate([p[0] for p in parts])
+    if vs.size == 0:
+        return vs
+    cs = np.concatenate([p[1] for p in parts])
+    order = np.argsort(vs, kind="stable")
+    vs, cs = vs[order], cs[order]
+    change = np.empty(vs.size, dtype=bool)
+    change[0] = True
+    np.not_equal(vs[1:], vs[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    totals = np.add.reduceat(cs, starts)
+    return vs[starts][totals > 1]
+
+
+@ray.remote
+def _recover_fragment(path: str, dup_hashes_sorted: np.ndarray) -> dict[str, int]:
+    t = pq.read_table(path, columns=["doc_id"])
+    col = t.column("doc_id").drop_null().combine_chunks()
+    if len(col) == 0 or dup_hashes_sorted.size == 0:
+        return {}
+    h = hash_strings(col, seed=HASH_SEED)
+    pos = np.searchsorted(dup_hashes_sorted, h)
+    pos[pos == dup_hashes_sorted.size] = 0
+    mask = dup_hashes_sorted[pos] == h
+    if not mask.any():
+        return {}
+    vc = pc.value_counts(col.filter(pa.array(mask)))
+    return {
+        v: int(c)
+        for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+    }
+
+
+def find_duplicates(files: list[str], ranges: int | None = None) -> dict[str, int]:
+    """Exact global {doc_id: count} for doc_ids appearing more than once."""
+    if not files:
+        return {}
+    if ranges is None:
+        try:
+            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            ranges = 8
+    mapped = ray.get([_map_fragment.remote(f, ranges) for f in files])
+    dup_refs = [_reduce_range.remote([m[r] for m in mapped]) for r in range(ranges)]
+    dup_hashes = np.sort(np.concatenate(ray.get(dup_refs)))
+    if dup_hashes.size == 0:
+        return {}
+    dup_ref = ray.put(dup_hashes)  # broadcast once, read by every recover task
+    totals: dict[str, int] = {}
+    for d in ray.get([_recover_fragment.remote(f, dup_ref) for f in files]):
+        for k, v in d.items():
+            totals[k] = totals.get(k, 0) + v
+    return {k: v for k, v in totals.items() if v > 1}

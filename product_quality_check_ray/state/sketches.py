@@ -85,27 +85,19 @@ class TDigest:
         order = np.argsort(m, kind="stable")
         m, w = m[order], w[order]
         total = w.sum()
-        # greedy merge pass (Dunning's merging digest)
-        out_m: list[float] = []
-        out_w: list[float] = []
-        q0 = 0.0
-        cur_m, cur_w = m[0], w[0]
-        k0 = self._k1(np.array([0.0]), self.delta)[0]
-        for i in range(1, m.size):
-            q_new = q0 + (cur_w + w[i]) / total
-            if self._k1(np.array([q_new]), self.delta)[0] - k0 <= 1.0:
-                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
-                cur_w += w[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q0 += cur_w / total
-                k0 = self._k1(np.array([q0]), self.delta)[0]
-                cur_m, cur_w = m[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        # vectorized k-scale bucketing (the textbook variant of Dunning's
+        # merging pass): cluster consecutive points whose k1(q) falls in the
+        # same unit bucket; one reduceat per buffer instead of a Python loop
+        q = (np.cumsum(w) - w) / total
+        bucket = np.floor(self._k1(q, self.delta)).astype(np.int64)
+        change = np.empty(m.size, dtype=bool)
+        change[0] = True
+        np.not_equal(bucket[1:], bucket[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        wsum = np.add.reduceat(w, starts)
+        msum = np.add.reduceat(m * w, starts) / wsum
+        self.means = msum
+        self.weights = wsum
 
     def quantile(self, q: float) -> float:
         self._compress()
