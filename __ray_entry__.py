@@ -27,6 +27,18 @@ SF01 = "/root/testdata/sf0.01"
 _ALLOWED = "('books','code','forums','web','wiki')"
 
 
+def _dict_values_sql() -> str:
+    from product_quality_check_ray.pipelines.textnorm import TERM_DICT
+
+    pairs = [
+        f"('{v}', '{d['canonical']}')" for d in TERM_DICT for v in d["variants"]
+    ]
+    return ", ".join(pairs)
+
+
+_DICT_VALUES = _dict_values_sql()
+
+
 def entry() -> Any:
     """Flagship validation pipeline on the sf0.001 synthetic sequences corpus.
 
@@ -64,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from product_quality_check_ray.pipelines import multimodal as mm
     from product_quality_check_ray.pipelines import similarity as sim
     from product_quality_check_ray.pipelines import text as tx
+    from product_quality_check_ray.pipelines import textnorm as tn
 
     return {
         # --- sequences validation engine (SURVEY.md §2 row checks / groupbys)
@@ -81,6 +94,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         "parts_matching_terms": rel.parts_matching_terms,
         "order_priority_stats": rel.order_priority_stats,
+        "user_sessions": rel.user_sessions,
+        "events_asof_last_click": rel.events_asof_last_click,
+        "events_json_k": rel.events_json_k,
+        "brand_canonical": rel.brand_canonical,
+        # --- normalize → explode → dictionary-match spine (reference §3.3)
+        "doc_normalized": tn.doc_normalized,
+        "doc_words": tn.doc_words,
+        "doc_dict_matches": tn.doc_dict_matches,
+        "doc_best_dict_match": tn.doc_best_dict_match,
         # --- training-data text ops over documents
         "doc_token_stats": tx.doc_token_stats,
         "doc_fingerprints": tx.doc_fingerprints,
@@ -284,6 +306,96 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank FROM scored
             ) WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "user_sessions": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM e
+            )
+            SELECT user_id, session_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   count(*) AS n_events,
+                   round(sum(round(value, 4)), 4) AS total_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "events_asof_last_click": """
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts
+            ORDER BY p.event_id
+        """,
+        "events_json_k": r"""
+            SELECT event_id,
+                   TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS k
+            FROM events
+        """,
+        "brand_canonical": r"""
+            SELECT p_partkey,
+                   regexp_replace(lower(p_brand), 'brand#(\d+)', 'brand-\1') AS canonical_brand
+            FROM part
+        """,
+        "doc_normalized": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(strip_accents(regexp_replace(
+                       lower(text), '<[^>]*>', ' ', 'g')), '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "doc_words": """
+            SELECT doc_id, i::BIGINT AS word_idx, string_split(text, ' ')[i] AS word
+            FROM documents,
+                 UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+        """,
+        "doc_dict_matches": f"""
+            WITH dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
+            words AS (
+                SELECT doc_id, string_split(text, ' ')[i] AS word
+                FROM documents,
+                     UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+            )
+            SELECT w.doc_id, w.word, d.variant AS matched_variant, d.canonical,
+                   round(CASE WHEN w.word = d.variant THEN 1.0
+                              ELSE jaccard(w.word, d.variant) END, 6) AS score,
+                   CASE WHEN w.word = d.variant THEN 'exact' ELSE 'fuzzy' END AS match_kind
+            FROM words w CROSS JOIN dict d
+            WHERE w.word = d.variant OR jaccard(w.word, d.variant) >= 0.8
+        """,
+        "doc_best_dict_match": f"""
+            WITH dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
+            words AS (
+                SELECT doc_id, string_split(text, ' ')[i] AS word
+                FROM documents,
+                     UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+            ),
+            matches AS (
+                SELECT w.doc_id, w.word, d.variant AS matched_variant, d.canonical,
+                       round(CASE WHEN w.word = d.variant THEN 1.0
+                                  ELSE jaccard(w.word, d.variant) END, 6) AS score,
+                       CASE WHEN w.word = d.variant THEN 'exact' ELSE 'fuzzy' END AS match_kind
+                FROM words w CROSS JOIN dict d
+                WHERE w.word = d.variant OR jaccard(w.word, d.variant) >= 0.8
+            )
+            SELECT doc_id, word, matched_variant, canonical, score, match_kind FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, canonical
+                    ORDER BY (match_kind = 'exact') DESC, score DESC,
+                             matched_variant, word
+                ) AS rn FROM matches
+            ) WHERE rn = 1
+            ORDER BY doc_id, canonical
         """,
         "embedding_label_stats": """
             SELECT label, count(*) AS n_vecs,

@@ -452,3 +452,110 @@ def order_priority_stats(sf_dir: str) -> pa.Table:
         return df
 
     return _collect(agg.map_batches(finalize, batch_format="pandas").sort("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: windowed aggregate the reference lacks (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str) -> pa.Table:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    groupby(user_id).map_groups with an in-group sort — the canonical Ray
+    Data shape for windowed/ordered per-key logic (the shuffle co-locates
+    each user's events; group size is bounded by per-user activity).
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        new = df["ts"].diff().isna() | (df["ts"].diff() > gap)
+        df = df.assign(session_id=np.cumsum(new.to_numpy()).astype(np.int64))
+        g = df.groupby("session_id", as_index=False).agg(
+            session_start=("ts", "min"),
+            n_events=("event_id", "size"),
+            total_value=("value", lambda v: _rha(v, 4).sum()),
+        )
+        g["user_id"] = df["user_id"].iloc[0]
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["total_value"] = _rha(g["total_value"], 4)
+        g["session_start"] = pd.to_datetime(g["session_start"]).dt.strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        return g[["user_id", "session_id", "session_start", "n_events", "total_value"]]
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _collect(out.sort(["user_id", "session_id"]))
+
+
+def events_asof_last_click(sf_dir: str) -> pa.Table:
+    """As-of join: each purchase matched to the user's latest strictly-prior
+    click (Ray Data has no native as-of join — composed as
+    groupby(user).map_groups + pandas merge_asof per the partitioning
+    assumption that one user's events fit in a group)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        buys = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        clicks = df[df["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if buys.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "purchase_ts": pd.Series([], dtype=str),
+                    "last_click_ts": pd.Series([], dtype=object),
+                }
+            )
+        joined = pd.merge_asof(
+            buys[["event_id", "user_id", "ts"]],
+            clicks[["ts"]].rename(columns={"ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            allow_exact_matches=False,
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": joined["event_id"].astype(np.int64),
+                "user_id": joined["user_id"].astype(np.int64),
+                "purchase_ts": pd.to_datetime(joined["ts"]).dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "last_click_ts": pd.to_datetime(joined["click_ts"]).dt.strftime(
+                    "%Y-%m-%d %H:%M:%S.%f"
+                ),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _collect(out.sort("event_id"))
+
+
+def events_json_k(sf_dir: str) -> rd.Dataset:
+    """Extract the integer ``k`` from the JSON props column (M15 analog) via
+    a vectorized regex kernel — no per-row json.loads in the hot path."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r'"k": (?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_id": t.column("event_id"), "k": k})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def brand_canonical(sf_dir: str) -> rd.Dataset:
+    """Domain-token canonicalization (M5 analog: E-number rewrite):
+    ``Brand#13`` → ``brand-13`` via one vectorized regex rewrite."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def f(t: pa.Table) -> pa.Table:
+        canon = pc.replace_substring_regex(
+            pc.utf8_lower(t.column("p_brand")), r"brand#(\d+)", r"brand-\1"
+        )
+        return pa.table({"p_partkey": t.column("p_partkey"), "canonical_brand": canon})
+
+    return ds.map_batches(f, batch_format="pyarrow")
