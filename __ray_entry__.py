@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": tx.doc_lang_id,  # heuristic — rows-only check
         "doc_minhash_dups": tx.doc_minhash_dups,  # non-SQL — rows-only
         "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
+        "doc_ngram_jaccard_pairs": tx.doc_ngram_jaccard_pairs,
+        "part_sku_parse": rel.part_sku_parse,
+        "lineitem_sample": rel.lineitem_sample,
+        "order_value_buckets": rel.order_value_buckets,
+        "embedding_near_dups": sim.embedding_near_dups,  # approximate — rows-only
         # --- similarity search over embeddings
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_lsh": sim.knn_lsh,  # approximate — rows-only
@@ -396,6 +401,52 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn FROM matches
             ) WHERE rn = 1
             ORDER BY doc_id, canonical
+        """,
+        "doc_ngram_jaccard_pairs": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.a AS doc_id_a, p.b AS doc_id_b,
+                   round(p.shared * 1.0 / (sa.n + sb.n - p.shared), 6) AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a
+            JOIN sizes sb ON sb.doc_id = p.b
+            WHERE round(p.shared * 1.0 / (sa.n + sb.n - p.shared), 6) >= 0.6
+            ORDER BY 1, 2
+        """,
+        "part_sku_parse": """
+            SELECT p_partkey,
+                   string_split(p_name, ' ')[1] AS modifier,
+                   string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS base,
+                   CASE WHEN p_size < 10 THEN 'small'
+                        WHEN p_size < 30 THEN 'medium'
+                        ELSE 'large' END AS size_class
+            FROM part
+        """,
+        "lineitem_sample": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 2) < '0d'
+        """,
+        "order_value_buckets": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'lt50k'
+                        WHEN o_totalprice < 150000 THEN '50k-150k'
+                        WHEN o_totalprice < 300000 THEN '150k-300k'
+                        ELSE 'gte300k' END AS bucket,
+                   count(*) AS n_orders,
+                   round(sum(round(o_totalprice, 2)), 2) AS total_price
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "embedding_label_stats": """
             SELECT label, count(*) AS n_vecs,

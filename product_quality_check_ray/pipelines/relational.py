@@ -559,3 +559,103 @@ def brand_canonical(sf_dir: str) -> rd.Dataset:
         return pa.table({"p_partkey": t.column("p_partkey"), "canonical_brand": canon})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Structured parser → typed columns (reference analog M7 parse_sku)
+# ---------------------------------------------------------------------------
+
+
+def part_sku_parse(sf_dir: str) -> rd.Dataset:
+    """Parse p_name/p_size into typed attribute columns (modifier, base,
+    size_class) — the reference's ParsedSKU struct (competitor_match.py:25-44)
+    as one vectorized pass."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size"])
+
+    def f(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("p_name"), " ")
+        arr = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        modifier = pc.list_element(arr, 0)
+        # last word per row: gather flat values at offsets[1:]-1 (vectorized
+        # variable-index list access — list_element only takes scalars)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = arr.values.take(pa.array(offsets[1:] - 1))
+        size = t.column("p_size")
+        size_np = np.asarray(pc.fill_null(size, -1).to_numpy(zero_copy_only=False))
+        classes = np.array(["small", "medium", "large"], dtype=object)
+        cls = classes[np.searchsorted([10, 30], size_np, side="right")]
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "modifier": modifier,
+                "base": base,
+                "size_class": pa.array(cls, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (SURVEY.md §2.6 sampling gap)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_sample(sf_dir: str, hex_cutoff: str = "0d") -> rd.Dataset:
+    """~5% deterministic sample: keep rows whose md5(key) starts below a hex
+    cutoff. Unlike ``ds.random_sample`` this is reproducible across engines
+    and cluster sizes (and SQL-oracle-checkable)."""
+    import hashlib
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{o}-{ln}"
+            for o, ln in zip(
+                t.column("l_orderkey").to_pylist(), t.column("l_linenumber").to_pylist()
+            )
+        ]
+        keep = np.array(
+            [hashlib.md5(k.encode()).hexdigest()[:2] < hex_cutoff for k in keys]
+        )
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bucketized scoring (reference analog G8: NPM threshold tables)
+# ---------------------------------------------------------------------------
+
+VALUE_BUCKET_EDGES = (50_000.0, 150_000.0, 300_000.0)
+VALUE_BUCKET_LABELS = ("lt50k", "50k-150k", "150k-300k", "gte300k")
+
+
+def order_value_buckets(sf_dir: str) -> pa.Table:
+    """Orders bucketed by total price via vectorized np.searchsorted against
+    a threshold table (the reference's NPM points-table pattern,
+    prompts/hfss.py:51-107), then a tiny keyed aggregate."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        labels = np.asarray(VALUE_BUCKET_LABELS, dtype=object)
+        b = labels[np.searchsorted(np.asarray(VALUE_BUCKET_EDGES), df["o_totalprice"].to_numpy(), side="right")]
+        g = pd.DataFrame(
+            {"bucket": b, "n_orders": 1, "total_price": _rha(df["o_totalprice"], 2)}
+        ).groupby("bucket", as_index=False).sum()
+        g["n_orders"] = g["n_orders"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_price"] = _rha(df["total_price"], 2)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        return df
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("bucket"))

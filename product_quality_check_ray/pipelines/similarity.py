@@ -24,6 +24,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
+from ray.data.aggregate import Max
 
 from ..core.rounding import round_half_away as _rha
 
@@ -255,3 +256,68 @@ def embedding_label_stats(sf_dir: str) -> pa.Table:
         return df[["label", "n_vecs", "avg_norm"]]
 
     return _collect(agg.map_batches(finalize, batch_format="pandas").sort("label"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.95, max_bucket: int = 2048) -> pa.Table:
+    """Vector pairs with cosine ≥ threshold, found within LSH buckets.
+
+    Near-identical vectors collide in every hyperplane bucket, so recall for
+    ≥0.95-cosine pairs is near-perfect while avoiding the all-pairs matmul.
+    Buckets are processed as groups (pairwise cosine inside — bounded by
+    ``max_bucket``); the groupby ships (bucket, vec_id, embedding) rows.
+    """
+    buckets = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        LshBucketStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": pd.Series([], dtype=np.int64),
+                "vec_id_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("vec_id").head(max_bucket)
+        m = np.array(df["embedding"].tolist(), dtype=np.float64)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = _rha((m @ m.T) / np.outer(norms, norms), 6)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = cos[iu] >= threshold
+        if not mask.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[iu[0][mask]],
+                "vec_id_b": ids[iu[1][mask]],
+                "cosine": cos[iu][mask],
+            }
+        )
+
+    out = (
+        buckets.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["vec_id_a", "vec_id_b"])  # a pair may collide in >1 bucket
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
+
+    def to_types(df: pd.DataFrame) -> pd.DataFrame:
+        df["vec_id_a"] = df["vec_id_a"].astype(np.int64)
+        df["vec_id_b"] = df["vec_id_b"].astype(np.int64)
+        return df
+
+    return _collect(
+        out.map_batches(to_types, batch_format="pandas").sort(["vec_id_a", "vec_id_b"]),
+        schema=pa.schema(
+            [("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()), ("cosine", pa.float64())]
+        ),
+    )

@@ -25,7 +25,6 @@ from __future__ import annotations
 import hashlib
 import os
 import zlib
-from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -364,23 +363,20 @@ def doc_minhash_dups(
     ``bucket_truncated`` absent here — they indicate degenerate content) to
     bound the pair explosion; verification reads only candidate docs.
     """
+    from ..state.pairreduce import cooccurrence_pairs
+
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     bands = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4))
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].tolist())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-        a, b = zip(*combinations(ids, 2))
-        return pd.DataFrame({"a": np.asarray(a, dtype=np.int64), "b": np.asarray(b, dtype=np.int64)})
+    def composite_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("band_id"), pa.string()), t.column("band_key"), "|"
+        )
+        return pa.table({"key": key, "doc_id": t.column("doc_id")})
 
-    cand = (
-        bands.groupby(["band_id", "band_key"])
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
-    )
-    cand_pairs = [(r["a"], r["b"]) for r in cand.take_all()]
+    keyed = bands.map_batches(composite_key, batch_format="pyarrow")
+    cand = cooccurrence_pairs(keyed, "key", "doc_id", max_bucket=max_bucket)
+    cand_pairs = list(zip(cand["id_a"].tolist(), cand["id_b"].tolist()))
     if not cand_pairs:
         return pa.table(
             {
@@ -481,40 +477,142 @@ class SimHashStage:
 
 def doc_simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) -> pa.Table:
     """SimHash near-duplicate pairs with hamming distance ≤ ``max_hamming``."""
+    from ..state.pairreduce import cooccurrence_pairs
+
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    pieces = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4))
+    # materialized: consumed twice (bucket pairs + candidate verification)
+    pieces = ds.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(df["doc_id"].tolist(), df["simhash"].tolist()))[:max_bucket]
-        out_a, out_b, out_h = [], [], []
-        for (a, sa), (b, sb) in combinations(rows, 2):
-            h = int(int(sa) ^ int(sb)).bit_count()
-            if h <= max_hamming:
-                out_a.append(a)
-                out_b.append(b)
-                out_h.append(h)
-        return pd.DataFrame(
-            {
-                "doc_id_a": np.asarray(out_a, dtype=np.int64),
-                "doc_id_b": np.asarray(out_b, dtype=np.int64),
-                "hamming": np.asarray(out_h, dtype=np.int64),
-            }
+    def composite_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("piece_id"), pa.string()),
+            pc.cast(t.column("piece_val"), pa.string()),
+            "|",
         )
+        return pa.table({"key": key, "doc_id": t.column("doc_id")})
 
-    pairs = (
-        pieces.groupby(["piece_id", "piece_val"])
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["doc_id_a", "doc_id_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    keyed = pieces.map_batches(composite_key, batch_format="pyarrow")
+    cand = cooccurrence_pairs(keyed, "key", "doc_id", max_bucket=max_bucket)
+
+    # verify candidates by exact hamming distance on the full simhashes —
+    # fetched for CANDIDATE docs only (broadcast id-set filter; candidates
+    # are assumed ≪ corpus, the LSH contract)
+    need = sorted({d for col in ("id_a", "id_b") for d in cand[col].tolist()})
+    sims: dict[int, int] = {}
+    if need:
+        need_arr = pa.array(need, type=pa.int64())
+
+        def pick(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t.column("doc_id"), value_set=need_arr)
+            sel = t.filter(pc.fill_null(mask, False))
+            return pa.table({"doc_id": sel.column("doc_id"), "simhash": sel.column("simhash")})
+
+        for r in pieces.map_batches(pick, batch_format="pyarrow").take_all():
+            sims[r["doc_id"]] = int(r["simhash"])
+    out_a, out_b, out_h = [], [], []
+    for a, b in sorted(zip(cand["id_a"].tolist(), cand["id_b"].tolist())):
+        h = (sims[a] ^ sims[b]).bit_count()
+        if h <= max_hamming:
+            out_a.append(a)
+            out_b.append(b)
+            out_h.append(h)
+    return pa.table(
+        {
+            "doc_id_a": pa.array(out_a, type=pa.int64()),
+            "doc_id_b": pa.array(out_b, type=pa.int64()),
+            "hamming": pa.array(out_h, type=pa.int64()),
+        }
     )
 
-    def to_int(df: pd.DataFrame) -> pd.DataFrame:
-        df["hamming"] = df["hamming"].astype(np.int64)
-        return df
 
-    return _collect(
-        pairs.map_batches(to_int, batch_format="pandas").sort(["doc_id_a", "doc_id_b"]),
-        schema=pa.schema(
-            [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("hamming", pa.int64())]
-        ),
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (oracle-checkable variant)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+
+
+def _shingle_explode(t: pa.Table) -> pa.Table:
+    """(doc_id, shingle) rows: distinct word 3-grams per doc (docs with
+    fewer than NGRAM_N words emit none — spec shared with the SQL oracle)."""
+    out_doc, out_sh = [], []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        words = (text or "").split(" ")
+        if len(words) < NGRAM_N:
+            continue
+        seen = set()
+        for i in range(len(words) - NGRAM_N + 1):
+            seen.add(" ".join(words[i : i + NGRAM_N]))
+        out_doc.extend([doc_id] * len(seen))
+        out_sh.extend(sorted(seen))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "shingle": pa.array(out_sh, type=pa.string()),
+        }
+    )
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_bucket: int = 1024) -> pa.Table:
+    """EXACT word-3-gram Jaccard similar pairs via a shingle inverted index.
+
+    explode → groupby(shingle) emits co-occurring pairs → groupby(pair)
+    counts shared shingles → |A∩B| / (|A|+|B|−|A∩B|) with per-doc shingle
+    counts broadcast from a tiny aggregate. Unlike MinHash this is exact;
+    the cost model assumes no shingle is shared by more than ``max_bucket``
+    docs (hot boilerplate shingles should be stop-listed upstream at real
+    scale — they produce quadratic pairs).
+    """
+    from ..state.pairreduce import cooccurrence_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    # materialized: consumed twice (per-doc sizes + pair reduce)
+    shingles = ds.map_batches(_shingle_explode, batch_format="pyarrow").materialize()
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("doc_id").combine_chunks())
+        return pa.table(
+            {"doc_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    sizes = {
+        int(r["doc_id"]): int(r["n"])
+        for r in shingles.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    }
+
+    shared_df = cooccurrence_pairs(shingles, "shingle", "doc_id", max_bucket=max_bucket)
+    shared_df = shared_df.rename(columns={"id_a": "a", "id_b": "b", "n_shared": "shared"})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series([], dtype=np.int64),
+                    "doc_id_b": pd.Series([], dtype=np.int64),
+                    "jaccard": pd.Series([], dtype=np.float64),
+                }
+            )
+        na = df["a"].map(sizes).to_numpy(dtype=np.float64)
+        nb = df["b"].map(sizes).to_numpy(dtype=np.float64)
+        c = df["shared"].to_numpy(dtype=np.float64)
+        j = _rha(c / (na + nb - c), 6)
+        out = pd.DataFrame(
+            {
+                "doc_id_a": df["a"].astype(np.int64),
+                "doc_id_b": df["b"].astype(np.int64),
+                "jaccard": j,
+            }
+        )
+        return out[out["jaccard"] >= threshold]
+
+    out = finalize(shared_df).sort_values(["doc_id_a", "doc_id_b"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False).cast(
+        pa.schema(
+            [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("jaccard", pa.float64())]
+        )
     )

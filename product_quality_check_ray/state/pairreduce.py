@@ -1,0 +1,155 @@
+"""Co-occurrence pair extraction via hash-range reduce over Dataset blocks.
+
+The LSH family of dedup operators (MinHash bands, SimHash pieces, shingle
+inverted index) all end with "group rows by a key, emit doc-id pairs that
+share a key". ``Dataset.groupby(key).map_groups`` expresses that but pays
+per-group task overhead — pathological for millions of tiny buckets
+(measured 8–20 s on inputs whose pair output is a handful of rows). This
+module reduces the SAME semantics with raw Ray tasks (the dupfinder pattern,
+``state/dupfinder.py``):
+
+- **map** (one task per block bundle): hash the key column, split rows into
+  R contiguous hash ranges, return per-range (key, id) arrays. Keys travel
+  as their exact strings/values, so reduce-side grouping is collision-free.
+- **reduce** (one task per range): one vectorized sort-and-segment pass
+  groups by exact key; each bucket (capped at ``max_bucket``) emits its
+  id pairs; per-range pair counts come from one np.unique.
+
+Partitioning assumption: ranges are uniform under the key hash (always true
+— it's a hash); per-bucket pair output is bounded by ``max_bucket``
+(hot keys emit capped, deterministic pairs — callers must treat results as
+candidates and verify, or stop-list boilerplate keys upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..core.hashing import hash_strings
+
+RANGE_SEED = 11
+
+
+def _edges(ranges: int) -> np.ndarray:
+    return np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges)
+
+
+@ray.remote
+def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int):
+    # refs nested inside a list are not auto-dereferenced by Ray
+    blocks = ray.get(list(block_refs))
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    keys = t.column(key_col).combine_chunks()
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+    h = hash_strings(keys, seed=RANGE_SEED)
+    order = np.argsort(h, kind="stable")
+    h, ids = h[order], ids[order]
+    keys_np = np.asarray(keys.to_pylist(), dtype=object)[order]
+    idx = np.searchsorted(h, _edges(ranges))
+    return [
+        (keys_np[lo:hi], ids[lo:hi])
+        for lo, hi in zip(np.r_[0, idx], np.r_[idx, len(h)])
+    ]
+
+
+@ray.remote
+def _reduce_range(parts: list, max_bucket: int):
+    keys = np.concatenate([p[0] for p in parts])
+    if keys.size == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    ids = np.concatenate([p[1] for p in parts])
+    df = pd.DataFrame({"k": keys, "i": ids}).sort_values(["k", "i"], kind="mergesort")
+    k = df["k"].to_numpy()
+    i = df["i"].to_numpy()
+    change = np.empty(k.size, dtype=bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], k.size]
+    out_a, out_b = [], []
+    for lo, hi in zip(starts, ends):
+        n = min(hi - lo, max_bucket)
+        if n < 2:
+            continue
+        bucket = i[lo : lo + n]
+        ia, ib = np.triu_indices(n, k=1)
+        out_a.append(bucket[ia])
+        out_b.append(bucket[ib])
+    if not out_a:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    pairs = np.stack([a, b], axis=1)
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    return uniq[:, 0], uniq[:, 1], counts.astype(np.int64)
+
+
+def cooccurrence_pairs(
+    ds: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    *,
+    ranges: int | None = None,
+    max_bucket: int = 1024,
+    blocks_per_task: int = 8,
+) -> pd.DataFrame:
+    """All (id_a < id_b, n_shared_keys) pairs that co-occur under a key.
+
+    Consumes the dataset's blocks directly (no driver pull of rows); the
+    result is assumed small (candidate pairs) and returned as a DataFrame.
+    """
+    if ranges is None:
+        try:
+            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            ranges = 8
+    bundles = list(ds.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "n_shared": pd.Series([], dtype=np.int64),
+            }
+        )
+    mapped = ray.get(
+        [
+            _map_blocks.remote(block_refs[i : i + blocks_per_task], key_col, id_col, ranges)
+            for i in range(0, len(block_refs), blocks_per_task)
+        ]
+    )
+    parts_by_range = [[m[r] for m in mapped] for r in range(ranges)]
+    reduced = ray.get(
+        [_reduce_range.remote(parts, max_bucket) for parts in parts_by_range]
+    )
+    frames = [
+        pd.DataFrame({"id_a": a, "id_b": b, "n_shared": c})
+        for a, b, c in reduced
+        if len(a)
+    ]
+    if not frames:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "n_shared": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = pd.concat(frames, ignore_index=True)
+    # a pair may share keys in several ranges (different keys) — final sum
+    return out.groupby(["id_a", "id_b"], as_index=False)["n_shared"].sum()
