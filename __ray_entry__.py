@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_lsh": sim.knn_lsh,  # approximate — rows-only
+        "knn_ivf": sim.knn_ivf,  # approximate, partition-pruned — rows-only
         "embedding_label_stats": sim.embedding_label_stats,
         # --- multimodal plumbing (decode stubbed; schema/layout real)
         "multimodal_features": mm.multimodal_features,  # rows-only

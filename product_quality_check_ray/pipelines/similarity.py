@@ -321,3 +321,142 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, max_bucket: int = 
             [("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()), ("cosine", pa.float64())]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: clustered partitioned index + nprobe search
+# ---------------------------------------------------------------------------
+
+IVF_DEFAULT_LISTS = 16
+IVF_KMEANS_ITERS = 10
+IVF_SAMPLE_CAP = 4096
+
+
+def _ivf_root(sf_dir: str, n_lists: int) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha1(f"{os.path.abspath(sf_dir)}|{n_lists}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "pqcray_ivf", tag)
+
+
+def ivf_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
+    """Build (idempotently) an IVF index: k-means centroids from a
+    deterministic sample, then every vector assigned to its nearest list and
+    written as list-partitioned parquet (`list=<i>/part-*.parquet`).
+
+    The partitioned layout IS the index: a query reads only its probed
+    lists' files. Centroid training happens on a driver-side sample (seeded
+    Lloyd iterations — sample is capped, never the corpus); assignment is a
+    broadcast-centroid `map_batches` over the full corpus writing
+    partition-local output (resumable: marker file per build).
+    """
+    import os
+
+    root = _ivf_root(sf_dir, n_lists)
+    marker = os.path.join(root, "_IVF_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+
+    def stride_sample(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column("vec_id")
+        keep = pc.equal(pc.bit_wise_and(ids, 7), 0)  # deterministic 1-in-8
+        return t.filter(keep)
+
+    sample_tbl = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(stride_sample, batch_format="pyarrow")
+        .limit(IVF_SAMPLE_CAP)
+    )
+    sample = _list_col_to_matrix(sample_tbl.column("embedding"))
+    rng = np.random.default_rng(1234)
+    k = min(n_lists, len(sample))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+    np.save(os.path.join(root, "centroids.npy"), centroids)
+
+    cref = ray.put(centroids)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        em = _list_col_to_matrix(t.column("embedding"))
+        d2 = ((em[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lists = d2.argmin(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "list_id": pa.array(lists),
+                "vec_id": t.column("vec_id"),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    assigned = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        assign_batch, batch_format="pyarrow"
+    )
+    assigned.write_parquet(root, partition_cols=["list_id"])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def knn_ivf(
+    sf_dir: str, k: int = 10, num_queries: int = 8, nprobe: int = 3,
+    n_lists: int = IVF_DEFAULT_LISTS,
+) -> pa.Table:
+    """ANN top-k via the IVF index: probe the ``nprobe`` nearest lists per
+    query and brute-force only their members (partition-pruned read)."""
+    import glob as _glob
+    import os
+
+    root = ivf_build(sf_dir, n_lists)
+    centroids = np.load(os.path.join(root, "centroids.npy"))
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    d2 = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = sorted(
+        {int(l) for row in np.argsort(d2, axis=1)[:, :nprobe] for l in row}
+    )
+    files = [
+        f
+        for l in probe_lists
+        for f in sorted(_glob.glob(os.path.join(root, f"list_id={l}", "*.parquet")))
+    ]
+    if not files:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    query_ref = ray.put((qids, qm))
+    partials = rd.read_parquet(files, columns=["vec_id", "embedding"]).map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    df = _collect(partials).to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
+    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)

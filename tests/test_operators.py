@@ -199,3 +199,41 @@ def test_quality_and_langid_run(ray_session):
     assert (q["n_words"] > 0).all()
     lid = doc_lang_id(SF_SMALL).to_pandas()
     assert set(lid["lang_pred"].unique()) <= {"en", "es", "fr", "de", "und"}
+
+
+def test_knn_ivf_high_recall_on_clusters(fixture_dir):
+    from product_quality_check_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    bf = knn_bruteforce(fixture_dir, k=10, num_queries=4).to_pandas()
+    iv = knn_ivf(fixture_dir, k=10, num_queries=4, nprobe=2, n_lists=8).to_pandas()
+    recalls = []
+    for q in bf["query_id"].unique():
+        b = set(bf[bf["query_id"] == q]["neighbor_id"])
+        l = set(iv[iv["query_id"] == q]["neighbor_id"])
+        recalls.append(len(b & l) / len(b))
+    assert np.mean(recalls) >= 0.9
+
+
+def test_embedding_near_dups_finds_twins(fixture_dir, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.similarity import embedding_near_dups
+
+    # clone the fixture embeddings and add a near-identical twin of vec 0
+    t = _pq.read_table(f"{fixture_dir}/embeddings.parquet")
+    v0 = np.array(t.column("embedding")[0].as_py(), dtype=np.float32)
+    twin = (v0 + 1e-4).tolist()
+    import pyarrow as _pa
+
+    extra = _pa.table(
+        {
+            "vec_id": _pa.array([9999], type=_pa.int64()),
+            "embedding": _pa.array([twin], type=_pa.list_(_pa.float32())),
+            "label": _pa.array([0], type=_pa.int32()),
+        }
+    )
+    d = tmp_path / "twinfix"
+    d.mkdir()
+    _pq.write_table(_pa.concat_tables([t, extra]), str(d / "embeddings.parquet"))
+    pairs = embedding_near_dups(str(d), threshold=0.999).to_pandas()
+    assert ((pairs["vec_id_a"] == 0) & (pairs["vec_id_b"] == 9999)).any()
