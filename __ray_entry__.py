@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_dup_doc_ids": lambda sf: sq.seq_dup_doc_ids(sf),
         "seq_source_stats": lambda sf: sq.seq_source_stats(sf),
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
+        "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),  # stats — rows-only
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
         "pricing_summary": rel.pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,

@@ -141,6 +141,10 @@ def row_check_matrix(batch: pa.Table, ctx: dict) -> np.ndarray:
         (null_doc, null_tok, mismatch, oov, neg, bad_source, ntok_range)
     ):
         mat[:, j] = arr
+    enabled = ctx.get("enabled_checks")
+    if enabled is not None:
+        mask = np.array([name in enabled for name in ROW_CHECK_NAMES])
+        mat &= mask[None, :]
     return mat
 
 

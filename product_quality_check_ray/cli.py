@@ -1,0 +1,105 @@
+"""Job entry point: ``python -m product_quality_check_ray ...``.
+
+Designed for ``ray job submit -- python -m product_quality_check_ray
+validate --input <dir> --out <dir> [--config cfg.json]`` on a cluster; in
+the sandbox it runs against a local Ray. The config file (JSON) carries the
+reference's parameter surface (allowlist dimension rows, vocab, enabled
+checks, thresholds, wave sizing) — the analog of its sliders/dropdowns
+(``app.py:453-532``) as declarative job config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    cfg = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+    _init_ray(args.num_cpus)
+    from .pipelines.validate import run_validation
+
+    rep = run_validation(
+        args.input,
+        args.out,
+        allowlist_rows=cfg.get("allowlist"),
+        resume=not args.no_resume,
+        wave_files=cfg.get("wave_files", 128),
+        batch_size=cfg.get("batch_size"),
+        write_violations=not args.no_violations,
+        uniqueness=cfg.get("uniqueness", True),
+        enabled_checks=cfg.get("enabled_checks"),
+    )
+    summary = {
+        "rows": rep.total_rows,
+        "check_counts": rep.check_counts(),
+        "drift": {s: v["drifted"] for s, v in rep.drift.items()},
+        "partitions": len(rep.partitions),
+        "failed_partitions": sorted(
+            p for p, v in rep.partitions.items() if not v["pass"]
+        )[:20],
+        "out_dir": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_gen(args: argparse.Namespace) -> int:
+    from .datagen import write_sequences
+
+    path = write_sequences(
+        args.out, args.rows, seed=args.seed, num_fragments=args.fragments
+    )
+    print(json.dumps({"out": path, "rows": args.rows, "fragments": args.fragments}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="product_quality_check_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the validation suite over a parquet corpus")
+    v.add_argument("--input", required=True, help="dir or glob of parquet fragments")
+    v.add_argument("--out", required=True, help="output/checkpoint directory")
+    v.add_argument("--config", help="JSON job config (allowlist, enabled_checks, ...)")
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--no-violations", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--fragments", type=int, default=16)
+    g.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -186,3 +186,52 @@ def seq_ntok_histogram(sf_dir: str) -> pa.Table:
         return df
 
     return _collect(agg.map_batches(to_int, batch_format="pandas").sort("bin"))
+
+
+def seq_drift_verdicts(sf_dir: str) -> pa.Table:
+    """Per-source drift verdict (chi² + KS vs the reference histogram
+    dimension). Histograms are merged from per-batch partials keyed on
+    (source, bin) — no token rows move; the verdict math runs on the tiny
+    merged table (rows-only driver check: the statistics are not
+    SQL-expressible)."""
+    from ..checks.drift import drift_verdicts
+    from ..core.schema import HIST_NUM_BINS
+    from ..sources.dimensions import reference_histograms_dim
+
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok"])
+    w = HIST_BIN_WIDTH
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(
+            df["n_tok"].to_numpy(dtype=np.int64) // w, HIST_NUM_BINS
+        ).astype(np.int64)
+        g = pd.DataFrame({"source": df["source"], "bin": b, "n": np.int64(1)}).groupby(
+            ["source", "bin"], as_index=False
+        ).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hists: dict[str, np.ndarray] = {}
+    for r in agg.take_all():
+        hists.setdefault(r["source"], np.zeros(HIST_NUM_BINS + 1, dtype=np.int64))[
+            int(r["bin"])
+        ] += int(r["n"])
+    verdicts = drift_verdicts(hists, reference_histograms_dim())
+    rows = [
+        {
+            "source": s,
+            "rows": v["rows"],
+            "chi2": v["chi2"],
+            "chi2_crit": v["chi2_crit"],
+            "ks": v["ks"],
+            "ks_thresh": v["ks_thresh"],
+            "drifted": v["drifted"],
+        }
+        for s, v in sorted(verdicts.items())
+    ]
+    return pa.Table.from_pylist(rows)

@@ -106,8 +106,9 @@ class RowCheckStage:
         out_dir: str | None = None,
         write_violations: bool = True,
         sketch_delta: int = 100,
+        enabled_checks: list[str] | None = None,
     ):
-        self.ctx = build_check_ctx(allowlist_rows)
+        self.ctx = build_check_ctx(allowlist_rows, enabled_checks=enabled_checks)
         self.out_dir = out_dir
         self.write_violations = write_violations and out_dir is not None
         self.sketch_delta = sketch_delta
@@ -195,26 +196,14 @@ class RowCheckStage:
 _STAGE_CACHE: dict[str, RowCheckStage] = {}
 
 
-def _row_check_task(
-    batch: pa.Table,
-    *,
-    allowlist_rows: list[dict] | None,
-    out_dir: str | None,
-    write_violations: bool,
-) -> pa.Table:
+def _row_check_task(batch: pa.Table, **stage_kwargs) -> pa.Table:
     import json
 
-    key = json.dumps(
-        [allowlist_rows, out_dir, write_violations], sort_keys=True, default=str
-    )
+    key = json.dumps(stage_kwargs, sort_keys=True, default=str)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
         _STAGE_CACHE.clear()
-        stage = _STAGE_CACHE[key] = RowCheckStage(
-            allowlist_rows=allowlist_rows,
-            out_dir=out_dir,
-            write_violations=write_violations,
-        )
+        stage = _STAGE_CACHE[key] = RowCheckStage(**stage_kwargs)
     return stage(batch)
 
 
@@ -280,6 +269,7 @@ def run_validation(
     write_violations: bool = True,
     uniqueness: bool = True,
     use_actor_pool: bool = False,
+    enabled_checks: list[str] | None = None,
 ) -> ValidationReport:
     """Run the full validation suite; resumable at wave granularity.
 
@@ -315,6 +305,7 @@ def run_validation(
             "allowlist_rows": allow,
             "out_dir": out_dir,
             "write_violations": write_violations,
+            "enabled_checks": enabled_checks,
         }
         if use_actor_pool:
             staged = ds.map_batches(

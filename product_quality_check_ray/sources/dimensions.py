@@ -29,7 +29,9 @@ def allowlist_table() -> pa.Table:
 
 
 def build_check_ctx(
-    allowlist: "list[dict] | None" = None, vocab: int = VOCAB
+    allowlist: "list[dict] | None" = None,
+    vocab: int = VOCAB,
+    enabled_checks: "list[str] | None" = None,
 ) -> dict:
     """Build the broadcast context consumed by ``row_check_matrix``.
 
@@ -44,13 +46,24 @@ def build_check_ctx(
         if missing:
             raise ValueError(f"allowlist dimension missing columns {sorted(missing)}")
     allowed = sorted(r["source"] for r in rows)
-    return {
+    ctx = {
         "allowed_sources": frozenset(allowed),
         "allowed_sources_arr": pa.array(allowed, type=pa.string()),
         "max_n_tok": {r["source"]: int(r["max_n_tok"]) for r in rows},
         "status": {r["source"]: r["status"] for r in rows},
         "vocab": vocab,
     }
+    if enabled_checks is not None:
+        # per-check selection (reference analog: the check dropdown +
+        # per-check sliders, app.py:453-532); unknown names are an error so
+        # config typos fail loudly
+        from ..checks.row_checks import ROW_CHECK_NAMES
+
+        unknown = set(enabled_checks) - set(ROW_CHECK_NAMES)
+        if unknown:
+            raise ValueError(f"unknown checks {sorted(unknown)}; valid: {ROW_CHECK_NAMES}")
+        ctx["enabled_checks"] = tuple(enabled_checks)
+    return ctx
 
 
 def reference_histograms_dim() -> dict[str, np.ndarray]:

@@ -237,3 +237,83 @@ def test_embedding_near_dups_finds_twins(fixture_dir, tmp_path):
     _pq.write_table(_pa.concat_tables([t, extra]), str(d / "embeddings.parquet"))
     pairs = embedding_near_dups(str(d), threshold=0.999).to_pandas()
     assert ((pairs["vec_id_a"] == 0) & (pairs["vec_id_b"] == 9999)).any()
+
+
+def test_custom_check_pipeline(ray_session, tmp_path):
+    import ray.data as rd
+
+    from product_quality_check_ray.checks.base import RowCheck, register
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.custom import check_summary, run_checks
+
+    seq = write_sequences(str(tmp_path / "seq"), 2000, seed=3, num_fragments=2)
+    ds = rd.read_parquet(seq + "/frag-00000.parquet")
+
+    def even_ntok(batch, ctx):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        nt = pc.fill_null(batch.column("n_tok"), 0).to_numpy(zero_copy_only=False)
+        return (np.asarray(nt) % 2) == 0
+
+    register(RowCheck(name="even_ntok", required_columns=("n_tok",), fn=even_ntok))
+    annotated = run_checks(ds, ["even_ntok", "null_doc_id"])
+    summary = check_summary(annotated).to_pandas().set_index("check")["n"].to_dict()
+    import pyarrow.parquet as _pq
+
+    frag = _pq.read_table(seq + "/frag-00000.parquet")
+    nt = frag.column("n_tok").to_pandas().fillna(0)
+    assert summary["even_ntok"] == int(((nt % 2) == 0).sum())
+
+
+def test_enabled_checks_subset(ray_session, tmp_path):
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.validate import run_validation
+
+    seq = write_sequences(str(tmp_path / "seq2"), 2000, seed=4, num_fragments=2)
+    rep = run_validation(
+        seq,
+        str(tmp_path / "out"),
+        uniqueness=False,
+        enabled_checks=["null_doc_id"],
+    )
+    counts = rep.check_counts()
+    assert counts["null_doc_id"] > 0
+    assert all(v == 0 for k, v in counts.items() if k not in ("null_doc_id", "dup_doc_id"))
+
+
+def test_cli_validate(ray_session, tmp_path):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from product_quality_check_ray.datagen import write_sequences
+
+    seq = write_sequences(str(tmp_path / "seq3"), 2000, seed=6, num_fragments=2)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({"enabled_checks": ["null_doc_id", "ntok_mismatch"]}))
+    out = subprocess.run(
+        [
+            _sys.executable,
+            "-m",
+            "product_quality_check_ray",
+            "validate",
+            "--input",
+            seq,
+            "--out",
+            str(tmp_path / "cliout"),
+            "--config",
+            str(cfg),
+            "--num-cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=180,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 2000
+    assert summary["check_counts"]["null_doc_id"] > 0
+    assert summary["check_counts"]["token_oov"] == 0
