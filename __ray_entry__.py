@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dups": tx.doc_minhash_dups,  # non-SQL — rows-only
         "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
         "doc_ngram_jaccard_pairs": tx.doc_ngram_jaccard_pairs,
+        "doc_near_dup_clusters": lambda sf: tx.doc_near_dup_clusters(sf),  # rows-only
+        "clean_documents": lambda sf: tx.clean_documents(sf),  # composed pipeline — rows-only
         "part_sku_parse": rel.part_sku_parse,
         "lineitem_sample": rel.lineitem_sample,
         "order_value_buckets": rel.order_value_buckets,

@@ -616,3 +616,133 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_bucket: int
             [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()), ("jaccard", pa.float64())]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster merge + corpus cleaning composition
+# ---------------------------------------------------------------------------
+
+
+def _connected_components(pairs: "list[tuple[int, int]]") -> dict[int, int]:
+    """Union-find over candidate pairs → {doc_id: cluster_root(min id)}.
+
+    Runs on the driver over the (assumed small) verified pair set —
+    reference analog D4's greedy bbox merge, generalized; at corpus scale
+    with huge pair sets this becomes iterative min-label propagation via
+    groupby (documented alternative), but verified near-dup pairs ≪ corpus
+    is the operating regime.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def doc_near_dup_clusters(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Near-duplicate clusters from verified MinHash pairs: (doc_id,
+    cluster_id=min doc_id in component, is_keeper)."""
+    pairs_tbl = doc_minhash_dups(sf_dir, threshold=threshold)
+    pairs = list(
+        zip(pairs_tbl.column("doc_id_a").to_pylist(), pairs_tbl.column("doc_id_b").to_pylist())
+    )
+    comp = _connected_components(pairs)
+    rows = [
+        {"doc_id": d, "cluster_id": root, "is_keeper": d == root}
+        for d, root in sorted(comp.items())
+    ]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("doc_id", pa.int64()), ("cluster_id", pa.int64()), ("is_keeper", pa.bool_())]
+        ),
+    )
+
+
+def clean_documents(
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    near_dup_threshold: float = 0.8,
+    min_words: int = 5,
+    max_stopword_ratio: float = 0.9,
+) -> rd.Dataset:
+    """Composed training-data cleaning pipeline over documents:
+
+      exact dedup (fingerprint groupby, min-id keeper)
+      → near-dedup (MinHash+LSH clusters, keep cluster root)
+      → quality filter (min length, stopword-ratio cap)
+
+    The drop sets from both dedup stages are tiny and broadcast into ONE
+    final filter pass, so the corpus is re-read once for the materialized
+    output; quality predicates are vectorized in the same pass. Writes
+    partitioned parquet when ``out_dir`` is given (resumable output layout).
+    """
+    ds = _docs(sf_dir)
+
+    # stage 1+2 losers (computed from projections / candidate sets only)
+    fp_groups = doc_exact_dup_groups(sf_dir)
+    exact_losers: set[int] = set()
+    if fp_groups.num_rows:
+        keep = dict(
+            zip(
+                fp_groups.column("fingerprint").to_pylist(),
+                fp_groups.column("keeper_doc_id").to_pylist(),
+            )
+        )
+        fps = doc_fingerprints(sf_dir)
+
+        def losers_batch(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            out = [
+                i
+                for i, h in zip(ids, t.column("fingerprint").to_pylist())
+                if h in keep and i != keep[h]
+            ]
+            return pa.table({"loser": pa.array(out, type=pa.int64())})
+
+        exact_losers = {
+            r["loser"] for r in fps.map_batches(losers_batch, batch_format="pyarrow").take_all()
+        }
+
+    clusters = doc_near_dup_clusters(sf_dir, threshold=near_dup_threshold)
+    near_losers = {
+        d
+        for d, k in zip(
+            clusters.column("doc_id").to_pylist(), clusters.column("is_keeper").to_pylist()
+        )
+        if not k
+    }
+    drop = exact_losers | near_losers
+    drop_arr = pa.array(sorted(drop), type=pa.int64()) if drop else None
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        keep_mask = np.ones(t.num_rows, dtype=bool)
+        if drop_arr is not None:
+            in_drop = pc.is_in(t.column("doc_id"), value_set=drop_arr)
+            keep_mask &= ~np.asarray(
+                pc.fill_null(in_drop, False).to_numpy(zero_copy_only=False)
+            )
+        n_words = np.asarray(
+            _count_re(t.column("text"), WS_TOKEN_RE).to_numpy(zero_copy_only=False)
+        )
+        n_stop = np.asarray(
+            _count_re(t.column("text"), STOPWORD_RE).to_numpy(zero_copy_only=False)
+        )
+        keep_mask &= n_words >= min_words
+        keep_mask &= (n_stop / np.maximum(n_words, 1)) <= max_stopword_ratio
+        return t.filter(pa.array(keep_mask))
+
+    cleaned = ds.map_batches(final_filter, batch_format="pyarrow")
+    if out_dir is not None:
+        cleaned.write_parquet(out_dir)
+    return cleaned

@@ -317,3 +317,25 @@ def test_cli_validate(ray_session, tmp_path):
     assert summary["rows"] == 2000
     assert summary["check_counts"]["null_doc_id"] > 0
     assert summary["check_counts"]["token_oov"] == 0
+
+
+def test_near_dup_clusters_and_clean(fixture_dir, tmp_path):
+    from product_quality_check_ray.pipelines.text import (
+        clean_documents,
+        doc_near_dup_clusters,
+    )
+
+    cl = doc_near_dup_clusters(fixture_dir, threshold=0.6).to_pandas()
+    by_doc = cl.set_index("doc_id")
+    assert by_doc.loc[100, "cluster_id"] == 3 and not by_doc.loc[100, "is_keeper"]
+    assert by_doc.loc[3, "is_keeper"]
+
+    out = tmp_path / "cleaned"
+    cleaned = clean_documents(fixture_dir, str(out), near_dup_threshold=0.6)
+    kept = cleaned.to_pandas()
+    # exact dup losers (100, 102) and near-dup loser (101) dropped; keepers stay
+    assert {3, 5, 7} <= set(kept["doc_id"])
+    assert not {100, 101, 102} & set(kept["doc_id"])
+    import glob as _glob
+
+    assert _glob.glob(str(out / "*.parquet"))
