@@ -37,6 +37,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
+from ..core.batches import arrow_out as _aout
 from ..core.rounding import round_half_away as _rha
 
 
@@ -96,7 +97,8 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_aout(partial), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -158,7 +160,8 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> p
         return g
 
     rev = (
-        line.map_batches(partial_rev, batch_format="pandas")
+        line.map_batches(_aout(partial_rev), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -180,7 +183,7 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> p
         )
         return out
 
-    out = joined.map_batches(finalize, batch_format="pandas").sort(
+    out = joined.map_batches(_aout(finalize), batch_format="pandas").sort(
         ["revenue", "o_orderkey"], descending=[True, False]
     ).limit(k)
     return _collect(out)
@@ -218,7 +221,8 @@ def region_revenue(sf_dir: str) -> pa.Table:
         ).sum()
 
     rev = (
-        line.map_batches(partial_rev, batch_format="pandas")
+        line.map_batches(_aout(partial_rev), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -237,7 +241,8 @@ def region_revenue(sf_dir: str) -> pa.Table:
         ).sum()
 
     agg = (
-        joined.map_batches(to_region, batch_format="pandas")
+        joined.map_batches(_aout(to_region), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("r_name")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
@@ -284,9 +289,10 @@ def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
         return df
 
     out = (
-        orders.map_batches(local_topk, batch_format="pandas")
+        orders.map_batches(_aout(local_topk), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("c_mktsegment")
-        .map_groups(group_topk, batch_format="pandas")
+        .map_groups(_aout(group_topk), batch_format="pandas")
     )
     tbl = _collect(out)
     return tbl.sort_by([("c_mktsegment", "ascending"), ("rank", "ascending")])
@@ -315,7 +321,8 @@ def events_daily(sf_dir: str) -> pa.Table:
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_aout(partial), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby(["day", "event_type"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -434,7 +441,8 @@ def order_priority_stats(sf_dir: str) -> pa.Table:
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_aout(partial), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("o_orderpriority")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
@@ -488,7 +496,7 @@ def user_sessions(sf_dir: str) -> pa.Table:
         )
         return g[["user_id", "session_id", "session_start", "n_events", "total_value"]]
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(_aout(sessions), batch_format="pandas")
     return _collect(out.sort(["user_id", "session_id"]))
 
 
@@ -530,7 +538,7 @@ def events_asof_last_click(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(_aout(asof), batch_format="pandas")
     return _collect(out.sort("event_id"))
 
 
@@ -648,7 +656,8 @@ def order_value_buckets(sf_dir: str) -> pa.Table:
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_aout(partial), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("bucket")
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price"))
     )

@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
+from ..core.batches import arrow_out as _aout
 from ..core.rounding import round_half_away as _rha
 from ..checks.row_checks import ROW_CHECK_NAMES, conform_schema, row_check_matrix
 from ..core.schema import HIST_BIN_WIDTH
@@ -143,7 +144,8 @@ def seq_source_stats(sf_dir: str) -> pa.Table:
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_aout(partial), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("source")
         .aggregate(
             Sum("rows", alias_name="rows"),
@@ -176,7 +178,7 @@ def seq_ntok_histogram(sf_dir: str) -> pa.Table:
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("bin").aggregate(
+    agg = ds.map_batches(_aout(partial), batch_format="pandas").groupby("bin").aggregate(
         Sum("n", alias_name="n")
     )
 
@@ -212,7 +214,8 @@ def seq_drift_verdicts(sf_dir: str) -> pa.Table:
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_aout(partial), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby(["source", "bin"])
         .aggregate(Sum("n", alias_name="n"))
     )

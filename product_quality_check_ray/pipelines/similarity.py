@@ -26,6 +26,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Max
 
+from ..core.batches import arrow_out as _aout
 from ..core.rounding import round_half_away as _rha
 
 
@@ -245,7 +246,7 @@ def embedding_label_stats(sf_dir: str) -> pa.Table:
         return g
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(_aout(partial), batch_format="pyarrow")
         .groupby("label")
         .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_norm", alias_name="sum_norm"))
     )

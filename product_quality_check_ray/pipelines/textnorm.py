@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..core.collect import collect_table as _collect
+from ..core.batches import arrow_out as _aout
 from ..core.rounding import round_half_away as _rha
 from .text import _docs
 
@@ -259,6 +260,6 @@ def doc_best_dict_match(sf_dir: str) -> pa.Table:
         return out.drop(columns=["_exact"])
 
     # local argmax per batch, then exact argmax within each shuffled group
-    local = matches.map_batches(best, batch_format="pandas")
-    final = local.groupby(["doc_id", "canonical"]).map_groups(best, batch_format="pandas")
+    local = matches.map_batches(_aout(best), batch_format="pandas")
+    final = local.groupby(["doc_id", "canonical"]).map_groups(_aout(best), batch_format="pandas")
     return _collect(final.sort(["doc_id", "canonical"]), schema=_empty_match_table().schema)
