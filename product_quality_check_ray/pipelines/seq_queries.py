@@ -82,14 +82,15 @@ class CheckCountsStage(_FlagStage):
         df["rows"] = np.int64(1)
         df["viol_rows"] = mat.any(axis=1).astype(np.int64)
         df["source"] = src.to_numpy()
-        return df.groupby("source", as_index=False, dropna=False).sum()
+        out = df.groupby("source", as_index=False, dropna=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def seq_check_counts(sf_dir: str) -> pa.Table:
     """Per-source violation counts for every fused row check."""
     partial = _seq_ds(sf_dir).map_batches(
         CheckCountsStage, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    ).materialize()  # tiny combiner output; see core/batches.py note
     agg = partial.groupby("source").aggregate(
         *[Sum(n, alias_name=n) for n in ROW_CHECK_NAMES],
         Sum("rows", alias_name="rows"),
@@ -119,8 +120,11 @@ def seq_dup_doc_ids(sf_dir: str) -> pa.Table:
             {"doc_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
         )
 
-    agg = ds.map_batches(partial_counts, batch_format="pyarrow").groupby("doc_id").aggregate(
-        Sum("n", alias_name="n")
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .materialize()  # tiny combiner output; see core/batches.py note
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n"))
     )
     dup = agg.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), 1)), batch_format="pyarrow"

@@ -247,6 +247,7 @@ def embedding_label_stats(sf_dir: str) -> pa.Table:
 
     agg = (
         ds.map_batches(_aout(partial), batch_format="pyarrow")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("label")
         .aggregate(Sum("n_vecs", alias_name="n_vecs"), Sum("sum_norm", alias_name="sum_norm"))
     )

@@ -115,7 +115,7 @@ def doc_exact_dup_groups(sf_dir: str) -> pa.Table:
     keeper selection is the grouped argmin (reference analog G1 best-per-group
     reduce, ``banningredients.py:211-234``).
     """
-    fp = doc_fingerprints(sf_dir)
+    fp = doc_fingerprints(sf_dir).materialize()  # key rows only, no text
     agg = fp.groupby("fingerprint").aggregate(
         Count(alias_name="n_docs"), Min("doc_id", alias_name="keeper_doc_id")
     )
@@ -580,6 +580,7 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_bucket: int
     sizes = {
         int(r["doc_id"]): int(r["n"])
         for r in shingles.map_batches(size_partial, batch_format="pyarrow")
+        .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("doc_id")
         .aggregate(Sum("n", alias_name="n"))
         .take_all()
