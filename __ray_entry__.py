@@ -72,6 +72,12 @@ def entry() -> Any:
     return pd.DataFrame(rows)
 
 
+def _seq_adjudicated(sf_dir: str) -> Any:
+    from product_quality_check_ray.pipelines.escalate import seq_adjudicated
+
+    return seq_adjudicated(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from product_quality_check_ray.pipelines import multimodal as mm
     from product_quality_check_ray.pipelines import similarity as sim
@@ -86,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_source_stats": lambda sf: sq.seq_source_stats(sf),
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
         "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),  # stats — rows-only
+        "seq_adjudicated": _seq_adjudicated,  # two-phase routing — rows-only
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
         "pricing_summary": rel.pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,

@@ -94,8 +94,10 @@ def run_suite() -> dict:
     timed("pricing_summary", rel.pricing_summary)
     timed("events_daily", rel.events_daily)
     timed("grouped_topk_orders", rel.grouped_topk_orders)
+    timed("user_sessions", rel.user_sessions)
     timed("doc_token_stats", tx.doc_token_stats)
     timed("doc_minhash_dups", tx.doc_minhash_dups)
+    timed("doc_ngram_jaccard_pairs", tx.doc_ngram_jaccard_pairs)
     timed("knn_bruteforce", sim.knn_bruteforce)
 
     total = round(sum(queries.values()), 3)

@@ -339,3 +339,42 @@ def test_near_dup_clusters_and_clean(fixture_dir, tmp_path):
     import glob as _glob
 
     assert _glob.glob(str(out / "*.parquet"))
+
+
+def test_route_and_adjudicate(ray_session, tmp_path):
+    import ray.data as rd
+
+    from product_quality_check_ray.datagen import load_injections, write_sequences
+    from product_quality_check_ray.pipelines.escalate import route_and_adjudicate
+
+    seq = write_sequences(str(tmp_path / "seqadj"), 3000, seed=9, num_fragments=3)
+    inj = load_injections(seq)
+    n_flagged_expected = sum(
+        len(v) for k, v in inj.items() if k != "dup_doc_id"
+    )
+    import glob as _glob
+
+    files = sorted(_glob.glob(seq + "/frag-*.parquet"))
+    verdicts = route_and_adjudicate(rd.read_parquet(files)).to_pandas()
+    # every adjudicated row is a flagged row; severity assignment holds
+    assert len(verdicts) == n_flagged_expected
+    assert set(verdicts["severity"].unique()) <= {"severe", "minor"}
+    severe = verdicts[verdicts["severity"] == "severe"]
+    assert len(severe) > 0
+    assert (verdicts["token_entropy"] >= 0).all()
+
+
+def test_salted_sum_matches_plain(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from product_quality_check_ray.core.salting import salted_sum
+
+    rng = np.random.default_rng(2)
+    # skewed key: 'hot' holds ~70% of rows
+    keys = rng.choice(["hot", "a", "b", "c"], p=[0.7, 0.1, 0.1, 0.1], size=20000)
+    df = pd.DataFrame({"k": keys, "v": rng.integers(0, 10, size=20000).astype(np.int64)})
+    ds = rd.from_arrow([pa.Table.from_pandas(df.iloc[i : i + 5000], preserve_index=False) for i in range(0, 20000, 5000)])
+    got = salted_sum(ds, "k", "v", num_salts=8).to_pandas().set_index("k")["v"].to_dict()
+    want = df.groupby("k")["v"].sum().to_dict()
+    assert got == want
