@@ -69,3 +69,24 @@ def build_check_ctx(
 def reference_histograms_dim() -> dict[str, np.ndarray]:
     """source → expected n_tok histogram counts (FIXTURES.md §4)."""
     return reference_histograms()
+
+
+def load_allowlist_csv(path: str) -> list[dict]:
+    """Load the source_allowlist dimension from CSV with required-column
+    validation (reference pattern: dictionary CSV loaders,
+    ``prompts/banningredients.py:29-67`` — fail loudly on a wrong file,
+    ``app.py:478-481``)."""
+    import pyarrow.csv as pacsv
+
+    t = pacsv.read_csv(path)
+    required = {"source", "status", "max_n_tok"}
+    missing = required - set(t.column_names)
+    if missing:
+        raise ValueError(
+            f"allowlist CSV {path!r} missing required columns {sorted(missing)}; "
+            f"found {t.column_names}"
+        )
+    rows = t.select(sorted(required)).to_pylist()
+    for r in rows:
+        r["max_n_tok"] = int(r["max_n_tok"])
+    return rows

@@ -1,0 +1,109 @@
+"""Property/robustness tests: permutation invariance, bad inputs, CSV dims."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_permutation_invariance(ray_session, tmp_path):
+    """Shuffled row placement across fragments ⇒ identical verdict sets
+    (SURVEY.md §5 property tests; §7.4 'no order-dependent logic')."""
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.validate import run_validation
+
+    seq = write_sequences(str(tmp_path / "seq"), 3000, seed=21, num_fragments=4)
+    files = sorted(__import__("glob").glob(seq + "/frag-*.parquet"))
+    full = pa.concat_tables([pq.read_table(f) for f in files])
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(full.num_rows)
+    shuffled = full.take(pa.array(perm))
+    d2 = tmp_path / "seq_perm"
+    d2.mkdir()
+    # different fragment count AND row order
+    bounds = np.linspace(0, full.num_rows, 6).astype(int)
+    for i in range(5):
+        pq.write_table(shuffled.slice(bounds[i], bounds[i + 1] - bounds[i]), str(d2 / f"frag-{i:05d}.parquet"))
+
+    r1 = run_validation(seq, str(tmp_path / "o1"))
+    r2 = run_validation(str(d2), str(tmp_path / "o2"))
+    assert r1.check_counts() == r2.check_counts()
+    assert r1.duplicates == r2.duplicates
+    assert {s: v["drifted"] for s, v in r1.drift.items()} == {
+        s: v["drifted"] for s, v in r2.drift.items()
+    }
+    # violation doc_id multisets equal
+    from product_quality_check_ray.pipelines.validate import violations_dataset
+
+    v1 = sorted(violations_dataset(str(tmp_path / "o1")).to_pandas()["doc_id"].fillna("∅"))
+    v2 = sorted(violations_dataset(str(tmp_path / "o2")).to_pandas()["doc_id"].fillna("∅"))
+    assert v1 == v2
+
+
+def test_empty_input_dir_raises(ray_session, tmp_path):
+    from product_quality_check_ray.pipelines.validate import run_validation
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        run_validation(str(empty), str(tmp_path / "out"))
+
+
+def test_wrong_schema_raises(ray_session, tmp_path):
+    from product_quality_check_ray.pipelines.validate import run_validation
+
+    bad = pa.table({"doc_id": pa.array(["a", "b"]), "n_tok": pa.array([1, 2], type=pa.int32())})
+    d = tmp_path / "bad"
+    d.mkdir()
+    pq.write_table(bad, str(d / "frag-00000.parquet"))
+    with pytest.raises(Exception, match="missing required columns"):
+        run_validation(str(d), str(tmp_path / "out"))
+
+
+def test_allowlist_csv_loader(tmp_path):
+    from product_quality_check_ray.sources.dimensions import (
+        build_check_ctx,
+        load_allowlist_csv,
+    )
+
+    p = tmp_path / "allow.csv"
+    p.write_text("source,status,max_n_tok\nweb,allowed,2048\nbooks,allowed,1024\n")
+    rows = load_allowlist_csv(str(p))
+    ctx = build_check_ctx(rows)
+    assert ctx["allowed_sources"] == frozenset({"web", "books"})
+    assert ctx["max_n_tok"]["books"] == 1024
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="missing required columns"):
+        load_allowlist_csv(str(bad))
+
+
+def test_rounding_matches_duckdb_on_random_values():
+    import duckdb
+
+    from product_quality_check_ray.core.rounding import round_half_away
+
+    rng = np.random.default_rng(33)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e6, 1e6, 200),
+            np.round(rng.uniform(-100, 100, 200), 3),  # many .xx5 boundaries
+            np.array([2.675, 1.005, -2.675, 0.125, 2.5]),
+        ]
+    )
+    con = duckdb.connect()
+    for d in (0, 2, 4, 6):
+        got = round_half_away(vals, d)
+        want = np.array(
+            [
+                r[0]
+                for r in con.execute(
+                    "SELECT round(v, ?) FROM (SELECT unnest(?::DOUBLE[]) AS v)",
+                    [d, list(map(float, vals))],
+                ).fetchall()
+            ]
+        )
+        assert np.array_equal(got, want), f"decimals={d}"
