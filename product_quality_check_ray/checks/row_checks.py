@@ -66,7 +66,9 @@ def _list_min_max(col: "pa.ChunkedArray | pa.ListArray") -> tuple[np.ndarray, np
     if n == 0:
         return mins, maxs
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    values = arr.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    # keep the native int32 values buffer — an int64 astype would copy the
+    # whole token payload (the hot-path's single biggest cost when profiled)
+    values = arr.values.to_numpy(zero_copy_only=False)
     # clip values to the logical range of this (possibly sliced) array so the
     # final reduceat segment ends at the last row's end, not the buffer's end
     values = values[: offsets[-1]]
