@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_matching_terms": rel.parts_matching_terms,
         "order_priority_stats": rel.order_priority_stats,
         "user_sessions": rel.user_sessions,
+        "customer_running_totals": rel.customer_running_totals,
+        "customer_name_numbers": rel.customer_name_numbers,
         "events_asof_last_click": rel.events_asof_last_click,
         "events_json_k": rel.events_json_k,
         "brand_canonical": rel.brand_canonical,
@@ -322,6 +324,24 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank FROM scored
             ) WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "customer_running_totals": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(round(o_totalprice, 2)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING
+                   ), 2) AS running_total
+            FROM orders
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "customer_name_numbers": r"""
+            SELECT c_custkey,
+                   TRY_CAST(regexp_extract(c_name, '#(\d+)', 1) AS BIGINT) AS name_number,
+                   upper(c_mktsegment) AS segment_upper,
+                   length(c_name) AS name_length
+            FROM customer
         """,
         "user_sessions": """
             WITH e AS (

@@ -527,14 +527,15 @@ def events_asof_last_click(sf_dir: str) -> pa.Table:
             allow_exact_matches=False,
             direction="backward",
         )
+        last_click = pd.to_datetime(joined["click_ts"]).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        # no-prior-click ⇒ None (matches SQL NULL), not the string "NaN"
+        last_click = last_click.astype(object).where(joined["click_ts"].notna(), None)
         return pd.DataFrame(
             {
                 "event_id": joined["event_id"].astype(np.int64),
                 "user_id": joined["user_id"].astype(np.int64),
                 "purchase_ts": pd.to_datetime(joined["ts"]).dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
-                "last_click_ts": pd.to_datetime(joined["click_ts"]).dt.strftime(
-                    "%Y-%m-%d %H:%M:%S.%f"
-                ),
+                "last_click_ts": last_click,
             }
         )
 
@@ -668,3 +669,54 @@ def order_value_buckets(sf_dir: str) -> pa.Table:
         return df
 
     return _collect(agg.map_batches(finalize, batch_format="pandas").sort("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Ordered per-key window: running totals (cumulative sum over a defined order)
+# ---------------------------------------------------------------------------
+
+
+def customer_running_totals(sf_dir: str) -> pa.Table:
+    """Per customer, orders in (o_orderdate, o_orderkey) order with the
+    running total of order value — the ordered-window aggregate Ray Data has
+    no primitive for, composed as groupby(key).map_groups with an in-group
+    sort. Cumulative sums are computed over per-row cent-rounded values in a
+    DEFINED order, so both engines produce bit-identical doubles.
+    """
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        vals = _rha(df["o_totalprice"], 2)
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype(np.int64),
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_orderdate": pd.to_datetime(df["o_orderdate"]).dt.strftime("%Y-%m-%d"),
+                "running_total": _rha(np.cumsum(vals), 2),
+            }
+        )
+
+    out = ds.groupby("o_custkey").map_groups(_aout(running), batch_format="pandas")
+    return _collect(out.sort(["o_custkey", "o_orderkey"]))
+
+
+def customer_name_numbers(sf_dir: str) -> rd.Dataset:
+    """String scalar functions: parse the numeric id out of c_name, emit
+    upper-cased segment + zero-stripped id (vectorized regex/string kernels).
+    """
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("c_name"), r"#(?P<num>\d+)")
+        num = pc.cast(pc.struct_field(ex, "num"), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "name_number": num,
+                "segment_upper": pc.utf8_upper(t.column("c_mktsegment")),
+                "name_length": pc.cast(pc.utf8_length(t.column("c_name")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
