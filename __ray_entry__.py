@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_source_stats": lambda sf: sq.seq_source_stats(sf),
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
         "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),  # stats — rows-only
+        "seq_sketch_report": lambda sf: sq.seq_sketch_report(sf),  # sketches — rows-only
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing — rows-only
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
         "pricing_summary": rel.pricing_summary,

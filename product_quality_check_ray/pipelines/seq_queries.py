@@ -242,3 +242,63 @@ def seq_drift_verdicts(sf_dir: str) -> pa.Table:
         for s, v in sorted(verdicts.items())
     ]
     return pa.Table.from_pylist(rows)
+
+
+def seq_sketch_report(sf_dir: str) -> pa.Table:
+    """Per-source sketch stage as a driver query: t-digest quantiles of
+    n_tok + HLL distinct-doc estimates, from per-batch partial sketches
+    merged in deterministic order (rows-only check: approximate by design;
+    accuracy bounds are asserted in tests/test_sketches.py)."""
+    from ..state.sketches import HyperLogLog, TDigest
+
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok", "doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pandas().fillna("\x00null")
+        n_tok = np.asarray(
+            pc.fill_null(t.column("n_tok"), -1).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        doc_ids = t.column("doc_id")
+        rows = []
+        for s, idx in src.groupby(src).groups.items():
+            ii = np.asarray(idx)
+            ntv = n_tok[ii][n_tok[ii] >= 0]
+            uv, uc = np.unique(ntv, return_counts=True)
+            td = TDigest().add(uv.astype(np.float64), uc.astype(np.float64))
+            hll = HyperLogLog()
+            ids = doc_ids.take(pa.array(ii)).combine_chunks().drop_null()
+            if len(ids):
+                hll.add_strings(ids)
+            rows.append(
+                {"source": s, "n": int(len(ii)), "td": td.to_bytes(), "hll": hll.to_bytes()}
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("source", pa.string()), ("n", pa.int64()), ("td", pa.binary()), ("hll", pa.binary())]
+            ),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict[str, dict] = {}
+    from ..state.sketches import HyperLogLog as _H, TDigest as _T
+
+    for r in sorted(partials, key=lambda r: (r["source"], r["n"], r["td"])):
+        agg = merged.setdefault(r["source"], {"n": 0, "td": _T(), "hll": _H()})
+        agg["n"] += r["n"]
+        agg["td"].merge(_T.from_bytes(r["td"]))
+        agg["hll"].merge(_H.from_bytes(r["hll"]))
+    rows = [
+        {
+            "source": s,
+            "rows": a["n"],
+            "p50_n_tok": round(a["td"].quantile(0.5), 2),
+            "p90_n_tok": round(a["td"].quantile(0.9), 2),
+            "p99_n_tok": round(a["td"].quantile(0.99), 2),
+            "distinct_doc_est": int(a["hll"].estimate()),
+        }
+        for s, a in sorted(merged.items())
+        if not s.startswith("\x00")
+    ]
+    return pa.Table.from_pylist(rows)
