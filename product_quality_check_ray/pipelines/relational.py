@@ -38,6 +38,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
 from ..core.batches import arrow_out as _aout
+from ..core.collect import collect_table as _collect
 from ..core.rounding import round_half_away as _rha
 
 
@@ -121,8 +122,6 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     out = agg.map_batches(finalize, batch_format="pandas")
     return _collect(out.sort(["l_returnflag", "l_linestatus"]))
 
-
-from ..core.collect import collect_table as _collect
 
 
 # ---------------------------------------------------------------------------

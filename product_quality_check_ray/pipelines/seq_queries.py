@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
 from ..core.batches import arrow_out as _aout
+from ..core.collect import collect_table as _collect
 from ..core.rounding import round_half_away as _rha
 from ..checks.row_checks import ROW_CHECK_NAMES, conform_schema, row_check_matrix
 from ..core.schema import HIST_BIN_WIDTH
@@ -38,8 +39,6 @@ def _seq_ds(sf_dir: str, columns=None) -> rd.Dataset:
     files = sorted(glob.glob(sequences_glob(sf_dir)))
     return rd.read_parquet(files, columns=columns)
 
-
-from ..core.collect import collect_table as _collect
 
 
 class _FlagStage:

@@ -27,14 +27,13 @@ import ray.data as rd
 from ray.data.aggregate import Max
 
 from ..core.batches import arrow_out as _aout
+from ..core.collect import collect_table as _collect
 from ..core.rounding import round_half_away as _rha
 
 
 def _emb(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
 
-
-from ..core.collect import collect_table as _collect
 
 
 def _list_col_to_matrix(col: pa.ChunkedArray) -> np.ndarray:

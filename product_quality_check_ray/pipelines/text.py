@@ -34,6 +34,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from ..core.collect import collect_table as _collect
 from ..core.rounding import round_half_away as _rha
 
 WS_TOKEN_RE = r"\S+"
@@ -47,8 +48,6 @@ STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
-
-from ..core.collect import collect_table as _collect
 
 
 def _count_re(col: pa.ChunkedArray, pattern: str) -> pa.Array:

@@ -90,3 +90,40 @@ def load_allowlist_csv(path: str) -> list[dict]:
     for r in rows:
         r["max_n_tok"] = int(r["max_n_tok"])
     return rows
+
+
+def save_reference_histograms(path: str, hists: "dict[str, np.ndarray] | None" = None) -> str:
+    """Persist the reference-histogram dimension as parquet (source,
+    bin_counts:list<int64>) — so real deployments version it as data."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    hists = hists if hists is not None else reference_histograms_dim()
+    t = _pa.table(
+        {
+            "source": _pa.array(sorted(hists), type=_pa.string()),
+            "bin_counts": _pa.array(
+                [hists[s].tolist() for s in sorted(hists)], type=_pa.list_(_pa.int64())
+            ),
+        }
+    )
+    _pq.write_table(t, path)
+    return path
+
+
+def load_reference_histograms(path: str) -> "dict[str, np.ndarray]":
+    """Load the drift-reference dimension from parquet with required-column
+    validation (S2 pattern). Returns {source: int64 bin counts}."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path)
+    required = {"source", "bin_counts"}
+    missing = required - set(t.column_names)
+    if missing:
+        raise ValueError(
+            f"reference-histogram parquet {path!r} missing columns {sorted(missing)}"
+        )
+    return {
+        s: np.asarray(c, dtype=np.int64)
+        for s, c in zip(t.column("source").to_pylist(), t.column("bin_counts").to_pylist())
+    }

@@ -107,3 +107,28 @@ def test_rounding_matches_duckdb_on_random_values():
             ]
         )
         assert np.array_equal(got, want), f"decimals={d}"
+
+
+def test_reference_histogram_dimension_roundtrip(tmp_path):
+    from product_quality_check_ray.checks.drift import drift_verdicts
+    from product_quality_check_ray.sources.dimensions import (
+        load_reference_histograms,
+        reference_histograms_dim,
+        save_reference_histograms,
+    )
+
+    p = str(tmp_path / "ref_hist.parquet")
+    save_reference_histograms(p)
+    loaded = load_reference_histograms(p)
+    orig = reference_histograms_dim()
+    assert set(loaded) == set(orig)
+    for s in orig:
+        assert np.array_equal(loaded[s], orig[s])
+    # verdicts from the loaded dimension == from the in-memory one
+    v1 = drift_verdicts(orig, orig)
+    v2 = drift_verdicts(orig, loaded)
+    assert v1 == v2
+    with pytest.raises(ValueError, match="missing columns"):
+        bad = tmp_path / "bad.parquet"
+        pq.write_table(pa.table({"x": [1]}), str(bad))
+        load_reference_histograms(str(bad))
