@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
         "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),  # stats — rows-only
         "seq_sketch_report": lambda sf: sq.seq_sketch_report(sf),  # sketches — rows-only
+        "seq_repaired": lambda sf: sq.seq_repaired(sf),
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing — rows-only
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
         "pricing_summary": rel.pricing_summary,
@@ -182,6 +183,14 @@ def oracle_sql() -> dict[str, str]:
                 count(*) AS rows,
                 count(*) FILTER (WHERE {any_flag}) AS viol_rows
             FROM {seq} GROUP BY source ORDER BY source
+        """,
+        "seq_repaired": f"""
+            SELECT doc_id,
+                   coalesce(len(tokens)::INTEGER, n_tok) AS n_tok_fixed,
+                   nullif(trim(lower(coalesce(source, ''))), '') AS source_fixed,
+                   (coalesce(n_tok, -1) <> coalesce(coalesce(len(tokens)::INTEGER, n_tok), -1)
+                    OR coalesce(source, '') <> coalesce(nullif(trim(lower(coalesce(source, ''))), ''), '')) AS was_repaired
+            FROM {seq}
         """,
         "seq_dup_doc_ids": f"""
             SELECT doc_id, count(*) AS n FROM {seq}

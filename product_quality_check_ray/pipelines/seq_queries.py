@@ -301,3 +301,42 @@ def seq_sketch_report(sf_dir: str) -> pa.Table:
         if not s.startswith("\x00")
     ]
     return pa.Table.from_pylist(rows)
+
+
+def seq_repaired(sf_dir: str) -> rd.Dataset:
+    """Deterministic row REPAIR operator (reference analog M19/M13: stateless
+    repair UDFs — address stitch/swap, field-merge with fallback): rows with
+    a recomputable defect are fixed in place and flagged.
+
+      n_tok        → recomputed from len(tokens) when inconsistent/null
+      source       → trimmed/lowercased (canonical form)
+
+    Emits (doc_id, n_tok_fixed, source_fixed, was_repaired); input columns
+    are otherwise preserved byte-identical. Unrepairable defects (null
+    tokens/doc_id, OOV values) stay with the violation path — repair never
+    hides a violation it cannot actually fix.
+    """
+    ds = _seq_ds(sf_dir)
+
+    def fix(t: pa.Table) -> pa.Table:
+        tokens = t.column("tokens")
+        n_tok = t.column("n_tok")
+        true_len = pc.cast(pc.list_value_length(tokens), pa.int32())
+        n_fixed = pc.coalesce(true_len, n_tok)
+        src = t.column("source")
+        src_fixed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(src, "")))
+        src_fixed = pc.if_else(pc.equal(src_fixed, ""), pa.scalar(None, pa.string()), src_fixed)
+        repaired = pc.or_kleene(
+            pc.fill_null(pc.not_equal(pc.coalesce(n_tok, pa.scalar(-1, pa.int32())), pc.coalesce(n_fixed, pa.scalar(-1, pa.int32()))), False),
+            pc.fill_null(pc.not_equal(pc.coalesce(src, pa.scalar("", pa.string())), pc.coalesce(src_fixed, pa.scalar("", pa.string()))), False),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tok_fixed": n_fixed,
+                "source_fixed": src_fixed,
+                "was_repaired": repaired,
+            }
+        )
+
+    return ds.map_batches(fix, batch_format="pyarrow")
