@@ -24,6 +24,14 @@ import numpy as np
 _Z_999 = 3.0902
 _KS_ALPHA_C = 1.949  # c(alpha) for alpha=0.001 in the two-sample KS bound
 
+# Minimum-effect floor: at corpus scale (tested at 25.6M rows) pure
+# significance tests flag EVERY source — they detect the reference sample's
+# own ~1/sqrt(m) noise, not real drift. A drift verdict therefore requires
+# statistical significance AND a material KS distance. The injected +40%
+# mean shift produces KS ≈ 0.15; same-distribution sampling noise stays
+# < 0.005 at every scale tested.
+KS_MIN_EFFECT = 0.01
+
 
 def chi2_critical(df: int, z: float = _Z_999) -> float:
     """Wilson–Hilferty approximation to the chi-square quantile."""
@@ -107,6 +115,10 @@ def drift_verdicts(
             "chi2_crit": round(float(crit), 4),
             "ks": round(ks, 6),
             "ks_thresh": round(float(ks_t), 6),
-            "drifted": bool(obs.sum() > 0 and (stat > crit or ks > ks_t)),
+            "drifted": bool(
+                obs.sum() > 0
+                and (stat > crit or ks > ks_t)
+                and ks >= KS_MIN_EFFECT
+            ),
         }
     return out
