@@ -1,0 +1,96 @@
+"""Hypothesis differential test: the fused vectorized check kernel must
+agree with a naive per-row Python implementation on arbitrary inputs
+(SURVEY.md §5: bulk-vs-single differential pair, the reference's own
+built-in pattern in ``banningredients.py:283-358``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from product_quality_check_ray.checks.row_checks import (
+    ROW_CHECK_NAMES,
+    row_check_matrix,
+)
+from product_quality_check_ray.core.schema import MAX_N_TOK_DEFAULT
+from product_quality_check_ray.sources.dimensions import build_check_ctx
+
+VOCAB_SMALL = 100
+
+token_list = st.one_of(
+    st.none(),
+    st.lists(st.integers(min_value=-5, max_value=VOCAB_SMALL + 20), max_size=12),
+)
+row = st.fixed_dictionaries(
+    {
+        "doc_id": st.one_of(st.none(), st.text(min_size=0, max_size=8)),
+        "tokens": token_list,
+        "n_tok": st.one_of(st.none(), st.integers(min_value=-3, max_value=2100)),
+        "source": st.one_of(
+            st.none(), st.sampled_from(["web", "books", "spam-1", "", "forums"])
+        ),
+    }
+)
+
+
+def naive_row_checks(r: dict, allowed: set[str], vocab: int, cap: int) -> dict[str, bool]:
+    toks = r["tokens"]
+    nt = r["n_tok"]
+    out = {
+        "null_doc_id": r["doc_id"] is None,
+        "null_tokens": toks is None,
+        "ntok_mismatch": toks is not None and (nt is None or len(toks) != nt),
+        "token_oov": toks is not None and any(t >= vocab for t in toks),
+        "token_neg": toks is not None and any(t < 0 for t in toks),
+        "bad_source": r["source"] is None or r["source"] not in allowed,
+        "ntok_range": (nt if nt is not None else -1) < 1
+        or (nt if nt is not None else -1) > cap,
+    }
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(row, min_size=1, max_size=25))
+def test_vectorized_matches_naive(rows):
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            "tokens": pa.array([r["tokens"] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([r["n_tok"] for r in rows], type=pa.int32()),
+            "source": pa.array([r["source"] for r in rows], type=pa.string()),
+        }
+    )
+    ctx = build_check_ctx(vocab=VOCAB_SMALL)
+    mat = row_check_matrix(t, ctx)
+    allowed = set(ctx["allowed_sources"])
+    for i, r in enumerate(rows):
+        want = naive_row_checks(r, allowed, VOCAB_SMALL, MAX_N_TOK_DEFAULT)
+        got = {name: bool(mat[i, j]) for j, name in enumerate(ROW_CHECK_NAMES)}
+        assert got == want, f"row {i}: {r!r}\n got={got}\nwant={want}"
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0, max_value=4000, allow_nan=False), min_size=1, max_size=500),
+    st.integers(min_value=2, max_value=8),
+)
+def test_tdigest_quantiles_bounded_error(values, n_parts):
+    """Merged t-digest quantiles stay within rank-error bounds regardless of
+    how the input is partitioned (mergeability property)."""
+    from product_quality_check_ray.state.sketches import TDigest
+
+    arr = np.asarray(values)
+    parts = np.array_split(arr, n_parts)
+    td = TDigest()
+    for p in parts:
+        other = TDigest().add(p)
+        td.merge(other)
+    s = np.sort(arr)
+    for q in (0.1, 0.5, 0.9):
+        est = td.quantile(q)
+        # rank error bound: estimate must fall within ±10% rank of the target
+        lo = s[max(0, int(np.floor((q - 0.1) * (len(s) - 1))))]
+        hi = s[min(len(s) - 1, int(np.ceil((q + 0.1) * (len(s) - 1))))]
+        assert lo - 1e-9 <= est <= hi + 1e-9, (q, est, lo, hi)

@@ -61,7 +61,9 @@ def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
             ):
                 av = np.asarray(av, dtype=np.float64)
                 bv = np.asarray(bv, dtype=np.float64)
-                bad = ~(np.isclose(av, bv, rtol=0, atol=1e-9) | (np.isnan(av) & np.isnan(bv)))
+                # EXACT equality: the driver hashes values, so any tolerance
+                # here would hide a mismatch the real gate will catch
+                bad = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
             else:
                 bad = ~(
                     (pd.Series(av).astype(str) == pd.Series(bv).astype(str)).to_numpy()
