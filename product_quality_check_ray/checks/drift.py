@@ -62,7 +62,14 @@ def chi2_stat(observed: np.ndarray, expected_probs: np.ndarray) -> tuple[float, 
             obs_p.append(acc_o)
             exp_p.append(acc_e)
             acc_o = acc_e = 0.0
-    if acc_e > 0 and exp_p:
+    if exp_p and acc_o > 0:
+        # observed mass left in (near-)zero-expectation tail bins is the
+        # strongest drift evidence: give it its OWN bin with a half-count
+        # expectation floor so the statistic registers it instead of
+        # diluting it into the last pooled bin
+        obs_p.append(acc_o)
+        exp_p.append(max(acc_e, 0.5))
+    elif exp_p and acc_e > 0:
         obs_p[-1] += acc_o
         exp_p[-1] += acc_e
     if len(exp_p) < 2:

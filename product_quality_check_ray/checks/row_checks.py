@@ -66,9 +66,16 @@ def _list_min_max(col: "pa.ChunkedArray | pa.ListArray") -> tuple[np.ndarray, np
     if n == 0:
         return mins, maxs
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    inner = arr.values
+    if inner.null_count:
+        # a null ELEMENT inside a token list is an invalid token value —
+        # map it to -1 so the token_neg domain check flags the row (without
+        # this, to_numpy silently yields float64 NaN and the min/max casts
+        # corrupt both domain checks)
+        inner = pc.fill_null(inner, -1)
     # keep the native int32 values buffer — an int64 astype would copy the
     # whole token payload (the hot-path's single biggest cost when profiled)
-    values = arr.values.to_numpy(zero_copy_only=False)
+    values = inner.to_numpy(zero_copy_only=False)
     # clip values to the logical range of this (possibly sliced) array so the
     # final reduceat segment ends at the last row's end, not the buffer's end
     values = values[: offsets[-1]]

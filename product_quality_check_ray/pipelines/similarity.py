@@ -182,11 +182,16 @@ def knn_lsh(
     planes = _plane_matrix(qm.shape[1])
     qsig = _signatures(qm, planes)
     probe: set[int] = set()
+    from itertools import combinations as _combos
+
     for s in qsig:
         probe.add(int(s))
         if multiprobe >= 1:
             for b in range(LSH_PLANES):
                 probe.add(int(s) ^ (1 << b))
+        if multiprobe >= 2:
+            for b1, b2 in _combos(range(LSH_PLANES), 2):
+                probe.add(int(s) ^ (1 << b1) ^ (1 << b2))
     buckets = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
         LshBucketStage, batch_format="pyarrow", concurrency=(1, 4)
     )
@@ -359,6 +364,11 @@ def ivf_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
     marker = os.path.join(root, "_IVF_COMPLETE")
     if os.path.exists(marker):
         return root
+    # crash-safe build: a rerun after an interrupted write must not append a
+    # second copy of every vector next to the stale part files
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
 
     def stride_sample(t: pa.Table) -> pa.Table:

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -278,30 +277,26 @@ def doc_lang_id(sf_dir: str) -> rd.Dataset:
 MINHASH_K = 64
 LSH_BANDS = 16
 LSH_ROWS = MINHASH_K // LSH_BANDS
-_MERSENNE = (1 << 61) - 1
 
 
-def _hash_params(k: int = MINHASH_K, seed: int = 1234567) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
-    return a, b
+def _minhash_seeds(k: int = MINHASH_K, seed: int = 1234567) -> np.ndarray:
+    return np.random.default_rng(seed).integers(
+        0, 2**63, size=k, dtype=np.int64
+    ).astype(np.uint64)
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Stable uint64 hashes of word n-gram shingles (crc32 pairs → 64-bit)."""
+    """Stable uint64 hashes of word n-gram shingles (full 64-bit xxhash via
+    ``core.hashing``; the earlier paired-crc32 construction was affine and
+    collapsed to ~32 effective bits for equal-length shingles)."""
+    from ..core.hashing import hash_strings
+
     words = text.lower().split()
     if len(words) < n:
         shingles = [" ".join(words)] if words else [""]
     else:
         shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        bs = s.encode("utf-8")
-        # compose two crc32 streams into a stable 64-bit hash (python ints —
-        # no int64 overflow before the uint64 store)
-        out[i] = (zlib.crc32(bs) << 32) | zlib.crc32(bs, 0x1E3779B9)
-    return np.unique(out)
+    return np.unique(hash_strings(shingles))
 
 
 class MinHashStage:
@@ -313,15 +308,20 @@ class MinHashStage:
     """
 
     def __init__(self, k: int = MINHASH_K, bands: int = LSH_BANDS):
-        self.a, self.b = _hash_params(k)
+        self.seeds = _minhash_seeds(k)
         self.k = k
         self.bands = bands
         self.r = k // bands
 
     def signature(self, text: str) -> np.ndarray:
+        from ..core.hashing import splitmix64
+
         h = _shingle_hashes(text)
-        # (a*h + b) mod p over the Mersenne prime, vectorized k × |shingles|
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        # k independent min-wise functions via seeded splitmix64 mixing —
+        # pure uint64 ops, no modular multiply (the previous (a*h+b) mod p
+        # silently wrapped at 2^64 before the reduction, breaking the
+        # claimed universal family)
+        vals = splitmix64(h[None, :] ^ self.seeds[:, None])  # (k, |shingles|)
         return vals.min(axis=1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -428,14 +428,13 @@ SIMHASH_PIECES = 4  # hamming ≤ SIMHASH_PIECES-1 guaranteed to collide on ≥1
 
 
 def _simhash(text: str) -> int:
+    from ..core.hashing import hash_strings
+
     words = text.lower().split()
     if not words:
         return 0
     uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
-    hs = np.empty(len(uniq), dtype=np.uint64)
-    for i, w in enumerate(uniq):
-        bs = w.encode("utf-8")
-        hs[i] = (zlib.crc32(bs) << 32) | zlib.crc32(bs, 0x05EBCA6B)
+    hs = hash_strings([str(w) for w in uniq])
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

@@ -50,20 +50,23 @@ def _range_edges(ranges: int) -> np.ndarray:
 
 
 @ray.remote
-def _map_fragment(path: str, ranges: int) -> list[tuple[np.ndarray, np.ndarray]]:
+def _map_fragment(path: str, ranges: int) -> tuple:
+    """Returns `ranges` objects (one (hashes, counts) pair per hash range) so
+    partials flow worker→worker via the object store — the driver never
+    materializes them (invoked with ``num_returns=ranges``)."""
     t = pq.read_table(path, columns=["doc_id"])
     col = t.column("doc_id").drop_null().combine_chunks()
     if len(col) == 0:
         empty = np.empty(0, dtype=np.uint64)
-        return [(empty, empty.astype(np.int64))] * ranges
+        return tuple((empty, empty.astype(np.int64)) for _ in range(ranges))
     h = hash_strings(col, seed=HASH_SEED)
     uv, uc = np.unique(h, return_counts=True)
     idx = np.searchsorted(uv, _range_edges(ranges))
-    return list(zip(np.split(uv, idx), np.split(uc.astype(np.int64), idx)))
+    return tuple(zip(np.split(uv, idx), np.split(uc.astype(np.int64), idx)))
 
 
 @ray.remote
-def _reduce_range(parts: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+def _reduce_range(*parts) -> np.ndarray:
     vs = np.concatenate([p[0] for p in parts])
     if vs.size == 0:
         return vs
@@ -106,8 +109,18 @@ def find_duplicates(files: list[str], ranges: int | None = None) -> dict[str, in
             ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             ranges = 8
-    mapped = ray.get([_map_fragment.remote(f, ranges) for f in files])
-    dup_refs = [_reduce_range.remote([m[r] for m in mapped]) for r in range(ranges)]
+    # num_returns=ranges: each map task emits one ObjectRef per hash range;
+    # the refs (not the data) are routed to the reduce tasks as positional
+    # args, so Ray dereferences them worker-side — partials never touch the
+    # driver (the 10^12-scale contract in the module docstring)
+    mapped_refs = [
+        _map_fragment.options(num_returns=ranges).remote(f, ranges) for f in files
+    ]
+    if ranges == 1:
+        mapped_refs = [[r] for r in mapped_refs]
+    dup_refs = [
+        _reduce_range.remote(*[m[r] for m in mapped_refs]) for r in range(ranges)
+    ]
     dup_hashes = np.sort(np.concatenate(ray.get(dup_refs)))
     if dup_hashes.size == 0:
         return {}

@@ -29,8 +29,17 @@ ENGINE_VERSION = 1
 
 
 def part_id_for(input_path: str) -> str:
+    """Stable partition id: basename stem + short full-path digest.
+
+    The digest disambiguates fragments with the SAME basename in different
+    directories (e.g. a ``/data/*/part-0.parquet`` glob) — basename-only ids
+    silently merged such files' lineage and violations."""
+    import hashlib
+
     base = os.path.basename(input_path)
-    return base[:-8] if base.endswith(".parquet") else base
+    stem = base[:-8] if base.endswith(".parquet") else base
+    digest = hashlib.sha1(os.path.abspath(input_path).encode()).hexdigest()[:8]
+    return f"{stem}-{digest}"
 
 
 def lineage_dir(out_dir: str) -> str:

@@ -41,6 +41,8 @@ def _edges(ranges: int) -> np.ndarray:
 
 @ray.remote
 def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int):
+    """Emits one (keys, ids) object per hash range (``num_returns=ranges``)
+    so partials route worker→worker — the driver holds only ObjectRefs."""
     # refs nested inside a list are not auto-dereferenced by Ray
     blocks = ray.get(list(block_refs))
     tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
@@ -52,14 +54,14 @@ def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int):
     h, ids = h[order], ids[order]
     keys_np = np.asarray(keys.to_pylist(), dtype=object)[order]
     idx = np.searchsorted(h, _edges(ranges))
-    return [
+    return tuple(
         (keys_np[lo:hi], ids[lo:hi])
         for lo, hi in zip(np.r_[0, idx], np.r_[idx, len(h)])
-    ]
+    )
 
 
 @ray.remote
-def _reduce_range(parts: list, max_bucket: int):
+def _reduce_range(max_bucket: int, *parts):
     keys = np.concatenate([p[0] for p in parts])
     if keys.size == 0:
         return (
@@ -127,15 +129,19 @@ def cooccurrence_pairs(
                 "n_shared": pd.Series([], dtype=np.int64),
             }
         )
-    mapped = ray.get(
-        [
-            _map_blocks.remote(block_refs[i : i + blocks_per_task], key_col, id_col, ranges)
-            for i in range(0, len(block_refs), blocks_per_task)
-        ]
-    )
-    parts_by_range = [[m[r] for m in mapped] for r in range(ranges)]
+    mapped_refs = [
+        _map_blocks.options(num_returns=ranges).remote(
+            block_refs[i : i + blocks_per_task], key_col, id_col, ranges
+        )
+        for i in range(0, len(block_refs), blocks_per_task)
+    ]
+    if ranges == 1:
+        mapped_refs = [[r] for r in mapped_refs]
     reduced = ray.get(
-        [_reduce_range.remote(parts, max_bucket) for parts in parts_by_range]
+        [
+            _reduce_range.remote(max_bucket, *[m[r] for m in mapped_refs])
+            for r in range(ranges)
+        ]
     )
     frames = [
         pd.DataFrame({"id_a": a, "id_b": b, "n_shared": c})

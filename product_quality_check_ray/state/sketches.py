@@ -45,10 +45,15 @@ class TDigest:
 
     def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> "TDigest":
         v = np.asarray(values, dtype=np.float64)
-        v = v[np.isfinite(v)]
+        finite = np.isfinite(v)
+        v = v[finite]
         if v.size == 0:
             return self
-        w = np.ones_like(v) if weights is None else np.asarray(weights, dtype=np.float64)
+        if weights is None:
+            w = np.ones_like(v)
+        else:
+            # keep weights aligned with the finite-value filter
+            w = np.asarray(weights, dtype=np.float64)[finite]
         self._buf_m.append(v)
         self._buf_w.append(w)
         self.count += float(w.sum())

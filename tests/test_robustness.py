@@ -132,3 +132,72 @@ def test_reference_histogram_dimension_roundtrip(tmp_path):
         bad = tmp_path / "bad.parquet"
         pq.write_table(pa.table({"x": [1]}), str(bad))
         load_reference_histograms(str(bad))
+
+
+def test_inner_null_token_flags_domain_check():
+    """Null ELEMENT inside a token list → token_neg flags, OOV still exact
+    (regression: NaN float64 path corrupted both domain checks)."""
+    from product_quality_check_ray.checks.row_checks import (
+        ROW_CHECK_NAMES,
+        row_check_matrix,
+    )
+    from product_quality_check_ray.sources.dimensions import build_check_ctx
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"], type=pa.string()),
+            "tokens": pa.array(
+                [[1, None, 2], [99999, None], [1, 2, 3]], type=pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([3, 2, 3], type=pa.int32()),
+            "source": pa.array(["web", "web", "web"], type=pa.string()),
+        }
+    )
+    mat = row_check_matrix(t, build_check_ctx())
+    neg = ROW_CHECK_NAMES.index("token_neg")
+    oov = ROW_CHECK_NAMES.index("token_oov")
+    assert mat[0, neg] and mat[1, neg] and not mat[2, neg]
+    assert mat[1, oov] and not mat[0, oov] and not mat[2, oov]
+
+
+def test_chi2_counts_zero_expectation_tail():
+    """Observed mass in zero-expected tail bins must register as drift
+    (regression: the tail fold dropped it)."""
+    from product_quality_check_ray.checks.drift import chi2_critical, chi2_stat
+
+    observed = np.array([100.0, 100.0, 10.0])
+    expected = np.array([0.5, 0.5, 0.0])
+    stat, dof = chi2_stat(observed, expected)
+    assert stat > chi2_critical(dof)
+
+
+def test_part_id_distinct_for_same_basename(tmp_path):
+    from product_quality_check_ray.state.lineage import part_id_for
+
+    a = tmp_path / "a" / "part-0.parquet"
+    b = tmp_path / "b" / "part-0.parquet"
+    assert part_id_for(str(a)) != part_id_for(str(b))
+    assert part_id_for(str(a)) == part_id_for(str(a))
+
+
+def test_tdigest_weighted_add_filters_nonfinite_pairs():
+    from product_quality_check_ray.state.sketches import TDigest
+
+    td = TDigest().add(np.array([1.0, np.nan, 3.0]), np.array([2.0, 5.0, 1.0]))
+    assert td.count == 3.0  # nan's weight 5 must NOT be counted
+    q = td.quantile(0.5)
+    assert 1.0 <= q <= 3.0
+
+
+def test_minhash_signature_properties():
+    """Identical texts → identical signatures; signatures have full 64-bit
+    spread (regression: modular overflow + crc affinity)."""
+    from product_quality_check_ray.pipelines.text import MinHashStage
+
+    st = MinHashStage()
+    s1 = st.signature("the quick brown fox jumps over the lazy dog again")
+    s2 = st.signature("the quick brown fox jumps over the lazy dog again")
+    s3 = st.signature("an entirely different document about sorting engines")
+    assert np.array_equal(s1, s2)
+    assert not np.array_equal(s1, s3)
+    assert s1.dtype == np.uint64 and (s1 > np.uint64(1 << 40)).any()
