@@ -50,11 +50,13 @@ def _range_edges(ranges: int) -> np.ndarray:
 
 
 @ray.remote
-def _map_fragment(path: str, ranges: int) -> tuple:
+def _map_fragment(paths: list[str], ranges: int) -> tuple:
     """Returns `ranges` objects (one (hashes, counts) pair per hash range) so
     partials flow worker→worker via the object store — the driver never
-    materializes them (invoked with ``num_returns=ranges``)."""
-    t = pq.read_table(path, columns=["doc_id"])
+    materializes them (invoked with ``num_returns=ranges``). Takes a small
+    GROUP of fragments per task to bound the total ObjectRef count at
+    O(files/group × ranges)."""
+    t = pa.concat_tables(pq.read_table(p, columns=["doc_id"]) for p in paths)
     col = t.column("doc_id").drop_null().combine_chunks()
     if len(col) == 0:
         empty = np.empty(0, dtype=np.uint64)
@@ -113,8 +115,11 @@ def find_duplicates(files: list[str], ranges: int | None = None) -> dict[str, in
     # the refs (not the data) are routed to the reduce tasks as positional
     # args, so Ray dereferences them worker-side — partials never touch the
     # driver (the 10^12-scale contract in the module docstring)
+    group = max(1, len(files) // (ranges * 2) or 1, len(files) // 64)
+    file_groups = [files[i : i + group] for i in range(0, len(files), group)]
     mapped_refs = [
-        _map_fragment.options(num_returns=ranges).remote(f, ranges) for f in files
+        _map_fragment.options(num_returns=ranges).remote(g, ranges)
+        for g in file_groups
     ]
     if ranges == 1:
         mapped_refs = [[r] for r in mapped_refs]
