@@ -201,3 +201,31 @@ def test_minhash_signature_properties():
     assert np.array_equal(s1, s2)
     assert not np.array_equal(s1, s3)
     assert s1.dtype == np.uint64 and (s1 > np.uint64(1 << 40)).any()
+
+
+def test_multidir_inputs_same_basenames(ray_session, tmp_path):
+    """Fragments with identical basenames in different directories must all
+    be validated and reported (regression: basename-keyed partition ids)."""
+    import glob
+    import shutil
+
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.validate import run_validation
+
+    seq = write_sequences(str(tmp_path / "seq"), 2000, seed=8, num_fragments=4)
+    files = sorted(glob.glob(seq + "/frag-*.parquet"))
+    a = tmp_path / "multi" / "a"
+    b = tmp_path / "multi" / "b"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    # same basenames on purpose: a/frag-0000{0,1}, b/frag-0000{0,1}
+    shutil.copy(files[0], a / "frag-00000.parquet")
+    shutil.copy(files[1], a / "frag-00001.parquet")
+    shutil.copy(files[2], b / "frag-00000.parquet")
+    shutil.copy(files[3], b / "frag-00001.parquet")
+
+    rep = run_validation(str(tmp_path / "multi" / "*" / "*.parquet"), str(tmp_path / "out"))
+    full = run_validation(seq, str(tmp_path / "out_ref"))
+    assert rep.total_rows == 2000
+    assert len(rep.partitions) == 4
+    assert rep.check_counts() == full.check_counts()
