@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),  # stats — rows-only
         "seq_sketch_report": lambda sf: sq.seq_sketch_report(sf),  # sketches — rows-only
         "seq_repaired": lambda sf: sq.seq_repaired(sf),
+        "seq_token_topk": lambda sf: sq.seq_token_topk(sf),
+        "seq_ntok_percentiles": lambda sf: sq.seq_ntok_percentiles(sf),
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing — rows-only
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
         "pricing_summary": rel.pricing_summary,
@@ -191,6 +193,21 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(n_tok, -1) <> coalesce(coalesce(len(tokens)::INTEGER, n_tok), -1)
                     OR coalesce(source, '') <> coalesce(nullif(trim(lower(coalesce(source, ''))), ''), '')) AS was_repaired
             FROM {seq}
+        """,
+        "seq_token_topk": f"""
+            SELECT token, n FROM (
+                SELECT t.token AS token, count(*) AS n
+                FROM {seq}, UNNEST(tokens) AS t(token)
+                WHERE t.token >= 0 AND t.token < {VOCAB}
+                GROUP BY 1
+            ) ORDER BY n DESC, token LIMIT 100
+        """,
+        "seq_ntok_percentiles": f"""
+            SELECT source,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tok), 6) AS p50,
+                   round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tok), 6) AS p90,
+                   round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_tok), 6) AS p99
+            FROM {seq} GROUP BY source ORDER BY source
         """,
         "seq_dup_doc_ids": f"""
             SELECT doc_id, count(*) AS n FROM {seq}

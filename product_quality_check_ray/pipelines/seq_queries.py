@@ -340,3 +340,96 @@ def seq_repaired(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def seq_token_topk(sf_dir: str, k: int = 100) -> pa.Table:
+    """Top-k most frequent TOKEN values across the whole corpus.
+
+    Token frequency is a FIXED-WIDTH dense aggregation (one int64[VOCAB]
+    vector, 256 KB), so the scalable shape is a raw-task tree reduce —
+    one bincount per fragment, pairwise-group summed until one vector —
+    not a row shuffle. (A (token, n)-row groupby was measured 30×+ slower:
+    tiny read blocks made every combiner emit ~VOCAB rows, and Ray's hash
+    aggregate crawls at ~80k rows/s.) At 10^12 rows the tree moves
+    #fragments × 256 KB through the object store, log-depth, driver holds
+    only ObjectRefs.
+    """
+    import glob as _glob
+
+    import ray
+
+    from ..core.schema import VOCAB
+    from ..datagen import ensure_sequences, sequences_glob
+
+    ensure_sequences(sf_dir)
+    files = sorted(_glob.glob(sequences_glob(sf_dir)))
+
+    @ray.remote
+    def count_frag(paths: list[str]) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        total = np.zeros(VOCAB, dtype=np.int64)
+        for p in paths:
+            arr = pq.read_table(p, columns=["tokens"]).column("tokens").combine_chunks()
+            values = arr.values
+            if values.null_count:
+                values = values.drop_null()
+            v = values.to_numpy(zero_copy_only=False)
+            v = v[(v >= 0) & (v < VOCAB)]
+            total += np.bincount(v, minlength=VOCAB)
+        return total
+
+    @ray.remote
+    def sum_arrays(*arrs) -> np.ndarray:
+        return np.sum(arrs, axis=0)
+
+    refs = [count_frag.remote(files[i : i + 2]) for i in range(0, len(files), 2)]
+    while len(refs) > 1:
+        refs = [sum_arrays.remote(*refs[i : i + 16]) for i in range(0, len(refs), 16)]
+    counts = ray.get(refs[0])
+    order = np.lexsort((np.arange(VOCAB), -counts))[:k]
+    order = order[counts[order] > 0]
+    return pa.table(
+        {
+            "token": pa.array(order.astype(np.int64)),
+            "n": pa.array(counts[order].astype(np.int64)),
+        }
+    )
+
+
+def seq_ntok_percentiles(sf_dir: str) -> pa.Table:
+    """EXACT per-source n_tok percentiles (linear interpolation — matches
+    SQL ``percentile_cont`` bit-for-bit).
+
+    groupby(source).map_groups with in-group numpy percentile: ships only
+    the (source, n_tok) projection. This is the exact complement to the
+    t-digest scale path (`seq_sketch_report`): exact percentiles require a
+    whole source's values in one group, which holds for audit-sized corpora
+    but not at 10^12 rows — there the sketch is the answer.
+    """
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok"])
+
+    def pct(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["n_tok"].dropna().to_numpy(dtype=np.float64)
+        if v.size == 0:
+            return pd.DataFrame(
+                {
+                    "source": df["source"].iloc[:1],
+                    "p50": [np.nan],
+                    "p90": [np.nan],
+                    "p99": [np.nan],
+                }
+            )
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "p50": _rha(np.array([np.percentile(v, 50, method="linear")]), 6),
+                "p90": _rha(np.array([np.percentile(v, 90, method="linear")]), 6),
+                "p99": _rha(np.array([np.percentile(v, 99, method="linear")]), 6),
+            }
+        )
+
+    from ..core.batches import arrow_out as _ao
+
+    out = ds.groupby("source").map_groups(_ao(pct), batch_format="pandas")
+    return _collect(out.sort("source"))
