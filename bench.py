@@ -136,12 +136,13 @@ SCALING_FRAGMENTS = 128
 
 
 def run_scaling() -> dict:
-    """Same validation job at 8 and 32 CPUs in fresh processes.
+    """Same validation job at N and 4N CPUs in fresh processes.
 
-    Uses a larger corpus (3.2M sequences, 64 fragments) than the per-round
-    suite so per-CPU work dominates fixed orchestration cost — the sandbox
-    stand-in for the N- vs 4N-node cluster comparison, where jobs run minutes
-    to hours and startup amortizes to zero.
+    Uses a larger corpus (default 12.8M sequences, 128 fragments —
+    `PQCRAY_SCALING_ROWS`) than the per-round suite so per-CPU work
+    dominates fixed orchestration cost — the sandbox stand-in for the N- vs
+    4N-node cluster comparison, where jobs run minutes to hours and startup
+    amortizes to zero.
     """
     from product_quality_check_ray.datagen import DATA_ROOT, write_sequences
 
@@ -174,6 +175,11 @@ def run_scaling() -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 timeout=3600,
             )
+            if out.returncode != 0 or not out.stdout.strip():
+                raise RuntimeError(
+                    f"--one-validate child failed (cpus={cpus}, rc={out.returncode}); "
+                    f"stderr tail: {out.stderr[-2000:]}"
+                )
             line = out.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             # best-of-N per size: scheduling noise on a shared box is ±8%,

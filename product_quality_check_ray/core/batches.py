@@ -37,3 +37,16 @@ def arrow_out(fn):
         return out
 
     return wrapped
+
+
+def doc_id_partial_counts(b, column: str = "doc_id"):
+    """Per-batch (value, n) partial counts for a string key column — the
+    combiner in front of the uniqueness groupby (shared by
+    pipelines/validate.py and pipelines/seq_queries.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(b.column(column).drop_null().combine_chunks())
+    return pa.table(
+        {column: vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+    )

@@ -113,11 +113,7 @@ def seq_dup_doc_ids(sf_dir: str) -> pa.Table:
     """
     ds = _seq_ds(sf_dir, columns=["doc_id"])
 
-    def partial_counts(b: pa.Table) -> pa.Table:
-        vc = pc.value_counts(b.column("doc_id").drop_null().combine_chunks())
-        return pa.table(
-            {"doc_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
-        )
+    from ..core.batches import doc_id_partial_counts as partial_counts
 
     agg = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
@@ -207,12 +203,13 @@ def seq_drift_verdicts(sf_dir: str) -> pa.Table:
     w = HIST_BIN_WIDTH
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        b = np.minimum(
-            df["n_tok"].to_numpy(dtype=np.int64) // w, HIST_NUM_BINS
-        ).astype(np.int64)
-        g = pd.DataFrame({"source": df["source"], "bin": b, "n": np.int64(1)}).groupby(
-            ["source", "bin"], as_index=False
-        ).sum()
+        nt = df["n_tok"].to_numpy(dtype=np.int64)
+        valid = nt >= 0  # same exclusion as the flagship stage: negative
+        # n_tok would otherwise index the overflow bin via wraparound
+        b = np.minimum(nt[valid] // w, HIST_NUM_BINS).astype(np.int64)
+        g = pd.DataFrame(
+            {"source": df["source"].to_numpy()[valid], "bin": b, "n": np.int64(1)}
+        ).groupby(["source", "bin"], as_index=False).sum()
         g["n"] = g["n"].astype(np.int64)
         return g
 

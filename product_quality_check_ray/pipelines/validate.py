@@ -70,6 +70,23 @@ from ..state.sketches import HyperLogLog, TDigest
 _SENTINEL_MIN = 2**62
 
 
+def _table_digest(pid: str, t: pa.Table) -> str:
+    """Content digest over the FULL serialized table for side-sink filenames.
+
+    Task retries rewrite byte-identical content to the same name (idempotent
+    overwrite, never append-duplicates); two DIFFERENT batches collide only
+    if their entire violation tables are byte-identical — impossible for
+    rows with distinct token payloads. (A doc_id-only digest was measured
+    collision-prone: two batches each holding one null-doc_id row hashed
+    identically and silently overwrote each other.)"""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    h = hashlib.sha1(pid.encode())
+    h.update(sink.getvalue().to_pybytes())
+    return h.hexdigest()[:16]
+
+
 def _phase_log(name: str, t0: float) -> None:
     """Per-phase wall-time telemetry (stderr) when PQCRAY_TIMING is set."""
     if os.environ.get("PQCRAY_TIMING"):
@@ -179,14 +196,9 @@ class RowCheckStage:
     def _write_violations(self, pid: str, viol: pa.Table) -> None:
         d = lin.violations_dir(self.out_dir, pid)
         os.makedirs(d, exist_ok=True)
-        # content-addressed filename → task retries overwrite identically
-        # instead of appending duplicates (idempotent side sink)
-        digest = hashlib.sha1()
-        digest.update(pid.encode())
-        for c in viol.column("doc_id").to_pylist():
-            digest.update(repr(c).encode())
-        digest.update(str(viol.num_rows).encode())
-        pq.write_table(viol, os.path.join(d, f"rc-{digest.hexdigest()[:16]}.parquet"))
+        pq.write_table(
+            viol, os.path.join(d, f"rc-{_table_digest(pid, viol)}.parquet")
+        )
 
 
 # per-worker-process stage cache for the task-based path: Ray reuses worker
@@ -317,11 +329,19 @@ def run_validation(
                 num_cpus=1,
             )
         else:
+            task_kwargs: dict[str, Any] = {}
+            if concurrency is not None:
+                # honor an explicit caller cap on the task path too (tasks
+                # take a single max-concurrency int)
+                task_kwargs["concurrency"] = (
+                    concurrency[1] if isinstance(concurrency, tuple) else concurrency
+                )
             staged = ds.map_batches(
                 _row_check_task,
                 fn_kwargs=stage_kwargs,
                 batch_format="pyarrow",
                 batch_size=batch_size,
+                **task_kwargs,
             )
         partials = staged.take_all()
         _phase_log(f"rowcheck wave({len(wave)} files)", t0)
@@ -535,11 +555,7 @@ def plan_duplicate_doc_ids(files: list[str]) -> rd.Dataset:
     """
     ds = rd.read_parquet(files, columns=["doc_id"])
 
-    def partial_counts(b: pa.Table) -> pa.Table:
-        vc = pc.value_counts(b.column("doc_id").drop_null().combine_chunks())
-        return pa.table(
-            {"doc_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
-        )
+    from ..core.batches import doc_id_partial_counts as partial_counts
 
     agg = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
@@ -583,17 +599,27 @@ def materialize_duplicates(
     than the broadcast filter, so it is off by default.
     Rows keep their input columns byte-identical (token-array invariant).
     """
+    if not write_violations:
+        # no rows to materialize — the exact counts are already known
+        return int(sum(dups.values()))
     dup_ids = sorted(dups)
     use_pushdown = 0 < len(dup_ids) <= pushdown_limit
     read_kwargs: dict[str, Any] = {"include_paths": True}
     if use_pushdown:
         read_kwargs["filter"] = pc.field("doc_id").isin(dup_ids)
     ds = rd.read_parquet(files, **read_kwargs)
-    dup_ref = ray.put(frozenset(dup_ids))
+    # the prepared Arrow value_set is broadcast once (ray.put); each task
+    # fetches it a single time in its closure scope — NOT rebuilt per batch
+    dup_ref = ray.put(pa.array(dup_ids, type=pa.string()))
+    _set_cache: dict[str, pa.Array] = {}
 
     def mark(batch: pa.Table) -> pa.Table:
-        ids = ray.get(dup_ref)
-        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(sorted(ids), type=pa.string()))
+        key = dup_ref.hex()
+        value_set = _set_cache.get(key)
+        if value_set is None:
+            _set_cache.clear()
+            value_set = _set_cache[key] = ray.get(dup_ref)
+        mask = pc.is_in(batch.column("doc_id"), value_set=value_set)
         sel = batch.filter(pc.fill_null(mask, False))
         if sel.num_rows == 0:
             return pa.Table.from_pylist([], schema=pa.schema([("part_id", pa.string()), ("n", pa.int64())]))
@@ -611,10 +637,9 @@ def materialize_duplicates(
             if write_violations:
                 d = lin.violations_dir(out_dir, pid)
                 os.makedirs(d, exist_ok=True)
-                digest = hashlib.sha1(
-                    (pid + "|" + "|".join(map(repr, t.column("doc_id").to_pylist()))).encode()
-                ).hexdigest()[:16]
-                pq.write_table(t, os.path.join(d, f"dup-{digest}.parquet"))
+                pq.write_table(
+                    t, os.path.join(d, f"dup-{_table_digest(pid, t)}.parquet")
+                )
             out_rows.append({"part_id": pid, "n": n})
         return pa.Table.from_pylist(
             out_rows, schema=pa.schema([("part_id", pa.string()), ("n", pa.int64())])

@@ -46,7 +46,10 @@ HASH_SEED = 7
 
 
 def _range_edges(ranges: int) -> np.ndarray:
-    return (np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges))
+    # ranges is clamped ≥ 2 by callers: ranges=1 would evaluate
+    # np.uint64(2**64) (OverflowError) and break num_returns plumbing
+    assert ranges >= 2
+    return np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges)
 
 
 @ray.remote
@@ -111,6 +114,7 @@ def find_duplicates(files: list[str], ranges: int | None = None) -> dict[str, in
             ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             ranges = 8
+    ranges = max(2, ranges)
     # num_returns=ranges: each map task emits one ObjectRef per hash range;
     # the refs (not the data) are routed to the reduce tasks as positional
     # args, so Ray dereferences them worker-side — partials never touch the
@@ -121,8 +125,6 @@ def find_duplicates(files: list[str], ranges: int | None = None) -> dict[str, in
         _map_fragment.options(num_returns=ranges).remote(g, ranges)
         for g in file_groups
     ]
-    if ranges == 1:
-        mapped_refs = [[r] for r in mapped_refs]
     dup_refs = [
         _reduce_range.remote(*[m[r] for m in mapped_refs]) for r in range(ranges)
     ]

@@ -36,6 +36,9 @@ RANGE_SEED = 11
 
 
 def _edges(ranges: int) -> np.ndarray:
+    # ranges is clamped ≥ 2 by cooccurrence_pairs (ranges=1 would evaluate
+    # np.uint64(2**64) → OverflowError and break num_returns plumbing)
+    assert ranges >= 2
     return np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges)
 
 
@@ -119,6 +122,7 @@ def cooccurrence_pairs(
             ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             ranges = 8
+    ranges = max(2, ranges)
     bundles = list(ds.iter_internal_ref_bundles())
     block_refs = [ref for b in bundles for ref in b.block_refs]
     if not block_refs:
@@ -135,8 +139,6 @@ def cooccurrence_pairs(
         )
         for i in range(0, len(block_refs), blocks_per_task)
     ]
-    if ranges == 1:
-        mapped_refs = [[r] for r in mapped_refs]
     reduced = ray.get(
         [
             _reduce_range.remote(max_bucket, *[m[r] for m in mapped_refs])
