@@ -47,6 +47,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
         write_violations=not args.no_violations,
         uniqueness=cfg.get("uniqueness", True),
         enabled_checks=cfg.get("enabled_checks"),
+        write_clean=args.write_clean,
     )
     summary = {
         "rows": rep.total_rows,
@@ -83,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--num-cpus", type=int, default=None)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--no-violations", action="store_true")
+    v.add_argument(
+        "--write-clean",
+        action="store_true",
+        help="also write the validated (all-checks-passing) corpus under out/clean/",
+    )
     v.set_defaults(fn=cmd_validate)
 
     g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")

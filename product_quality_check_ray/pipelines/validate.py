@@ -124,10 +124,12 @@ class RowCheckStage:
         write_violations: bool = True,
         sketch_delta: int = 100,
         enabled_checks: list[str] | None = None,
+        write_clean: bool = False,
     ):
         self.ctx = build_check_ctx(allowlist_rows, enabled_checks=enabled_checks)
         self.out_dir = out_dir
         self.write_violations = write_violations and out_dir is not None
+        self.write_clean = write_clean and out_dir is not None
         self.sketch_delta = sketch_delta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -148,6 +150,18 @@ class RowCheckStage:
         if n_viol and self.write_violations:
             viol = annotated.filter(pa.array(~ok))
             self._write_violations(pid, viol)
+        if self.write_clean:
+            # validated-corpus sink: passing rows, ORIGINAL columns only,
+            # partition-local content-addressed parquet (same idempotent
+            # layout/reset semantics as violations — row-check dedup checks
+            # never hide here; only doc_id uniqueness is a later global pass)
+            clean = t.filter(pa.array(ok))
+            if clean.num_rows:
+                d = os.path.join(self.out_dir, "clean", f"part={pid}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    clean, os.path.join(d, f"ok-{_table_digest(pid, clean)}.parquet")
+                )
 
         src = annotated.column("source").to_pandas()
         src_filled = src.fillna("\x00null")
@@ -282,6 +296,7 @@ def run_validation(
     uniqueness: bool = True,
     use_actor_pool: bool = False,
     enabled_checks: list[str] | None = None,
+    write_clean: bool = False,
 ) -> ValidationReport:
     """Run the full validation suite; resumable at wave granularity.
 
@@ -318,6 +333,7 @@ def run_validation(
             "out_dir": out_dir,
             "write_violations": write_violations,
             "enabled_checks": enabled_checks,
+            "write_clean": write_clean,
         }
         if use_actor_pool:
             staged = ds.map_batches(
@@ -655,3 +671,18 @@ def violations_dataset(out_dir: str) -> "rd.Dataset | None":
     if not files:
         return None
     return rd.read_parquet(files)
+
+
+def clean_dataset(out_dir: str) -> "rd.Dataset | None":
+    """The validated corpus (rows passing every row check, original columns)
+    written by ``run_validation(..., write_clean=True)`` — partitioned per
+    input fragment, so downstream consumers inherit the resume layout."""
+    files = sorted(glob.glob(os.path.join(lin.clean_dir(out_dir), "part=*", "*.parquet")))
+    if not files:
+        return None
+    ds = rd.read_parquet(files)
+    # the hive-style part=<pid> layout makes Ray infer a 'part' column —
+    # drop it so consumers see exactly the input schema
+    if "part" in ds.schema().names:
+        ds = ds.drop_columns(["part"])
+    return ds

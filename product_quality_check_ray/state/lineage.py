@@ -105,12 +105,18 @@ def partition_complete(out_dir: str, input_path: str) -> bool:
     )
 
 
+def clean_dir(out_dir: str, part_id: str | None = None) -> str:
+    d = os.path.join(out_dir, "clean")
+    return d if part_id is None else os.path.join(d, f"part={part_id}")
+
+
 def reset_partition(out_dir: str, part_id: str) -> None:
     """Make a partition's output as-if-never-processed (idempotent rerun)."""
     p = lineage_path(out_dir, part_id)
     if os.path.exists(p):
         os.remove(p)
     shutil.rmtree(violations_dir(out_dir, part_id), ignore_errors=True)
+    shutil.rmtree(clean_dir(out_dir, part_id), ignore_errors=True)
 
 
 def run_success_path(out_dir: str) -> str:

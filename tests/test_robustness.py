@@ -229,3 +229,29 @@ def test_multidir_inputs_same_basenames(ray_session, tmp_path):
     assert rep.total_rows == 2000
     assert len(rep.partitions) == 4
     assert rep.check_counts() == full.check_counts()
+
+
+def test_write_clean_sink(ray_session, tmp_path):
+    """Validated-corpus sink: clean + row-check-violating rows partition the
+    input exactly; resume does not duplicate clean output."""
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.validate import (
+        clean_dataset,
+        run_validation,
+        violations_dataset,
+    )
+
+    seq = write_sequences(str(tmp_path / "seq"), 2000, seed=14, num_fragments=4)
+    out = str(tmp_path / "out")
+    rep = run_validation(seq, out, write_clean=True, uniqueness=False)
+    clean = clean_dataset(out)
+    viol = violations_dataset(out)
+    n_clean = clean.count()
+    n_viol = viol.count()
+    assert n_clean + n_viol == 2000
+    assert rep.total_rows == 2000
+    # clean rows preserve the input schema exactly (no verdict columns)
+    assert set(clean.schema().names) == {"doc_id", "tokens", "n_tok", "source"}
+    # resumed run: everything complete → no rewrite, same counts
+    run_validation(seq, out, write_clean=True, uniqueness=False)
+    assert clean_dataset(out).count() == n_clean
