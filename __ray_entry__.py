@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_click": rel.events_asof_last_click,
         "events_json_k": rel.events_json_k,
         "brand_canonical": rel.brand_canonical,
+        "party_names": rel.party_names,
         # --- normalize → explode → dictionary-match spine (reference §3.3)
         "doc_normalized": tn.doc_normalized,
         "doc_words": tn.doc_words,
@@ -405,6 +406,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    TRY_CAST(NULLIF(regexp_extract(props, '"k": (-?\d+)', 1), '') AS BIGINT) AS k
             FROM events
+        """,
+        "party_names": """
+            SELECT c_name AS name, 'customer' AS kind FROM customer
+            UNION ALL
+            SELECT s_name AS name, 'supplier' AS kind FROM supplier
         """,
         "brand_canonical": r"""
             SELECT p_partkey,

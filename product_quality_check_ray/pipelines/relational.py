@@ -719,3 +719,32 @@ def customer_name_numbers(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Dataset union (UNION ALL semantics)
+# ---------------------------------------------------------------------------
+
+
+def party_names(sf_dir: str) -> rd.Dataset:
+    """customers ∪ suppliers as one tagged table — ``Dataset.union`` keeps
+    both inputs streaming (no shuffle; blocks are concatenated lazily)."""
+    cust = _read(sf_dir, "customer", columns=["c_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("c_name"),
+                "kind": pa.array(["customer"] * t.num_rows, type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("s_name"),
+                "kind": pa.array(["supplier"] * t.num_rows, type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp)
