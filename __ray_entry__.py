@@ -38,6 +38,29 @@ def _dict_values_sql() -> str:
 
 _DICT_VALUES = _dict_values_sql()
 
+def _norm_sql_expr() -> str:
+    """The SQL twin of textnorm.normalize_text_column (same op order:
+    lower → mojibake replaces → strip HTML → accent fold → collapse ws →
+    trim). Built from the SAME MOJIBAKE_FIXES constant so the two cannot
+    drift. ASCII-equivalence contract: strip_accents vs NFKD and SQL trim
+    vs unicode trim differ on exotic codepoints; fixtures are ASCII."""
+    from product_quality_check_ray.pipelines.textnorm import MOJIBAKE_FIXES
+
+    expr = "lower(text)"
+    for bad, good in MOJIBAKE_FIXES:
+        b = bad.lower().replace("'", "''")
+        g = good.lower().replace("'", "''")
+        expr = f"replace({expr}, '{b}', '{g}')"
+    return (
+        "trim(regexp_replace(strip_accents(regexp_replace("
+        + expr
+        + r", '<[^>]*>', ' ', 'g')), '\s+', ' ', 'g'))"
+    )
+
+
+_NORM_SQL = _norm_sql_expr()
+
+
 
 def entry() -> Any:
     """Flagship validation pipeline on the sf0.001 synthetic sequences corpus.
@@ -417,11 +440,8 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(lower(p_brand), 'brand#(\d+)', 'brand-\1') AS canonical_brand
             FROM part
         """,
-        "doc_normalized": r"""
-            SELECT doc_id,
-                   trim(regexp_replace(strip_accents(regexp_replace(
-                       lower(text), '<[^>]*>', ' ', 'g')), '\s+', ' ', 'g')) AS norm_text
-            FROM documents
+        "doc_normalized": f"""
+            SELECT doc_id, {_NORM_SQL} AS norm_text FROM documents
         """,
         "doc_words": """
             SELECT doc_id, i::BIGINT AS word_idx, string_split(text, ' ')[i] AS word
@@ -431,9 +451,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_dict_matches": f"""
             WITH dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
             words AS (
-                SELECT doc_id, string_split(text, ' ')[i] AS word
+                SELECT doc_id, string_split({_NORM_SQL}, ' ')[i] AS word
                 FROM documents,
-                     UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+                     UNNEST(generate_series(1, len(string_split({_NORM_SQL}, ' ')))) AS t(i)
             )
             SELECT w.doc_id, w.word, d.variant AS matched_variant, d.canonical,
                    round(CASE WHEN w.word = d.variant THEN 1.0
@@ -445,9 +465,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_best_dict_match": f"""
             WITH dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
             words AS (
-                SELECT doc_id, string_split(text, ' ')[i] AS word
+                SELECT doc_id, string_split({_NORM_SQL}, ' ')[i] AS word
                 FROM documents,
-                     UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+                     UNNEST(generate_series(1, len(string_split({_NORM_SQL}, ' ')))) AS t(i)
             ),
             matches AS (
                 SELECT w.doc_id, w.word, d.variant AS matched_variant, d.canonical,

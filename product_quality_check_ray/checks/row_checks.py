@@ -190,9 +190,13 @@ def annotate_batch(batch: pa.Table, ctx: dict) -> tuple[pa.Table, np.ndarray]:
 
 
 # registry entries (one per fused predicate) so the engine's check inventory
-# is introspectable like the reference's PROMPT_OPTIONS
+# is introspectable like the reference's PROMPT_OPTIONS. BUILTIN_ROW_CHECKS
+# keeps the original objects: stages use it to decide whether a
+# registry-resolved check may take the shared fused-matrix fast path (a user
+# re-registering a builtin NAME must get their own fn, not the builtin's).
+BUILTIN_ROW_CHECKS: dict[str, RowCheck] = {}
 for _name in ROW_CHECK_NAMES:
-    register(
+    BUILTIN_ROW_CHECKS[_name] = register(
         RowCheck(
             name=_name,
             required_columns=("doc_id", "tokens", "n_tok", "source"),

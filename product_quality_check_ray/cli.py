@@ -60,7 +60,9 @@ def cmd_validate(args: argparse.Namespace) -> int:
         "out_dir": args.out,
     }
     print(json.dumps(summary))
-    return 0
+    # exit 0 = corpus clean; 2 = validation findings (CI/job gating);
+    # crashes propagate as nonzero from Python itself
+    return 0 if not summary["failed_partitions"] else 2
 
 
 def cmd_gen(args: argparse.Namespace) -> int:

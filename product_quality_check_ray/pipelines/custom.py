@@ -31,20 +31,24 @@ class CustomCheckStage:
         self.ctx = ctx if ctx is not None else build_check_ctx()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..checks.row_checks import ROW_CHECK_NAMES, row_check_matrix
+        from ..checks.row_checks import (
+            BUILTIN_ROW_CHECKS,
+            ROW_CHECK_NAMES,
+            row_check_matrix,
+        )
 
         n = batch.num_rows
         mat = np.zeros((n, len(self.checks)), dtype=bool)
         # the built-in fused checks share ONE matrix computation per batch
-        # (each registry fn alone would recompute the full 7-check kernel)
+        # (each registry fn alone would recompute the full 7-check kernel);
+        # identity check, not name check — a user re-registering a builtin
+        # NAME gets their own fn
         fused: "np.ndarray | None" = None
         for j, chk in enumerate(self.checks):
             missing = [c for c in chk.required_columns if c not in batch.column_names]
             if missing:
                 raise ValueError(f"check {chk.name!r} requires columns {missing}")
-            if chk.name in ROW_CHECK_NAMES and set(chk.required_columns) <= set(
-                batch.column_names
-            ):
+            if BUILTIN_ROW_CHECKS.get(chk.name) is chk:
                 if fused is None:
                     fused = row_check_matrix(batch, self.ctx)
                 mat[:, j] = fused[:, ROW_CHECK_NAMES.index(chk.name)]

@@ -55,7 +55,11 @@ class Adjudicator:
     def _row_stats(tokens: "list[int] | None") -> tuple[float, float]:
         if not tokens:
             return 0.0, 0.0
-        arr = np.asarray(tokens, dtype=np.int64)
+        # null ELEMENTS reach this stage by design (they are why the row was
+        # flagged); map them to -1, matching the check kernel's convention
+        arr = np.asarray(
+            [(-1 if t is None else t) for t in tokens], dtype=np.int64
+        )
         _, counts = np.unique(arr, return_counts=True)
         p = counts / counts.sum()
         entropy = float(-(p * np.log2(p)).sum())

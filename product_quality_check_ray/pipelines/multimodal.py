@@ -82,13 +82,19 @@ class MediaFeatureStage:
         for mid, mtype, payload in zip(ids, types, payloads):
             payload = payload or b""
             meta = decode_payload(payload, mtype, allow_fake=self.allow_fake)
+            w, h = int(meta["width"]), int(meta["height"])
+            if self.target_width and w > self.target_width:
+                # deterministic aspect-preserving "resize" (the real stage
+                # would hand decoded frames to a resampler here)
+                h = max(1, round(h * self.target_width / w))
+                w = self.target_width
             rows.append(
                 {
                     "media_id": mid,
                     "media_type": mtype,
                     "n_bytes": len(payload),
-                    "width": int(meta["width"]),
-                    "height": int(meta["height"]),
+                    "width": w,
+                    "height": h,
                     "n_frames": int(meta["n_frames"]),
                     "payload_sha1": hashlib.sha1(payload).hexdigest(),
                 }

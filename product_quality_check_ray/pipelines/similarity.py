@@ -343,7 +343,18 @@ def _ivf_root(sf_dir: str, n_lists: int) -> str:
     import os
     import tempfile
 
-    tag = hashlib.sha1(f"{os.path.abspath(sf_dir)}|{n_lists}".encode()).hexdigest()[:12]
+    # key the cache by the embeddings file's content fingerprint too, so a
+    # regenerated/updated corpus at the same path invalidates the index
+    # instead of silently serving stale neighbors
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb)
+        fp = f"{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        fp = "missing"
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{n_lists}|{fp}".encode()
+    ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "pqcray_ivf", tag)
 
 

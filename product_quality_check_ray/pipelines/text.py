@@ -84,6 +84,10 @@ def doc_token_stats(sf_dir: str) -> rd.Dataset:
 
 
 def _fingerprint_col(text: pa.ChunkedArray) -> pa.Array:
+    # NOTE: pc.utf8_trim_whitespace trims Unicode whitespace while the SQL
+    # oracle's trim() trims ASCII space only — the md5 parity contract holds
+    # for corpora whose edge whitespace is ASCII (all fixtures; real corpora
+    # should normalize NBSP upstream)
     norm = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
     )
@@ -140,13 +144,11 @@ def doc_exact_dup_groups(sf_dir: str) -> pa.Table:
     )
 
 
-def dedup_exact(ds: rd.Dataset, key_fn=None) -> rd.Dataset:
-    """Keep one row per exact-content group (min doc_id wins).
-
-    Two-pass broadcast design: the tiny loser set (doc_ids to drop) is
-    computed from the fingerprint groupby and broadcast back into a filter —
-    the corpus itself is never shuffled.
-    """
+def exact_loser_ids(ds: rd.Dataset) -> set:
+    """doc_ids to DROP for exact-content dedup (everything but each
+    fingerprint group's min-id keeper). Two-pass broadcast design: the
+    fingerprint groupby yields the tiny dup-group map, a second scan
+    collects the loser ids — the corpus itself is never shuffled."""
 
     def fp(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -158,24 +160,28 @@ def dedup_exact(ds: rd.Dataset, key_fn=None) -> rd.Dataset:
         .groupby("fingerprint")
         .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="keeper_doc_id"))
     )
-    losers: set = set()
     fps_with_dups = [r for r in groups.take_all() if r["n_docs"] > 1]
-    if fps_with_dups:
-        dup_fps = {r["fingerprint"]: r["keeper_doc_id"] for r in fps_with_dups}
+    if not fps_with_dups:
+        return set()
+    dup_fps = {r["fingerprint"]: r["keeper_doc_id"] for r in fps_with_dups}
 
-        def collect_losers(t: pa.Table) -> pa.Table:
-            f = _fingerprint_col(t.column("text"))
-            ids = t.column("doc_id").to_pylist()
-            out = [
-                i
-                for i, h in zip(ids, f.to_pylist())
-                if h in dup_fps and i != dup_fps[h]
-            ]
-            return pa.table({"loser": pa.array(out, type=pa.int64())})
+    def collect_losers(t: pa.Table) -> pa.Table:
+        f = _fingerprint_col(t.column("text"))
+        ids = t.column("doc_id").to_pylist()
+        out = [
+            i for i, h in zip(ids, f.to_pylist()) if h in dup_fps and i != dup_fps[h]
+        ]
+        return pa.table({"loser": pa.array(out, type=pa.int64())})
 
-        losers = {
-            r["loser"] for r in ds.map_batches(collect_losers, batch_format="pyarrow").take_all()
-        }
+    return {
+        r["loser"]
+        for r in ds.map_batches(collect_losers, batch_format="pyarrow").take_all()
+    }
+
+
+def dedup_exact(ds: rd.Dataset) -> rd.Dataset:
+    """Keep one row per exact-content group (min doc_id wins)."""
+    losers = exact_loser_ids(ds)
 
     def keep(t: pa.Table) -> pa.Table:
         if not losers:
@@ -689,29 +695,7 @@ def clean_documents(
     ds = _docs(sf_dir)
 
     # stage 1+2 losers (computed from projections / candidate sets only)
-    fp_groups = doc_exact_dup_groups(sf_dir)
-    exact_losers: set[int] = set()
-    if fp_groups.num_rows:
-        keep = dict(
-            zip(
-                fp_groups.column("fingerprint").to_pylist(),
-                fp_groups.column("keeper_doc_id").to_pylist(),
-            )
-        )
-        fps = doc_fingerprints(sf_dir)
-
-        def losers_batch(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_pylist()
-            out = [
-                i
-                for i, h in zip(ids, t.column("fingerprint").to_pylist())
-                if h in keep and i != keep[h]
-            ]
-            return pa.table({"loser": pa.array(out, type=pa.int64())})
-
-        exact_losers = {
-            r["loser"] for r in fps.map_batches(losers_batch, batch_format="pyarrow").take_all()
-        }
+    exact_losers = exact_loser_ids(_docs(sf_dir, columns=["doc_id", "text"]))
 
     clusters = doc_near_dup_clusters(sf_dir, threshold=near_dup_threshold)
     near_losers = {

@@ -89,18 +89,23 @@ def doc_normalized(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def doc_words(sf_dir: str) -> rd.Dataset:
+def doc_words(sf_dir: str, *, normalized: bool = False) -> rd.Dataset:
     """Explode documents into (doc_id, word_idx, word) rows.
 
     Row→segment explosion with row backref (reference analog M6/J4) as a
     vectorized list-flatten: split to a list column, then ListArray offsets
     give both the flat words and their per-row indices with zero Python
-    loops.
+    loops. ``normalized=True`` explodes the M2–M5-normalized text (the form
+    the dictionary-match spine consumes — the reference normalizes before
+    matching, ``banningredients.py:87-118``).
     """
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        words_list = pc.split_pattern(t.column("text"), " ")
+        text = t.column("text")
+        if normalized:
+            text = normalize_text_column(text)
+        words_list = pc.split_pattern(text, " ")
         arr = (
             words_list.combine_chunks()
             if isinstance(words_list, pa.ChunkedArray)
@@ -237,8 +242,13 @@ def _empty_match_table() -> pa.Table:
 
 
 def doc_dict_matches(sf_dir: str) -> rd.Dataset:
-    """All (doc, word) × dictionary matches, exact + fuzzy (J2/J3)."""
-    return doc_words(sf_dir).map_batches(DictMatchStage, batch_format="pyarrow", concurrency=(1, 4))
+    """All (doc, word) × dictionary matches, exact + fuzzy (J2/J3), over the
+    NORMALIZED word stream (mixed case / markup / mojibake text matches the
+    lowercase dictionary — previously the spine matched raw words and its
+    normalization stage was dead code)."""
+    return doc_words(sf_dir, normalized=True).map_batches(
+        DictMatchStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
 
 
 def doc_best_dict_match(sf_dir: str) -> pa.Table:

@@ -312,7 +312,9 @@ def test_cli_validate(ray_session, tmp_path):
         cwd="/root/repo",
         timeout=180,
     )
-    assert out.returncode == 0, out.stderr[-2000:]
+    # rc 2 = ran fine, validation findings exist (the fixture corpus has
+    # injected corruptions); crashes would be rc 1
+    assert out.returncode == 2, out.stderr[-2000:]
     summary = _json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["rows"] == 2000
     assert summary["check_counts"]["null_doc_id"] > 0
@@ -378,3 +380,81 @@ def test_salted_sum_matches_plain(ray_session, tmp_path):
     got = salted_sum(ds, "k", "v", num_salts=8).to_pandas().set_index("k")["v"].to_dict()
     want = df.groupby("k")["v"].sum().to_dict()
     assert got == want
+
+
+def test_dict_match_normalizes_before_matching(ray_session, tmp_path):
+    """Mixed case / markup / mojibake text must match the lowercase
+    dictionary (regression: the spine matched raw words)."""
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.textnorm import doc_best_dict_match
+
+    d = tmp_path / "normfix"
+    d.mkdir()
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["SORT <b>Window</b> now", "hashâ€” join"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([22, 12], type=pa.int64()),
+        }
+    )
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    t = doc_best_dict_match(str(d)).to_pandas()
+    got = set(zip(t["doc_id"], t["canonical"]))
+    assert (1, "sorting") in got  # 'SORT' matched via lowercase
+    assert (1, "windowing") in got  # '<b>Window</b>' matched via strip+lower
+    assert (2, "hash-join") in got  # mojibake dash handled
+
+
+def test_escalate_handles_null_token_elements(ray_session, tmp_path):
+    """Rows with null ELEMENTS in tokens flow through adjudication
+    (regression: TypeError in _row_stats)."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from product_quality_check_ray.pipelines.escalate import route_and_adjudicate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], type=pa.string()),
+            "tokens": pa.array([[1, None, 3], [1, 2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 2], type=pa.int32()),
+            "source": pa.array(["web", "web"], type=pa.string()),
+        }
+    )
+    d = tmp_path / "nulltok"
+    d.mkdir()
+    _pq.write_table(t, str(d / "frag.parquet"))
+    verdicts = route_and_adjudicate(rd.read_parquet(str(d / "frag.parquet"))).to_pandas()
+    assert set(verdicts["doc_id"]) == {"a"}  # only the flagged row
+    assert verdicts.iloc[0]["severity"] == "severe"
+
+
+def test_custom_check_name_shadowing(ray_session, tmp_path):
+    """A user check re-registered under a builtin name must run the USER fn
+    (regression: name-keyed fast path served the builtin kernel)."""
+    import numpy as _np
+    import ray.data as rd
+
+    from product_quality_check_ray.checks.base import ROW_CHECK_REGISTRY, RowCheck, register
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.custom import check_summary, run_checks
+
+    seq = write_sequences(str(tmp_path / "seq"), 1000, seed=17, num_fragments=1)
+    ds = rd.read_parquet(seq + "/frag-00000.parquet")
+    original = ROW_CHECK_REGISTRY["token_oov"]
+    try:
+        register(
+            RowCheck(
+                name="token_oov",
+                required_columns=("n_tok",),
+                fn=lambda b, c: _np.ones(b.num_rows, dtype=bool),  # flag ALL
+            )
+        )
+        annotated = run_checks(ds, ["token_oov"])
+        summary = check_summary(annotated).to_pandas().set_index("check")["n"].to_dict()
+        assert summary["token_oov"] == 1000  # user fn ran, not the builtin
+    finally:
+        register(original)
