@@ -402,9 +402,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
-                SELECT *, sum(new_s) OVER (
+                SELECT *, CAST(sum(new_s) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS session_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                 FROM e
             )
             SELECT user_id, session_id,

@@ -45,11 +45,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(dt) -> str:
+    """Coarse dtype class for engine/oracle parity.
+
+    The driver's value hash is type-sensitive (int64 vs DuckDB HUGEINT→float64
+    flagged user_sessions in round 1 while value-only comparison passed), so we
+    must fail locally on int-vs-float and similar class mismatches.  Nullable
+    pandas Int64 and numpy int64 are the same class; object and string are the
+    same class.
+    """
+    s = str(dt).lower()
+    if "datetime" in s:
+        return "datetime"
+    if s.startswith(("int", "uint")) or s in ("int64", "int32"):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s == "bool" or s == "boolean":
+        return "bool"
+    return "str"
+
+
 def compare(name: str, mine: pd.DataFrame, oracle: pd.DataFrame) -> list[str]:
     problems = []
     if set(mine.columns) != set(oracle.columns):
         problems.append(f"columns differ: mine={sorted(mine.columns)} oracle={sorted(oracle.columns)}")
         return problems
+    for c in sorted(mine.columns):
+        km, ko = _dtype_kind(mine[c].dtype), _dtype_kind(oracle[c].dtype)
+        if km != ko:
+            problems.append(
+                f"dtype class differs on {c}: mine={mine[c].dtype}({km}) oracle={oracle[c].dtype}({ko})"
+            )
     if len(mine) != len(oracle):
         problems.append(f"row count differs: mine={len(mine)} oracle={len(oracle)}")
     a, b = canon(mine), canon(oracle)
