@@ -155,7 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_sku_parse": rel.part_sku_parse,
         "lineitem_sample": rel.lineitem_sample,
         "order_value_buckets": rel.order_value_buckets,
-        "embedding_near_dups": sim.embedding_near_dups,  # approximate — rows-only
+        "embedding_near_dups": sim.embedding_near_dups,  # exact block-pair matmul
+        "embedding_near_dups_lsh": sim.embedding_near_dups_lsh,  # approximate scale path — rows-only
         # --- similarity search over embeddings
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_lsh": sim.knn_lsh,  # approximate — rows-only
@@ -357,6 +358,13 @@ def oracle_sql() -> dict[str, str]:
                    round(len(regexp_extract_all(text, '\b(the|and|of|to|in|a|is|that|for|it)\b')) * 1.0
                          / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS stopword_ratio
             FROM documents
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+            ORDER BY vec_id_a, vec_id_b
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -103,6 +103,33 @@ class BruteForceScorer:
         )
 
 
+_EMPTY_KNN = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "neighbor_id": pa.array([], type=pa.int64()),
+        "cosine": pa.array([], type=pa.float64()),
+        "rank": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _topk_finalize(df: pd.DataFrame, k: int) -> pa.Table:
+    """Merge per-batch top-k partials into the global per-query top-k.
+
+    The input is O(num_queries × k × num_batches) rows — driver-safe at any
+    corpus size. Tie-break (cosine DESC, neighbor_id ASC) matches the SQL
+    oracle's row_number() ordering.
+    """
+    if df.empty:
+        return _EMPTY_KNN
+    df = df.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def knn_bruteforce(sf_dir: str, k: int = 10, num_queries: int = 8) -> pa.Table:
     """Exact cosine top-k for the first ``num_queries`` vectors vs the corpus."""
     query_ref = ray.put(_query_matrix(sf_dir, num_queries))
@@ -112,23 +139,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, num_queries: int = 8) -> pa.Table:
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    df = _collect(partials).to_pandas()
-    if df.empty:
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "neighbor_id": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
-                "rank": pa.array([], type=pa.int64()),
-            }
-        )
-    df = df.sort_values(
-        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
-    )
-    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount().to_numpy() + 1
-    df["rank"] = df["rank"].astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _topk_finalize(_collect(partials).to_pandas(), k)
 
 
 # ---------------------------------------------------------------------------
@@ -201,38 +212,21 @@ def knn_lsh(
         import pyarrow.compute as pc
 
         mask = pc.is_in(t.column("bucket"), value_set=probe_expr)
-        return t.filter(pc.fill_null(mask, False))
+        return t.filter(pc.fill_null(mask, False)).select(["vec_id", "embedding"])
 
-    cand = _collect(buckets.map_batches(in_probe, batch_format="pyarrow"))
-    if cand.num_rows == 0:
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "neighbor_id": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
-                "rank": pa.array([], type=pa.int64()),
-            }
-        )
-    em = _list_col_to_matrix(cand.column("embedding"))
-    vids = cand.column("vec_id").to_numpy().astype(np.int64)
-    enorm = np.linalg.norm(em, axis=1)
-    qnorm = np.linalg.norm(qm, axis=1)
-    denom = np.outer(enorm, qnorm)
-    denom[denom == 0] = 1.0
-    cos = _rha((em @ qm.T) / denom, 6)
-    frames = []
-    for j, qid in enumerate(qids):
-        mask = vids != qid
-        df = pd.DataFrame(
-            {"query_id": int(qid), "neighbor_id": vids[mask], "cosine": cos[mask, j]}
-        )
-        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        frames.append(df)
-    out = pd.concat(frames, ignore_index=True)
-    out["query_id"] = out["query_id"].astype(np.int64)
-    out["neighbor_id"] = out["neighbor_id"].astype(np.int64)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # Candidates are scored INSIDE the pipeline (same BruteForceScorer
+    # combiner as knn_bruteforce/knn_ivf): the driver only ever sees
+    # per-batch top-k partials, never candidate embedding payloads — at
+    # 100 TB the probed buckets can be a few % of the corpus, which would
+    # OOM a driver-side collect.
+    query_ref = ray.put((qids, qm))
+    partials = buckets.map_batches(in_probe, batch_format="pyarrow").map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return _topk_finalize(_collect(partials).to_pandas(), k)
 
 
 def embedding_label_stats(sf_dir: str) -> pa.Table:
@@ -269,13 +263,124 @@ def embedding_label_stats(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.95, max_bucket: int = 2048) -> pa.Table:
+_PAIR_SCHEMA = pa.schema(
+    [("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()), ("cosine", pa.float64())]
+)
+
+
+@ray.remote
+def _chunk_pair_task(refs_a, refs_b, threshold: float, same: bool, strip: int = 1024):
+    """Score one (chunk_a, chunk_b) pair: emit (vec_id_a, vec_id_b, cosine)
+    for every cross pair with rounded cosine ≥ threshold.
+
+    Chunks arrive as lists of Arrow block refs (zero-copy from the object
+    store). The cosine matrix is computed in row strips so peak memory is
+    ``strip × n_b`` floats regardless of chunk size. Pairs are oriented
+    vec_id_a < vec_id_b (ids are globally unique, each unordered chunk pair
+    is scored exactly once, so no dedupe pass is needed).
+    """
+    ta = pa.concat_tables([ray.get(r) for r in refs_a])
+    tb = ta if same else pa.concat_tables([ray.get(r) for r in refs_b])
+    ma = _list_col_to_matrix(ta.column("embedding"))
+    ids_a = ta.column("vec_id").to_numpy().astype(np.int64)
+    if same:
+        mb, ids_b = ma, ids_a
+    else:
+        mb = _list_col_to_matrix(tb.column("embedding"))
+        ids_b = tb.column("vec_id").to_numpy().astype(np.int64)
+    na = np.linalg.norm(ma, axis=1)
+    nb = np.linalg.norm(mb, axis=1)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, len(ids_a), strip):
+        e = min(s + strip, len(ids_a))
+        cos = _rha((ma[s:e] @ mb.T) / np.outer(na[s:e], nb), 6)
+        if same:
+            # only score i<j within the chunk (j indexes the full chunk)
+            ii, jj = np.nonzero(cos >= threshold)
+            keep = (ii + s) < jj
+            ii, jj = ii[keep], jj[keep]
+        else:
+            ii, jj = np.nonzero(cos >= threshold)
+        if len(ii):
+            a = ids_a[ii + s]
+            b = ids_b[jj]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(cos[ii, jj])
+    if not out_a:
+        return pa.table(
+            {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+    return pa.table(
+        {
+            "vec_id_a": pa.array(np.concatenate(out_a)),
+            "vec_id_b": pa.array(np.concatenate(out_b)),
+            "cosine": pa.array(np.concatenate(out_c)),
+        }
+    )
+
+
+def embedding_near_dups(
+    sf_dir: str, threshold: float = 0.95, chunk_rows: int = 8192
+) -> pa.Table:
+    """EXACT vector pairs with rounded cosine ≥ threshold (block-pair matmul).
+
+    Distributed all-pairs: the corpus is materialized into the object store
+    once, its Arrow blocks grouped into ~``chunk_rows``-row chunks, and one
+    raw Ray task per unordered chunk pair computes a strip-tiled cosine
+    matmul, returning only qualifying pairs (tiny). The driver handles block
+    REFS and qualifying pairs only — never embedding payloads. Raw tasks
+    (not Dataset ops) because the Dataset API has no self-cross-product;
+    this is the documented last-resort case.
+
+    Cost is inherently O(n²/p) compute — exactness requires it. For corpora
+    where that is prohibitive, ``embedding_near_dups_lsh`` is the
+    approximate scale path (recall measured in tests). Reference analog:
+    duplicate-detection over embedding columns; oracle: DuckDB
+    list_cosine_similarity self-join (see __ray_entry__.oracle_sql).
+    """
+    mat = _emb(sf_dir, columns=["vec_id", "embedding"]).materialize()
+    chunks: list[list] = [[]]
+    rows_in_chunk = 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            nrows = meta.num_rows or 0
+            if rows_in_chunk >= chunk_rows and chunks[-1]:
+                chunks.append([])
+                rows_in_chunk = 0
+            chunks[-1].append(ref)
+            rows_in_chunk += nrows
+    chunks = [c for c in chunks if c]
+    futures = []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            futures.append(
+                _chunk_pair_task.remote(chunks[i], chunks[j], threshold, i == j)
+            )
+    parts = [t for t in ray.get(futures) if t.num_rows]
+    if not parts:
+        return _PAIR_SCHEMA.empty_table()
+    out = pa.concat_tables(parts).to_pandas()
+    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_PAIR_SCHEMA)
+
+
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.95, max_bucket: int = 2048) -> pa.Table:
     """Vector pairs with cosine ≥ threshold, found within LSH buckets.
 
-    Near-identical vectors collide in every hyperplane bucket, so recall for
-    ≥0.95-cosine pairs is near-perfect while avoiding the all-pairs matmul.
-    Buckets are processed as groups (pairwise cosine inside — bounded by
-    ``max_bucket``); the groupby ships (bucket, vec_id, embedding) rows.
+    The approximate scale path for corpora where the exact block-pair
+    matmul (``embedding_near_dups``) is prohibitive: only same-bucket pairs
+    are scored, so cost is sum of squared bucket sizes, not n². Single-table
+    recall for a 0.95-cosine pair under 10 hyperplanes is ~(1-θ/π)^10 ≈ 0.35
+    per table — callers needing high recall should union multiple plane
+    seeds; tests measure recall on a twins fixture. Buckets are processed as
+    groups (pairwise cosine inside — bounded by ``max_bucket``); the groupby
+    ships (bucket, vec_id, embedding) rows.
     """
     buckets = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
         LshBucketStage, batch_format="pyarrow", concurrency=(1, 4)
@@ -453,14 +558,7 @@ def knn_ivf(
         for f in sorted(_glob.glob(os.path.join(root, f"list_id={l}", "*.parquet")))
     ]
     if not files:
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "neighbor_id": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
-                "rank": pa.array([], type=pa.int64()),
-            }
-        )
+        return _EMPTY_KNN
     query_ref = ray.put((qids, qm))
     partials = rd.read_parquet(files, columns=["vec_id", "embedding"]).map_batches(
         BruteForceScorer,
@@ -468,17 +566,4 @@ def knn_ivf(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    df = _collect(partials).to_pandas()
-    if df.empty:
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "neighbor_id": pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
-                "rank": pa.array([], type=pa.int64()),
-            }
-        )
-    df = df.sort_values(["query_id", "cosine", "neighbor_id"], ascending=[True, False, True])
-    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
-    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _topk_finalize(_collect(partials).to_pandas(), k)

@@ -238,6 +238,39 @@ def test_embedding_near_dups_finds_twins(fixture_dir, tmp_path):
     pairs = embedding_near_dups(str(d), threshold=0.999).to_pandas()
     assert ((pairs["vec_id_a"] == 0) & (pairs["vec_id_b"] == 9999)).any()
 
+    # the LSH scale path must also find near-identical twins (they collide
+    # in every hyperplane bucket)
+    from product_quality_check_ray.pipelines.similarity import embedding_near_dups_lsh
+
+    lsh_pairs = embedding_near_dups_lsh(str(d), threshold=0.999).to_pandas()
+    assert ((lsh_pairs["vec_id_a"] == 0) & (lsh_pairs["vec_id_b"] == 9999)).any()
+
+
+def test_embedding_near_dups_exact_matches_numpy(fixture_dir):
+    """Differential: the block-pair operator equals an all-pairs numpy scan."""
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.core.rounding import round_half_away as rha
+    from product_quality_check_ray.pipelines.similarity import embedding_near_dups
+
+    # small chunk_rows forces multiple chunks → exercises cross-chunk tasks
+    nd = embedding_near_dups(fixture_dir, threshold=0.3, chunk_rows=64).to_pandas()
+    t = _pq.read_table(f"{fixture_dir}/embeddings.parquet")
+    arr = t.column("embedding").combine_chunks()
+    d = len(arr[0])
+    m = arr.values.to_numpy().reshape(-1, d).astype(np.float64)
+    ids = t.column("vec_id").to_numpy()
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1
+    cos = rha((m / n[:, None]) @ (m / n[:, None]).T, 6)
+    iu = np.triu_indices(len(ids), 1)
+    mask = cos[iu] >= 0.3
+    lo = np.minimum(ids[iu[0][mask]], ids[iu[1][mask]])
+    hi = np.maximum(ids[iu[0][mask]], ids[iu[1][mask]])
+    truth = set(zip(lo, hi))
+    mine = set(zip(nd["vec_id_a"], nd["vec_id_b"]))
+    assert mine == truth
+
 
 def test_custom_check_pipeline(ray_session, tmp_path):
     import ray.data as rd
