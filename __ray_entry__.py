@@ -146,12 +146,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": tx.doc_fingerprints,
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
         "doc_quality_scores": tx.doc_quality_scores,
-        "doc_lang_id": tx.doc_lang_id,  # heuristic — rows-only check
+        "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
         "doc_minhash_dups": tx.doc_minhash_dups,  # non-SQL — rows-only
         "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
         "doc_ngram_jaccard_pairs": tx.doc_ngram_jaccard_pairs,
         "doc_near_dup_clusters": lambda sf: tx.doc_near_dup_clusters(sf),  # rows-only
-        "clean_documents": lambda sf: tx.clean_documents(sf),  # composed pipeline — rows-only
+        "clean_documents": lambda sf: tx.clean_documents(sf),  # includes MinHash near-dedup — rows-only
+        # thresholds chosen so both quality predicates actually drop rows at
+        # sf0.01 (min nw=10, max stopword ratio=0.22 in the fixture corpus)
+        "clean_documents_exact": lambda sf: tx.clean_documents(
+            sf, near_dup_threshold=None, min_words=16, max_stopword_ratio=0.15
+        ),
         "part_sku_parse": rel.part_sku_parse,
         "lineitem_sample": rel.lineitem_sample,
         "order_value_buckets": rel.order_value_buckets,
@@ -332,6 +337,50 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
                    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish_tokens
             FROM documents
+        """,
+        "doc_lang_id": r"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       greatest(len(regexp_extract_all(text, '\S+')), 1) AS nw,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|is|that|with|for)\b')) AS h_en,
+                       len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una|por)\b')) AS h_es,
+                       len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|une|dans)\b')) AS h_fr,
+                       len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS h_de
+                FROM documents
+            ), r AS (
+                SELECT doc_id, lang,
+                       h_en * 1.0 / nw AS s_en, h_es * 1.0 / nw AS s_es,
+                       h_fr * 1.0 / nw AS s_fr, h_de * 1.0 / nw AS s_de
+                FROM s
+            )
+            SELECT doc_id, lang,
+                   -- argmax with first-in-(en,es,fr,de)-order tie-break,
+                   -- matching np.argmax in text.LangIdStage
+                   CASE WHEN best <= 0.01 THEN 'und'
+                        WHEN s_en = best THEN 'en'
+                        WHEN s_es = best THEN 'es'
+                        WHEN s_fr = best THEN 'fr'
+                        ELSE 'de' END AS lang_pred,
+                   round(best, 6) AS lang_score
+            FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de) AS best FROM r)
+        """,
+        "clean_documents_exact": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ), keep AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                    FROM f
+                ) WHERE rn = 1
+            )
+            SELECT d.* FROM documents d
+            JOIN keep USING (doc_id)
+            WHERE len(regexp_extract_all(d.text, '\S+')) >= 16
+              AND len(regexp_extract_all(d.text, '\b(the|and|of|to|in|a|is|that|for|it)\b')) * 1.0
+                  / greatest(len(regexp_extract_all(d.text, '\S+')), 1) <= 0.15
         """,
         "doc_fingerprints": r"""
             SELECT doc_id,

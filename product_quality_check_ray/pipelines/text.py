@@ -261,12 +261,14 @@ class LangIdStage:
         best = np.argmax(scores, axis=1)
         best_score = scores[np.arange(t.num_rows), best]
         pred = np.where(best_score > 0.01, np.asarray(langs, dtype=object)[best], "und")
+        # half-away rounding for DuckDB round() parity (numpy round is
+        # banker's; see core/rounding.py)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "lang": t.column("lang"),
                 "lang_pred": pa.array(pred, type=pa.string()),
-                "lang_score": pa.array(np.round(best_score, 6)),
+                "lang_score": pa.array(_rha(best_score, 6)),
             }
         )
 
@@ -677,7 +679,7 @@ def clean_documents(
     sf_dir: str,
     out_dir: str | None = None,
     *,
-    near_dup_threshold: float = 0.8,
+    near_dup_threshold: float | None = 0.8,
     min_words: int = 5,
     max_stopword_ratio: float = 0.9,
 ) -> rd.Dataset:
@@ -686,6 +688,10 @@ def clean_documents(
       exact dedup (fingerprint groupby, min-id keeper)
       → near-dedup (MinHash+LSH clusters, keep cluster root)
       → quality filter (min length, stopword-ratio cap)
+
+    ``near_dup_threshold=None`` skips the (approximate, non-SQL) near-dedup
+    stage; that exact-only composition is fully SQL-expressible and is the
+    oracle-checked driver query ``clean_documents_exact``.
 
     The drop sets from both dedup stages are tiny and broadcast into ONE
     final filter pass, so the corpus is re-read once for the materialized
@@ -697,14 +703,16 @@ def clean_documents(
     # stage 1+2 losers (computed from projections / candidate sets only)
     exact_losers = exact_loser_ids(_docs(sf_dir, columns=["doc_id", "text"]))
 
-    clusters = doc_near_dup_clusters(sf_dir, threshold=near_dup_threshold)
-    near_losers = {
-        d
-        for d, k in zip(
-            clusters.column("doc_id").to_pylist(), clusters.column("is_keeper").to_pylist()
-        )
-        if not k
-    }
+    near_losers: set = set()
+    if near_dup_threshold is not None:
+        clusters = doc_near_dup_clusters(sf_dir, threshold=near_dup_threshold)
+        near_losers = {
+            d
+            for d, k in zip(
+                clusters.column("doc_id").to_pylist(), clusters.column("is_keeper").to_pylist()
+            )
+            if not k
+        }
     drop = exact_losers | near_losers
     drop_arr = pa.array(sorted(drop), type=pa.int64()) if drop else None
 
