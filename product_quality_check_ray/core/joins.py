@@ -1,0 +1,113 @@
+"""Broadcast-or-shuffle join helpers (semi / anti / lookup).
+
+Several pipelines semi-join a fact table against a key set that is USUALLY
+small (a filtered customer segment, the distinct order custkeys) but is
+fact-scale in the worst case — it grows with the input, so a driver-side
+``take_all()`` into a Python set is a 100 TB scale-killer (multi-GB driver
+dict serialized into every task closure).
+
+The policy here (VERDICT r1 item 4):
+
+- probe the key side with an early-stopped ``limit(cap+1)`` — ONE pass, no
+  separate ``count()`` execution;
+- if it fits under ``BROADCAST_KEY_CAP`` (default 2M keys ≈ 16 MB of int64),
+  ``ray.put`` the distinct key array ONCE and filter with a vectorized
+  ``pc.is_in`` inside ``map_batches`` (the array is fetched zero-copy per
+  worker, never re-shipped per task);
+- otherwise fall back to the native hash ``Dataset.join`` (distinct keys via
+  groupby, inner for semi, left_outer + null-filter for anti).
+
+Both paths are exactly equivalent; ``tests/test_operators.py`` forces the
+join path with a tiny cap and compares.
+
+Reference analog: exact dictionary semi-join (J2, banningredients.py:131-139)
+generalized with a scale guard.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from .collect import collect_table as _collect
+
+BROADCAST_KEY_CAP = int(os.environ.get("PQCRAY_BROADCAST_KEY_CAP", str(2_000_000)))
+
+
+def probe_keys(keys_ds: rd.Dataset, col: str, cap: int) -> pa.Array | None:
+    """Distinct key array if the key side holds ≤ ``cap`` rows, else None.
+
+    Uses ``limit(cap+1)``: if the limited read returns ≤ cap rows it IS the
+    complete key side (single, early-stoppable pass); if it returns cap+1
+    rows the key side exceeds the cap and the caller must shuffle-join.
+    """
+    head = _collect(keys_ds.select_columns([col]).limit(cap + 1))
+    if head.num_rows > cap:
+        return None
+    return pc.unique(head.column(col).combine_chunks())
+
+
+def semi_join(
+    ds: rd.Dataset,
+    key_col: str,
+    keys_ds: rd.Dataset,
+    keys_col: str,
+    *,
+    anti: bool = False,
+    cap: int | None = None,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """``ds ⋉ keys_ds`` (or ``ds ∖ keys_ds`` when ``anti``) on one key column.
+
+    Output columns are exactly ``ds``'s columns. Null keys in ``ds`` never
+    match (semi drops them, anti keeps them) — is_in/fill_null semantics on
+    the broadcast path, mirrored by the null-filter on the join path.
+    """
+    cap = BROADCAST_KEY_CAP if cap is None else cap
+    keys = probe_keys(keys_ds, keys_col, cap)
+    if keys is not None:
+        keys = keys.drop_null()
+        ref = ray.put(keys)
+
+        def filt(t: pa.Table) -> pa.Table:
+            vals = ray.get(ref)
+            mask = pc.fill_null(pc.is_in(t.column(key_col), value_set=vals), False)
+            if anti:
+                mask = pc.invert(mask)
+            return t.filter(mask)
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    out_cols = list(ds.schema().names)
+    distinct = (
+        keys_ds.select_columns([keys_col])
+        .groupby(keys_col)
+        .aggregate(Count(alias_name="__k_n"))
+    )
+    if not anti:
+        joined = ds.join(
+            distinct,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(key_col,),
+            right_on=(keys_col,),
+        )
+        return joined.select_columns(out_cols)
+    joined = ds.join(
+        distinct,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(key_col,),
+        right_on=(keys_col,),
+    )
+
+    def unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("__k_n"))).select(out_cols)
+
+    return joined.map_batches(unmatched, batch_format="pyarrow")

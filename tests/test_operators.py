@@ -491,3 +491,41 @@ def test_custom_check_name_shadowing(ray_session, tmp_path):
         assert summary["token_oov"] == 1000  # user fn ran, not the builtin
     finally:
         register(original)
+
+
+def test_semi_join_broadcast_and_shuffle_paths_agree(ray_session):
+    """core.joins.semi_join: forcing the hash-join fallback (cap=1) must give
+    the same rows as the broadcast is_in path, for both semi and anti."""
+    import ray.data as rd
+
+    from product_quality_check_ray.core.joins import semi_join
+
+    orders = rd.read_parquet(f"{SF_SMALL}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{SF_SMALL}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(expr="c_mktsegment == 'BUILDING'")
+
+    for anti in (False, True):
+        a = (
+            semi_join(orders, "o_custkey", keys, "c_custkey", anti=anti)
+            .to_pandas()
+            .sort_values(["o_orderkey"])
+            .reset_index(drop=True)
+        )
+        b = (
+            semi_join(orders, "o_custkey", keys, "c_custkey", anti=anti, cap=1)
+            .to_pandas()
+            .sort_values(["o_orderkey"])
+            .reset_index(drop=True)
+        )
+        assert list(a.columns) == ["o_orderkey", "o_custkey"]
+        assert a.equals(b[list(a.columns)]), f"anti={anti} paths disagree"
+        assert len(a) > 0 or anti  # semi side must be non-trivial on the fixture
+
+
+def test_region_revenue_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    from product_quality_check_ray.pipelines import relational
+
+    a = relational.region_revenue(SF_SMALL).to_pandas()
+    monkeypatch.setattr(relational, "BROADCAST_KEY_CAP", 1)
+    b = relational.region_revenue(SF_SMALL).to_pandas()
+    assert a.equals(b)
