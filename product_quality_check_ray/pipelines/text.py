@@ -307,12 +307,40 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(hash_strings(shingles))
 
 
+def _split_words(texts: pa.Array) -> tuple[pa.ListArray, np.ndarray, pa.Array, np.ndarray]:
+    """Lower + whitespace-split a text column, matching ``str.lower().split()``.
+
+    Arrow's ``utf8_split_whitespace`` emits phantom empty tokens at string
+    edges, so the text is whitespace-trimmed first; a fully-empty/whitespace
+    string then yields the single token ``""`` (Python yields ``[]`` — the
+    one divergence; callers that care, e.g. SimHash, mask zero-length docs
+    explicitly). Returns (list_array, offsets, flat_values, lens).
+    """
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(texts))
+    words = pc.utf8_split_whitespace(trimmed)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values
+    lens = off[1:] - off[:-1]
+    return words, off, flat, lens
+
+
 class MinHashStage:
     """Actor-pool stage: hash-family params built once per actor.
 
     Emits one row per (doc, band): (band_id, band_key, doc_id). The LSH
-    groupby then buckets by (band_id, band_key); only docs sharing a full
-    band collide (SURVEY.md D-gap: doc-scale near-dedup).
+    groupby then buckets by band_key (band index is mixed into the key);
+    only docs sharing a full band collide (SURVEY.md D-gap: doc-scale
+    near-dedup).
+
+    Signatures are computed fully vectorized (VERDICT r1 item 5): shingle
+    strings are built with one ``binary_join_element_wise`` over three
+    slices of the flat word array, hashed in one ``hash_strings`` call, and
+    reduced per (doc, seed) with ``np.minimum.reduceat`` — no Python loop
+    over rows. ``signature()`` keeps the original per-row construction as
+    the differential-test reference; both produce identical signatures
+    (min over duplicates == min over uniques).
     """
 
     def __init__(self, k: int = MINHASH_K, bands: int = LSH_BANDS):
@@ -332,25 +360,106 @@ class MinHashStage:
         vals = splitmix64(h[None, :] ^ self.seeds[:, None])  # (k, |shingles|)
         return vals.min(axis=1)
 
+    def signatures_vec(self, texts: pa.Array, n: int = 3) -> np.ndarray:
+        """(n_docs, k) signature matrix for a non-null text column."""
+        from ..core.hashing import hash_strings, splitmix64
+
+        words, off, flat, lens = _split_words(texts)
+        n_docs = len(lens)
+        sig = np.empty((n_docs, self.k), dtype=np.uint64)
+        if n_docs == 0:
+            return sig
+        nflat = len(flat)
+        long_mask = lens >= n
+        if long_mask.any() and nflat >= n:
+            a = flat.slice(0, nflat - (n - 1))
+            b = flat.slice(1, nflat - (n - 1))
+            c = flat.slice(2, nflat - (n - 1))
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            valid = doc_of[: nflat - (n - 1)] == doc_of[n - 1 :]
+            tris = pc.binary_join_element_wise(a, b, c, " ").filter(pa.array(valid))
+            tri_hash = hash_strings(tris)
+            tri_doc = doc_of[: nflat - (n - 1)][valid]
+            # contiguous per-doc runs (tri_doc is non-decreasing)
+            starts = np.flatnonzero(np.diff(tri_doc, prepend=-1))
+            udocs = tri_doc[starts]
+            for j in range(self.k):
+                vals = splitmix64(tri_hash ^ self.seeds[j])
+                sig[udocs, j] = np.minimum.reduceat(vals, starts)
+        short = np.flatnonzero(~long_mask)
+        if short.size:
+            joined = pc.binary_join(words.take(pa.array(short)), " ")
+            sh = hash_strings(joined)
+            sig[short] = splitmix64(sh[:, None] ^ self.seeds[None, :])
+        return sig
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """(n_docs, bands) uint64 band keys: a splitmix64 chain over the
+        band's r signature values with the band index mixed in. Replaces the
+        per-row blake2b hexdigest — same bucketing partition (equal chunks ⇒
+        equal key; 64-bit collisions only add candidates, which exact
+        verification removes), ~16× less Python overhead and an 8-byte key
+        through the shuffle instead of a 16-char string."""
+        from ..core.hashing import splitmix64
+
+        n_docs = sig.shape[0]
+        keys = np.empty((n_docs, self.bands), dtype=np.uint64)
+        for band in range(self.bands):
+            acc = splitmix64(np.full(n_docs, band, dtype=np.uint64))
+            for i in range(self.r):
+                acc = splitmix64(acc ^ sig[:, band * self.r + i])
+            keys[:, band] = acc
+        return keys
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        band_ids, band_keys, doc_ids = [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            if text is None:
-                continue
-            sig = self.signature(text)
-            for band in range(self.bands):
-                chunk = sig[band * self.r : (band + 1) * self.r]
-                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                band_ids.append(band)
-                band_keys.append(key)
-                doc_ids.append(doc_id)
+        sel = t.filter(pc.is_valid(t.column("text")))
+        if sel.num_rows == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], type=pa.int32()),
+                    "band_key": pa.array([], type=pa.uint64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        sig = self.signatures_vec(sel.column("text").combine_chunks())
+        keys = self.band_keys(sig)
+        doc_ids = sel.column("doc_id").to_numpy(zero_copy_only=False)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), sel.num_rows)
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_key": pa.array(band_keys, type=pa.string()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band_id": pa.array(band_ids),
+                "band_key": pa.array(keys.reshape(-1)),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
             }
         )
+
+
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def _minhash_band_task(t: pa.Table) -> pa.Table:
+    """Task-function form of MinHashStage fused with the composite-key
+    projection: emits (key=uint64 band key, doc_id). Actor pools pay
+    multi-second startup per map_batches stage (BASELINE.md gotcha #4);
+    the stage state (64 seeds) is trivial, so a per-worker cached instance
+    in a plain task is strictly faster."""
+    st = _WORKER_STAGE_CACHE.get("minhash")
+    if st is None:
+        st = _WORKER_STAGE_CACHE["minhash"] = MinHashStage()
+    sel = t.filter(pc.is_valid(t.column("text")))
+    if sel.num_rows == 0:
+        return pa.table(
+            {"key": pa.array([], type=pa.uint64()), "doc_id": pa.array([], type=pa.int64())}
+        )
+    sig = st.signatures_vec(sel.column("text").combine_chunks())
+    keys = st.band_keys(sig)
+    doc_ids = sel.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "key": pa.array(keys.reshape(-1)),
+            "doc_id": pa.array(np.repeat(doc_ids, st.bands)),
+        }
+    )
 
 
 def _exact_jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
@@ -373,15 +482,7 @@ def doc_minhash_dups(
     from ..state.pairreduce import cooccurrence_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 4))
-
-    def composite_key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t.column("band_id"), pa.string()), t.column("band_key"), "|"
-        )
-        return pa.table({"key": key, "doc_id": t.column("doc_id")})
-
-    keyed = bands.map_batches(composite_key, batch_format="pyarrow")
+    keyed = ds.map_batches(_minhash_band_task, batch_format="pyarrow")
     cand = cooccurrence_pairs(keyed, "key", "doc_id", max_bucket=max_bucket)
     cand_pairs = list(zip(cand["id_a"].tolist(), cand["id_b"].tolist()))
     if not cand_pairs:
@@ -454,29 +555,73 @@ def _simhash(text: str) -> int:
     return int(out)
 
 
+def _simhash_vec(texts: pa.Array) -> np.ndarray:
+    """Vectorized simhash over a non-null text column → uint64 per doc.
+
+    Identical to ``_simhash`` per doc: the per-unique-word count weighting
+    equals summing ±1 over every word OCCURRENCE, so no per-doc unique pass
+    is needed; per-bit sums are ``2·Σbit − n_words`` reduced per doc with
+    ``np.add.reduceat`` (64 vectorized passes, no Python row loop —
+    VERDICT r1 item 5).
+    """
+    from ..core.hashing import hash_strings
+
+    _, off, flat, lens = _split_words(texts)
+    n_docs = len(lens)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0 or len(flat) == 0:
+        return out
+    # docs whose trimmed text is empty split to the phantom token [""];
+    # Python's "".split() is [] → simhash 0, so mask them out afterwards
+    empty_doc = np.asarray(
+        pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(pc.utf8_lower(texts))), 0)
+        .to_numpy(zero_copy_only=False)
+    )
+    wh = hash_strings(flat)
+    nz = lens > 0
+    starts = off[:-1][nz]
+    if starts.size:
+        doc_lens = lens[nz].astype(np.int64)
+        acc_pos = np.empty(starts.size, dtype=np.int64)
+        sims = np.zeros(starts.size, dtype=np.uint64)
+        for j in range(SIMHASH_BITS):
+            bit_j = ((wh >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            np.add.reduceat(bit_j, starts, out=acc_pos)
+            sims |= ((2 * acc_pos - doc_lens) > 0).astype(np.uint64) << np.uint64(j)
+        out[nz] = sims
+    out[empty_doc] = 0
+    return out
+
+
 class SimHashStage:
     """Emits (piece_id, piece_val, doc_id, simhash) rows for the pigeonhole
     index: two docs within hamming distance < SIMHASH_PIECES must agree on at
-    least one 16-bit piece."""
+    least one 16-bit piece. Simhashes come from the vectorized ``_simhash_vec``
+    (``_simhash`` is kept as the per-row differential-test reference)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        piece_ids, piece_vals, doc_ids, sims = [], [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            if text is None:
-                continue
-            s = _simhash(text)
-            for p in range(SIMHASH_PIECES):
-                piece = (s >> (16 * p)) & 0xFFFF
-                piece_ids.append(p)
-                piece_vals.append(piece)
-                doc_ids.append(doc_id)
-                sims.append(s)
+        sel = t.filter(pc.is_valid(t.column("text")))
+        if sel.num_rows == 0:
+            return pa.table(
+                {
+                    "piece_id": pa.array([], type=pa.int32()),
+                    "piece_val": pa.array([], type=pa.int32()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "simhash": pa.array([], type=pa.uint64()),
+                }
+            )
+        sims = _simhash_vec(sel.column("text").combine_chunks())
+        doc_ids = sel.column("doc_id").to_numpy(zero_copy_only=False)
+        p = np.arange(SIMHASH_PIECES, dtype=np.uint64)
+        pieces = ((sims[:, None] >> (np.uint64(16) * p[None, :])) & np.uint64(0xFFFF)).astype(
+            np.int32
+        )
         return pa.table(
             {
-                "piece_id": pa.array(piece_ids, type=pa.int32()),
-                "piece_val": pa.array(piece_vals, type=pa.int32()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "simhash": pa.array(sims, type=pa.uint64()),
+                "piece_id": pa.array(np.tile(p.astype(np.int32), sel.num_rows)),
+                "piece_val": pa.array(pieces.reshape(-1)),
+                "doc_id": pa.array(np.repeat(doc_ids, SIMHASH_PIECES)),
+                "simhash": pa.array(np.repeat(sims, SIMHASH_PIECES)),
             }
         )
 
@@ -486,16 +631,15 @@ def doc_simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) ->
     from ..state.pairreduce import cooccurrence_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    # materialized: consumed twice (bucket pairs + candidate verification)
-    pieces = ds.map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 4)
-    ).materialize()
+    # materialized: consumed twice (bucket pairs + candidate verification);
+    # task fn, not actor pool — the stage is stateless (gotcha #4)
+    pieces = ds.map_batches(SimHashStage(), batch_format="pyarrow").materialize()
 
     def composite_key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t.column("piece_id"), pa.string()),
-            pc.cast(t.column("piece_val"), pa.string()),
-            "|",
+        # (piece_id, piece_val) packed into one int64 — 8-byte shuffle key
+        key = pc.add(
+            pc.multiply(pc.cast(t.column("piece_id"), pa.int64()), pa.scalar(1 << 16, pa.int64())),
+            pc.cast(t.column("piece_val"), pa.int64()),
         )
         return pa.table({"key": key, "doc_id": t.column("doc_id")})
 

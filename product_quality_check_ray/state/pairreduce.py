@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..core.hashing import hash_strings
+from ..core.hashing import hash_ints, hash_strings
 
 RANGE_SEED = 11
 
@@ -52,10 +52,19 @@ def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int):
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     keys = t.column(key_col).combine_chunks()
     ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
-    h = hash_strings(keys, seed=RANGE_SEED)
-    order = np.argsort(h, kind="stable")
-    h, ids = h[order], ids[order]
-    keys_np = np.asarray(keys.to_pylist(), dtype=object)[order]
+    if pa.types.is_integer(keys.type):
+        # integer keys (e.g. 64-bit band/piece keys): hash numerically and
+        # keep them as a numeric ndarray — no to_pylist object conversion
+        keys_np = keys.to_numpy(zero_copy_only=False)
+        h = hash_ints(keys_np.astype(np.uint64, copy=False), seed=RANGE_SEED)
+        order = np.argsort(h, kind="stable")
+        h, ids = h[order], ids[order]
+        keys_np = keys_np[order]
+    else:
+        h = hash_strings(keys, seed=RANGE_SEED)
+        order = np.argsort(h, kind="stable")
+        h, ids = h[order], ids[order]
+        keys_np = np.asarray(keys.to_pylist(), dtype=object)[order]
     idx = np.searchsorted(h, _edges(ranges))
     return tuple(
         (keys_np[lo:hi], ids[lo:hi])
