@@ -46,17 +46,83 @@ FEATURE_SCHEMA = pa.schema(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF markers that carry frame dimensions (C4=DHT, C8=JPG, CC=DAC excluded)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def png_header_bytes(width: int, height: int) -> bytes:
+    """A minimal, valid PNG prefix (signature + IHDR chunk with correct CRC)
+    for synthesizing image fixtures without codecs."""
+    import struct
+    import zlib
+
+    chunk = b"IHDR" + struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+    return _PNG_SIG + struct.pack(">I", 13) + chunk + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """Width/height from container header bytes in pure Python — no codecs
+    needed for dimensions (PNG IHDR, GIF logical screen, BMP DIB, JPEG
+    SOF0/2 scan). Returns None for unrecognized containers.
+
+    Reference analog: artwork dimension extraction
+    (``prompts/artwork_processing_common.py:139-156``) which uses PIL; header
+    parsing reproduces the width/height part with zero dependencies.
+    """
+    import struct
+
+    if payload[:8] == _PNG_SIG and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"width": int(w), "height": int(h), "n_frames": 1}
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"width": int(w), "height": int(h), "n_frames": 1}
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        # negative height = top-down DIB
+        return {"width": abs(int(w)), "height": abs(int(h)), "n_frames": 1}
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {"width": int(w), "height": int(h), "n_frames": 1}
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone marker, no length field
+                continue
+            if i + 4 > n:
+                return None
+            i += 2 + struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        return None
+    return None
+
+
 def decode_payload(payload: bytes, media_type: str, *, allow_fake: bool = False) -> dict:
     """Decode a binary media payload into (width, height, n_frames).
 
-    REAL decode requires PIL/ffmpeg which this container lacks — calling with
-    ``allow_fake=False`` raises ``NotImplementedError`` (the stub contract).
-    The deterministic fake derives dimensions from the payload digest so the
-    plumbing (schema, batching, actor signature) is fully testable.
+    Image dimensions are parsed from real container headers
+    (``parse_image_header``) — no codec needed. Full pixel decode and
+    audio/video require PIL/ffmpeg which this container lacks: for payloads
+    that aren't a recognized image container, ``allow_fake=False`` raises
+    ``NotImplementedError`` (the stub contract) and ``allow_fake=True``
+    derives deterministic dimensions from the payload digest so the plumbing
+    (schema, batching, actor signature) stays fully testable.
     """
+    if media_type == "image":
+        meta = parse_image_header(payload or b"")
+        if meta is not None:
+            return meta
     if not allow_fake:
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
+            "full media codecs are not available in this environment "
+            "(image headers ARE parsed natively; this payload is either "
+            "audio/video or an unrecognized image container); "
             "run with allow_fake=True for the deterministic stand-in"
         )
     digest = hashlib.sha1(payload).digest()
@@ -103,25 +169,42 @@ class MediaFeatureStage:
 
 
 def media_dataset_from_documents(sf_dir: str) -> rd.Dataset:
-    """Synthesize a media table from documents: text bytes as the opaque
-    payload (deterministic; stands in for real image/audio blobs)."""
+    """Synthesize a media table from documents (deterministic, no external
+    data): image rows carry a VALID minimal PNG header (doc_id-derived
+    dimensions) followed by the text bytes, so the real header parser is
+    exercised end-to-end; audio rows stay opaque text bytes (decode stubbed).
+    """
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def to_media(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
-        rows = []
-        for i, s in zip(ids, texts):
-            payload = (s or "").encode("utf-8")
-            rows.append(
-                {
-                    "media_id": int(i),
-                    "payload": payload,
-                    "media_type": "image" if i % 2 == 0 else "audio",
-                    "declared_bytes": len(payload),
-                }
-            )
-        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        import pyarrow.compute as pc
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        text_bin = pc.cast(
+            pc.fill_null(t.column("text").combine_chunks(), ""), pa.binary()
+        )
+        is_image = (ids % 2) == 0
+        # header construction is a small C-speed bytes loop (image rows only);
+        # dims are deterministic in doc_id so tests can predict them
+        payloads = [
+            (png_header_bytes(100 + int(i) % 900, 100 + (int(i) * 7) % 900) + tb.as_py())
+            if img
+            else tb.as_py()
+            for i, img, tb in zip(ids, is_image, text_bin)
+        ]
+        pay_arr = pa.array(payloads, type=pa.binary())
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pay_arr,
+                "media_type": pa.array(
+                    np.where(is_image, "image", "audio"), type=pa.string()
+                ),
+                "declared_bytes": pa.array(
+                    [len(p) for p in payloads], type=pa.int64()
+                ),
+            }
+        )
 
     return ds.map_batches(to_media, batch_format="pyarrow")
 

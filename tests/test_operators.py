@@ -529,3 +529,46 @@ def test_region_revenue_join_fallback_matches_broadcast(ray_session, monkeypatch
     monkeypatch.setattr(relational, "BROADCAST_KEY_CAP", 1)
     b = relational.region_revenue(SF_SMALL).to_pandas()
     assert a.equals(b)
+
+
+def test_image_header_parsers():
+    import struct
+
+    from product_quality_check_ray.pipelines.multimodal import (
+        parse_image_header,
+        png_header_bytes,
+    )
+
+    assert parse_image_header(png_header_bytes(640, 480)) == {
+        "width": 640, "height": 480, "n_frames": 1,
+    }
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    assert parse_image_header(gif) == {"width": 320, "height": 200, "n_frames": 1}
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 123, -77) + b"\x00" * 4
+    assert parse_image_header(bmp) == {"width": 123, "height": 77, "n_frames": 1}
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 240, 360) + b"\x01"
+    m = parse_image_header(b"\xff\xd8" + app0 + sof)
+    assert (m["width"], m["height"]) == (360, 240)
+    assert parse_image_header(b"notanimage") is None
+    assert parse_image_header(b"") is None
+
+
+def test_multimodal_reports_true_png_dims(fixture_dir):
+    from product_quality_check_ray.pipelines.multimodal import (
+        MediaFeatureStage,
+        media_dataset_from_documents,
+    )
+
+    feats = (
+        media_dataset_from_documents(fixture_dir)
+        .map_batches(
+            MediaFeatureStage(allow_fake=True, target_width=0), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    img = feats[feats["media_type"] == "image"]
+    assert len(img) > 0
+    for _, r in img.iterrows():
+        assert r["width"] == 100 + int(r["media_id"]) % 900
+        assert r["height"] == 100 + (int(r["media_id"]) * 7) % 900
