@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized": tn.doc_normalized,
         "doc_words": tn.doc_words,
         "doc_dict_matches": tn.doc_dict_matches,
+        "doc_dict_matches_tsr": tn.doc_dict_matches_tsr,  # RapidFuzz-equivalent scorer — rows-only
         "doc_best_dict_match": tn.doc_best_dict_match,
         # --- training-data text ops over documents
         "doc_token_stats": tx.doc_token_stats,

@@ -1,0 +1,165 @@
+"""RapidFuzz-style fuzzy string scoring, vectorized (no third-party dep).
+
+The reference scores dictionary candidates with RapidFuzz's
+``fuzz.token_set_ratio`` (reference ``prompts/banningredients.py:346-348``,
+``novel_check_utils.py:109-111``, ``competitor_match.py:186``). This module
+reproduces those semantics from the published algorithm description
+(fuzzywuzzy/RapidFuzz docs — public knowledge):
+
+- ``ratio(a, b)`` = 100·(|a|+|b|−d)/(|a|+|b|) where d is the InDel distance
+  (Levenshtein without substitutions) — equivalently 100·2·LCS/(|a|+|b|).
+- ``token_set_ratio(a, b)``: split into token SETS, build
+  t0 = sorted intersection, t1 = t0 + sorted(a−b), t2 = t0 + sorted(b−a)
+  (space-joined), return max(ratio(t0,t1), ratio(t0,t2), ratio(t1,t2)).
+
+LCS is computed with the bit-parallel Allison–Dix recurrence — one uint64
+per pair, vectorized with numpy across ALL pairs at once:
+
+    V = ones; for each char c of A: U = V & M_c ; V = (V + U) | (V − U)
+    LCS = n − popcount(V)
+
+so scoring a (words × variants) candidate matrix is a few hundred numpy
+passes, no per-pair Python loop (pairs with a side > 63 chars fall back to a
+classic DP — rare for dictionary tokens). Differentially tested against a
+pure-Python reference in tests/test_fuzzy.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MAX_BITPAR = 63  # V+U must not overflow 64 bits
+
+
+def _lcs_dp(a: str, b: str) -> int:
+    """Classic O(len(a)·len(b)) LCS fallback for long strings."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def _popcount(v: np.ndarray) -> np.ndarray:
+    # numpy ≥ 2 has bit_count on integer arrays; keep a fallback
+    try:
+        return v.astype(np.uint64).bit_count()  # type: ignore[attr-defined]
+    except AttributeError:  # pragma: no cover
+        out = np.zeros(v.shape, dtype=np.int64)
+        x = v.astype(np.uint64, copy=True)
+        while x.any():
+            out += (x & _U64(1)).astype(np.int64)
+            x >>= _U64(1)
+        return out
+
+
+def lcs_batch(a_codes: np.ndarray, a_lens: np.ndarray, b_codes: np.ndarray, b_lens: np.ndarray) -> np.ndarray:
+    """LCS length per pair; codes are (n_pairs, max_len) int32 (-1 padding).
+
+    Requires every b_len ≤ 63 (callers route longer pairs to ``_lcs_dp``).
+    """
+    n = a_codes.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    nb = b_codes.shape[1]
+    j_bits = (_U64(1) << np.arange(nb, dtype=_U64))[None, :]  # (1, nb)
+    valid_b = np.arange(nb)[None, :] < b_lens[:, None]
+    full = np.where(
+        b_lens == 0,
+        _U64(0),
+        ((_U64(1) << b_lens.astype(_U64)) - _U64(1)),
+    )
+    V = full.copy()
+    max_a = a_codes.shape[1]
+    with np.errstate(over="ignore"):
+        for i in range(max_a):
+            ai = a_codes[:, i]
+            active = ai >= 0
+            if not active.any():
+                break
+            M = np.where((b_codes == ai[:, None]) & valid_b, j_bits, _U64(0)).sum(
+                axis=1, dtype=_U64
+            )
+            U = V & M
+            newV = ((V + U) | (V - U)) & full
+            V = np.where(active, newV, V)
+    return b_lens.astype(np.int64) - _popcount(V)
+
+
+def _encode(strs: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    n = len(strs)
+    codes = np.full((n, max_len), -1, dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(strs):
+        lens[i] = len(s)
+        if s:
+            codes[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[
+                : max_len
+            ]
+    return codes, lens
+
+
+def ratio_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """InDel ratio (0..100) per aligned pair of strings."""
+    assert len(a) == len(b)
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    la = np.array([len(s) for s in a], dtype=np.int64)
+    lb = np.array([len(s) for s in b], dtype=np.int64)
+    both_empty = (la == 0) & (lb == 0)
+    out[both_empty] = 100.0
+    fit = (lb <= _MAX_BITPAR) & ~both_empty
+    idx = np.flatnonzero(fit)
+    if idx.size:
+        sa = [a[i] for i in idx]
+        sb = [b[i] for i in idx]
+        ac, al = _encode(sa, max(1, int(la[idx].max())))
+        bc, bl = _encode(sb, max(1, int(lb[idx].max())))
+        lcs = lcs_batch(ac, al, bc, bl)
+        tot = la[idx] + lb[idx]
+        out[idx] = 200.0 * lcs / np.maximum(tot, 1)
+    for i in np.flatnonzero(~fit & ~both_empty):
+        tot = la[i] + lb[i]
+        out[i] = 200.0 * _lcs_dp(a[i], b[i]) / max(tot, 1)
+    return out
+
+
+def token_set_ratio_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """token_set_ratio (0..100) per aligned pair — RapidFuzz semantics."""
+    assert len(a) == len(b)
+    t0s, t1s, t2s = [], [], []
+    one_sided = np.zeros(len(a), dtype=bool)
+    for i, (x, y) in enumerate(zip(a, b)):
+        ta, tb = set(x.split()), set(y.split())
+        # RapidFuzz scores exactly-one-empty token set as 0 (the naive
+        # formula would say 100 via ratio(t0="", t1=""))
+        one_sided[i] = (not ta) != (not tb)
+        inter = sorted(ta & tb)
+        d1 = sorted(ta - tb)
+        d2 = sorted(tb - ta)
+        t0s.append(" ".join(inter))
+        t1s.append(" ".join(inter + d1))
+        t2s.append(" ".join(inter + d2))
+    r01 = ratio_batch(t0s, t1s)
+    r02 = ratio_batch(t0s, t2s)
+    r12 = ratio_batch(t1s, t2s)
+    out = np.maximum(np.maximum(r01, r02), r12)
+    out[one_sided] = 0.0
+    return out
+
+
+def token_set_ratio_matrix(words: list[str], variants: list[str]) -> np.ndarray:
+    """(len(words), len(variants)) token_set_ratio matrix (0..100)."""
+    nw, nv = len(words), len(variants)
+    if nw == 0 or nv == 0:
+        return np.zeros((nw, nv))
+    a = [w for w in words for _ in variants]
+    b = list(variants) * nw
+    return token_set_ratio_batch(a, b).reshape(nw, nv)

@@ -176,8 +176,9 @@ class DictMatchStage:
     matches are scattered back to rows.
     """
 
-    def __init__(self, threshold: float = FUZZY_THRESHOLD):
+    def __init__(self, threshold: float = FUZZY_THRESHOLD, scorer: str = "char_jaccard"):
         self.threshold = threshold
+        self.scorer = scorer
         self.variants: list[tuple[str, str]] = [
             (v, d["canonical"]) for d in TERM_DICT for v in d["variants"]
         ]
@@ -189,7 +190,15 @@ class DictMatchStage:
         if not uniq:
             return _empty_match_table()
         vnames = [v for v, _ in self.variants]
-        sim = _char_jaccard_matrix(uniq, vnames)
+        if self.scorer == "token_set":
+            # RapidFuzz token_set_ratio semantics (reference
+            # banningredients.py:346-348), normalized to 0..1; the default
+            # char-set Jaccard is kept for DuckDB oracle parity
+            from ..core.fuzzy import token_set_ratio_matrix
+
+            sim = token_set_ratio_matrix(uniq, vnames) / 100.0
+        else:
+            sim = _char_jaccard_matrix(uniq, vnames)
         uniq_idx = {w: i for i, w in enumerate(uniq)}
         rows = {"doc_id": [], "word": [], "matched_variant": [], "canonical": [], "score": [], "match_kind": []}
         hit_cols = [
@@ -248,6 +257,20 @@ def doc_dict_matches(sf_dir: str) -> rd.Dataset:
     normalization stage was dead code)."""
     return doc_words(sf_dir, normalized=True).map_batches(
         DictMatchStage, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def doc_dict_matches_tsr(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Dictionary matches scored with the RapidFuzz-equivalent
+    token_set_ratio (``core.fuzzy``) instead of char-set Jaccard — the
+    reference's actual fuzzy-join semantics. Rows-only driver check (the
+    scorer has no SQL analog); differentially tested in tests/test_fuzzy.py.
+    """
+    return doc_words(sf_dir, normalized=True).map_batches(
+        DictMatchStage,
+        fn_constructor_kwargs={"threshold": threshold, "scorer": "token_set"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
     )
 
 
