@@ -16,6 +16,7 @@ from typing import Any
 
 from product_quality_check_ray.core.schema import HIST_BIN_WIDTH, VOCAB
 from product_quality_check_ray.datagen import ensure_sequences, sequences_glob
+from product_quality_check_ray.pipelines import npm
 from product_quality_check_ray.pipelines import relational as rel
 from product_quality_check_ray.pipelines import seq_queries as sq
 
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_token_topk": lambda sf: sq.seq_token_topk(sf),
         "seq_ntok_percentiles": lambda sf: sq.seq_ntok_percentiles(sf),
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing — rows-only
+        "seq_npm_scores": lambda sf: npm.seq_npm_scores(sf),  # 4-pass HFSS-style flow
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
         "pricing_summary": rel.pricing_summary,
         "top_revenue_orders": rel.top_revenue_orders,
@@ -182,6 +184,7 @@ def _seq_glob_sql(sf_dir: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
+    npm_sql = npm.npm_oracle_sql(_seq_glob_sql(SF01))
     flags = f"""
         (doc_id IS NULL) AS null_doc_id,
         (tokens IS NULL) AS null_tokens,
@@ -217,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
                 count(*) FILTER (WHERE {any_flag}) AS viol_rows
             FROM {seq} GROUP BY source ORDER BY source
         """,
+        "seq_npm_scores": npm_sql,
         "seq_repaired": f"""
             SELECT doc_id,
                    coalesce(len(tokens)::INTEGER, n_tok) AS n_tok_fixed,

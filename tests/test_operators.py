@@ -572,3 +572,45 @@ def test_multimodal_reports_true_png_dims(fixture_dir):
     for _, r in img.iterrows():
         assert r["width"] == 100 + int(r["media_id"]) % 900
         assert r["height"] == 100 + (int(r["media_id"]) * 7) % 900
+
+
+def test_npm_four_pass_rules(ray_session):
+    """Protein-cap rule, drink/food thresholds, and imputation audit of the
+    4-pass HFSS-style pipeline on crafted rows."""
+    import ray.data as rd
+
+    from product_quality_check_ray.pipelines.npm import seq_npm_scores
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["hi-a", "drink-b", "short-c", "nulltok-d"]),
+            # nutrients derive from elements 0..5 (abs % mod):
+            # hi-a: high A-points with high protein → protein must be capped
+            "tokens": pa.array(
+                [
+                    [19, 49, 999, 10, 0, 14],   # satfat 19, sugars 49, sodium 999, fruit 10, fibre 0, protein 14
+                    [0, 30, 0, 0, 0, 0],        # drink via source=web, sugars 30
+                    [1, 2],                     # short list → imputed
+                    [1, 2, None, 4, 5, 6],      # null element → imputed
+                ],
+                type=pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([340, 10, 2, 6], type=pa.int32()),
+            "source": pa.array(["books", "web", "books", "code"]),
+        }
+    )
+    out = (
+        seq_npm_scores(rd.from_arrow(rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    hi = out.loc["hi-a"]
+    # energy 3400 → 10 pts; satfat 19→10; sugars 49→10; sodium 999→10 ⇒ A=40
+    assert hi["a_points"] == 40
+    # fruit 10% → 0 pts < 5 and A ≥ 11 ⇒ protein (14g → 5 pts) NOT counted
+    assert hi["c_points"] == 0 and hi["npm_score"] == 40 and hi["hfss_class"] == "fail"
+    drink = out.loc["drink-b"]
+    assert drink["is_drink"] and drink["hfss_class"] == "fail"  # score ≥ 1 fails a drink
+    assert out.loc["short-c", "audit_flag"] == "imputed"
+    assert out.loc["nulltok-d", "audit_flag"] == "imputed"
+    assert out.loc["hi-a", "audit_flag"] == "ok"
