@@ -614,3 +614,21 @@ def test_npm_four_pass_rules(ray_session):
     assert out.loc["short-c", "audit_flag"] == "imputed"
     assert out.loc["nulltok-d", "audit_flag"] == "imputed"
     assert out.loc["hi-a", "audit_flag"] == "ok"
+
+
+def test_bucketed_kernels_match_map_groups(ray_session):
+    """user_sessions / events_asof bucketed kernels (the defaults) must equal
+    the per-user map_groups kernels row-for-row."""
+    from product_quality_check_ray.pipelines.relational import (
+        events_asof_bucketed,
+        events_asof_map_groups,
+        user_sessions_bucketed,
+        user_sessions_map_groups,
+    )
+
+    a = user_sessions_map_groups(SF_SMALL).to_pandas().reset_index(drop=True)
+    b = user_sessions_bucketed(SF_SMALL).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
+    c = events_asof_map_groups(SF_SMALL).to_pandas().reset_index(drop=True)
+    d = events_asof_bucketed(SF_SMALL).to_pandas().reset_index(drop=True)
+    assert c.equals(d)
