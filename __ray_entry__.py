@@ -150,11 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
         "doc_quality_scores": tx.doc_quality_scores,
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
-        "doc_minhash_dups": tx.doc_minhash_dups,  # non-SQL — rows-only
+        "doc_minhash_dups": tx.doc_minhash_dups,  # LSH candidates + exact verify — oracle = exact pairs
         "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
         "doc_ngram_jaccard_pairs": tx.doc_ngram_jaccard_pairs,
-        "doc_near_dup_clusters": lambda sf: tx.doc_near_dup_clusters(sf),  # rows-only
-        "clean_documents": lambda sf: tx.clean_documents(sf),  # includes MinHash near-dedup — rows-only
+        "doc_near_dup_clusters": lambda sf: tx.doc_near_dup_clusters(sf),  # oracle via 4-hop component SQL
+        "clean_documents": lambda sf: tx.clean_documents(sf),  # full pipeline — oracle via component SQL
         # thresholds chosen so both quality predicates actually drop rows at
         # sf0.01 (min nw=10, max stopword ratio=0.22 in the fixture corpus)
         "clean_documents_exact": lambda sf: tx.clean_documents(
@@ -369,6 +369,65 @@ def oracle_sql() -> dict[str, str]:
                    round(best, 6) AS lang_score
             FROM (SELECT *, greatest(s_en, s_es, s_fr, s_de) AS best FROM r)
         """,
+        # Full cleaning pipeline: exact-dup losers ∪ near-dup cluster
+        # non-keepers (same 4-hop component SQL as doc_near_dup_clusters —
+        # exact for the fixture's component diameters) ∪ quality fails.
+        "clean_documents": r"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS shingle
+                FROM w WHERE len(ws) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            cand AS (
+                SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT c.u, c.v FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.u
+                JOIN sizes sb ON sb.doc_id = c.v
+                WHERE round(c.shared * 1.0 / (sa.n + sb.n - c.shared), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT u, v FROM pairs
+                UNION SELECT v, u FROM pairs
+                UNION SELECT u, u FROM pairs
+                UNION SELECT v, v FROM pairs
+            ),
+            e2 AS (SELECT DISTINCT a.u, b.v FROM edges a JOIN edges b ON a.v = b.u),
+            e4 AS (SELECT DISTINCT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u),
+            near_losers AS (
+                SELECT u AS doc_id FROM e4 GROUP BY u HAVING u <> min(v)
+            ),
+            f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            exact_losers AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                    FROM f
+                ) WHERE rn > 1
+            )
+            SELECT d.* FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+              AND d.doc_id NOT IN (SELECT doc_id FROM near_losers)
+              AND len(regexp_extract_all(d.text, '\S+')) >= 5
+              AND len(regexp_extract_all(d.text, '\b(the|and|of|to|in|a|is|that|for|it)\b')) * 1.0
+                  / greatest(len(regexp_extract_all(d.text, '\S+')), 1) <= 0.9
+        """,
         "clean_documents_exact": r"""
             WITH f AS (
                 SELECT doc_id,
@@ -547,6 +606,85 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn FROM matches
             ) WHERE rn = 1
             ORDER BY doc_id, canonical
+        """,
+        # Exact-pairs oracle for the MinHash+LSH operator: candidates are
+        # verified with exact shingle Jaccard, so any pair REPORTED is exact;
+        # the oracle additionally asserts 100% recall of ≥0.8-jaccard pairs
+        # on the fixture (16 bands × 4 rows ⇒ P(miss | j≥0.8) ≤ 2e-4 per
+        # pair; verified to hold at sf0.001 and sf0.01). A missed pair —
+        # i.e. a banding/signature regression — fails this row.
+        "doc_minhash_dups": r"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS shingle
+                FROM w WHERE len(ws) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.a AS doc_id_a, p.b AS doc_id_b,
+                   round(p.shared * 1.0 / (sa.n + sb.n - p.shared), 6) AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON sa.doc_id = p.a
+            JOIN sizes sb ON sb.doc_id = p.b
+            WHERE round(p.shared * 1.0 / (sa.n + sb.n - p.shared), 6) >= 0.8
+            ORDER BY 1, 2
+        """,
+        # Connected components of the exact ≥0.8-jaccard pair graph via
+        # 4-hop min-label propagation — exact for components of diameter ≤ 4
+        # (the fixture's components are size ≤ 3; the ENGINE is exact at any
+        # diameter via driver union-find over verified pairs, this is an
+        # oracle-side limitation only).
+        "doc_near_dup_clusters": r"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+                FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 3
+                UNION ALL
+                SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS shingle
+                FROM w WHERE len(ws) < 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            cand AS (
+                SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT c.u, c.v FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.u
+                JOIN sizes sb ON sb.doc_id = c.v
+                WHERE round(c.shared * 1.0 / (sa.n + sb.n - c.shared), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT u, v FROM pairs
+                UNION SELECT v, u FROM pairs
+                UNION SELECT u, u FROM pairs
+                UNION SELECT v, v FROM pairs
+            ),
+            e2 AS (SELECT DISTINCT a.u, b.v FROM edges a JOIN edges b ON a.v = b.u),
+            e4 AS (SELECT DISTINCT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u)
+            SELECT CAST(min(v) AS BIGINT) AS cluster_id,
+                   CAST(u AS BIGINT) AS doc_id,
+                   (u = min(v)) AS is_keeper
+            FROM e4 GROUP BY u
+            ORDER BY 1, 2
         """,
         "doc_ngram_jaccard_pairs": """
             WITH w AS (
