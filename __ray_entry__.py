@@ -185,12 +185,16 @@ def _seq_glob_sql(sf_dir: str) -> str:
 def oracle_sql() -> dict[str, str]:
     seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
     npm_sql = npm.npm_oracle_sql(_seq_glob_sql(SF01))
+    # token_neg parity note: the engine kernel (checks/row_checks.py) fills
+    # null ELEMENTS inside a token list with -1 so the domain check flags the
+    # row; DuckDB's list_min ignores NULL elements, hence the explicit
+    # list_filter null-element predicate below (ADVICE r1).
     flags = f"""
         (doc_id IS NULL) AS null_doc_id,
         (tokens IS NULL) AS null_tokens,
         (tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok)) AS ntok_mismatch,
         coalesce(list_max(tokens) >= {VOCAB}, false) AS token_oov,
-        coalesce(list_min(tokens) < 0, false) AS token_neg,
+        (coalesce(list_min(tokens) < 0, false) OR coalesce(len(list_filter(tokens, x -> x IS NULL)) > 0, false)) AS token_neg,
         (source IS NULL OR source NOT IN {_ALLOWED}) AS bad_source,
         (coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048) AS ntok_range
     """
@@ -198,7 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "(doc_id IS NULL OR tokens IS NULL"
         " OR (tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok))"
         f" OR coalesce(list_max(tokens) >= {VOCAB}, false)"
-        " OR coalesce(list_min(tokens) < 0, false)"
+        " OR (coalesce(list_min(tokens) < 0, false) OR coalesce(len(list_filter(tokens, x -> x IS NULL)) > 0, false))"
         f" OR source IS NULL OR source NOT IN {_ALLOWED}"
         " OR coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048)"
     )
@@ -213,7 +217,7 @@ def oracle_sql() -> dict[str, str]:
                 count(*) FILTER (WHERE tokens IS NULL) AS null_tokens,
                 count(*) FILTER (WHERE tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok)) AS ntok_mismatch,
                 count(*) FILTER (WHERE coalesce(list_max(tokens) >= {VOCAB}, false)) AS token_oov,
-                count(*) FILTER (WHERE coalesce(list_min(tokens) < 0, false)) AS token_neg,
+                count(*) FILTER (WHERE (coalesce(list_min(tokens) < 0, false) OR coalesce(len(list_filter(tokens, x -> x IS NULL)) > 0, false))) AS token_neg,
                 count(*) FILTER (WHERE source IS NULL OR source NOT IN {_ALLOWED}) AS bad_source,
                 count(*) FILTER (WHERE coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048) AS ntok_range,
                 count(*) AS rows,
