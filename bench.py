@@ -110,14 +110,21 @@ def run_suite() -> dict:
                 n += b.num_rows
         queries[name] = round(time.time() - t0, 3)
 
+    from product_quality_check_ray.pipelines import npm
+
     timed("pricing_summary", rel.pricing_summary)
     timed("events_daily", rel.events_daily)
     timed("grouped_topk_orders", rel.grouped_topk_orders)
     timed("user_sessions", rel.user_sessions)
+    timed("events_asof_last_click", rel.events_asof_last_click)
+    timed("seq_npm_scores", lambda sf: npm.seq_npm_scores(sf))
     timed("doc_token_stats", tx.doc_token_stats)
     timed("doc_minhash_dups", tx.doc_minhash_dups)
+    timed("doc_simhash_dups", tx.doc_simhash_dups)
     timed("doc_ngram_jaccard_pairs", tx.doc_ngram_jaccard_pairs)
+    timed("clean_documents", lambda sf: tx.clean_documents(sf))
     timed("knn_bruteforce", sim.knn_bruteforce)
+    timed("embedding_near_dups", sim.embedding_near_dups)
 
     total = round(sum(queries.values()), 3)
     return {

@@ -77,29 +77,33 @@ def _parse_stage(t: pa.Table) -> pa.Table:
     cols["energy_kj"] = pa.array(n_tok * 10)
     imputed = np.zeros(n, dtype=bool)
     imputed |= lens < len(_NUTRIENT_DERIVATION)
+    # flat values / offsets / element-null mask computed ONCE per batch and
+    # indexed per nutrient (the per-nutrient fallback re-derivation was the
+    # stage's dominant cost on corrupted batches)
+    if n and len(tokens.values):
+        flat = np.asarray(tokens.values.to_numpy(zero_copy_only=False))
+        null_mask = (
+            ~np.asarray(pc.is_valid(tokens.values).to_numpy(zero_copy_only=False))
+            if tokens.values.null_count
+            else None
+        )
+        offs = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        flat = np.zeros(0, dtype=np.int64)
+        null_mask = None
+        offs = np.zeros(n + 1, dtype=np.int64)
     for name, idx, mod in _NUTRIENT_DERIVATION:
-        el = pc.list_element(tokens, idx) if (n and lens.min() > idx) else None
-        if el is None:
-            # ragged batch: fall back to per-element safe extraction
-            vals = np.zeros(n, dtype=np.int64)
-            ok = lens > idx
-            if ok.any():
-                flat = tokens.values.to_numpy(zero_copy_only=False)
-                null_mask = (
-                    ~np.asarray(pc.is_valid(tokens.values).to_numpy(zero_copy_only=False))
-                    if tokens.values.null_count
-                    else np.zeros(len(flat), dtype=bool)
-                )
-                offs = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-                pos = offs[:-1][ok] + idx
-                el_ok = flat[pos]
+        vals = np.zeros(n, dtype=np.int64)
+        ok = lens > idx
+        if ok.any():
+            pos = offs[:-1][ok] + idx
+            el = flat[pos]
+            if null_mask is not None:
                 el_null = null_mask[pos]
-                vals[ok] = np.where(el_null, 0, el_ok)
+                vals[ok] = np.where(el_null, 0, el)
                 imputed[np.flatnonzero(ok)[el_null]] = True
-        else:
-            null_el = ~np.asarray(pc.is_valid(el).to_numpy(zero_copy_only=False))
-            vals = pc.fill_null(el, 0).to_numpy(zero_copy_only=False).astype(np.int64)
-            imputed |= null_el
+            else:
+                vals[ok] = el
         cols[name] = pa.array(np.abs(vals) % mod)
     cols["is_drink"] = pa.array(
         pc.equal(pc.fill_null(t.column("source"), ""), "web").to_numpy(zero_copy_only=False)
