@@ -36,11 +36,33 @@ ROW_CHECK_NAMES: tuple[str, ...] = (
 )
 
 
-def conform_schema(batch: pa.Table) -> pa.Table:
+def dedupe_column_names(t: pa.Table) -> pa.Table:
+    """D2 repair: duplicate column names suffixed ``name.1``, ``name.2``, …
+    (first occurrence keeps the bare name) — the reference's
+    ``_dedupe_columns`` semantics (``app.py:132-142``)."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in map(str, t.column_names):
+        if c not in seen:
+            seen[c] = 1
+            out.append(c)
+        else:
+            out.append(f"{c}.{seen[c]}")
+            seen[c] += 1
+    if out != list(t.column_names):
+        t = t.rename_columns(out)
+    return t
+
+
+def conform_schema(batch: pa.Table, *, repair: bool = False) -> pa.Table:
     """Schema-conformance gate (check #0): select + cast to the declared
     schema; raises on structural mismatch (reference analog: required-column
     validation ``banningredients.py:43-46``, wrong-file detection
-    ``app.py:478-481``)."""
+    ``app.py:478-481``). With ``repair=True`` duplicate column names are
+    first deduped with ``.N`` suffixes instead of failing the select
+    (reference repair-mode analog, ``app.py:132-142``)."""
+    if repair:
+        batch = dedupe_column_names(batch)
     missing = [n for n in SEQUENCE_SCHEMA.names if n not in batch.column_names]
     if missing:
         raise ValueError(f"input missing required columns {missing}")
@@ -181,7 +203,7 @@ def annotate_batch(batch: pa.Table, ctx: dict) -> tuple[pa.Table, np.ndarray]:
     ``app.py:991-1448``), leaving input columns byte-identical (violation
     rows must equal input rows — the driver's token-array invariant).
     """
-    t = conform_schema(batch)
+    t = conform_schema(batch, repair=bool(ctx.get("schema_repair")))
     mat = row_check_matrix(t, ctx)
     ok = ~mat.any(axis=1)
     t = t.append_column("ok", pa.array(ok))

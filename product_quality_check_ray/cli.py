@@ -47,6 +47,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
         write_violations=not args.no_violations,
         uniqueness=cfg.get("uniqueness", True),
         enabled_checks=cfg.get("enabled_checks"),
+        schema_repair=bool(cfg.get("schema_repair", False)),
         write_clean=args.write_clean,
     )
     summary = {

@@ -125,8 +125,11 @@ class RowCheckStage:
         sketch_delta: int = 100,
         enabled_checks: list[str] | None = None,
         write_clean: bool = False,
+        schema_repair: bool = False,
     ):
-        self.ctx = build_check_ctx(allowlist_rows, enabled_checks=enabled_checks)
+        self.ctx = build_check_ctx(
+            allowlist_rows, enabled_checks=enabled_checks, schema_repair=schema_repair
+        )
         self.out_dir = out_dir
         self.write_violations = write_violations and out_dir is not None
         self.write_clean = write_clean and out_dir is not None
@@ -297,6 +300,7 @@ def run_validation(
     use_actor_pool: bool = False,
     enabled_checks: list[str] | None = None,
     write_clean: bool = False,
+    schema_repair: bool = False,
 ) -> ValidationReport:
     """Run the full validation suite; resumable at wave granularity.
 
@@ -334,6 +338,7 @@ def run_validation(
             "write_violations": write_violations,
             "enabled_checks": enabled_checks,
             "write_clean": write_clean,
+            "schema_repair": schema_repair,
         }
         if use_actor_pool:
             staged = ds.map_batches(

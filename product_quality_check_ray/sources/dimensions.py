@@ -32,6 +32,7 @@ def build_check_ctx(
     allowlist: "list[dict] | None" = None,
     vocab: int = VOCAB,
     enabled_checks: "list[str] | None" = None,
+    schema_repair: bool = False,
 ) -> dict:
     """Build the broadcast context consumed by ``row_check_matrix``.
 
@@ -52,6 +53,7 @@ def build_check_ctx(
         "max_n_tok": {r["source"]: int(r["max_n_tok"]) for r in rows},
         "status": {r["source"]: r["status"] for r in rows},
         "vocab": vocab,
+        "schema_repair": bool(schema_repair),
     }
     if enabled_checks is not None:
         # per-check selection (reference analog: the check dropdown +

@@ -136,3 +136,61 @@ def test_sliced_list_min_max():
     mat = row_check_matrix(sl, CTX)
     assert not mat[0, ROW_CHECK_NAMES.index("token_oov")]
     assert mat[1, ROW_CHECK_NAMES.index("token_oov")]
+
+
+def test_conform_schema_repair_mode_dedupes_duplicate_columns():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from product_quality_check_ray.checks.row_checks import (
+        conform_schema,
+        dedupe_column_names,
+    )
+
+    # duplicate 'source' column + an extra junk column (reference D2 analog)
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a"]),
+            "tokens": pa.array([[1, 2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2], type=pa.int32()),
+        }
+    )
+    t = t.append_column("source", pa.array(["web"]))
+    t = t.append_column("source", pa.array(["IGNORED"]))
+    deduped = dedupe_column_names(t)
+    assert deduped.column_names == ["doc_id", "tokens", "n_tok", "source", "source.1"]
+
+    # strict mode fails on the ambiguous select; repair mode takes the first
+    with pytest.raises(Exception):
+        conform_schema(t)
+    out = conform_schema(t, repair=True)
+    assert out.column_names == ["doc_id", "tokens", "n_tok", "source"]
+    assert out.column("source").to_pylist() == ["web"]
+
+
+def test_annotate_batch_schema_repair(ray_session):
+    """Repair mode through the check context: a batch with duplicate column
+    names (e.g. from a CSV/custom source — Ray's parquet reader rejects them
+    upstream) validates instead of raising."""
+    import pyarrow as pa
+    import pytest
+
+    from product_quality_check_ray.checks.row_checks import annotate_batch
+    from product_quality_check_ray.sources.dimensions import build_check_ctx
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(50)]),
+            "tokens": pa.array([[1, 2, 3]] * 50, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * 50, type=pa.int32()),
+        }
+    )
+    t = t.append_column("source", pa.array(["web"] * 50))
+    t = t.append_column("source", pa.array(["junk"] * 50))  # duplicate name
+
+    with pytest.raises(Exception):
+        annotate_batch(t, build_check_ctx())
+    out, mat = annotate_batch(t, build_check_ctx(schema_repair=True))
+    assert out.num_rows == 50
+    assert not mat.any()  # the FIRST 'source' column (valid) is kept
