@@ -348,13 +348,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_lang_id": r"""
+            -- coalesce(text,'') mirrors the engine's fill_null: a null text
+            -- scores 0.0 / 'und' on both sides (a bare CASE over NULL scores
+            -- would fall through to the ELSE branch and mislabel as 'de')
             WITH s AS (
                 SELECT doc_id, lang,
-                       greatest(len(regexp_extract_all(text, '\S+')), 1) AS nw,
-                       len(regexp_extract_all(lower(text), '\b(the|and|of|is|that|with|for)\b')) AS h_en,
-                       len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una|por)\b')) AS h_es,
-                       len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|une|dans)\b')) AS h_fr,
-                       len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit)\b')) AS h_de
+                       greatest(len(regexp_extract_all(coalesce(text, ''), '\S+')), 1) AS nw,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|is|that|with|for)\b')) AS h_en,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '\b(el|la|de|que|los|una|por)\b')) AS h_es,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '\b(le|la|les|des|est|une|dans)\b')) AS h_fr,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '\b(der|die|und|das|ist|nicht|mit)\b')) AS h_de
                 FROM documents
             ), r AS (
                 SELECT doc_id, lang,

@@ -46,16 +46,17 @@ def _lcs_dp(a: str, b: str) -> int:
 
 
 def _popcount(v: np.ndarray) -> np.ndarray:
-    # numpy ≥ 2 has bit_count on integer arrays; keep a fallback
-    try:
-        return v.astype(np.uint64).bit_count()  # type: ignore[attr-defined]
-    except AttributeError:  # pragma: no cover
-        out = np.zeros(v.shape, dtype=np.int64)
-        x = v.astype(np.uint64, copy=True)
-        while x.any():
-            out += (x & _U64(1)).astype(np.int64)
-            x >>= _U64(1)
-        return out
+    # numpy ≥ 2 exposes np.bitwise_count (ufunc); older numpy falls back to
+    # the shift loop (≤64 vectorized passes)
+    f = getattr(np, "bitwise_count", None)
+    if f is not None:
+        return f(v.astype(np.uint64)).astype(np.int64)
+    out = np.zeros(v.shape, dtype=np.int64)
+    x = v.astype(np.uint64, copy=True)
+    while x.any():
+        out += (x & _U64(1)).astype(np.int64)
+        x >>= _U64(1)
+    return out
 
 
 def lcs_batch(a_codes: np.ndarray, a_lens: np.ndarray, b_codes: np.ndarray, b_lens: np.ndarray) -> np.ndarray:

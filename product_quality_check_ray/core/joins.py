@@ -41,13 +41,26 @@ BROADCAST_KEY_CAP = int(os.environ.get("PQCRAY_BROADCAST_KEY_CAP", str(2_000_000
 
 
 def probe_keys(keys_ds: rd.Dataset, col: str, cap: int) -> pa.Array | None:
-    """Distinct key array if the key side holds ≤ ``cap`` rows, else None.
+    """Distinct key array if the key side holds ≤ ``cap`` DISTINCT keys
+    (per-batch-deduped probe), else None.
 
-    Uses ``limit(cap+1)``: if the limited read returns ≤ cap rows it IS the
-    complete key side (single, early-stoppable pass); if it returns cap+1
-    rows the key side exceeds the cap and the caller must shuffle-join.
+    A per-batch ``pc.unique`` combiner runs before the early-stopped
+    ``limit(cap+1)``, so a key side with few distinct keys but many
+    duplicate rows (e.g. raw orders.o_custkey) still takes the broadcast
+    path; the cap then bounds the sum of per-batch distincts — conservative
+    but never more than batch-count× the true distinct count. If the
+    limited read returns ≤ cap rows it IS the complete (batch-deduped) key
+    side — one pass, early-stoppable.
     """
-    head = _collect(keys_ds.select_columns([col]).limit(cap + 1))
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t.column(col).combine_chunks())})
+
+    head = _collect(
+        keys_ds.select_columns([col])
+        .map_batches(batch_unique, batch_format="pyarrow")
+        .limit(cap + 1)
+    )
     if head.num_rows > cap:
         return None
     return pc.unique(head.column(col).combine_chunks())

@@ -246,10 +246,16 @@ def region_revenue(sf_dir: str) -> pa.Table:
 
         def to_region(df: pd.DataFrame) -> pd.DataFrame:
             sk, rn = ray.get(ref)
-            idx = np.searchsorted(sk, df["o_custkey"].to_numpy())
-            return pd.DataFrame({"r_name": rn[idx], "revenue": df["revenue"]}).groupby(
-                "r_name", as_index=False
-            ).sum()
+            keys = df["o_custkey"].to_numpy()
+            idx = np.searchsorted(sk, keys)
+            # guard dangling FKs: an o_custkey absent from customer must be
+            # DROPPED (inner-join semantics), not crash (idx==len) or silently
+            # hit the next key's region
+            idx_c = np.minimum(idx, len(sk) - 1)
+            ok = sk[idx_c] == keys
+            return pd.DataFrame(
+                {"r_name": rn[idx_c[ok]], "revenue": df["revenue"].to_numpy()[ok]}
+            ).groupby("r_name", as_index=False).sum()
 
         region_rows = joined
     else:
@@ -492,6 +498,21 @@ def order_priority_stats(sf_dir: str) -> pa.Table:
 SESSION_GAP_MIN = 30
 
 
+
+def _bucket_by_user(n_buckets: int):
+    """Shared per-batch user→bucket stage for the bucketed per-key kernels
+    (sessionization, as-of): hash_ints(user_id) % n_buckets appended as
+    'bucket'. One definition so the two kernels can never desynchronize."""
+    from ..core.hashing import hash_ints
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (hash_ints(uid) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    return add_bucket
+
+
 def user_sessions(sf_dir: str) -> pa.Table:
     """Per-user sessions with a 30-minute inactivity gap.
 
@@ -543,15 +564,9 @@ def user_sessions_bucketed(sf_dir: str, n_buckets: int = 256) -> pa.Table:
     events projection) but O(buckets) group invocations instead of O(users)
     — per-group overhead was the measured cost of ``map_groups`` at scale
     (state/pairreduce.py documents the same pathology)."""
-    from ..core.hashing import hash_ints
-
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     gap = np.timedelta64(SESSION_GAP_MIN * 60 * 1_000_000_000, "ns")
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (hash_ints(uid) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
+    add_bucket = _bucket_by_user(n_buckets)
 
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -646,14 +661,8 @@ def events_asof_map_groups(sf_dir: str) -> pa.Table:
 
 def events_asof_bucketed(sf_dir: str, n_buckets: int = 256) -> pa.Table:
     """Bucketed as-of: one ``pd.merge_asof(by='user_id')`` per user bucket."""
-    from ..core.hashing import hash_ints
-
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (hash_ints(uid) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
+    add_bucket = _bucket_by_user(n_buckets)
 
     def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
         buys = df[df["event_type"] == "purchase"].sort_values(["ts", "event_id"], kind="mergesort")

@@ -356,13 +356,33 @@ def embedding_near_dups(
             chunks[-1].append(ref)
             rows_in_chunk += nrows
     chunks = [c for c in chunks if c]
-    futures = []
-    for i in range(len(chunks)):
-        for j in range(i, len(chunks)):
-            futures.append(
-                _chunk_pair_task.remote(chunks[i], chunks[j], threshold, i == j)
-            )
-    parts = [t for t in ray.get(futures) if t.num_rows]
+    # windowed submission: keep a bounded number of chunk-pair tasks in
+    # flight (ray.wait) instead of materializing all O(n_chunks²) futures —
+    # at corpus scale the unbounded futures list itself would exhaust the
+    # driver before the (inherent) O(n²) compute does
+    max_inflight = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    pair_iter = (
+        (i, j) for i in range(len(chunks)) for j in range(i, len(chunks))
+    )
+    inflight: list = []
+    parts: list[pa.Table] = []
+
+    def _drain(block: bool) -> None:
+        nonlocal inflight
+        if not inflight:
+            return
+        done, inflight = ray.wait(inflight, num_returns=1, timeout=None if block else 0)
+        for t in ray.get(done):
+            if t.num_rows:
+                parts.append(t)
+
+    for i, j in pair_iter:
+        while len(inflight) >= max_inflight:
+            _drain(block=True)
+        inflight.append(_chunk_pair_task.remote(chunks[i], chunks[j], threshold, i == j))
+        _drain(block=False)
+    while inflight:
+        _drain(block=True)
     if not parts:
         return _PAIR_SCHEMA.empty_table()
     out = pa.concat_tables(parts).to_pandas()

@@ -247,7 +247,10 @@ class LangIdStage:
         }
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        text = pc.utf8_lower(t.column("text"))
+        # null text scores as empty text (pred 'und', score 0.0) — keeps the
+        # engine and the SQL oracle (coalesce(text,'')) on one code path
+        # instead of NaN-vs-NULL divergence
+        text = pc.utf8_lower(pc.fill_null(t.column("text"), ""))
         n_words = np.maximum(
             np.asarray(_count_re(text, WS_TOKEN_RE).to_numpy(zero_copy_only=False)), 1
         )
@@ -411,27 +414,10 @@ class MinHashStage:
             keys[:, band] = acc
         return keys
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        sel = t.filter(pc.is_valid(t.column("text")))
-        if sel.num_rows == 0:
-            return pa.table(
-                {
-                    "band_id": pa.array([], type=pa.int32()),
-                    "band_key": pa.array([], type=pa.uint64()),
-                    "doc_id": pa.array([], type=pa.int64()),
-                }
-            )
-        sig = self.signatures_vec(sel.column("text").combine_chunks())
-        keys = self.band_keys(sig)
-        doc_ids = sel.column("doc_id").to_numpy(zero_copy_only=False)
-        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), sel.num_rows)
-        return pa.table(
-            {
-                "band_id": pa.array(band_ids),
-                "band_key": pa.array(keys.reshape(-1)),
-                "doc_id": pa.array(np.repeat(doc_ids, self.bands)),
-            }
-        )
+    # NOTE: this class is the signature/band-key kernel holder only; the
+    # Dataset stage is the task function ``_minhash_band_task`` below (a
+    # previous callable-stage __call__ duplicated its emit logic and had no
+    # callers — removed).
 
 
 _WORKER_STAGE_CACHE: dict = {}
@@ -514,11 +500,14 @@ def doc_minhash_dups(
     }
     out_a, out_b, out_j = [], [], []
     for a, b in sorted(cand_pairs):
-        j = _exact_jaccard(sh[a], sh[b])
+        # threshold and emit on the HALF-AWAY-rounded value, matching the
+        # DuckDB oracle's `round(j,6) >= threshold` (Python round is
+        # banker's and thresholding raw j diverges on boundary values)
+        j = float(_rha(np.float64(_exact_jaccard(sh[a], sh[b])), 6))
         if j >= threshold:
             out_a.append(a)
             out_b.append(b)
-            out_j.append(round(j, 6))
+            out_j.append(j)
     return pa.table(
         {
             "doc_id_a": pa.array(out_a, type=pa.int64()),
@@ -571,12 +560,17 @@ def _simhash_vec(texts: pa.Array) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.uint64)
     if n_docs == 0 or len(flat) == 0:
         return out
-    # docs whose trimmed text is empty split to the phantom token [""];
-    # Python's "".split() is [] → simhash 0, so mask them out afterwards
-    empty_doc = np.asarray(
-        pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(pc.utf8_lower(texts))), 0)
-        .to_numpy(zero_copy_only=False)
-    )
+    # docs whose trimmed text is empty split to the single phantom token
+    # [""] (Python's "".split() is [] → simhash 0) — detectable from the
+    # split output itself (lens==1 and that token has zero length), no
+    # second lower+trim pass over the text column
+    empty_doc = np.zeros(n_docs, dtype=bool)
+    one = lens == 1
+    if one.any():
+        tok0 = flat.take(pa.array(off[:-1][one]))
+        empty_doc[one] = np.asarray(
+            pc.equal(pc.utf8_length(tok0), 0).to_numpy(zero_copy_only=False)
+        )
     wh = hash_strings(flat)
     nz = lens > 0
     starts = off[:-1][nz]
