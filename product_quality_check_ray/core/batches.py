@@ -24,6 +24,23 @@ import pandas as pd
 import pyarrow as pa
 
 
+def strip_schema_metadata(ds):
+    """Zero-copy per-batch ``replace_schema_metadata(None)`` stage.
+
+    Parquet files written by pandas carry a pandas-metadata dict in the Arrow
+    schema; Ray's hash-shuffle aggregators hash block schemas to deduplicate
+    state and fall back to re-shipping the schema per block when the metadata
+    dict is unhashable ("Failed to hash the schemas" warning). Feed JOIN
+    inputs through this when they come straight from ``read_parquet``.
+    """
+    import pyarrow as _pa
+
+    def f(t: _pa.Table) -> _pa.Table:
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def arrow_out(fn):
     @functools.wraps(fn)
     def wrapped(batch, *args, **kwargs):

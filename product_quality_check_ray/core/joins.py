@@ -93,11 +93,16 @@ def semi_join(
             mask = pc.fill_null(pc.is_in(t.column(key_col), value_set=vals), False)
             if anti:
                 mask = pc.invert(mask)
-            return t.filter(mask)
+            # metadata strip: downstream joins/shuffles hash block schemas
+            # for dedup and a pandas-metadata dict defeats that (batches.py)
+            return t.filter(mask).replace_schema_metadata(None)
 
         return ds.map_batches(filt, batch_format="pyarrow")
 
     out_cols = list(ds.schema().names)
+    from .batches import strip_schema_metadata
+
+    ds = strip_schema_metadata(ds)
     distinct = (
         keys_ds.select_columns([keys_col])
         .groupby(keys_col)

@@ -39,6 +39,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
 from ..core.batches import arrow_out as _aout
+from ..core.batches import strip_schema_metadata as _strip_meta
 from ..core.collect import collect_table as _collect
 from ..core.joins import BROADCAST_KEY_CAP, semi_join
 from ..core.rounding import round_half_away as _rha
@@ -265,7 +266,7 @@ def region_revenue(sf_dir: str) -> pa.Table:
         # compact (orderkey, revenue, custkey) output so only one join
         # operator is live at a time
         region_rows = joined.materialize().join(
-            cust,
+            _strip_meta(cust),
             join_type="inner",
             num_partitions=8,
             on=("o_custkey",),
