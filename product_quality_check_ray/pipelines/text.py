@@ -146,37 +146,61 @@ def doc_exact_dup_groups(sf_dir: str) -> pa.Table:
 
 def exact_loser_ids(ds: rd.Dataset) -> set:
     """doc_ids to DROP for exact-content dedup (everything but each
-    fingerprint group's min-id keeper). Two-pass broadcast design: the
-    fingerprint groupby yields the tiny dup-group map, a second scan
-    collects the loser ids — the corpus itself is never shuffled."""
+    fingerprint group's min-id keeper). Candidate→recover design: a hashed
+    fingerprint aggregate finds duplicate CANDIDATES, a second scan
+    collects full fingerprints for candidates only and verifies exactly —
+    the corpus itself is never shuffled and the driver only ever sees the
+    candidate set."""
 
-    def fp(t: pa.Table) -> pa.Table:
+    from ..core.hashing import hash_strings
+
+    # pass 1 ships an 8-byte hash of the fingerprint through the shuffle
+    # (not the 32-char hex string): groups with n>1 are duplicate
+    # CANDIDATES; 64-bit collisions are filtered exactly in pass 2, which
+    # re-derives the full fingerprint for candidate docs only (the
+    # state/dupfinder candidate→recover design, measured ~2× on the
+    # mostly-unique-key aggregate at 500k docs)
+    def fp_hash(t: pa.Table) -> pa.Table:
+        # int64 VIEW of the uint64 hash: Ray's aggregate key path round-trips
+        # through Python ints and overflows on uint64 > 2^63
+        h = hash_strings(_fingerprint_col(t.column("text"))).view(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"), "fph": pa.array(h)})
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    hashed = ds.map_batches(fp_hash, batch_format="pyarrow").materialize()
+    # hash-range tree reduce instead of Dataset groupby: mostly-unique-key
+    # aggregation is the measured Ray groupby worst case (BASELINE.md);
+    # only the tiny candidate set reaches the driver
+    dup_h = find_dup_hash_values(hashed, "fph")
+    if dup_h.size == 0:
+        return set()
+    cand_arr = pa.array(np.sort(dup_h))
+
+    # candidate doc_ids from the ALREADY-materialized (doc_id, fph) table —
+    # no md5 recompute over the corpus; pass 2 fingerprints candidate rows
+    # only (tiny)
+    def ids_in_cand(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("fph"), value_set=cand_arr)
+        return pa.table({"doc_id": t.filter(mask).column("doc_id")})
+
+    cand_ids = _collect(hashed.map_batches(ids_in_cand, batch_format="pyarrow"))
+    cand_id_arr = pc.unique(cand_ids.column("doc_id").combine_chunks())
+
+    def collect_candidates(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.is_in(t.column("doc_id"), value_set=cand_id_arr), False)
+        sel = t.filter(mask)
         return pa.table(
-            {"doc_id": t.column("doc_id"), "fingerprint": _fingerprint_col(t.column("text"))}
+            {"doc_id": sel.column("doc_id"), "fingerprint": _fingerprint_col(sel.column("text"))}
         )
 
-    groups = (
-        ds.map_batches(fp, batch_format="pyarrow")
-        .groupby("fingerprint")
-        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="keeper_doc_id"))
-    )
-    fps_with_dups = [r for r in groups.take_all() if r["n_docs"] > 1]
-    if not fps_with_dups:
-        return set()
-    dup_fps = {r["fingerprint"]: r["keeper_doc_id"] for r in fps_with_dups}
-
-    def collect_losers(t: pa.Table) -> pa.Table:
-        f = _fingerprint_col(t.column("text"))
-        ids = t.column("doc_id").to_pylist()
-        out = [
-            i for i, h in zip(ids, f.to_pylist()) if h in dup_fps and i != dup_fps[h]
-        ]
-        return pa.table({"loser": pa.array(out, type=pa.int64())})
-
-    return {
-        r["loser"]
-        for r in ds.map_batches(collect_losers, batch_format="pyarrow").take_all()
-    }
+    cand_rows = _collect(ds.map_batches(collect_candidates, batch_format="pyarrow"))
+    # exact grouping of the candidate set (tiny) on full fingerprints:
+    # collisions fall out here, keeper = min doc_id per true group
+    dfc = cand_rows.to_pandas()
+    keeper = dfc.groupby("fingerprint")["doc_id"].transform("min")
+    sizes = dfc.groupby("fingerprint")["doc_id"].transform("size")
+    return set(dfc.loc[(sizes > 1) & (dfc["doc_id"] != keeper), "doc_id"].tolist())
 
 
 def dedup_exact(ds: rd.Dataset) -> rd.Dataset:

@@ -137,3 +137,56 @@ def find_duplicates(files: list[str], ranges: int | None = None) -> dict[str, in
         for k, v in d.items():
             totals[k] = totals.get(k, 0) + v
     return {k: v for k, v in totals.items() if v > 1}
+
+
+@ray.remote
+def _map_hash_blocks(block_refs: list, col: str, ranges: int) -> tuple:
+    """Per-block (hash, count) partials split by hash range, for a Dataset
+    column that ALREADY holds 64-bit hashes (int64 view). Same dataflow as
+    ``_map_fragment`` but fed by object-store block refs instead of files."""
+    blocks = ray.get(list(block_refs))
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    vals = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+    h = np.ascontiguousarray(vals).view(np.uint64)
+    if h.size == 0:
+        empty = np.empty(0, dtype=np.uint64)
+        return tuple((empty, empty.astype(np.int64)) for _ in range(ranges))
+    uv, uc = np.unique(h, return_counts=True)
+    idx = np.searchsorted(uv, _range_edges(ranges))
+    return tuple(zip(np.split(uv, idx), np.split(uc.astype(np.int64), idx)))
+
+
+def find_dup_hash_values(
+    ds, col: str, *, ranges: int | None = None, blocks_per_task: int = 8
+) -> np.ndarray:
+    """int64 hash values occurring ≥ 2 times in ``ds[col]`` via the
+    hash-range tree reduce (values are assumed uniform 64-bit hashes, so
+    value ranges ARE uniform partitions — no extra hashing pass).
+
+    The Dataset-groupby equivalent (`groupby(col).count().filter(n>1)`)
+    costs ~7 s at 500k mostly-unique keys; this reduce moves only
+    (uint64, int64) numpy pairs worker→worker. Callers must verify
+    candidates exactly (64-bit collision contract, as ``find_duplicates``).
+    """
+    if ranges is None:
+        try:
+            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            ranges = 8
+    ranges = max(2, ranges)
+    bundles = list(ds.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        return np.empty(0, dtype=np.int64)
+    mapped = [
+        _map_hash_blocks.options(num_returns=ranges).remote(
+            block_refs[i : i + blocks_per_task], col, ranges
+        )
+        for i in range(0, len(block_refs), blocks_per_task)
+    ]
+    reduced = ray.get(
+        [_reduce_range.remote(*[m[r] for m in mapped]) for r in range(ranges)]
+    )
+    out = np.concatenate([r for r in reduced]) if reduced else np.empty(0, dtype=np.uint64)
+    return np.ascontiguousarray(out).view(np.int64)
