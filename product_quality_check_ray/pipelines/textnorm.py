@@ -250,13 +250,25 @@ def _empty_match_table() -> pa.Table:
     )
 
 
+_DICT_TASK_CACHE: dict = {}
+
+
+def _dict_match_task(t):
+    st = _DICT_TASK_CACHE.get("default")
+    if st is None:
+        st = _DICT_TASK_CACHE["default"] = DictMatchStage()
+    return st(t)
+
+
 def doc_dict_matches(sf_dir: str) -> rd.Dataset:
     """All (doc, word) × dictionary matches, exact + fuzzy (J2/J3), over the
     NORMALIZED word stream (mixed case / markup / mojibake text matches the
     lowercase dictionary — previously the spine matched raw words and its
     normalization stage was dead code)."""
+    # task fn with per-worker cached stage — the dict state is tiny and a
+    # dedicated actor pool pays multi-second startup (BASELINE.md gotcha #4)
     return doc_words(sf_dir, normalized=True).map_batches(
-        DictMatchStage, batch_format="pyarrow", concurrency=(1, 4)
+        _dict_match_task, batch_format="pyarrow"
     )
 
 
@@ -266,12 +278,13 @@ def doc_dict_matches_tsr(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     reference's actual fuzzy-join semantics. Rows-only driver check (the
     scorer has no SQL analog); differentially tested in tests/test_fuzzy.py.
     """
-    return doc_words(sf_dir, normalized=True).map_batches(
-        DictMatchStage,
-        fn_constructor_kwargs={"threshold": threshold, "scorer": "token_set"},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    def tsr_task(t, _cache={}):
+        st = _cache.get("tsr")
+        if st is None:
+            st = _cache["tsr"] = DictMatchStage(threshold=threshold, scorer="token_set")
+        return st(t)
+
+    return doc_words(sf_dir, normalized=True).map_batches(tsr_task, batch_format="pyarrow")
 
 
 def doc_best_dict_match(sf_dir: str) -> pa.Table:
