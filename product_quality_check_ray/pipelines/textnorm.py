@@ -305,7 +305,26 @@ def doc_best_dict_match(sf_dir: str) -> pa.Table:
         out = df.groupby(["doc_id", "canonical"], as_index=False).head(1)
         return out.drop(columns=["_exact"])
 
-    # local argmax per batch, then exact argmax within each shuffled group
+    # local argmax per batch, then exact argmax per doc-id BUCKET: ``best``
+    # already reduces per (doc_id, canonical) inside any frame holding whole
+    # groups, so hashing doc_ids into ~256 chunky buckets avoids the
+    # per-tiny-group map_groups pathology (BASELINE.md) while keeping the
+    # reduce exact
     local = matches.map_batches(_aout(best), batch_format="pandas")
-    final = local.groupby(["doc_id", "canonical"]).map_groups(_aout(best), batch_format="pandas")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ..core.hashing import hash_ints
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (hash_ints(ids) % np.uint64(256)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def best_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return best(df.drop(columns=["bucket"]))
+
+    final = (
+        local.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_aout(best_bucket), batch_format="pandas")
+    )
     return _collect(final.sort(["doc_id", "canonical"]), schema=_empty_match_table().schema)
