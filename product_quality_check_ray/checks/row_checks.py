@@ -47,8 +47,17 @@ def dedupe_column_names(t: pa.Table) -> pa.Table:
             seen[c] = 1
             out.append(c)
         else:
-            out.append(f"{c}.{seen[c]}")
-            seen[c] += 1
+            # probe past suffixes that collide with PRE-EXISTING columns
+            # (e.g. ['a','a','a.1'] must not emit 'a.1' twice) and register
+            # the generated name so later duplicates can't reuse it
+            k = seen[c]
+            cand = f"{c}.{k}"
+            while cand in seen:
+                k += 1
+                cand = f"{c}.{k}"
+            seen[c] = k + 1
+            seen[cand] = 1
+            out.append(cand)
     if out != list(t.column_names):
         t = t.rename_columns(out)
     return t

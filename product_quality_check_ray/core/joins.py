@@ -102,9 +102,11 @@ def semi_join(
     out_cols = list(ds.schema().names)
     from .batches import strip_schema_metadata
 
+    # BOTH join inputs need the pandas-metadata strip: the keys side feeds
+    # the groupby's hash-shuffle aggregators directly
     ds = strip_schema_metadata(ds)
     distinct = (
-        keys_ds.select_columns([keys_col])
+        strip_schema_metadata(keys_ds.select_columns([keys_col]))
         .groupby(keys_col)
         .aggregate(Count(alias_name="__k_n"))
     )

@@ -63,3 +63,24 @@ def salted_sum(
         .materialize()  # S × |keys| rows — tiny
     )
     return stage1.groupby(key).aggregate(Sum(alias, alias_name=alias))
+
+
+def hash_bucket_stage(col: str, n_buckets: int):
+    """Per-batch stage appending ``bucket = hash_ints(col) % n_buckets``.
+
+    The shared building block for bucketed per-key kernels (sessionization,
+    as-of join, grouped argmax): hashing keys into O(n_buckets) chunky groups
+    turns per-tiny-group ``map_groups`` overhead into a handful of vectorized
+    group calls. One definition so the kernels can never desynchronize.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .hashing import hash_ints
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (hash_ints(ids) % np.uint64(n_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    return add_bucket

@@ -247,6 +247,10 @@ def region_revenue(sf_dir: str) -> pa.Table:
 
         def to_region(df: pd.DataFrame) -> pd.DataFrame:
             sk, rn = ray.get(ref)
+            if len(sk) == 0:
+                # empty customer table: inner-join semantics → no rows
+                return pd.DataFrame({"r_name": pd.Series([], dtype=object),
+                                     "revenue": pd.Series([], dtype=np.float64)})
             keys = df["o_custkey"].to_numpy()
             idx = np.searchsorted(sk, keys)
             # guard dangling FKs: an o_custkey absent from customer must be
@@ -501,17 +505,12 @@ SESSION_GAP_MIN = 30
 
 
 def _bucket_by_user(n_buckets: int):
-    """Shared per-batch user→bucket stage for the bucketed per-key kernels
-    (sessionization, as-of): hash_ints(user_id) % n_buckets appended as
-    'bucket'. One definition so the two kernels can never desynchronize."""
-    from ..core.hashing import hash_ints
+    """Per-batch user→bucket stage for the bucketed per-key kernels
+    (sessionization, as-of) — the shared ``core.salting.hash_bucket_stage``
+    keyed on user_id."""
+    from ..core.salting import hash_bucket_stage
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (hash_ints(uid) % np.uint64(n_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
-
-    return add_bucket
+    return hash_bucket_stage("user_id", n_buckets)
 
 
 def user_sessions(sf_dir: str) -> pa.Table:

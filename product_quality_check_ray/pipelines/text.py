@@ -83,14 +83,20 @@ def doc_token_stats(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _fingerprint_col(text: pa.ChunkedArray) -> pa.Array:
-    # NOTE: pc.utf8_trim_whitespace trims Unicode whitespace while the SQL
-    # oracle's trim() trims ASCII space only — the md5 parity contract holds
-    # for corpora whose edge whitespace is ASCII (all fixtures; real corpora
-    # should normalize NBSP upstream)
-    norm = pc.utf8_trim_whitespace(
+def _normalize_for_fp(text: pa.ChunkedArray) -> pa.Array:
+    """Whitespace-collapsed lowercase form that the md5 fingerprint hashes.
+
+    NOTE: pc.utf8_trim_whitespace trims Unicode whitespace while the SQL
+    oracle's trim() trims ASCII space only — the md5 parity contract holds
+    for corpora whose edge whitespace is ASCII (all fixtures; real corpora
+    should normalize NBSP upstream)."""
+    return pc.utf8_trim_whitespace(
         pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
     )
+
+
+def _fingerprint_col(text: pa.ChunkedArray) -> pa.Array:
+    norm = _normalize_for_fp(text)
     fps = [
         None if s is None else hashlib.md5(s.encode("utf-8")).hexdigest()
         for s in norm.to_pylist()
@@ -161,9 +167,12 @@ def exact_loser_ids(ds: rd.Dataset) -> set:
     # state/dupfinder candidate→recover design, measured ~2× on the
     # mostly-unique-key aggregate at 500k docs)
     def fp_hash(t: pa.Table) -> pa.Table:
-        # int64 VIEW of the uint64 hash: Ray's aggregate key path round-trips
-        # through Python ints and overflows on uint64 > 2^63
-        h = hash_strings(_fingerprint_col(t.column("text"))).view(np.int64)
+        # candidate key = vectorized 64-bit hash of the NORMALIZED text (no
+        # corpus-wide Python md5 loop — exact md5 fingerprints are computed
+        # only for the tiny candidate set in pass 2; 64-bit collisions are
+        # filtered there). int64 VIEW because Ray's aggregate key path
+        # round-trips through Python ints and overflows on uint64 > 2^63.
+        h = hash_strings(_normalize_for_fp(t.column("text"))).view(np.int64)
         return pa.table({"doc_id": t.column("doc_id"), "fph": pa.array(h)})
 
     from ..state.dupfinder import find_dup_hash_values
@@ -198,8 +207,11 @@ def exact_loser_ids(ds: rd.Dataset) -> set:
     # exact grouping of the candidate set (tiny) on full fingerprints:
     # collisions fall out here, keeper = min doc_id per true group
     dfc = cand_rows.to_pandas()
-    keeper = dfc.groupby("fingerprint")["doc_id"].transform("min")
-    sizes = dfc.groupby("fingerprint")["doc_id"].transform("size")
+    # dropna=False: null-text docs share the None fingerprint and MUST
+    # dedupe as one group (matches the Ray-groupby semantics this replaced,
+    # doc_exact_dup_groups, and the oracles' NULL partitioning)
+    keeper = dfc.groupby("fingerprint", dropna=False)["doc_id"].transform("min")
+    sizes = dfc.groupby("fingerprint", dropna=False)["doc_id"].transform("size")
     return set(dfc.loc[(sizes > 1) & (dfc["doc_id"] != keeper), "doc_id"].tolist())
 
 

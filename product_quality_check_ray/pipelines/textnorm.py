@@ -312,12 +312,9 @@ def doc_best_dict_match(sf_dir: str) -> pa.Table:
     # reduce exact
     local = matches.map_batches(_aout(best), batch_format="pandas")
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        from ..core.hashing import hash_ints
+    from ..core.salting import hash_bucket_stage
 
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (hash_ints(ids) % np.uint64(256)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b))
+    add_bucket = hash_bucket_stage("doc_id", 256)
 
     def best_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return best(df.drop(columns=["bucket"]))

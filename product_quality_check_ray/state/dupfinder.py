@@ -146,8 +146,14 @@ def _map_hash_blocks(block_refs: list, col: str, ranges: int) -> tuple:
     ``_map_fragment`` but fed by object-store block refs instead of files."""
     blocks = ray.get(list(block_refs))
     tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
-    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-    vals = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+    # column-wise concat: blocks can differ in schema METADATA (pandas keys
+    # survive on some provenances), which fails pa.concat_tables
+    cols = [
+        t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+        for t in tables
+        if t.num_rows
+    ]
+    vals = np.concatenate(cols) if cols else np.empty(0, dtype=np.int64)
     h = np.ascontiguousarray(vals).view(np.uint64)
     if h.size == 0:
         empty = np.empty(0, dtype=np.uint64)

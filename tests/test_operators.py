@@ -632,3 +632,28 @@ def test_bucketed_kernels_match_map_groups(ray_session):
     c = events_asof_map_groups(SF_SMALL).to_pandas().reset_index(drop=True)
     d = events_asof_bucketed(SF_SMALL).to_pandas().reset_index(drop=True)
     assert c.equals(d)
+
+
+def test_exact_dedup_null_text_docs(ray_session, tmp_path):
+    """Null-text docs share the None fingerprint and must dedupe as ONE
+    group (second-review regression: pandas groupby dropna dropped them)."""
+    import pyarrow.parquet as _pq
+
+    import ray.data as rd
+
+    from product_quality_check_ray.pipelines.text import dedup_exact, exact_loser_ids
+
+    d = tmp_path / "nulltext"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(["hello world", None, None, "other text"]),
+        }
+    )
+    _pq.write_table(t, str(d / "documents.parquet"))
+    ds = rd.read_parquet(str(d / "documents.parquet"))
+    losers = exact_loser_ids(ds)
+    assert losers == {3}  # null-text group keeps min id 2, drops 3
+    kept = dedup_exact(ds).to_pandas()
+    assert set(kept["doc_id"]) == {1, 2, 4}

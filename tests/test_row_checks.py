@@ -161,6 +161,15 @@ def test_conform_schema_repair_mode_dedupes_duplicate_columns():
     deduped = dedupe_column_names(t)
     assert deduped.column_names == ["doc_id", "tokens", "n_tok", "source", "source.1"]
 
+    # suffix collision with a pre-existing column: ['a','a','a.1'] must stay
+    # unique (second-review regression)
+    tri = pa.table({"x": pa.array([1])})
+    tri = tri.append_column("a", pa.array([1]))
+    tri = tri.append_column("a", pa.array([2]))
+    tri = tri.append_column("a.1", pa.array([3]))
+    names = dedupe_column_names(tri).column_names
+    assert len(set(names)) == len(names) == 4
+
     # strict mode fails on the ambiguous select; repair mode takes the first
     with pytest.raises(Exception):
         conform_schema(t)
