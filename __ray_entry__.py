@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": rel.region_revenue,
         "grouped_topk_orders": rel.grouped_topk_orders,
         "events_daily": rel.events_daily,
+        "events_hopping_windows": rel.events_hopping_windows,  # sliding-window aggregate
         "customers_without_orders": rel.customers_without_orders,
         "parts_matching_terms": rel.parts_matching_terms,
         "order_priority_stats": rel.order_priority_stats,
@@ -541,6 +542,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(round(value, 4)), 4) AS total_value
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "events_hopping_windows": """
+            -- 30-min windows hopping every 15 min: each event is in exactly
+            -- window/hop = 2 windows (engine: relational.events_hopping_windows)
+            SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(round(value, 4)), 4) AS total_value
+            FROM (
+                SELECT event_type, value,
+                       time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE AS window_start
+                FROM events, UNNEST([0, 1]) AS t(j)
+            )
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "events_asof_last_click": """
             SELECT p.event_id, p.user_id,

@@ -346,6 +346,65 @@ def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def events_hopping_windows(
+    sf_dir: str, window_min: int = 30, hop_min: int = 15
+) -> pa.Table:
+    """Hopping (sliding) window aggregate: per (window_start, event_type)
+    count + value sum, windows of ``window_min`` starting every ``hop_min``.
+
+    Each event belongs to ``window/hop`` overlapping windows — the windowed
+    aggregate the reference lacks (SURVEY.md §2.9 streaming-window class).
+    Vectorized fan-out inside ``map_batches`` (epoch arithmetic + np.repeat,
+    no per-row loop), then the events_daily combiner shape: per-batch
+    partials keyed on (window_start, event_type) — bounded key cardinality,
+    tiny shuffle at any input size.
+    """
+    assert window_min % hop_min == 0, "window must be a multiple of hop"
+    k = window_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize to µs explicitly — Arrow timestamp[us] keeps [us]
+        # resolution in pandas ≥ 2, so a blanket //1000 would mis-scale
+        ts_us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype(np.int64)
+        base = (ts_us // hop_us) * hop_us
+        # window starts base, base-hop, …, base-(k-1)·hop each contain ts
+        starts = base.to_numpy()[:, None] - (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        ws = pd.to_datetime(starts.reshape(-1), unit="us").strftime("%Y-%m-%d %H:%M:%S")
+        g = pd.DataFrame(
+            {
+                "window_start": ws,
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "n_events": 1,
+                "total_value": np.repeat(np.asarray(_rha(df["value"], 4)), k),
+            }
+        ).groupby(["window_start", "event_type"], as_index=False).sum()
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(_aout(partial), batch_format="pandas")
+        .materialize()  # tiny combiner output; see core/batches.py note
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("total_value", alias_name="total_value"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_value"] = _rha(df["total_value"], 4)
+        df["n_events"] = df["n_events"].astype(np.int64)
+        return df
+
+    return _collect(
+        agg.map_batches(_aout(finalize), batch_format="pandas").sort(
+            ["window_start", "event_type"]
+        )
+    )
+
+
 def events_daily(sf_dir: str) -> pa.Table:
     """Per (day, event_type): event count and total value.
 

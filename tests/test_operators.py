@@ -657,3 +657,15 @@ def test_exact_dedup_null_text_docs(ray_session, tmp_path):
     assert losers == {3}  # null-text group keeps min id 2, drops 3
     kept = dedup_exact(ds).to_pandas()
     assert set(kept["doc_id"]) == {1, 2, 4}
+
+
+def test_hopping_windows_cover_each_event_twice(ray_session):
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.relational import events_hopping_windows
+
+    out = events_hopping_windows(SF_SMALL).to_pandas()
+    n_events = _pq.read_metadata(f"{SF_SMALL}/events.parquet").num_rows
+    # window = 2 × hop ⇒ every event is in exactly two windows
+    assert out["n_events"].sum() == 2 * n_events
+    assert (out["n_events"] > 0).all()
