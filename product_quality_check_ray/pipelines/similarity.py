@@ -161,40 +161,37 @@ def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 
 class LshBucketStage:
-    """Assigns each vector to its hyperplane-signature bucket; the plane
-    matrix is deterministic per (dim, seed) and built once per actor."""
+    """Assigns each vector to its hyperplane-signature bucket(s); the plane
+    matrices are deterministic per (dim, seed + table) and built once per
+    actor. ``n_tables > 1`` emits one bucket column per independent table
+    (``bucket``, ``bucket_1``, …) — multi-table LSH trades a proportional
+    scan-cost increase for recall 1-(1-p)^T."""
 
-    def __init__(self, n_planes: int = LSH_PLANES):
+    def __init__(self, n_planes: int = LSH_PLANES, n_tables: int = 1):
         self.n_planes = n_planes
-        self.planes: np.ndarray | None = None
+        self.n_tables = n_tables
+        self.planes: list[np.ndarray] | None = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
         em = _list_col_to_matrix(t.column("embedding"))
         if self.planes is None:
-            self.planes = _plane_matrix(em.shape[1], self.n_planes)
-        sig = _signatures(em, self.planes)
-        return pa.table(
-            {
-                "bucket": pa.array(sig.astype(np.int64)),
-                "vec_id": t.column("vec_id"),
-                "embedding": t.column("embedding"),
-            }
-        )
+            self.planes = [
+                _plane_matrix(em.shape[1], self.n_planes, seed=97 + 31 * i)
+                for i in range(self.n_tables)
+            ]
+        cols = {}
+        for i, planes in enumerate(self.planes):
+            sig = _signatures(em, planes)
+            cols["bucket" if i == 0 else f"bucket_{i}"] = pa.array(sig.astype(np.int64))
+        cols["vec_id"] = t.column("vec_id")
+        cols["embedding"] = t.column("embedding")
+        return pa.table(cols)
 
 
-def knn_lsh(
-    sf_dir: str, k: int = 10, num_queries: int = 8, multiprobe: int = 1
-) -> pa.Table:
-    """Approximate top-k: probe only buckets within ``multiprobe`` bit flips
-    of the query's signature. Scale path for corpora where brute force is a
-    full scan per query; recall measured against ``knn_bruteforce`` in tests.
-    """
-    qids, qm = _query_matrix(sf_dir, num_queries)
-    planes = _plane_matrix(qm.shape[1])
-    qsig = _signatures(qm, planes)
-    probe: set[int] = set()
+def _probe_set(qsig: np.ndarray, multiprobe: int) -> set[int]:
     from itertools import combinations as _combos
 
+    probe: set[int] = set()
     for s in qsig:
         probe.add(int(s))
         if multiprobe >= 1:
@@ -203,16 +200,38 @@ def knn_lsh(
         if multiprobe >= 2:
             for b1, b2 in _combos(range(LSH_PLANES), 2):
                 probe.add(int(s) ^ (1 << b1) ^ (1 << b2))
+    return probe
+
+
+def knn_lsh(
+    sf_dir: str, k: int = 10, num_queries: int = 8, multiprobe: int = 1,
+    n_tables: int = 4,
+) -> pa.Table:
+    """Approximate top-k: probe buckets within ``multiprobe`` bit flips of
+    the query's signature, in each of ``n_tables`` independent hash tables
+    (candidate = match in ANY table — union recall 1-(1-p)^T). Scale path
+    for corpora where brute force is a full scan per query; recall measured
+    against ``knn_bruteforce`` in tests.
+    """
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    probes = []
+    for i in range(n_tables):
+        planes = _plane_matrix(qm.shape[1], seed=97 + 31 * i)
+        probes.append(_probe_set(_signatures(qm, planes), multiprobe))
     buckets = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        LshBucketStage, batch_format="pyarrow", concurrency=(1, 4)
+        LshBucketStage(n_tables=n_tables), batch_format="pyarrow"
     )
-    probe_expr = pa.array(sorted(probe), type=pa.int64())
+    probe_exprs = [pa.array(sorted(p), type=pa.int64()) for p in probes]
 
     def in_probe(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        mask = pc.is_in(t.column("bucket"), value_set=probe_expr)
-        return t.filter(pc.fill_null(mask, False)).select(["vec_id", "embedding"])
+        mask = None
+        for i, pe in enumerate(probe_exprs):
+            col = "bucket" if i == 0 else f"bucket_{i}"
+            m = pc.fill_null(pc.is_in(t.column(col), value_set=pe), False)
+            mask = m if mask is None else pc.or_(mask, m)
+        return t.filter(mask).select(["vec_id", "embedding"])
 
     # Candidates are scored INSIDE the pipeline (same BruteForceScorer
     # combiner as knn_bruteforce/knn_ivf): the driver only ever sees

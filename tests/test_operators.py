@@ -669,3 +669,24 @@ def test_hopping_windows_cover_each_event_twice(ray_session):
     # window = 2 × hop ⇒ every event is in exactly two windows
     assert out["n_events"].sum() == 2 * n_events
     assert (out["n_events"] > 0).all()
+
+
+def test_knn_lsh_multi_table_improves_recall(ray_session):
+    """Union over independent hash tables must raise recall on the hardest
+    (random-vector) corpus; deterministic (seeded planes)."""
+    from product_quality_check_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+
+    bf = knn_bruteforce(SF_SMALL, k=10, num_queries=8).to_pandas()
+
+    def recall(n_tables):
+        ls = knn_lsh(SF_SMALL, k=10, num_queries=8, n_tables=n_tables).to_pandas()
+        rs = []
+        for q in bf["query_id"].unique():
+            b = set(bf[bf["query_id"] == q]["neighbor_id"])
+            l = set(ls[ls["query_id"] == q]["neighbor_id"])
+            rs.append(len(b & l) / len(b))
+        return np.mean(rs)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1
+    assert r4 >= 0.4  # measured 0.438 with seeded planes
