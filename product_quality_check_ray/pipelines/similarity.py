@@ -409,21 +409,27 @@ def embedding_near_dups(
     return pa.Table.from_pandas(out, preserve_index=False).cast(_PAIR_SCHEMA)
 
 
-def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.95, max_bucket: int = 2048) -> pa.Table:
+def embedding_near_dups_lsh(
+    sf_dir: str, threshold: float = 0.95, max_bucket: int = 2048, n_tables: int = 4
+) -> pa.Table:
     """Vector pairs with cosine ≥ threshold, found within LSH buckets.
 
     The approximate scale path for corpora where the exact block-pair
     matmul (``embedding_near_dups``) is prohibitive: only same-bucket pairs
     are scored, so cost is sum of squared bucket sizes, not n². Single-table
-    recall for a 0.95-cosine pair under 10 hyperplanes is ~(1-θ/π)^10 ≈ 0.35
-    per table — callers needing high recall should union multiple plane
-    seeds; tests measure recall on a twins fixture. Buckets are processed as
+    recall for a 0.95-cosine pair under 10 hyperplanes is ~(1-θ/π)^10 ≈ 0.35;
+    with ``n_tables`` independent tables unioned the recall is
+    1-(1-0.35)^T ≈ 0.82 at the default T=4; tests measure recall on a twins
+    fixture. Buckets are processed as
     groups (pairwise cosine inside — bounded by ``max_bucket``); the groupby
     ships (bucket, vec_id, embedding) rows.
     """
+    # one bucketing pass emits all T tables' bucket columns; the corpus is
+    # materialized once and grouped per table (union of per-table pairs,
+    # deduped by the Max-cosine aggregate below)
     buckets = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        LshBucketStage, batch_format="pyarrow", concurrency=(1, 4)
-    )
+        LshBucketStage(n_tables=n_tables), batch_format="pyarrow"
+    ).materialize()
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -453,10 +459,20 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.95, max_bucket: in
             }
         )
 
+    per_table = []
+    for i in range(n_tables):
+        col = "bucket" if i == 0 else f"bucket_{i}"
+        per_table.append(
+            buckets.select_columns([col, "vec_id", "embedding"])
+            .groupby(col)
+            .map_groups(pairs, batch_format="pandas")
+        )
+    unioned = per_table[0]
+    for extra in per_table[1:]:
+        unioned = unioned.union(extra)
     out = (
-        buckets.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["vec_id_a", "vec_id_b"])  # a pair may collide in >1 bucket
+        unioned
+        .groupby(["vec_id_a", "vec_id_b"])  # a pair may collide in >1 bucket/table
         .aggregate(Max("cosine", alias_name="cosine"))
     )
 
