@@ -554,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, value,
                        time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE AS window_start
                 FROM events, UNNEST([0, 1]) AS t(j)
+                WHERE ts IS NOT NULL  -- engine parity: unstamped events are not windowable
             )
             GROUP BY 1, 2
             ORDER BY 1, 2

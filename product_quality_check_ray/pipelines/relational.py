@@ -365,6 +365,19 @@ def events_hopping_windows(
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # events without a timestamp cannot be windowed — excluded on BOTH
+        # sides (oracle: WHERE ts IS NOT NULL); NaT would otherwise silently
+        # become the int64 sentinel and crash pd.to_datetime downstream
+        df = df[df["ts"].notna()]
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "window_start": pd.Series([], dtype=str),
+                    "event_type": pd.Series([], dtype=object),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "total_value": pd.Series([], dtype=np.float64),
+                }
+            )
         # normalize to µs explicitly — Arrow timestamp[us] keeps [us]
         # resolution in pandas ≥ 2, so a blanket //1000 would mis-scale
         ts_us = pd.to_datetime(df["ts"]).astype("datetime64[us]").astype(np.int64)

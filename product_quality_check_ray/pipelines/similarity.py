@@ -160,27 +160,40 @@ def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     )
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _planes_for(dim: int, n_planes: int, n_tables: int) -> list[np.ndarray]:
+    """Per-WORKER cache of the deterministic plane matrices — the stage runs
+    as a task fn, whose instance state is re-serialized per task, so a
+    module-level cache is what actually amortizes the build (BASELINE.md
+    task-fn pattern)."""
+    key = (dim, n_planes, n_tables)
+    planes = _PLANES_CACHE.get(key)
+    if planes is None:
+        planes = _PLANES_CACHE[key] = [
+            _plane_matrix(dim, n_planes, seed=97 + 31 * i) for i in range(n_tables)
+        ]
+    return planes
+
+
 class LshBucketStage:
     """Assigns each vector to its hyperplane-signature bucket(s); the plane
-    matrices are deterministic per (dim, seed + table) and built once per
-    actor. ``n_tables > 1`` emits one bucket column per independent table
-    (``bucket``, ``bucket_1``, …) — multi-table LSH trades a proportional
-    scan-cost increase for recall 1-(1-p)^T."""
+    matrices are deterministic per (dim, seed + table) and cached per worker
+    (``_planes_for``). ``n_tables > 1`` emits one bucket column per
+    independent table (``bucket``, ``bucket_1``, …) — multi-table LSH trades
+    a proportional scan-cost increase for recall 1-(1-p)^T."""
 
     def __init__(self, n_planes: int = LSH_PLANES, n_tables: int = 1):
+        if n_tables < 1:
+            raise ValueError("n_tables must be ≥ 1")
         self.n_planes = n_planes
         self.n_tables = n_tables
-        self.planes: list[np.ndarray] | None = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
         em = _list_col_to_matrix(t.column("embedding"))
-        if self.planes is None:
-            self.planes = [
-                _plane_matrix(em.shape[1], self.n_planes, seed=97 + 31 * i)
-                for i in range(self.n_tables)
-            ]
         cols = {}
-        for i, planes in enumerate(self.planes):
+        for i, planes in enumerate(_planes_for(em.shape[1], self.n_planes, self.n_tables)):
             sig = _signatures(em, planes)
             cols["bucket" if i == 0 else f"bucket_{i}"] = pa.array(sig.astype(np.int64))
         cols["vec_id"] = t.column("vec_id")
@@ -213,6 +226,8 @@ def knn_lsh(
     for corpora where brute force is a full scan per query; recall measured
     against ``knn_bruteforce`` in tests.
     """
+    if n_tables < 1:
+        raise ValueError("n_tables must be ≥ 1")
     qids, qm = _query_matrix(sf_dir, num_queries)
     probes = []
     for i in range(n_tables):
@@ -459,17 +474,38 @@ def embedding_near_dups_lsh(
             }
         )
 
+    # per table: hash the 2^LSH_PLANES tiny buckets into ~64 chunky
+    # supergroups (per-tiny-group map_groups overhead is the measured
+    # pathology — BASELINE.md), then score each inner bucket separately
+    # inside the group
+    def pairs_in_buckets(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            frames = [pairs(sub) for _, sub in df.groupby(col, sort=False)]
+            frames = [f for f in frames if len(f)]
+            if not frames:
+                return pairs(df.iloc[:0])
+            return pd.concat(frames, ignore_index=True)
+
+        return fn
+
+    from ..core.hashing import hash_ints
+
     per_table = []
     for i in range(n_tables):
         col = "bucket" if i == 0 else f"bucket_{i}"
+
+        def add_sg(t: pa.Table, col=col) -> pa.Table:
+            b = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sg = (hash_ints(b) % np.uint64(64)).astype(np.int64)
+            return t.append_column("sg", pa.array(sg))
+
         per_table.append(
             buckets.select_columns([col, "vec_id", "embedding"])
-            .groupby(col)
-            .map_groups(pairs, batch_format="pandas")
+            .map_batches(add_sg, batch_format="pyarrow")
+            .groupby("sg")
+            .map_groups(pairs_in_buckets(col), batch_format="pandas")
         )
-    unioned = per_table[0]
-    for extra in per_table[1:]:
-        unioned = unioned.union(extra)
+    unioned = per_table[0].union(*per_table[1:]) if len(per_table) > 1 else per_table[0]
     out = (
         unioned
         .groupby(["vec_id_a", "vec_id_b"])  # a pair may collide in >1 bucket/table
