@@ -909,5 +909,20 @@ def clean_documents(
 
     cleaned = ds.map_batches(final_filter, batch_format="pyarrow")
     if out_dir is not None:
-        cleaned.write_parquet(out_dir)
+        import json as _json
+        import os as _os
+
+        marker = _os.path.join(out_dir, "_CLEAN_SUCCESS.json")
+        if _os.path.exists(marker):
+            # resumable output contract: a completed clean corpus is not
+            # rewritten (delete the marker to force)
+            return rd.read_parquet(out_dir)
+        # partitioned by source: a failed run resumes by re-running (writes
+        # are directory-partitioned, never one giant file), and downstream
+        # readers can prune by source
+        cleaned.write_parquet(out_dir, partition_cols=["source"])
+        with open(marker, "w") as f:
+            _json.dump({"params": {"near_dup_threshold": near_dup_threshold,
+                                   "min_words": min_words,
+                                   "max_stopword_ratio": max_stopword_ratio}}, f)
     return cleaned

@@ -373,7 +373,12 @@ def test_near_dup_clusters_and_clean(fixture_dir, tmp_path):
     assert not {100, 101, 102} & set(kept["doc_id"])
     import glob as _glob
 
-    assert _glob.glob(str(out / "*.parquet"))
+    # partitioned-by-source layout + success marker (resumable contract)
+    assert _glob.glob(str(out / "source=*/*.parquet"))
+    assert (out / "_CLEAN_SUCCESS.json").exists()
+    # second call resumes from the marker: reads the written corpus back
+    again = clean_documents(fixture_dir, str(out), near_dup_threshold=0.6).to_pandas()
+    assert set(again["doc_id"]) == set(kept["doc_id"])
 
 
 def test_route_and_adjudicate(ray_session, tmp_path):
@@ -725,3 +730,13 @@ def test_embedding_near_dups_lsh_recall_multi_table(ray_session, tmp_path):
     mine = set(zip(got["vec_id_a"], got["vec_id_b"]))
     assert len(truth) >= 100
     assert len(mine & truth) / len(truth) >= 0.99
+
+
+def test_bucketed_kernels_invariant_to_bucket_count(ray_session):
+    """n_buckets is a pure performance knob: 7 vs 256 buckets must give
+    identical sessionization output (whole-user co-location holds in both)."""
+    from product_quality_check_ray.pipelines.relational import user_sessions_bucketed
+
+    a = user_sessions_bucketed(SF_SMALL, n_buckets=7).to_pandas().reset_index(drop=True)
+    b = user_sessions_bucketed(SF_SMALL, n_buckets=256).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
