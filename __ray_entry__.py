@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": sim.knn_lsh,  # approximate — rows-only
         "knn_ivf": sim.knn_ivf,  # approximate, partition-pruned — rows-only
         "embedding_label_stats": sim.embedding_label_stats,
+        "embedding_kmeans": lambda sf: sim.kmeans_fit(sf, k=8, iters=10)[1],  # iterative — rows-only
         # --- multimodal plumbing (decode stubbed; schema/layout real)
         "multimodal_features": mm.multimodal_features,  # rows-only
     }

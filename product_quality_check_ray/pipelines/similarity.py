@@ -526,6 +526,104 @@ def embedding_near_dups_lsh(
 
 
 # ---------------------------------------------------------------------------
+# Distributed k-means (iterative algorithm over the full corpus)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    sf_dir: str, k: int = 8, iters: int = 10, seed: int = 1234
+) -> tuple[np.ndarray, pd.DataFrame]:
+    """Full-corpus Lloyd's k-means as an iterative Dataset algorithm.
+
+    Each iteration is ONE streaming pass: a task-fn ``map_batches`` assigns
+    every vector to its nearest centroid and emits per-batch PARTIALS
+    (per-centroid sum vector, count, inertia) — k×(d+2) floats per batch, so
+    the driver merge is tiny regardless of corpus size; the driver updates
+    centroids and broadcasts them via ``ray.put`` for the next pass. This is
+    the canonical Ray Data shape for iterative algorithms: no shuffle, no
+    driver materialization of rows, centroid state in the object store.
+
+    Init: deterministic stride sample (same device as ``ivf_build``).
+    Returns (centroids (k, d), per-centroid stats DataFrame with
+    ``centroid_id, size, inertia``). Empty clusters keep their previous
+    centroid (standard Lloyd fallback).
+    """
+    ds = _emb(sf_dir, columns=["embedding"]).materialize()
+
+    import pyarrow.compute as _pc  # noqa: F401  (kept local: hot loop below is numpy)
+
+    sample_tbl = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(pa.compute.bit_wise_and(t.column("vec_id"), 7), 0)
+            ),
+            batch_format="pyarrow",
+        )
+        .limit(IVF_SAMPLE_CAP)
+    )
+    sample = _list_col_to_matrix(sample_tbl.column("embedding"))
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, len(sample))
+    # farthest-point init on the sample (deterministic): uniform choice can
+    # seed two centroids in one true cluster and Lloyd never escapes
+    first = int(rng.integers(len(sample)))
+    chosen = [first]
+    d2 = ((sample - sample[first]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    centroids = sample[chosen].copy()
+
+    stats = None
+    for _ in range(max(1, iters)):
+        cref = ray.put(centroids)
+
+        def partials(t: pa.Table) -> pd.DataFrame:
+            cents = ray.get(cref)
+            em = _list_col_to_matrix(t.column("embedding"))
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; assignment needs only the
+            # last two terms (argmin over c)
+            cross = em @ cents.T
+            c2 = (cents * cents).sum(axis=1)
+            assign = (c2[None, :] - 2.0 * cross).argmin(axis=1)
+            x2 = (em * em).sum(axis=1)
+            d2 = x2 + c2[assign] - 2.0 * cross[np.arange(len(em)), assign]
+            kk, dd = cents.shape
+            sums = np.zeros((kk, dd))
+            np.add.at(sums, assign, em)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            inertia = np.bincount(assign, weights=np.maximum(d2, 0.0), minlength=kk)
+            return pd.DataFrame(
+                {
+                    "centroid_id": np.arange(kk, dtype=np.int64),
+                    "count": counts,
+                    "inertia": inertia,
+                    "sum_vec": [row.tolist() for row in sums],
+                }
+            )
+
+        parts = _collect(ds.map_batches(_aout(partials), batch_format="pyarrow")).to_pandas()
+        g = parts.groupby("centroid_id")
+        counts = g["count"].sum()
+        inertia = g["inertia"].sum()
+        sums = np.zeros_like(centroids)
+        for cid, grp in g:
+            sums[int(cid)] = np.sum(np.array(grp["sum_vec"].tolist(), dtype=np.float64), axis=0)
+        nonempty = counts.to_numpy() > 0
+        centroids[nonempty] = sums[nonempty] / counts.to_numpy()[nonempty, None]
+        stats = pd.DataFrame(
+            {
+                "centroid_id": counts.index.to_numpy(dtype=np.int64),
+                "size": counts.to_numpy(dtype=np.int64),
+                "inertia": _rha(inertia.to_numpy(), 6),
+            }
+        ).sort_values("centroid_id").reset_index(drop=True)
+    return centroids, stats
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: clustered partitioned index + nprobe search
 # ---------------------------------------------------------------------------
 

@@ -740,3 +740,27 @@ def test_bucketed_kernels_invariant_to_bucket_count(ray_session):
     a = user_sessions_bucketed(SF_SMALL, n_buckets=7).to_pandas().reset_index(drop=True)
     b = user_sessions_bucketed(SF_SMALL, n_buckets=256).to_pandas().reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_kmeans_fit_recovers_clusters(fixture_dir):
+    """Distributed Lloyd's k-means on the 4-cluster fixture: converges to
+    one centroid per true cluster (each true center's nearest centroid is
+    distinct and close)."""
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.similarity import kmeans_fit
+
+    cents, stats = kmeans_fit(fixture_dir, k=4, iters=15)
+    assert cents.shape == (4, 16)
+    assert stats["size"].sum() == 200  # every vector assigned
+    # true cluster means from labels
+    t = _pq.read_table(f"{fixture_dir}/embeddings.parquet")
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = t.column("label").to_numpy()
+    owners = set()
+    for c in range(4):
+        mu = m[labels == c].mean(axis=0)
+        d = ((cents - mu) ** 2).sum(axis=1)
+        owners.add(int(d.argmin()))
+        assert d.min() < 0.05  # centroid sits on the true mean (σ=0.1 noise)
+    assert owners == {0, 1, 2, 3}  # bijection: no merged/split clusters
