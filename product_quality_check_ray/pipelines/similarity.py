@@ -652,7 +652,7 @@ def _ivf_root(sf_dir: str, n_lists: int) -> str:
     return os.path.join(tempfile.gettempdir(), "pqcray_ivf", tag)
 
 
-def ivf_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
+def ivf_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS, *, full_kmeans: bool = False) -> str:
     """Build (idempotently) an IVF index: k-means centroids from a
     deterministic sample, then every vector assigned to its nearest list and
     written as list-partitioned parquet (`list=<i>/part-*.parquet`).
@@ -675,6 +675,16 @@ def ivf_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
 
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
+
+    if full_kmeans:
+        # scale path: train centroids with the DISTRIBUTED Lloyd iterations
+        # (kmeans_fit) instead of the driver-side sample — same partitioned
+        # index layout, better centroids on corpora where a capped sample
+        # is unrepresentative
+        centroids, _stats = kmeans_fit(sf_dir, k=n_lists, iters=IVF_KMEANS_ITERS)
+        np.save(os.path.join(root, "centroids.npy"), centroids)
+        cref = ray.put(centroids)
+        return _ivf_assign_and_write(sf_dir, root, marker, cref)
 
     def stride_sample(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -702,6 +712,12 @@ def ivf_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
     np.save(os.path.join(root, "centroids.npy"), centroids)
 
     cref = ray.put(centroids)
+    return _ivf_assign_and_write(sf_dir, root, marker, cref)
+
+
+def _ivf_assign_and_write(sf_dir: str, root: str, marker: str, cref) -> str:
+    """Assign every vector to its nearest centroid and write the
+    list-partitioned index (shared by the sample and full-kmeans builds)."""
 
     def assign_batch(t: pa.Table) -> pa.Table:
         cents = ray.get(cref)

@@ -71,8 +71,17 @@ def normalize_text_column(text: pa.ChunkedArray) -> pa.Array:
     for bad, good in MOJIBAKE_FIXES:
         out = pc.replace_substring(out, bad.lower(), good.lower())
     out = pc.replace_substring_regex(out, r"<[^>]*>", " ")
-    py = [None if s is None else _nfkd_ascii(s) for s in out.to_pylist()]
-    out = pa.array(py, type=pa.string())
+    # NFKD accent fold is the one per-row step; ASCII strings are fixpoints,
+    # so an all-ASCII batch (the common corpus case) skips the to_pylist
+    # round-trip entirely (r1 VERDICT minor: ascii fast path)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    all_ascii = bool(
+        pc.all(pc.string_is_ascii(pc.fill_null(out, ""))).as_py()
+    )
+    if not all_ascii:
+        py = [None if s is None else _nfkd_ascii(s) for s in out.to_pylist()]
+        out = pa.array(py, type=pa.string())
     out = pc.utf8_trim_whitespace(pc.replace_substring_regex(out, r"\s+", " "))
     return out
 

@@ -764,3 +764,24 @@ def test_kmeans_fit_recovers_clusters(fixture_dir):
         owners.add(int(d.argmin()))
         assert d.min() < 0.05  # centroid sits on the true mean (σ=0.1 noise)
     assert owners == {0, 1, 2, 3}  # bijection: no merged/split clusters
+
+
+def test_knn_ivf_full_kmeans_build(fixture_dir, tmp_path, monkeypatch):
+    """IVF built with the DISTRIBUTED k-means trainer still reaches ≥0.9
+    recall on the cluster fixture (scale-path centroid training)."""
+    import tempfile
+
+    from product_quality_check_ray.pipelines import similarity as sim
+
+    # isolate the index cache so the sample-trained index is not reused
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    root = sim.ivf_build(fixture_dir, n_lists=8, full_kmeans=True)
+    assert (tmp_path / "pqcray_ivf").exists()
+    bf = sim.knn_bruteforce(fixture_dir, k=10, num_queries=4).to_pandas()
+    iv = sim.knn_ivf(fixture_dir, k=10, num_queries=4, nprobe=3, n_lists=8).to_pandas()
+    recalls = []
+    for q in bf["query_id"].unique():
+        b = set(bf[bf["query_id"] == q]["neighbor_id"])
+        l = set(iv[iv["query_id"] == q]["neighbor_id"])
+        recalls.append(len(b & l) / len(b))
+    assert np.mean(recalls) >= 0.9
