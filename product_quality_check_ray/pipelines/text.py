@@ -679,30 +679,48 @@ def doc_simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) ->
     # verify candidates by exact hamming distance on the full simhashes —
     # fetched for CANDIDATE docs only (broadcast id-set filter; candidates
     # are assumed ≪ corpus, the LSH contract)
-    need = sorted({d for col in ("id_a", "id_b") for d in cand[col].tolist()})
-    sims: dict[int, int] = {}
-    if need:
-        need_arr = pa.array(need, type=pa.int64())
+    if not len(cand):
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+    need_arr = pa.array(
+        np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
+    )
 
-        def pick(t: pa.Table) -> pa.Table:
-            mask = pc.is_in(t.column("doc_id"), value_set=need_arr)
-            sel = t.filter(pc.fill_null(mask, False))
-            return pa.table({"doc_id": sel.column("doc_id"), "simhash": sel.column("simhash")})
+    def pick(t: pa.Table) -> pa.Table:
+        # piece_id==0 → one row per doc (pieces emits 4 identical simhash
+        # rows per doc)
+        mask = pc.and_(
+            pc.equal(t.column("piece_id"), 0),
+            pc.fill_null(pc.is_in(t.column("doc_id"), value_set=need_arr), False),
+        )
+        sel = t.filter(mask)
+        return pa.table({"doc_id": sel.column("doc_id"), "simhash": sel.column("simhash")})
 
-        for r in pieces.map_batches(pick, batch_format="pyarrow").take_all():
-            sims[r["doc_id"]] = int(r["simhash"])
-    out_a, out_b, out_h = [], [], []
-    for a, b in sorted(zip(cand["id_a"].tolist(), cand["id_b"].tolist())):
-        h = (sims[a] ^ sims[b]).bit_count()
-        if h <= max_hamming:
-            out_a.append(a)
-            out_b.append(b)
-            out_h.append(h)
+    picked = _collect(pieces.map_batches(pick, batch_format="pyarrow"))
+    pid = picked.column("doc_id").to_numpy(zero_copy_only=False)
+    psim = picked.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(pid)
+    pid, psim = pid[order], psim[order]
+    # fully vectorized hamming verification (the per-pair Python loop was
+    # the wall at 5M candidate pairs in the 500k-doc stress)
+    from ..core.fuzzy import _popcount
+
+    a = cand["id_a"].to_numpy()
+    b = cand["id_b"].to_numpy()
+    h = _popcount(psim[np.searchsorted(pid, a)] ^ psim[np.searchsorted(pid, b)])
+    keep = h <= max_hamming
+    a, b, h = a[keep], b[keep], h[keep]
+    order = np.lexsort((b, a))  # matches the previous sorted(zip(a, b))
     return pa.table(
         {
-            "doc_id_a": pa.array(out_a, type=pa.int64()),
-            "doc_id_b": pa.array(out_b, type=pa.int64()),
-            "hamming": pa.array(out_h, type=pa.int64()),
+            "doc_id_a": pa.array(a[order], type=pa.int64()),
+            "doc_id_b": pa.array(b[order], type=pa.int64()),
+            "hamming": pa.array(h[order].astype(np.int64)),
         }
     )
 
