@@ -97,9 +97,29 @@ def entry() -> Any:
 
 
 def _seq_adjudicated(sf_dir: str) -> Any:
+    """Adjudicated verdicts, driver-surface form.
+
+    The engine emits ``checks_failed`` as list<string>; the driver's value
+    hash is only exercised on scalar columns elsewhere, so the surface joins
+    the list to a comma string (order is the engine's fixed ROW_CHECK_NAMES
+    order, reproduced by the oracle's CASE list). ``+ 0.0`` canonicalizes
+    any ``-0.0`` the entropy kernel can produce (``-(p*log2 p).sum()`` of a
+    single-valued row) so both sides hash identical float bytes.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from product_quality_check_ray.pipelines.escalate import seq_adjudicated
 
-    return seq_adjudicated(sf_dir)
+    def surface(t: pa.Table) -> pa.Table:
+        joined = pc.binary_join(pc.cast(t.column("checks_failed"), pa.list_(pa.string())), ",")
+        t = t.set_column(t.schema.get_field_index("checks_failed"), "checks_failed", joined)
+        for col in ("token_entropy", "repeat_ratio"):
+            i = t.schema.get_field_index(col)
+            t = t.set_column(i, col, pc.add(t.column(col), 0.0))
+        return t
+
+    return seq_adjudicated(sf_dir).map_batches(surface, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -115,12 +135,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_dup_doc_ids": lambda sf: sq.seq_dup_doc_ids(sf),
         "seq_source_stats": lambda sf: sq.seq_source_stats(sf),
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
-        "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),  # stats — rows-only
+        "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),
         "seq_sketch_report": lambda sf: sq.seq_sketch_report(sf),  # sketches — rows-only
         "seq_repaired": lambda sf: sq.seq_repaired(sf),
         "seq_token_topk": lambda sf: sq.seq_token_topk(sf),
         "seq_ntok_percentiles": lambda sf: sq.seq_ntok_percentiles(sf),
-        "seq_adjudicated": _seq_adjudicated,  # two-phase routing — rows-only
+        "seq_adjudicated": _seq_adjudicated,  # two-phase routing
         "seq_npm_scores": lambda sf: npm.seq_npm_scores(sf),  # 4-pass HFSS-style flow
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
         "pricing_summary": rel.pricing_summary,
@@ -187,6 +207,9 @@ def _seq_glob_sql(sf_dir: str) -> str:
 def oracle_sql() -> dict[str, str]:
     seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
     npm_sql = npm.npm_oracle_sql(_seq_glob_sql(SF01))
+    from product_quality_check_ray.checks.drift import drift_oracle_sql
+
+    drift_sql = drift_oracle_sql(_seq_glob_sql(SF01))
     # token_neg parity note: the engine kernel (checks/row_checks.py) fills
     # null ELEMENTS inside a token list with -1 so the domain check flags the
     # row; DuckDB's list_min ignores NULL elements, hence the explicit
@@ -227,6 +250,49 @@ def oracle_sql() -> dict[str, str]:
             FROM {seq} GROUP BY source ORDER BY source
         """,
         "seq_npm_scores": npm_sql,
+        # full drift-verdict math in SQL (recursive-CTE bin pooling); the
+        # reference histogram is an input dimension embedded as VALUES —
+        # see checks/drift.py:drift_oracle_sql for the parity notes
+        "seq_drift_verdicts": drift_sql,
+        # adjudication: per-flagged-row token stats. DuckDB's entropy() is
+        # log-2 over value counts — exactly the engine kernel's
+        # -(p*log2 p).sum() (escalate.Adjudicator._row_stats); null token
+        # ELEMENTS map to -1 on both sides; repeat_ratio is the adjacent-
+        # equal fraction via lag() over the zipped-unnest position. Verified
+        # exact (not just to 6 dp) on the sf0.01 corpus: max residue 9e-10
+        # from the rounding grid. `+ 0.0` canonicalizes -0.0 on both sides.
+        "seq_adjudicated": f"""
+            WITH base AS (
+              SELECT ROW_NUMBER() OVER () AS rid, doc_id, source, tokens, {flags}
+              FROM {seq}
+            ),
+            flagged AS (SELECT * FROM base WHERE null_doc_id OR null_tokens OR ntok_mismatch OR token_oov OR token_neg OR bad_source OR ntok_range),
+            ex AS (
+              SELECT rid, coalesce(unnest(tokens), -1) AS tok, unnest(range(len(tokens))) AS pos
+              FROM flagged
+            ),
+            stats AS (
+              SELECT rid, entropy(tok) AS ent,
+                     CASE WHEN count(*) < 2 THEN 0.0
+                          ELSE sum(CASE WHEN tok = prev THEN 1.0 ELSE 0.0 END) / (count(*) - 1) END AS rep
+              FROM (SELECT rid, tok, pos, lag(tok) OVER (PARTITION BY rid ORDER BY pos) AS prev FROM ex)
+              GROUP BY rid
+            )
+            SELECT f.doc_id, f.source,
+              array_to_string(list_filter([
+                CASE WHEN f.null_doc_id THEN 'null_doc_id' END,
+                CASE WHEN f.null_tokens THEN 'null_tokens' END,
+                CASE WHEN f.ntok_mismatch THEN 'ntok_mismatch' END,
+                CASE WHEN f.token_oov THEN 'token_oov' END,
+                CASE WHEN f.token_neg THEN 'token_neg' END,
+                CASE WHEN f.bad_source THEN 'bad_source' END,
+                CASE WHEN f.ntok_range THEN 'ntok_range' END
+              ], x -> x IS NOT NULL), ',') AS checks_failed,
+              round(coalesce(s.ent, 0.0), 6) + 0.0 AS token_entropy,
+              round(coalesce(s.rep, 0.0), 6) + 0.0 AS repeat_ratio,
+              CASE WHEN f.null_doc_id OR f.null_tokens OR f.token_oov OR f.token_neg THEN 'severe' ELSE 'minor' END AS severity
+            FROM flagged f LEFT JOIN stats s USING (rid)
+        """,
         "seq_repaired": f"""
             SELECT doc_id,
                    coalesce(len(tokens)::INTEGER, n_tok) AS n_tok_fixed,

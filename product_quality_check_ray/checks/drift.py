@@ -129,3 +129,121 @@ def drift_verdicts(
             ),
         }
     return out
+
+
+def drift_oracle_sql(seq_glob: str) -> str:
+    """DuckDB oracle for ``seq_drift_verdicts``: the full verdict math —
+    histogram build, chi-square with sequential 5-count bin pooling (as a
+    recursive CTE, mirroring ``chi2_stat``'s accumulate-and-reset loop
+    including both tail cases), binned-CDF KS, Wilson–Hilferty critical
+    value, asymptotic KS threshold, and the minimum-effect floor — in SQL.
+
+    The reference histogram is an input *dimension* (datagen-deterministic,
+    FIXTURES.md §4), embedded as literal VALUES the same way the allowlist
+    is embedded in the row-check oracles. Float parity: verified EXACT
+    (bit-equal after rounding) against the engine on the sf0.01 corpus;
+    the engine's Python ``round`` is banker's vs DuckDB's half-away, but
+    the statistics sit ~1e-12 from any rounding boundary on this fixture.
+    """
+    from ..core.schema import HIST_BIN_WIDTH, HIST_NUM_BINS
+    from ..datagen import reference_histograms
+
+    ref = reference_histograms()
+    ref_values = ",".join(
+        f"('{src}',{b},{int(c)})"
+        for src, counts in sorted(ref.items())
+        for b, c in enumerate(counts)
+        if c > 0
+    )
+    srcs = ",".join(f"'{s}'" for s in sorted(ref))
+    nb = HIST_NUM_BINS  # overflow bin index; the grid covers bins 0..nb
+    crit = (
+        f"CASE WHEN dof <= 0 THEN 0.0 ELSE dof * pow(1.0 - 2.0/(9.0*dof) "
+        f"+ {_Z_999} * sqrt(2.0/(9.0*dof)), 3) END"
+    )
+    ks_t = f"CASE WHEN n = 0 OR m = 0 THEN 1.0 ELSE {_KS_ALPHA_C} * sqrt((n + m) / (n * m)) END"
+    return f"""
+WITH RECURSIVE
+ref(source, bin, ref_n) AS (VALUES {ref_values}),
+ref_tot AS (SELECT source, sum(ref_n)::DOUBLE AS m FROM ref GROUP BY source),
+obs AS (
+  SELECT source, least(n_tok // {HIST_BIN_WIDTH}, {nb}) AS bin, count(*)::DOUBLE AS o
+  FROM read_parquet('{seq_glob}')
+  WHERE source IN ({srcs}) AND n_tok IS NOT NULL AND n_tok >= 0
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, g.bin,
+         coalesce(o.o, 0.0) AS o,
+         coalesce(r.ref_n, 0) / t.m AS p
+  FROM (SELECT DISTINCT source FROM ref) s
+  CROSS JOIN (SELECT unnest(range({nb + 1})) AS bin) g
+  LEFT JOIN obs o ON o.source = s.source AND o.bin = g.bin
+  LEFT JOIN ref r ON r.source = s.source AND r.bin = g.bin
+  JOIN ref_tot t ON t.source = s.source
+),
+n_src AS (SELECT source, sum(o) AS n FROM grid GROUP BY source),
+grid2 AS (
+  SELECT g.source, g.bin, g.o, g.p, g.p * n.n AS e, n.n
+  FROM grid g JOIN n_src n ON n.source = g.source
+),
+ks AS (
+  SELECT source,
+         CASE WHEN any_value(n) = 0 THEN 0.0
+              ELSE max(abs(cum_o / n - cum_p)) END AS ks
+  FROM (
+    SELECT source, n,
+           sum(o) OVER (PARTITION BY source ORDER BY bin) AS cum_o,
+           sum(p) OVER (PARTITION BY source ORDER BY bin) AS cum_p
+    FROM grid2
+  ) GROUP BY source
+),
+chi(source, i, acc_o, acc_e, npools, chi2, lo, le) AS (
+  SELECT source, -1, 0.0::DOUBLE, 0.0::DOUBLE, 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE
+  FROM (SELECT DISTINCT source FROM ref)
+  UNION ALL
+  SELECT c.source, c.i + 1,
+    CASE WHEN c.acc_e + g.e >= 5.0 THEN 0.0 ELSE c.acc_o + g.o END,
+    CASE WHEN c.acc_e + g.e >= 5.0 THEN 0.0 ELSE c.acc_e + g.e END,
+    c.npools + CASE WHEN c.acc_e + g.e >= 5.0 THEN 1 ELSE 0 END,
+    c.chi2 + CASE WHEN c.acc_e + g.e >= 5.0
+                  THEN (c.acc_o + g.o - (c.acc_e + g.e)) * (c.acc_o + g.o - (c.acc_e + g.e)) / (c.acc_e + g.e)
+                  ELSE 0.0 END,
+    CASE WHEN c.acc_e + g.e >= 5.0 THEN c.acc_o + g.o ELSE c.lo END,
+    CASE WHEN c.acc_e + g.e >= 5.0 THEN c.acc_e + g.e ELSE c.le END
+  FROM chi c JOIN grid2 g ON g.source = c.source AND g.bin = c.i + 1
+  WHERE c.i < {nb}
+),
+fin AS (SELECT * FROM chi WHERE i = {nb}),
+chi2f AS (
+  SELECT f.source,
+    CASE WHEN n.n = 0 THEN 0
+         WHEN f.npools > 0 AND f.acc_o > 0 THEN f.npools + 1
+         ELSE f.npools END AS npools,
+    CASE WHEN n.n = 0 THEN 0.0
+         WHEN f.npools > 0 AND f.acc_o > 0
+           THEN f.chi2 + (f.acc_o - greatest(f.acc_e, 0.5)) * (f.acc_o - greatest(f.acc_e, 0.5)) / greatest(f.acc_e, 0.5)
+         WHEN f.npools > 0 AND f.acc_e > 0
+           THEN f.chi2 - (f.lo - f.le) * (f.lo - f.le) / f.le
+                + ((f.lo + f.acc_o) - (f.le + f.acc_e)) * ((f.lo + f.acc_o) - (f.le + f.acc_e)) / (f.le + f.acc_e)
+         ELSE f.chi2 END AS chi2
+  FROM fin f JOIN n_src n ON n.source = f.source
+),
+verd AS (
+  SELECT c.source,
+    CASE WHEN c.npools < 2 THEN 0.0 ELSE c.chi2 END AS stat,
+    CASE WHEN c.npools < 2 THEN 0 ELSE c.npools - 1 END AS dof,
+    k.ks, n.n, t.m
+  FROM chi2f c JOIN ks k ON k.source = c.source
+  JOIN n_src n ON n.source = c.source JOIN ref_tot t ON t.source = c.source
+)
+SELECT source,
+  n::BIGINT AS rows,
+  round(stat, 4) AS chi2,
+  round({crit}, 4) AS chi2_crit,
+  round(ks, 6) AS ks,
+  round({ks_t}, 6) AS ks_thresh,
+  (n > 0 AND (stat > ({crit}) OR ks > ({ks_t})) AND ks >= {KS_MIN_EFFECT}) AS drifted
+FROM verd
+ORDER BY source
+"""
