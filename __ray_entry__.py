@@ -163,7 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized": tn.doc_normalized,
         "doc_words": tn.doc_words,
         "doc_dict_matches": tn.doc_dict_matches,
-        "doc_dict_matches_tsr": tn.doc_dict_matches_tsr,  # RapidFuzz-equivalent scorer — rows-only
+        # threshold 0.7 (not the 0.8 default) so the fixture exercises the
+        # FUZZY path — token_set_ratio is stricter than char-set Jaccard and
+        # produces no sub-1.0 scores on this corpus at 0.8
+        "doc_dict_matches_tsr": lambda sf: tn.doc_dict_matches_tsr(sf, threshold=0.7),
         "doc_best_dict_match": tn.doc_best_dict_match,
         # --- training-data text ops over documents
         "doc_token_stats": tx.doc_token_stats,
@@ -185,7 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_sample": rel.lineitem_sample,
         "order_value_buckets": rel.order_value_buckets,
         "embedding_near_dups": sim.embedding_near_dups,  # exact block-pair matmul
-        "embedding_near_dups_lsh": sim.embedding_near_dups_lsh,  # approximate scale path — rows-only
+        "embedding_near_dups_lsh": sim.embedding_near_dups_lsh,  # approximate scale path
         # --- similarity search over embeddings
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_lsh": sim.knn_lsh,  # approximate — rows-only
@@ -554,6 +557,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
             ORDER BY vec_id_a, vec_id_b
         """,
+        # same exact-pairs oracle as embedding_near_dups: LSH-bucketed pairs
+        # are verified by exact cosine before emission, so any REPORTED pair
+        # must appear in the exact result (no-false-positives direction is
+        # fully checked; recall on ≥0.95 twins is 1.00 at T=4 tables,
+        # measured in tests/test_operators.py on a seeded-twins fixture —
+        # this fixture has no qualifying pairs, so a banding regression that
+        # INVENTS pairs fails here and a recall regression fails pytest)
+        "embedding_near_dups_lsh": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+            ORDER BY vec_id_a, vec_id_b
+        """,
         "knn_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -673,6 +690,57 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN w.word = d.variant THEN 'exact' ELSE 'fuzzy' END AS match_kind
             FROM words w CROSS JOIN dict d
             WHERE w.word = d.variant OR jaccard(w.word, d.variant) >= 0.8
+        """,
+        # token_set_ratio oracle: for single-token words and variants the
+        # RapidFuzz semantics reduce to exact-equality (score 1) or the
+        # InDel ratio 2·LCS/(|w|+|v|); LCS is computed IN SQL with the same
+        # bit-parallel Allison–Dix recurrence the engine uses
+        # (core/fuzzy.py:lcs_batch) as a recursive CTE over UBIGINT — one
+        # iteration per word char, U = V&M; V' = (V+U)|(V−U). The float
+        # expression mirrors the engine op-for-op ((200·lcs/tot)/100) so
+        # doubles are bit-identical. Threshold 0.7 matches the query.
+        "doc_dict_matches_tsr": f"""
+            WITH RECURSIVE dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
+            words AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ')[i] AS word
+                FROM documents,
+                     UNNEST(generate_series(1, len(string_split({_NORM_SQL}, ' ')))) AS t(i)
+            ),
+            uw AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+            cand AS (
+              SELECT u.word AS w, d.variant AS v, d.canonical,
+                     length(u.word)::BIGINT AS la, length(d.variant)::BIGINT AS lb
+              FROM uw u CROSS JOIN dict d
+              WHERE u.word <> d.variant
+                AND 2.0 * least(length(u.word), length(d.variant)) / (length(u.word) + length(d.variant)) >= 0.7
+            ),
+            rec(w, v, canonical, la, lb, i, bv) AS (
+              SELECT w, v, canonical, la, lb, 0::BIGINT, ((1::UBIGINT << lb) - 1::UBIGINT) FROM cand
+              UNION ALL
+              SELECT w, v, canonical, la, lb, i + 1,
+                     ((bv + (bv & M)) | (bv - (bv & M))) & ((1::UBIGINT << lb) - 1::UBIGINT)
+              FROM (
+                SELECT w, v, canonical, la, lb, i, bv,
+                       coalesce(list_sum(list_transform(range(lb), j ->
+                         CASE WHEN substr(v, j::INT + 1, 1) = substr(w, i::INT + 1, 1)
+                              THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)), 0::UBIGINT) AS M
+                FROM rec WHERE i < la
+              )
+            ),
+            scored AS (
+              SELECT w, v, canonical,
+                     (200.0 * (lb - bit_count(bv)) / (la + lb)) / 100.0 AS sim
+              FROM rec WHERE i = la
+            ),
+            hits AS (
+              SELECT u.word AS w, d.variant AS v, d.canonical, 1.0::DOUBLE AS score, 'exact' AS kind
+              FROM uw u JOIN dict d ON u.word = d.variant
+              UNION ALL
+              SELECT w, v, canonical, sim AS score, 'fuzzy' FROM scored WHERE sim >= 0.7
+            )
+            SELECT wo.doc_id, wo.word, h.v AS matched_variant, h.canonical,
+                   round(h.score, 6) AS score, h.kind AS match_kind
+            FROM words wo JOIN hits h ON h.w = wo.word
         """,
         "doc_best_dict_match": f"""
             WITH dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
