@@ -154,12 +154,8 @@ def cooccurrence_pairs(
             for r in range(ranges)
         ]
     )
-    frames = [
-        pd.DataFrame({"id_a": a, "id_b": b, "n_shared": c})
-        for a, b, c in reduced
-        if len(a)
-    ]
-    if not frames:
+    nonempty = [r for r in reduced if len(r[0])]
+    if not nonempty:
         return pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype=np.int64),
@@ -167,6 +163,22 @@ def cooccurrence_pairs(
                 "n_shared": pd.Series([], dtype=np.int64),
             }
         )
-    out = pd.concat(frames, ignore_index=True)
-    # a pair may share keys in several ranges (different keys) — final sum
-    return out.groupby(["id_a", "id_b"], as_index=False)["n_shared"].sum()
+    a = np.concatenate([r[0] for r in nonempty])
+    b = np.concatenate([r[1] for r in nonempty])
+    c = np.concatenate([r[2] for r in nonempty])
+    # a pair may share keys in several ranges (different keys) — final sum.
+    # lexsort + reduceat, not pandas groupby: the pandas path was 15 s of a
+    # 21.6 s wall on 8.5M candidate pairs (500k-doc stress); this is ~2 s
+    order = np.lexsort((b, a))
+    a, b, c = a[order], b[order], c[order]
+    change = np.empty(a.size, dtype=bool)
+    change[0] = True
+    change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(change)
+    return pd.DataFrame(
+        {
+            "id_a": a[starts],
+            "id_b": b[starts],
+            "n_shared": np.add.reduceat(c, starts),
+        }
+    )
