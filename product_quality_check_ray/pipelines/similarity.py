@@ -60,10 +60,48 @@ def _query_matrix(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray
     return qids, qm
 
 
+def _score_batch_against_queries(
+    t: pa.Table, qids: np.ndarray, qm: np.ndarray, qnorm: np.ndarray, k: int
+) -> pa.Table:
+    """One matmul per batch against the broadcast query matrix, then a local
+    per-query top-k combiner (the tree-reduce partial)."""
+    em = _list_col_to_matrix(t.column("embedding"))
+    vids = t.column("vec_id").to_numpy().astype(np.int64)
+    enorm = np.linalg.norm(em, axis=1)
+    denom = np.outer(enorm, qnorm)
+    denom[denom == 0] = 1.0
+    cos = _rha((em @ qm.T) / denom, 6)  # (n, q)
+    out_q, out_n, out_c = [], [], []
+    for j, qid in enumerate(qids):
+        col = cos[:, j]
+        mask = vids != qid
+        cand_ids = vids[mask]
+        cand_cos = col[mask]
+        if cand_ids.size > k:
+            # local top-k: order by (-cos, neighbor_id) — same tie-break
+            # as the final merge and the SQL oracle
+            idx = np.lexsort((cand_ids, -cand_cos))[:k]
+        else:
+            idx = np.lexsort((cand_ids, -cand_cos))
+        out_q.extend([int(qid)] * len(idx))
+        out_n.extend(cand_ids[idx].tolist())
+        out_c.extend(cand_cos[idx].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "cosine": pa.array(out_c, type=pa.float64()),
+        }
+    )
+
+
 class BruteForceScorer:
     """Actor-pool stage: query matrix fetched from the object store ONCE per
     actor (``__init__``), batches scored with one matmul (A5 analog: expensive
-    state built once, reused per batch)."""
+    state built once, reused per batch). Kept for expensive-state callers;
+    the driver queries use the task-fn route (``_bf_task``) because actor
+    pools pay multi-second startup per stage for this tiny state
+    (BASELINE.md gotcha #4)."""
 
     def __init__(self, query_ref, k: int):
         qids, qm = ray.get(query_ref)
@@ -73,34 +111,23 @@ class BruteForceScorer:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        em = _list_col_to_matrix(t.column("embedding"))
-        vids = t.column("vec_id").to_numpy().astype(np.int64)
-        enorm = np.linalg.norm(em, axis=1)
-        denom = np.outer(enorm, self.qnorm)
-        denom[denom == 0] = 1.0
-        cos = _rha((em @ self.qm.T) / denom, 6)  # (n, q)
-        out_q, out_n, out_c = [], [], []
-        for j, qid in enumerate(self.qids):
-            col = cos[:, j]
-            mask = vids != qid
-            cand_ids = vids[mask]
-            cand_cos = col[mask]
-            if cand_ids.size > self.k:
-                # local top-k: order by (-cos, neighbor_id) — same tie-break
-                # as the final merge and the SQL oracle
-                idx = np.lexsort((cand_ids, -cand_cos))[: self.k]
-            else:
-                idx = np.lexsort((cand_ids, -cand_cos))
-            out_q.extend([int(qid)] * len(idx))
-            out_n.extend(cand_ids[idx].tolist())
-            out_c.extend(cand_cos[idx].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "cosine": pa.array(out_c, type=pa.float64()),
-            }
-        )
+        return _score_batch_against_queries(t, self.qids, self.qm, self.qnorm, self.k)
+
+
+def _bf_task(query_ref, k: int):
+    """Task-fn scorer: the query matrix is ``ray.put`` once and fetched from
+    the worker-local object store per task (plasma get is ~µs once local);
+    the derived norms are memoized per worker via the deserialized-function
+    cache (Ray caches the unpickled fn per worker process)."""
+
+    def task(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            qids, qm = ray.get(query_ref)
+            st = _cache["st"] = (qids, qm, np.linalg.norm(qm, axis=1))
+        return _score_batch_against_queries(t, st[0], st[1], st[2], k)
+
+    return task
 
 
 _EMPTY_KNN = pa.table(
@@ -134,10 +161,7 @@ def knn_bruteforce(sf_dir: str, k: int = 10, num_queries: int = 8) -> pa.Table:
     """Exact cosine top-k for the first ``num_queries`` vectors vs the corpus."""
     query_ref = ray.put(_query_matrix(sf_dir, num_queries))
     partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        _bf_task(query_ref, k), batch_format="pyarrow"
     )
     return _topk_finalize(_collect(partials).to_pandas(), k)
 
@@ -255,10 +279,7 @@ def knn_lsh(
     # OOM a driver-side collect.
     query_ref = ray.put((qids, qm))
     partials = buckets.map_batches(in_probe, batch_format="pyarrow").map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        _bf_task(query_ref, k), batch_format="pyarrow"
     )
     return _topk_finalize(_collect(partials).to_pandas(), k)
 
@@ -766,9 +787,6 @@ def knn_ivf(
         return _EMPTY_KNN
     query_ref = ray.put((qids, qm))
     partials = rd.read_parquet(files, columns=["vec_id", "embedding"]).map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"query_ref": query_ref, "k": k},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        _bf_task(query_ref, k), batch_format="pyarrow"
     )
     return _topk_finalize(_collect(partials).to_pandas(), k)
