@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data text ops over documents
         "doc_token_stats": tx.doc_token_stats,
         "doc_fingerprints": tx.doc_fingerprints,
+        "doc_winnow_fingerprints": tx.doc_winnow_fingerprints,  # MOSS winnowing (rolling hash)
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
         "doc_quality_scores": tx.doc_quality_scores,
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
@@ -205,6 +206,60 @@ def _seq_glob_sql(sf_dir: str) -> str:
     # generation is idempotent and already done by the paired query callable
     ensure_sequences(sf_dir)
     return sequences_glob(sf_dir)
+
+
+def _winnow_oracle_sql() -> str:
+    from product_quality_check_ray.pipelines.text import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_W,
+        _WINNOW_POS_BITS,
+    )
+
+    k, w, m = WINNOW_K, WINNOW_W, WINNOW_M
+    pos_mod = 1 << _WINNOW_POS_BITS
+    terms = " + ".join(
+        (
+            f"c * {pow(WINNOW_B, k - 1, m)}"
+            if j == 0
+            else f"lead(c, {j}) OVER wd * {pow(WINNOW_B, k - 1 - j, m)}"
+        )
+        for j in range(k)
+    )
+    return f"""
+        WITH cleaned AS (
+          SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+          FROM documents WHERE text IS NOT NULL
+        ),
+        chars AS (
+          SELECT doc_id, i, unicode(substr(s, i::INT, 1))::BIGINT AS c, length(s)::BIGINT AS ls
+          FROM cleaned, UNNEST(range(1, length(s)::BIGINT + 1)) AS t(i)
+          WHERE length(s) >= {k}
+        ),
+        h AS (
+          SELECT doc_id, i, ls, ({terms}) % {m} AS hv
+          FROM chars
+          WINDOW wd AS (PARTITION BY doc_id ORDER BY i)
+        ),
+        ck AS (
+          SELECT doc_id, i - 1 AS pos0,
+                 hv * {pos_mod} + ({pos_mod - 1} - (i - 1)) AS key
+          FROM h WHERE i <= ls - {k} + 1
+        ),
+        win AS (
+          SELECT doc_id,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos0
+                                ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS mk,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS rn
+          FROM ck
+        )
+        SELECT DISTINCT doc_id,
+               ({pos_mod - 1} - (mk % {pos_mod}))::BIGINT AS pos,
+               (mk // {pos_mod})::BIGINT AS fp
+        FROM win WHERE rn >= {w}
+        ORDER BY doc_id, pos
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -529,6 +584,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
+        # MOSS winnowing in SQL: k-gram polynomial rolling hash via k lead()
+        # terms (codes are ASCII after the [^a-z0-9] strip, so unicode() ==
+        # the engine's byte values; term sum < 2^63 with B=131,k=8,M=2^31−1),
+        # rightmost-min tie-break via the same (hash<<21 | 2^21−1−pos) packed
+        # key the engine uses, window min over w ROWS PRECEDING.
+        "doc_winnow_fingerprints": _winnow_oracle_sql(),
         "doc_exact_dup_groups": r"""
             SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
             FROM (

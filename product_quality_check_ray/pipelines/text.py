@@ -116,6 +116,114 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (k-gram rolling hash + window-min selection — the
+# public MOSS algorithm; Schleimer/Wilkerson/Aiken, SIGMOD'03). The round
+# brief's "document fingerprinting (rolling hash)" op: robust partial-overlap
+# fingerprints, unlike the whole-doc md5 above.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # k-gram length (chars of cleaned text)
+WINNOW_W = 4  # winnowing window (k-grams per window)
+WINNOW_B = 131  # polynomial base
+WINNOW_M = (1 << 31) - 1  # Mersenne modulus — max hash term sum < 2^63
+_WINNOW_POS_BITS = 21  # position packed below the hash in the window-min key
+
+
+def _winnow_batch(t: pa.Table) -> pa.Table:
+    """Fully vectorized winnowing over a batch: one flat byte array for ALL
+    docs; k shifted adds build every k-gram hash, a (n, w) sliding-window
+    min selects fingerprints, and doc boundaries are masked with offset
+    arithmetic — no per-doc Python loop. Rightmost-min tie-break is encoded
+    by packing (hash, 2^21-1-pos) into one int64 key before the window min
+    (the SQL oracle packs identically)."""
+    txt = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(t.column("text").combine_chunks(), "")),
+        "[^a-z0-9]",
+        "",
+    )
+    arr = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "fp": pa.array([], type=pa.int64()),
+        }
+    )
+    n_docs = len(arr)
+    if n_docs == 0:
+        return empty
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset
+    )[arr.offset :].astype(np.int64)
+    buf = arr.buffers()[2]
+    if buf is None or offs[-1] == offs[0]:
+        return empty
+    flat = np.frombuffer(buf, dtype=np.uint8, count=int(offs[-1]))[offs[0] :].astype(
+        np.int64
+    )
+    offs = offs - offs[0]
+    lens = offs[1:] - offs[:-1]
+    if lens.max() >= (1 << _WINNOW_POS_BITS):
+        raise ValueError("document too long for winnowing position packing")
+    k, w = WINNOW_K, WINNOW_W
+    m_grams = np.maximum(lens - k + 1, 0)
+    total = int(m_grams.sum())
+    if total == 0:
+        return empty
+    # flat k-gram hashes: k shifted adds (sum < 8·122·B^(k-1) < 2^63), one mod
+    n_flat = flat.size
+    acc = np.zeros(n_flat - k + 1, dtype=np.int64)
+    for j in range(k):
+        acc += flat[j : n_flat - k + 1 + j] * pow(WINNOW_B, k - 1 - j, WINNOW_M)
+    acc %= WINNOW_M
+    # valid gram starts (fully inside one doc), contiguous per doc
+    grp_starts = np.cumsum(m_grams) - m_grams
+    intra = np.arange(total, dtype=np.int64) - np.repeat(grp_starts, m_grams)
+    gidx = np.repeat(offs[:-1], m_grams) + intra
+    gdoc = np.repeat(np.arange(n_docs, dtype=np.int64), m_grams)
+    ck = acc[gidx] * (1 << _WINNOW_POS_BITS) + ((1 << _WINNOW_POS_BITS) - 1 - intra)
+    # sliding min over w grams; windows crossing doc boundaries are dropped
+    if total < w:
+        return empty
+    sw = np.lib.stride_tricks.sliding_window_view(ck, w)
+    wmin = sw.min(axis=1)
+    valid = gdoc[w - 1 :] == gdoc[: total - w + 1]
+    wmin = wmin[valid]
+    wdoc = gdoc[w - 1 :][valid]
+    if wmin.size == 0:
+        return empty
+    # dedupe (doc, key): (fp, pos) ↔ key is a bijection
+    order = np.lexsort((wmin, wdoc))
+    wmin, wdoc = wmin[order], wdoc[order]
+    keep = np.empty(wmin.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (wmin[1:] != wmin[:-1]) | (wdoc[1:] != wdoc[:-1])
+    wmin, wdoc = wmin[keep], wdoc[keep]
+    fp = wmin >> _WINNOW_POS_BITS
+    pos = ((1 << _WINNOW_POS_BITS) - 1) - (wmin & ((1 << _WINNOW_POS_BITS) - 1))
+    out_doc = doc_ids[wdoc]
+    order = np.lexsort((pos, out_doc))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc[order]),
+            "pos": pa.array(pos[order]),
+            "fp": pa.array(fp[order]),
+        }
+    )
+
+
+def doc_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprints (doc_id, pos, fp): any shared substring of
+    length ≥ k+w−1 cleaned chars between two docs shares ≥ 1 fingerprint
+    (the winnowing guarantee) — the partial-overlap dedup primitive."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _winnow_batch, batch_format="pyarrow"
+    )
+
+
 def doc_exact_dup_groups(sf_dir: str) -> pa.Table:
     """Exact-duplicate groups: fingerprint → (n_docs, keeper = min doc_id).
 

@@ -785,3 +785,72 @@ def test_knn_ivf_full_kmeans_build(fixture_dir, tmp_path, monkeypatch):
         l = set(iv[iv["query_id"] == q]["neighbor_id"])
         recalls.append(len(b & l) / len(b))
     assert np.mean(recalls) >= 0.9
+
+
+def _winnow_reference(text: str):
+    """~15-line pure-Python MOSS winnowing (rightmost-min tie-break)."""
+    import re
+
+    from product_quality_check_ray.pipelines.text import (
+        WINNOW_B as B,
+        WINNOW_K as K,
+        WINNOW_M as M,
+        WINNOW_W as W,
+    )
+
+    s = re.sub(r"[^a-z0-9]", "", (text or "").lower())
+    hs = [sum(ord(s[i + j]) * pow(B, K - 1 - j, M) for j in range(K)) % M for i in range(len(s) - K + 1)]
+    sel = set()
+    for end in range(W - 1, len(hs)):
+        win = hs[end - W + 1 : end + 1]
+        mn = min(win)
+        j = max(i for i in range(W) if win[i] == mn)  # rightmost min
+        sel.add((end - W + 1 + j, mn))
+    return sorted(sel)
+
+
+def test_winnow_matches_pure_python_reference(ray_session):
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import _winnow_batch
+
+    t = _pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    out = _winnow_batch(t)
+    got: dict[int, list] = {}
+    for d, p, f in zip(
+        out.column("doc_id").to_pylist(), out.column("pos").to_pylist(), out.column("fp").to_pylist()
+    ):
+        got.setdefault(d, []).append((p, f))
+    for i in range(min(25, t.num_rows)):
+        doc_id = t.column("doc_id")[i].as_py()
+        ref = _winnow_reference(t.column("text")[i].as_py())
+        assert sorted(got.get(doc_id, [])) == ref, doc_id
+
+
+def test_winnow_overlap_guarantee(ray_session, tmp_path):
+    """Two docs sharing a long substring share ≥1 fingerprint (the winnowing
+    guarantee for matches of length ≥ k+w−1); unrelated docs share none."""
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import _winnow_batch
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta " + shared + " gamma delta",
+                    "completely different prefix " + shared,
+                    "zzz qqq xxx unrelated content entirely 000 111 222 333 444",
+                ]
+            ),
+        }
+    )
+    out = _winnow_batch(docs)
+    fps: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for d, f in zip(out.column("doc_id").to_pylist(), out.column("fp").to_pylist()):
+        fps[d].add(f)
+    assert fps[1] & fps[2], "overlapping docs must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
