@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": tx.doc_token_stats,
         "doc_fingerprints": tx.doc_fingerprints,
         "doc_winnow_fingerprints": tx.doc_winnow_fingerprints,  # MOSS winnowing (rolling hash)
+        "doc_overlap_pairs": tx.doc_overlap_pairs,  # partial-overlap via shared fingerprints
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
         "doc_quality_scores": tx.doc_quality_scores,
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
@@ -590,6 +591,23 @@ def oracle_sql() -> dict[str, str]:
         # rightmost-min tie-break via the same (hash<<21 | 2^21−1−pos) packed
         # key the engine uses, window min over w ROWS PRECEDING.
         "doc_winnow_fingerprints": _winnow_oracle_sql(),
+        # overlap pairs: inverted-index self-join over the winnow
+        # fingerprints; the > hot_cap stop-list mirrors the engine's
+        # drop-hot reduce exactly (drop, never truncate)
+        "doc_overlap_pairs": f"""
+            WITH fps0 AS ({_winnow_oracle_sql()}),
+            fps AS (SELECT DISTINCT doc_id, fp FROM fps0),
+            keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_shared
+              FROM fps a
+              JOIN keep k ON a.fp = k.fp
+              JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b, n_shared FROM pairs
+            WHERE n_shared >= 16 ORDER BY doc_id_a, doc_id_b
+        """,
         "doc_exact_dup_groups": r"""
             SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
             FROM (

@@ -224,6 +224,57 @@ def doc_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     )
 
 
+def doc_overlap_pairs(
+    sf_dir: str, min_shared: int = 16, hot_cap: int = 64
+) -> pa.Table:
+    """Partial-overlap candidate pairs: docs sharing ≥ ``min_shared``
+    distinct winnowing fingerprints (quote/copy/containment detection — the
+    use-case whole-doc md5 and MinHash both miss). Fingerprints hotter than
+    ``hot_cap`` docs are stop-listed as boilerplate (drop, not truncate, so
+    the result is exactly SQL-reproducible); the pairing is the same
+    hash-range reduce as the LSH dedup family — only (fp, doc_id) rows move.
+    """
+    from ..state.pairreduce import cooccurrence_pairs
+
+    fps = doc_winnow_fingerprints(sf_dir)
+
+    def distinct_doc_fp(t: pa.Table) -> pa.Table:
+        # a doc's rows are all in one batch (winnow emits per input block):
+        # per-batch dedupe of (doc_id, fp) is a global distinct
+        # astype: Arrow→numpy of an EMPTY int64 column yields float64, which
+        # would emit a schema-divergent block
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t.column("fp").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((f, d))
+        d, f = d[order], f[order]
+        keep = np.empty(d.size, dtype=bool)
+        if d.size:
+            keep[0] = True
+            keep[1:] = (d[1:] != d[:-1]) | (f[1:] != f[:-1])
+        return pa.table(
+            {
+                "fp": pa.array(f[keep], type=pa.int64()),
+                "doc_id": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    # batch_size=None: whole winnow output blocks (one per input block, so a
+    # doc's rows never split across batches — required for the per-batch
+    # dedupe to be a global distinct)
+    keyed = fps.map_batches(distinct_doc_fp, batch_format="pyarrow", batch_size=None)
+    pairs = cooccurrence_pairs(
+        keyed, "fp", "doc_id", max_bucket=hot_cap, drop_hot=True
+    )
+    sel = pairs[pairs["n_shared"] >= min_shared]
+    return pa.table(
+        {
+            "doc_id_a": pa.array(sel["id_a"].to_numpy(), type=pa.int64()),
+            "doc_id_b": pa.array(sel["id_b"].to_numpy(), type=pa.int64()),
+            "n_shared": pa.array(sel["n_shared"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
 def doc_exact_dup_groups(sf_dir: str) -> pa.Table:
     """Exact-duplicate groups: fingerprint → (n_docs, keeper = min doc_id).
 

@@ -49,6 +49,12 @@ def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int):
     # refs nested inside a list are not auto-dereferenced by Ray
     blocks = ray.get(list(block_refs))
     tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
+    # empty splits surface as ZERO-COLUMN blocks (Ray skips the UDF for
+    # them), which poison concat_tables — drop them
+    tables = [t for t in tables if t.num_rows > 0]
+    if not tables:
+        e = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return e if ranges == 1 else tuple(e for _ in range(ranges))
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     keys = t.column(key_col).combine_chunks()
     ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -73,7 +79,7 @@ def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int):
 
 
 @ray.remote
-def _reduce_range(max_bucket: int, *parts):
+def _reduce_range(max_bucket: int, drop_hot: bool, *parts):
     keys = np.concatenate([p[0] for p in parts])
     if keys.size == 0:
         return (
@@ -92,6 +98,11 @@ def _reduce_range(max_bucket: int, *parts):
     ends = np.r_[starts[1:], k.size]
     out_a, out_b = [], []
     for lo, hi in zip(starts, ends):
+        if drop_hot and hi - lo > max_bucket:
+            # stop-list semantics: a key hotter than the cap is boilerplate
+            # (shared by "everyone") — drop it entirely rather than emitting
+            # a truncated, oracle-divergent pair sample
+            continue
         n = min(hi - lo, max_bucket)
         if n < 2:
             continue
@@ -120,11 +131,15 @@ def cooccurrence_pairs(
     ranges: int | None = None,
     max_bucket: int = 1024,
     blocks_per_task: int = 8,
+    drop_hot: bool = False,
 ) -> pd.DataFrame:
     """All (id_a < id_b, n_shared_keys) pairs that co-occur under a key.
 
     Consumes the dataset's blocks directly (no driver pull of rows); the
     result is assumed small (candidate pairs) and returned as a DataFrame.
+    ``drop_hot=True`` switches hot-key handling from truncate-at-cap to
+    stop-list (keys with more than ``max_bucket`` ids emit no pairs) — the
+    deterministic, oracle-expressible boilerplate filter.
     """
     if ranges is None:
         try:
@@ -150,7 +165,7 @@ def cooccurrence_pairs(
     ]
     reduced = ray.get(
         [
-            _reduce_range.remote(max_bucket, *[m[r] for m in mapped_refs])
+            _reduce_range.remote(max_bucket, drop_hot, *[m[r] for m in mapped_refs])
             for r in range(ranges)
         ]
     )

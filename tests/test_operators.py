@@ -854,3 +854,35 @@ def test_winnow_overlap_guarantee(ray_session, tmp_path):
     assert fps[1] & fps[2], "overlapping docs must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_overlap_pairs_detects_containment(ray_session, tmp_path):
+    """A doc quoting a long passage from another is paired; unrelated is not."""
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import doc_overlap_pairs
+
+    passage = (
+        "data pipelines shuffle blocks through the object store with "
+        "backpressure while actors hold per worker state for scoring stages"
+    )
+    filler = "unrelated words about gardening tulips soil watering cans "
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "intro paragraph here. " + passage + " closing remarks.",
+                    "a different document that quotes: " + passage,
+                    filler * 6,
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "ov"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    out = doc_overlap_pairs(str(d), min_shared=4)
+    pairs = set(zip(out.column("doc_id_a").to_pylist(), out.column("doc_id_b").to_pylist()))
+    assert (10, 20) in pairs
+    assert all(30 not in p for p in pairs)
