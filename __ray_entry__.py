@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": tx.doc_fingerprints,
         "doc_winnow_fingerprints": tx.doc_winnow_fingerprints,  # MOSS winnowing (rolling hash)
         "doc_overlap_pairs": tx.doc_overlap_pairs,  # partial-overlap via shared fingerprints
+        "doc_statements": lambda sf: tx.doc_statements(sf),  # M8 statement splitter (window mode)
+        "doc_segment_dedupe": tx.doc_segment_dedupe,  # M8 cross-row statement dedupe
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
         "doc_quality_scores": tx.doc_quality_scores,
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
@@ -591,6 +593,34 @@ def oracle_sql() -> dict[str, str]:
         # rightmost-min tie-break via the same (hash<<21 | 2^21−1−pos) packed
         # key the engine uses, window min over w ROWS PRECEDING.
         "doc_winnow_fingerprints": _winnow_oracle_sql(),
+        # M8 statement splitter: disjoint 12-word segments of the
+        # trim(lower(text)) word split (DuckDB list slices clamp, matching
+        # the engine's partial last window); empty statements (whitespace-
+        # only docs) dropped on both sides
+        "doc_statements": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents
+            )
+            SELECT doc_id, i::BIGINT AS seg_idx,
+                   array_to_string(ws[(i*12+1):(i*12+12)], ' ') AS statement
+            FROM w, UNNEST(range((len(ws) + 11) // 12)) AS t(i)
+            WHERE array_to_string(ws[(i*12+1):(i*12+12)], ' ') <> ''
+        """,
+        "doc_segment_dedupe": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents
+            ),
+            seg AS (
+              SELECT doc_id, array_to_string(ws[(i*12+1):(i*12+12)], ' ') AS statement
+              FROM w, UNNEST(range((len(ws) + 11) // 12)) AS t(i)
+            )
+            SELECT statement, count(*) AS n_occurrences, min(doc_id) AS keeper_doc_id
+            FROM seg WHERE statement <> ''
+            GROUP BY statement HAVING count(*) > 1
+            ORDER BY statement
+        """,
         # overlap pairs: inverted-index self-join over the winnow
         # fingerprints; the > hot_cap stop-list mirrors the engine's
         # drop-hot reduce exactly (drop, never truncate)

@@ -275,6 +275,155 @@ def doc_overlap_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Statement splitter + cross-row statement dedupe (reference M8,
+# ``app.py`` statement handling): text → statements → duplicate statements
+# across the corpus. The corpus has no sentence punctuation, so the driver
+# query uses fixed word-window segmentation; sentence mode (regex
+# ``[^.!?]+[.!?]*``) is provided for punctuated corpora and covered by
+# pytest on a punctuated fixture.
+# ---------------------------------------------------------------------------
+
+SEGMENT_WIDTH = 12
+
+
+def _window_segments(t: pa.Table, width: int) -> pa.Table:
+    """Disjoint ``width``-word segments per doc, fully vectorized: the
+    word-split ListArray is re-offsetted at every ``width`` words (segment
+    lists stay contiguous in the flat values buffer — no copies) and joined
+    with one ``binary_join`` kernel."""
+    texts = t.column("text").combine_chunks()
+    _, off, flat, lens = _split_words(pc.fill_null(texts, ""))
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_seg = (lens + width - 1) // width
+    n_seg = np.maximum(n_seg, 0)
+    total = int(n_seg.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "seg_idx": pa.array([], type=pa.int64()),
+                "statement": pa.array([], type=pa.string()),
+            }
+        )
+    grp = np.cumsum(n_seg) - n_seg
+    intra = np.arange(total, dtype=np.int64) - np.repeat(grp, n_seg)
+    starts = np.repeat(off[:-1], n_seg) + width * intra
+    offsets = np.append(starts, off[-1]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    segs = pc.binary_join(lists, " ")
+    out_doc = np.repeat(doc_ids, n_seg)
+    keep = np.asarray(pc.utf8_length(segs).to_numpy(zero_copy_only=False)) > 0
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc[keep]),
+            "seg_idx": pa.array(intra[keep]),
+            "statement": segs.filter(pa.array(keep)),
+        }
+    )
+
+
+def _sentence_segments(t: pa.Table) -> pa.Table:
+    """Sentence mode: regex chunks ``[^.!?]+[.!?]*`` (polars extract_all,
+    vectorized), trimmed, empties dropped — for punctuated corpora."""
+    import polars as pl
+
+    s = pl.Series(
+        pa.chunked_array([pc.fill_null(t.column("text").combine_chunks(), "")])
+    )
+    lists = s.str.extract_all(r"[^.!?]+[.!?]*").to_arrow()
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lists = pc.cast(lists, pa.list_(pa.string()))
+    off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_seg = off[1:] - off[:-1]
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n_seg.sum())
+    grp = np.cumsum(n_seg) - n_seg
+    intra = np.arange(total, dtype=np.int64) - np.repeat(grp, n_seg)
+    flat = pc.utf8_trim_whitespace(lists.values)
+    keep = np.asarray(pc.utf8_length(flat).to_numpy(zero_copy_only=False)) > 0
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_ids, n_seg)[keep]),
+            "seg_idx": pa.array(intra[keep]),
+            "statement": flat.filter(pa.array(keep)),
+        }
+    )
+
+
+def doc_statements(
+    sf_dir: str, mode: str = "window", width: int = SEGMENT_WIDTH
+) -> rd.Dataset:
+    """Statement explode: (doc_id, seg_idx, statement)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    if mode == "window":
+        return ds.map_batches(
+            lambda t: _window_segments(t, width), batch_format="pyarrow"
+        )
+    if mode == "sentence":
+        return ds.map_batches(_sentence_segments, batch_format="pyarrow")
+    raise ValueError(f"unknown statement mode {mode!r}")
+
+
+def doc_segment_dedupe(
+    sf_dir: str, width: int = SEGMENT_WIDTH
+) -> pa.Table:
+    """Duplicate statements across the corpus: (statement, n_occurrences,
+    keeper_doc_id). Candidate→recover shape (the exact-dedup pattern):
+    statements travel as 64-bit hashes through the duplicate-hash tree
+    reduce; only CANDIDATE statements (dup hash) are grouped by exact
+    string, so no full-corpus string shuffle and collisions are filtered
+    by the exact groupby's own count."""
+    from ..state.dupfinder import find_dup_hash_values
+
+    segs = doc_statements(sf_dir, mode="window", width=width)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        from ..core.hashing import hash_strings
+
+        h = hash_strings(t.column("statement").combine_chunks()).view(np.int64)
+        return t.append_column("h", pa.array(h, type=pa.int64()))
+
+    hashed = segs.map_batches(add_hash, batch_format="pyarrow").materialize()
+    dup_h = find_dup_hash_values(hashed, "h")
+    if dup_h.size == 0:
+        return pa.table(
+            {
+                "statement": pa.array([], type=pa.string()),
+                "n_occurrences": pa.array([], type=pa.int64()),
+                "keeper_doc_id": pa.array([], type=pa.int64()),
+            }
+        )
+    dup_set = pa.array(np.asarray(dup_h, dtype=np.int64))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.is_in(t.column("h"), value_set=dup_set), False)
+        sel = t.filter(mask)
+        return pa.table(
+            {"statement": sel.column("statement"), "doc_id": sel.column("doc_id")}
+        )
+
+    agg = (
+        hashed.map_batches(candidates, batch_format="pyarrow")
+        .materialize()
+        .groupby("statement")
+        .aggregate(Count(alias_name="n_occurrences"), Min("doc_id", alias_name="keeper_doc_id"))
+    )
+    out = _collect(agg)
+    n = out.column("n_occurrences").to_numpy(zero_copy_only=False).astype(np.int64)
+    out = out.filter(pa.array(n > 1))  # 64-bit collision filter
+    idx = pc.sort_indices(out, sort_keys=[("statement", "ascending")])
+    out = out.take(idx)
+    return pa.table(
+        {
+            "statement": out.column("statement"),
+            "n_occurrences": pc.cast(out.column("n_occurrences"), pa.int64()),
+            "keeper_doc_id": pc.cast(out.column("keeper_doc_id"), pa.int64()),
+        }
+    )
+
+
 def doc_exact_dup_groups(sf_dir: str) -> pa.Table:
     """Exact-duplicate groups: fingerprint → (n_docs, keeper = min doc_id).
 

@@ -886,3 +886,59 @@ def test_overlap_pairs_detects_containment(ray_session, tmp_path):
     pairs = set(zip(out.column("doc_id_a").to_pylist(), out.column("doc_id_b").to_pylist()))
     assert (10, 20) in pairs
     assert all(30 not in p for p in pairs)
+
+
+def test_statement_sentence_mode(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import doc_statements
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "First sentence. Second one! A third? trailing fragment",
+                    "   Only one here.   ",
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "sent"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    out = doc_statements(str(d), mode="sentence").to_pandas().sort_values(["doc_id", "seg_idx"])
+    got = list(zip(out["doc_id"], out["seg_idx"], out["statement"]))
+    assert got == [
+        (1, 0, "First sentence."),
+        (1, 1, "Second one!"),
+        (1, 2, "A third?"),
+        (1, 3, "trailing fragment"),
+        (2, 0, "Only one here."),
+    ]
+
+
+def test_segment_dedupe_finds_repeated_block(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import doc_segment_dedupe
+
+    block = " ".join(f"w{i}" for i in range(12))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 9, 7], type=pa.int64()),
+            "text": pa.array([block + " tail words here", block, "totally different twelve word content " * 3]),
+        }
+    )
+    d = tmp_path / "segdup"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    out = doc_segment_dedupe(str(d))
+    rows = list(
+        zip(
+            out.column("statement").to_pylist(),
+            out.column("n_occurrences").to_pylist(),
+            out.column("keeper_doc_id").to_pylist(),
+        )
+    )
+    assert (block, 2, 5) in rows
