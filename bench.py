@@ -122,6 +122,9 @@ def run_suite() -> dict:
     timed("doc_minhash_dups", tx.doc_minhash_dups)
     timed("doc_simhash_dups", tx.doc_simhash_dups)
     timed("doc_ngram_jaccard_pairs", tx.doc_ngram_jaccard_pairs)
+    timed("doc_winnow_fingerprints", tx.doc_winnow_fingerprints)
+    timed("doc_overlap_pairs", tx.doc_overlap_pairs)
+    timed("doc_segment_dedupe", tx.doc_segment_dedupe)
     timed("clean_documents", lambda sf: tx.clean_documents(sf))
     timed("knn_bruteforce", sim.knn_bruteforce)
     timed("embedding_near_dups", sim.embedding_near_dups)
