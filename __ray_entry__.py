@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": tx.doc_fingerprints,
         "doc_winnow_fingerprints": tx.doc_winnow_fingerprints,  # MOSS winnowing (rolling hash)
         "doc_overlap_pairs": tx.doc_overlap_pairs,  # partial-overlap via shared fingerprints
+        "doc_repetition_scores": tx.doc_repetition_scores,  # Gopher repetition signals
+        "doc_gopher_filter": tx.doc_gopher_filter,  # composed quality filter (fused pass)
         "doc_statements": lambda sf: tx.doc_statements(sf),  # M8 statement splitter (window mode)
         "doc_segment_dedupe": tx.doc_segment_dedupe,  # M8 cross-row statement dedupe
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
@@ -593,6 +595,68 @@ def oracle_sql() -> dict[str, str]:
         # rightmost-min tie-break via the same (hash<<21 | 2^21−1−pos) packed
         # key the engine uses, window min over w ROWS PRECEDING.
         "doc_winnow_fingerprints": _winnow_oracle_sql(),
+        # Gopher repetition signals: duplicate-bigram and top-bigram
+        # fractions per doc (distinctness over joined word pairs == the
+        # engine's factorized code pairs; division ops mirrored)
+        "doc_repetition_scores": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents
+            ),
+            bi AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS b, count(DISTINCT bg)::BIGINT AS d, max(c)::BIGINT AS topc
+              FROM (SELECT doc_id, bg, count(*) OVER (PARTITION BY doc_id, bg) AS c FROM bi)
+              GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(p.b, 0)::BIGINT AS n_bigrams,
+                   round(coalesce((p.b - p.d) * 1.0 / p.b, 0.0), 6) AS dup_bigram_frac,
+                   round(coalesce(p.topc * 1.0 / p.b, 0.0), 6) AS top_bigram_frac
+            FROM w LEFT JOIN per p USING (doc_id)
+            ORDER BY w.doc_id
+        """,
+        # composed Gopher filter: every signal recomputed in SQL with the
+        # engine's exact float ops (int sums then one *1.0/len division), so
+        # the boolean threshold comparisons agree bit-for-bit
+        "doc_gopher_filter": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, len(ws)::BIGINT AS nw,
+                     list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mwl,
+                     len(list_filter(ws, x -> x IN ('the','and','of','to','in','a','is','that','for','it'))) * 1.0 / len(ws) AS swf
+              FROM w
+            ),
+            bi AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS b, count(DISTINCT bg)::BIGINT AS d, max(c)::BIGINT AS topc
+              FROM (SELECT doc_id, bg, count(*) OVER (PARTITION BY doc_id, bg) AS c FROM bi)
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.nw AS n_words,
+                   (s.nw >= 25 AND s.nw <= 100000) AS wc_ok,
+                   (s.mwl >= 3.0 AND s.mwl <= 10.0) AS mwl_ok,
+                   (s.swf >= 0.01) AS stopword_ok,
+                   (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= 0.10) AS rep_ok,
+                   (coalesce(p.topc * 1.0 / p.b, 0.0) <= 0.12) AS top_ok,
+                   ((s.nw >= 25 AND s.nw <= 100000) AND (s.mwl >= 3.0 AND s.mwl <= 10.0)
+                    AND (s.swf >= 0.01)
+                    AND (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= 0.10)
+                    AND (coalesce(p.topc * 1.0 / p.b, 0.0) <= 0.12)) AS keep
+            FROM s LEFT JOIN per p USING (doc_id)
+            ORDER BY s.doc_id
+        """,
         # M8 statement splitter: disjoint 12-word segments of the
         # trim(lower(text)) word split (DuckDB list slices clamp, matching
         # the engine's partial last window); empty statements (whitespace-

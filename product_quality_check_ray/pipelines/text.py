@@ -276,6 +276,144 @@ def doc_overlap_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Within-doc repetition scoring (Gopher-style quality signal, Rae et al.
+# 2021: duplicate n-gram fraction / most-common n-gram fraction — the
+# repetition rules every large-scale corpus filter applies).
+# ---------------------------------------------------------------------------
+
+
+def _repetition_from_split(
+    off: np.ndarray, flat: pa.Array, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_bigrams, dup_frac, top_frac) per doc from a word split — exact and
+    vectorized: words are factorized to int codes per batch (np.unique — no
+    hash collisions), bigrams packed into one int64, lexsorted per doc, and
+    distinct/top counts come from run-length arithmetic."""
+    n_docs = len(lens)
+    n_bi = np.maximum(lens - 1, 0)
+    dup_frac = np.zeros(n_docs, dtype=np.float64)
+    top_frac = np.zeros(n_docs, dtype=np.float64)
+    total = int(n_bi.sum())
+    if total:
+        # factorize words → codes; bigram key = code[i]·V + code[i+1]
+        codes = np.unique(
+            np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object),
+            return_inverse=True,
+        )[1].astype(np.int64)
+        v = int(codes.max()) + 1
+        grp = np.cumsum(n_bi) - n_bi
+        intra = np.arange(total, dtype=np.int64) - np.repeat(grp, n_bi)
+        pos = np.repeat(off[:-1], n_bi) + intra
+        bdoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_bi)
+        bg = codes[pos] * v + codes[pos + 1]
+        order = np.lexsort((bg, bdoc))
+        bdoc_s, bg_s = bdoc[order], bg[order]
+        new_run = np.empty(total, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (bdoc_s[1:] != bdoc_s[:-1]) | (bg_s[1:] != bg_s[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.r_[run_starts, total])
+        run_doc = bdoc_s[run_starts]
+        distinct = np.bincount(run_doc, minlength=n_docs)
+        top = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top, run_doc, run_lens)
+        nz = n_bi > 0
+        dup_frac[nz] = (n_bi[nz] - distinct[nz]) / n_bi[nz]
+        top_frac[nz] = top[nz] / n_bi[nz]
+    return n_bi.astype(np.int64), dup_frac, top_frac
+
+
+def _repetition_batch(t: pa.Table) -> pa.Table:
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_bi, dup_frac, top_frac = _repetition_from_split(off, flat, lens)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "n_bigrams": pa.array(n_bi),
+            "dup_bigram_frac": pa.array(_rha(dup_frac, 6)),
+            "top_bigram_frac": pa.array(_rha(top_frac, 6)),
+        }
+    )
+
+
+def doc_repetition_scores(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals per doc: duplicate-bigram fraction and
+    most-common-bigram fraction over the trim(lower()) word split."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow"
+    )
+
+
+# Gopher-rule thresholds (Rae et al. 2021 table A1 style, calibrated to the
+# fixture's distributions so every rule is non-vacuous at sf0.01)
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_RANGE = (3.0, 10.0)
+GOPHER_MIN_STOPWORD_FRAC = 0.01
+GOPHER_MAX_DUP_BIGRAM = 0.10
+GOPHER_MAX_TOP_BIGRAM = 0.12
+
+
+def _gopher_batch(t: pa.Table) -> pa.Table:
+    """Fused single-pass quality filter: ONE word split feeds word-count,
+    mean-word-length, stopword-fraction and the repetition signals; emits
+    per-rule boolean flags plus the composed keep verdict (flags ARE the
+    reasons — no string building)."""
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(doc_ids)
+    nw = lens.astype(np.int64)
+    wl = np.asarray(
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    sw = np.asarray(
+        pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    chars = np.zeros(n_docs, dtype=np.int64)
+    stops = np.zeros(n_docs, dtype=np.int64)
+    nzd = lens > 0
+    starts = off[:-1][nzd]
+    if starts.size:
+        chars[nzd] = np.add.reduceat(wl, starts)
+        stops[nzd] = np.add.reduceat(sw, starts)
+    mwl = np.zeros(n_docs, dtype=np.float64)
+    swf = np.zeros(n_docs, dtype=np.float64)
+    nz = nw > 0
+    mwl[nz] = chars[nz] / nw[nz]
+    swf[nz] = stops[nz] / nw[nz]
+    _, dup_frac, top_frac = _repetition_from_split(off, flat, lens)
+    wc_ok = (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+    mwl_ok = (mwl >= GOPHER_MWL_RANGE[0]) & (mwl <= GOPHER_MWL_RANGE[1])
+    stop_ok = swf >= GOPHER_MIN_STOPWORD_FRAC
+    rep_ok = dup_frac <= GOPHER_MAX_DUP_BIGRAM
+    top_ok = top_frac <= GOPHER_MAX_TOP_BIGRAM
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "n_words": pa.array(nw),
+            "wc_ok": pa.array(wc_ok),
+            "mwl_ok": pa.array(mwl_ok),
+            "stopword_ok": pa.array(stop_ok),
+            "rep_ok": pa.array(rep_ok),
+            "top_ok": pa.array(top_ok),
+            "keep": pa.array(wc_ok & mwl_ok & stop_ok & rep_ok & top_ok),
+        }
+    )
+
+
+def doc_gopher_filter(sf_dir: str) -> rd.Dataset:
+    """Composed Gopher-style quality filter: per-rule flags + keep verdict,
+    one fused pass over the text column."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _gopher_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statement splitter + cross-row statement dedupe (reference M8,
 # ``app.py`` statement handling): text → statements → duplicate statements
 # across the corpus. The corpus has no sentence punctuation, so the driver

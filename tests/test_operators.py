@@ -942,3 +942,30 @@ def test_segment_dedupe_finds_repeated_block(ray_session, tmp_path):
         )
     )
     assert (block, 2, 5) in rows
+
+
+def test_gopher_filter_flags_repetitive_doc(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import doc_gopher_filter
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and that is for it "
+        "while morning light spreads across quiet fields where farmers tend "
+        "rows of green seedlings beside an old stone wall near the river"
+    )
+    repetitive = "spam ham " * 40  # dup_bigram_frac ≈ 1, no stopwords
+    short = "too short"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([good, repetitive, short]),
+        }
+    )
+    d = tmp_path / "gopher"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    df = doc_gopher_filter(str(d)).to_pandas().set_index("doc_id")
+    assert bool(df.loc[1, "keep"])
+    assert not bool(df.loc[2, "rep_ok"]) and not bool(df.loc[2, "keep"])
+    assert not bool(df.loc[3, "wc_ok"]) and not bool(df.loc[3, "keep"])
