@@ -592,7 +592,7 @@ def oracle_sql() -> dict[str, str]:
         # MOSS winnowing in SQL: k-gram polynomial rolling hash via k lead()
         # terms (codes are ASCII after the [^a-z0-9] strip, so unicode() ==
         # the engine's byte values; term sum < 2^63 with B=131,k=8,M=2^31−1),
-        # rightmost-min tie-break via the same (hash<<21 | 2^21−1−pos) packed
+        # rightmost-min tie-break via the same (hash<<32 | 2^32−1−pos) packed
         # key the engine uses, window min over w ROWS PRECEDING.
         "doc_winnow_fingerprints": _winnow_oracle_sql(),
         # Gopher repetition signals: duplicate-bigram and top-bigram

@@ -127,7 +127,9 @@ WINNOW_K = 8  # k-gram length (chars of cleaned text)
 WINNOW_W = 4  # winnowing window (k-grams per window)
 WINNOW_B = 131  # polynomial base
 WINNOW_M = (1 << 31) - 1  # Mersenne modulus — max hash term sum < 2^63
-_WINNOW_POS_BITS = 21  # position packed below the hash in the window-min key
+# position packed below the hash in the window-min key: hash < 2^31 and
+# 31 + 32 = 63 bits, so the packed key stays int64 up to 4G-char docs
+_WINNOW_POS_BITS = 32
 
 
 def _winnow_batch(t: pa.Table) -> pa.Table:
@@ -135,7 +137,7 @@ def _winnow_batch(t: pa.Table) -> pa.Table:
     docs; k shifted adds build every k-gram hash, a (n, w) sliding-window
     min selects fingerprints, and doc boundaries are masked with offset
     arithmetic — no per-doc Python loop. Rightmost-min tie-break is encoded
-    by packing (hash, 2^21-1-pos) into one int64 key before the window min
+    by packing (hash, 2^32-1-pos) into one int64 key before the window min
     (the SQL oracle packs identically)."""
     txt = pc.replace_substring_regex(
         pc.utf8_lower(pc.fill_null(t.column("text").combine_chunks(), "")),
