@@ -264,8 +264,11 @@ def doc_overlap_pairs(
     # doc's rows never split across batches — required for the per-batch
     # dedupe to be a global distinct)
     keyed = fps.map_batches(distinct_doc_fp, batch_format="pyarrow", batch_size=None)
+    # distinct_ids: reduce-side (fp, doc) dedupe is the correctness guard —
+    # the per-batch dedupe above is only a shuffle-volume reducer, so block
+    # re-slicing at any scale cannot inflate pair counts
     pairs = cooccurrence_pairs(
-        keyed, "fp", "doc_id", max_bucket=hot_cap, drop_hot=True
+        keyed, "fp", "doc_id", max_bucket=hot_cap, drop_hot=True, distinct_ids=True
     )
     sel = pairs[pairs["n_shared"] >= min_shared]
     return pa.table(

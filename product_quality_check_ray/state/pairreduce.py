@@ -79,7 +79,7 @@ def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int):
 
 
 @ray.remote
-def _reduce_range(max_bucket: int, drop_hot: bool, *parts):
+def _reduce_range(max_bucket: int, drop_hot: bool, distinct_ids: bool, *parts):
     keys = np.concatenate([p[0] for p in parts])
     if keys.size == 0:
         return (
@@ -91,6 +91,14 @@ def _reduce_range(max_bucket: int, drop_hot: bool, *parts):
     df = pd.DataFrame({"k": keys, "i": ids}).sort_values(["k", "i"], kind="mergesort")
     k = df["k"].to_numpy()
     i = df["i"].to_numpy()
+    if distinct_ids and k.size:
+        # semantic guard for callers whose upstream dedupe is per-batch
+        # (e.g. overlap pairs): the same (key, id) row arriving twice must
+        # not inflate bucket sizes or pair counts
+        first = np.empty(k.size, dtype=bool)
+        first[0] = True
+        first[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
+        k, i = k[first], i[first]
     change = np.empty(k.size, dtype=bool)
     change[0] = True
     change[1:] = k[1:] != k[:-1]
@@ -132,6 +140,7 @@ def cooccurrence_pairs(
     max_bucket: int = 1024,
     blocks_per_task: int = 8,
     drop_hot: bool = False,
+    distinct_ids: bool = False,
 ) -> pd.DataFrame:
     """All (id_a < id_b, n_shared_keys) pairs that co-occur under a key.
 
@@ -139,7 +148,10 @@ def cooccurrence_pairs(
     result is assumed small (candidate pairs) and returned as a DataFrame.
     ``drop_hot=True`` switches hot-key handling from truncate-at-cap to
     stop-list (keys with more than ``max_bucket`` ids emit no pairs) — the
-    deterministic, oracle-expressible boilerplate filter.
+    deterministic, oracle-expressible boilerplate filter. ``distinct_ids=True``
+    dedupes repeated (key, id) rows inside the reduce (exact — same-key rows
+    co-locate by construction), for callers whose upstream dedupe is only
+    per-batch.
     """
     if ranges is None:
         try:
@@ -165,7 +177,7 @@ def cooccurrence_pairs(
     ]
     reduced = ray.get(
         [
-            _reduce_range.remote(max_bucket, drop_hot, *[m[r] for m in mapped_refs])
+            _reduce_range.remote(max_bucket, drop_hot, distinct_ids, *[m[r] for m in mapped_refs])
             for r in range(ranges)
         ]
     )
