@@ -269,6 +269,21 @@ def _winnow_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
+    from product_quality_check_ray.pipelines.text import (
+        GOPHER_MAX_DUP_BIGRAM,
+        GOPHER_MAX_TOP_BIGRAM,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOPWORD_FRAC,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_RANGE,
+        OVERLAP_HOT_CAP,
+        OVERLAP_MIN_SHARED,
+        SEGMENT_WIDTH,
+        STOPWORDS,
+    )
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    W = SEGMENT_WIDTH
     npm_sql = npm.npm_oracle_sql(_seq_glob_sql(SF01))
     from product_quality_check_ray.checks.drift import drift_oracle_sql
 
@@ -623,7 +638,7 @@ def oracle_sql() -> dict[str, str]:
         # composed Gopher filter: every signal recomputed in SQL with the
         # engine's exact float ops (int sums then one *1.0/len division), so
         # the boolean threshold comparisons agree bit-for-bit
-        "doc_gopher_filter": r"""
+        "doc_gopher_filter": rf"""
             WITH w AS (
               SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
               FROM documents
@@ -631,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT doc_id, len(ws)::BIGINT AS nw,
                      list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mwl,
-                     len(list_filter(ws, x -> x IN ('the','and','of','to','in','a','is','that','for','it'))) * 1.0 / len(ws) AS swf
+                     len(list_filter(ws, x -> x IN ({stoplist}))) * 1.0 / len(ws) AS swf
               FROM w
             ),
             bi AS (
@@ -645,15 +660,16 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id
             )
             SELECT s.doc_id, s.nw AS n_words,
-                   (s.nw >= 25 AND s.nw <= 100000) AS wc_ok,
-                   (s.mwl >= 3.0 AND s.mwl <= 10.0) AS mwl_ok,
-                   (s.swf >= 0.01) AS stopword_ok,
-                   (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= 0.10) AS rep_ok,
-                   (coalesce(p.topc * 1.0 / p.b, 0.0) <= 0.12) AS top_ok,
-                   ((s.nw >= 25 AND s.nw <= 100000) AND (s.mwl >= 3.0 AND s.mwl <= 10.0)
-                    AND (s.swf >= 0.01)
-                    AND (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= 0.10)
-                    AND (coalesce(p.topc * 1.0 / p.b, 0.0) <= 0.12)) AS keep
+                   (s.nw >= {GOPHER_MIN_WORDS} AND s.nw <= {GOPHER_MAX_WORDS}) AS wc_ok,
+                   (s.mwl >= {GOPHER_MWL_RANGE[0]} AND s.mwl <= {GOPHER_MWL_RANGE[1]}) AS mwl_ok,
+                   (s.swf >= {GOPHER_MIN_STOPWORD_FRAC}) AS stopword_ok,
+                   (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= {GOPHER_MAX_DUP_BIGRAM}) AS rep_ok,
+                   (coalesce(p.topc * 1.0 / p.b, 0.0) <= {GOPHER_MAX_TOP_BIGRAM}) AS top_ok,
+                   ((s.nw >= {GOPHER_MIN_WORDS} AND s.nw <= {GOPHER_MAX_WORDS})
+                    AND (s.mwl >= {GOPHER_MWL_RANGE[0]} AND s.mwl <= {GOPHER_MWL_RANGE[1]})
+                    AND (s.swf >= {GOPHER_MIN_STOPWORD_FRAC})
+                    AND (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= {GOPHER_MAX_DUP_BIGRAM})
+                    AND (coalesce(p.topc * 1.0 / p.b, 0.0) <= {GOPHER_MAX_TOP_BIGRAM})) AS keep
             FROM s LEFT JOIN per p USING (doc_id)
             ORDER BY s.doc_id
         """,
@@ -661,24 +677,24 @@ def oracle_sql() -> dict[str, str]:
         # trim(lower(text)) word split (DuckDB list slices clamp, matching
         # the engine's partial last window); empty statements (whitespace-
         # only docs) dropped on both sides
-        "doc_statements": r"""
+        "doc_statements": rf"""
             WITH w AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
               FROM documents
             )
             SELECT doc_id, i::BIGINT AS seg_idx,
-                   array_to_string(ws[(i*12+1):(i*12+12)], ' ') AS statement
-            FROM w, UNNEST(range((len(ws) + 11) // 12)) AS t(i)
-            WHERE array_to_string(ws[(i*12+1):(i*12+12)], ' ') <> ''
+                   array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') AS statement
+            FROM w, UNNEST(range((len(ws) + {W - 1}) // {W})) AS t(i)
+            WHERE array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') <> ''
         """,
-        "doc_segment_dedupe": r"""
+        "doc_segment_dedupe": rf"""
             WITH w AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
               FROM documents
             ),
             seg AS (
-              SELECT doc_id, array_to_string(ws[(i*12+1):(i*12+12)], ' ') AS statement
-              FROM w, UNNEST(range((len(ws) + 11) // 12)) AS t(i)
+              SELECT doc_id, array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') AS statement
+              FROM w, UNNEST(range((len(ws) + {W - 1}) // {W})) AS t(i)
             )
             SELECT statement, count(*) AS n_occurrences, min(doc_id) AS keeper_doc_id
             FROM seg WHERE statement <> ''
@@ -691,7 +707,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_overlap_pairs": f"""
             WITH fps0 AS ({_winnow_oracle_sql()}),
             fps AS (SELECT DISTINCT doc_id, fp FROM fps0),
-            keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+            keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {OVERLAP_HOT_CAP}),
             pairs AS (
               SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_shared
               FROM fps a
@@ -700,7 +716,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT doc_id_a, doc_id_b, n_shared FROM pairs
-            WHERE n_shared >= 16 ORDER BY doc_id_a, doc_id_b
+            WHERE n_shared >= {OVERLAP_MIN_SHARED} ORDER BY doc_id_a, doc_id_b
         """,
         "doc_exact_dup_groups": r"""
             SELECT fp AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper_doc_id

@@ -51,33 +51,38 @@ def chi2_stat(observed: np.ndarray, expected_probs: np.ndarray) -> tuple[float, 
     if n == 0:
         return 0.0, 0
     exp = expected_probs * n
-    # pool tiny-expectation bins left-to-right
-    obs_p: list[float] = []
-    exp_p: list[float] = []
+    # pool tiny-expectation bins left-to-right, accumulating each pool's
+    # chi-square term AS THE POOL CLOSES — the same float-op order as the
+    # SQL oracle's recursive CTE (drift_oracle_sql), so parity is
+    # structural rather than sum-order luck
+    npools = 0
+    stat = 0.0
+    last_o = last_e = 0.0  # last closed pool, for the tail-merge case
     acc_o = acc_e = 0.0
     for o, e in zip(observed, exp):
         acc_o += o
         acc_e += e
         if acc_e >= 5.0:
-            obs_p.append(acc_o)
-            exp_p.append(acc_e)
+            stat += (acc_o - acc_e) * (acc_o - acc_e) / acc_e
+            npools += 1
+            last_o, last_e = acc_o, acc_e
             acc_o = acc_e = 0.0
-    if exp_p and acc_o > 0:
+    if npools and acc_o > 0:
         # observed mass left in (near-)zero-expectation tail bins is the
         # strongest drift evidence: give it its OWN bin with a half-count
         # expectation floor so the statistic registers it instead of
         # diluting it into the last pooled bin
-        obs_p.append(acc_o)
-        exp_p.append(max(acc_e, 0.5))
-    elif exp_p and acc_e > 0:
-        obs_p[-1] += acc_o
-        exp_p[-1] += acc_e
-    if len(exp_p) < 2:
+        e_tail = max(acc_e, 0.5)
+        stat += (acc_o - e_tail) * (acc_o - e_tail) / e_tail
+        npools += 1
+    elif npools and acc_e > 0:
+        # merge the remainder into the last closed pool: replace its term
+        stat -= (last_o - last_e) * (last_o - last_e) / last_e
+        mo, me = last_o + acc_o, last_e + acc_e
+        stat += (mo - me) * (mo - me) / me
+    if npools < 2:
         return 0.0, 0
-    o = np.asarray(obs_p)
-    e = np.asarray(exp_p)
-    stat = float(((o - e) ** 2 / e).sum())
-    return stat, len(exp_p) - 1
+    return stat, npools - 1
 
 
 def ks_stat_binned(observed: np.ndarray, expected_probs: np.ndarray) -> float:

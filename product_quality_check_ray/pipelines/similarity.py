@@ -95,25 +95,6 @@ def _score_batch_against_queries(
     )
 
 
-class BruteForceScorer:
-    """Actor-pool stage: query matrix fetched from the object store ONCE per
-    actor (``__init__``), batches scored with one matmul (A5 analog: expensive
-    state built once, reused per batch). Kept for expensive-state callers;
-    the driver queries use the task-fn route (``_bf_task``) because actor
-    pools pay multi-second startup per stage for this tiny state
-    (BASELINE.md gotcha #4)."""
-
-    def __init__(self, query_ref, k: int):
-        qids, qm = ray.get(query_ref)
-        self.qids = qids
-        self.qm = qm
-        self.qnorm = np.linalg.norm(qm, axis=1)
-        self.k = k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        return _score_batch_against_queries(t, self.qids, self.qm, self.qnorm, self.k)
-
-
 def _bf_task(query_ref, k: int):
     """Task-fn scorer: the query matrix is ``ray.put`` once and fetched from
     the worker-local object store per task (plasma get is ~µs once local);
@@ -272,7 +253,7 @@ def knn_lsh(
             mask = m if mask is None else pc.or_(mask, m)
         return t.filter(mask).select(["vec_id", "embedding"])
 
-    # Candidates are scored INSIDE the pipeline (same BruteForceScorer
+    # Candidates are scored INSIDE the pipeline (same _bf_task
     # combiner as knn_bruteforce/knn_ivf): the driver only ever sees
     # per-batch top-k partials, never candidate embedding payloads — at
     # 100 TB the probed buckets can be a few % of the corpus, which would

@@ -226,8 +226,12 @@ def doc_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
     )
 
 
+OVERLAP_MIN_SHARED = 16
+OVERLAP_HOT_CAP = 64
+
+
 def doc_overlap_pairs(
-    sf_dir: str, min_shared: int = 16, hot_cap: int = 64
+    sf_dir: str, min_shared: int = OVERLAP_MIN_SHARED, hot_cap: int = OVERLAP_HOT_CAP
 ) -> pa.Table:
     """Partial-overlap candidate pairs: docs sharing ≥ ``min_shared``
     distinct winnowing fingerprints (quote/copy/containment detection — the
@@ -241,8 +245,9 @@ def doc_overlap_pairs(
     fps = doc_winnow_fingerprints(sf_dir)
 
     def distinct_doc_fp(t: pa.Table) -> pa.Table:
-        # a doc's rows are all in one batch (winnow emits per input block):
-        # per-batch dedupe of (doc_id, fp) is a global distinct
+        # per-batch dedupe is a shuffle-VOLUME reducer only (block
+        # re-slicing can split a doc's rows); correctness comes from the
+        # reduce-side distinct_ids pass below
         # astype: Arrow→numpy of an EMPTY int64 column yields float64, which
         # would emit a schema-divergent block
         d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
