@@ -969,3 +969,54 @@ def test_gopher_filter_flags_repetitive_doc(ray_session, tmp_path):
     assert bool(df.loc[1, "keep"])
     assert not bool(df.loc[2, "rep_ok"]) and not bool(df.loc[2, "keep"])
     assert not bool(df.loc[3, "wc_ok"]) and not bool(df.loc[3, "keep"])
+
+
+def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
+    """The new doc operators give byte-identical results whether the corpus
+    is one parquet file or eight (different Ray block structures — the
+    single-node stand-in for different cluster partitionings)."""
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import (
+        doc_gopher_filter,
+        doc_overlap_pairs,
+        doc_repetition_scores,
+        doc_segment_dedupe,
+        doc_winnow_fingerprints,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(60)] + ["the", "and", "of", "a"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 80)))) for _ in range(160)]
+    # seed some overlap so the pair/dedupe ops are non-vacuous
+    texts[10] = texts[3] + " " + texts[4]
+    texts[77] = texts[3]
+    docs = pa.table(
+        {"doc_id": pa.array(range(160), type=pa.int64()), "text": pa.array(texts)}
+    )
+    one = tmp_path / "one"
+    eight = tmp_path / "eight"
+    one.mkdir()
+    eight.mkdir()
+    _pq.write_table(docs, str(one / "documents.parquet"))
+    w = _pq.ParquetWriter(str(eight / "documents.parquet"), docs.schema)
+    for i in range(8):
+        w.write_table(docs.slice(i * 20, 20))
+    w.close()
+
+    def canon(res):
+        t = res if isinstance(res, pa.Table) else pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow"))
+        )
+        df = t.to_pandas()
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    for op in (
+        doc_winnow_fingerprints,
+        doc_overlap_pairs,
+        doc_segment_dedupe,
+        doc_repetition_scores,
+        doc_gopher_filter,
+    ):
+        a, b = canon(op(str(one))), canon(op(str(eight)))
+        assert a.equals(b), op.__name__
