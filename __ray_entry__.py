@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_overlap_pairs": tx.doc_overlap_pairs,  # partial-overlap via shared fingerprints
         "doc_repetition_scores": tx.doc_repetition_scores,  # Gopher repetition signals
         "doc_gopher_filter": tx.doc_gopher_filter,  # composed quality filter (fused pass)
+        "doc_decontaminate": tx.doc_decontaminate,  # benchmark n-gram contamination flags
         "doc_statements": lambda sf: tx.doc_statements(sf),  # M8 statement splitter (window mode)
         "doc_segment_dedupe": tx.doc_segment_dedupe,  # M8 cross-row statement dedupe
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
@@ -280,6 +281,11 @@ def oracle_sql() -> dict[str, str]:
         OVERLAP_MIN_SHARED,
         SEGMENT_WIDTH,
         STOPWORDS,
+    )
+
+    from product_quality_check_ray.pipelines.text import (
+        DECON_BENCH_MOD,
+        DECON_NGRAM,
     )
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -633,6 +639,30 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce((p.b - p.d) * 1.0 / p.b, 0.0), 6) AS dup_bigram_frac,
                    round(coalesce(p.topc * 1.0 / p.b, 0.0), 6) AS top_bigram_frac
             FROM w LEFT JOIN per p USING (doc_id)
+            ORDER BY w.doc_id
+        """,
+        # decontamination: exact string join of doc n-grams against the
+        # benchmark slice's n-gram set (the engine's rolling-hash prefilter
+        # is exact after string verification, so the SQL join IS the spec)
+        "doc_decontaminate": rf"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+              FROM documents
+            ),
+            bench AS (SELECT ws FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            bg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
+              FROM bench, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
+            ),
+            dg AS (
+              SELECT doc_id, array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
+              FROM w, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
+            ),
+            hits AS (SELECT doc_id, count(*)::BIGINT AS nh FROM dg JOIN bg USING (g) GROUP BY doc_id)
+            SELECT w.doc_id,
+                   coalesce(h.nh, 0)::BIGINT AS n_contaminated_grams,
+                   coalesce(h.nh, 0) > 0 AS contaminated
+            FROM w LEFT JOIN hits h USING (doc_id)
             ORDER BY w.doc_id
         """,
         # composed Gopher filter: every signal recomputed in SQL with the

@@ -424,6 +424,115 @@ def doc_gopher_filter(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing any word n-gram with a
+# benchmark set (the test-set-contamination filter every LLM data pipeline
+# runs; GPT-3/PaLM-style n-gram overlap). The benchmark here is a
+# deterministic slice of the corpus (doc_id % DECON_BENCH_MOD == 0) — in
+# production it is the eval-suite text. Small-side broadcast, no shuffle:
+# candidates by rolling word-hash, verified by exact gram string.
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 4
+DECON_BENCH_MOD = 101
+_DECON_B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for gram mixing
+
+
+def _gram_hashes(word_hashes: np.ndarray, n: int) -> np.ndarray:
+    """Rolling polynomial combine of ``n`` consecutive word hashes → one
+    uint64 per gram position (wraparound arithmetic, deterministic)."""
+    m = word_hashes.size - n + 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc = acc * _DECON_B + word_hashes[j : j + m]
+    return acc
+
+
+def doc_decontaminate(
+    sf_dir: str, n: int = DECON_NGRAM, bench_mod: int = DECON_BENCH_MOD
+) -> rd.Dataset:
+    """(doc_id, n_contaminated_grams, contaminated) per doc: occurrences of
+    benchmark n-grams in the doc. The benchmark gram set (strings + their
+    rolling hashes) is built once from the small filtered read and broadcast
+    via ``ray.put``; per batch, gram HASHES are matched vectorized
+    (np.isin against the sorted benchmark hashes) and only candidate
+    positions pay for gram-string construction + exact membership check —
+    so hash collisions cannot flag a clean doc."""
+    import ray as _ray
+
+    from ..core.hashing import hash_strings
+
+    def _pick_bench(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % bench_mod == 0))
+
+    bench = _collect(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            _pick_bench, batch_format="pyarrow"
+        )
+    )
+    bench_grams: set[str] = set()
+    for txt in bench.column("text").to_pylist():
+        ws = (txt or "").lower().split()
+        for i in range(len(ws) - n + 1):
+            bench_grams.add(" ".join(ws[i : i + n]))
+    gram_list = sorted(bench_grams)
+    if gram_list:
+        wh_per_gram = [hash_strings(g.split()) for g in gram_list]
+        bench_h = np.sort(
+            np.concatenate([_gram_hashes(wh, n) for wh in wh_per_gram])
+        )
+    else:
+        bench_h = np.zeros(0, dtype=np.uint64)
+    state_ref = _ray.put((bench_h, frozenset(bench_grams)))
+
+    def task(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = _ray.get(state_ref)
+        bh, bset = st
+        texts = pc.fill_null(t.column("text").combine_chunks(), "")
+        _, off, flat, lens = _split_words(texts)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(doc_ids)
+        hits = np.zeros(n_docs, dtype=np.int64)
+        m_grams = np.maximum(lens - n + 1, 0)
+        total = int(m_grams.sum())
+        if total and bh.size:
+            wh = hash_strings(flat)
+            flat_gh = _gram_hashes(wh, n)  # gram at every flat position
+            grp = np.cumsum(m_grams) - m_grams
+            intra = np.arange(total, dtype=np.int64) - np.repeat(grp, m_grams)
+            pos = np.repeat(off[:-1], m_grams) + intra
+            gdoc = np.repeat(np.arange(n_docs, dtype=np.int64), m_grams)
+            gh = flat_gh[pos]
+            cand = np.flatnonzero(
+                bh[np.clip(np.searchsorted(bh, gh), 0, bh.size - 1)] == gh
+            )
+            if cand.size:
+                # gather ONLY the candidate windows' tokens (candidates are
+                # rare by the hash prefilter; clean batches never pay)
+                idx = (pos[cand][:, None] + np.arange(n, dtype=np.int64)).reshape(-1)
+                toks = flat.take(pa.array(idx)).to_pylist()
+                for ci, c in enumerate(cand):
+                    if " ".join(toks[ci * n : (ci + 1) * n]) in bset:
+                        hits[gdoc[c]] += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_contaminated_grams": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        task, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statement splitter + cross-row statement dedupe (reference M8,
 # ``app.py`` statement handling): text → statements → duplicate statements
 # across the corpus. The corpus has no sentence punctuation, so the driver

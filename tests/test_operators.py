@@ -1020,3 +1020,33 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
     ):
         a, b = canon(op(str(one))), canon(op(str(eight)))
         assert a.equals(b), op.__name__
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines.text import doc_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pa.table(
+        {
+            # doc 0 is the benchmark (0 % mod == 0); doc 1 quotes 4+ of its
+            # words consecutively; doc 2 shares words but never 4 in a row
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    bench_text,
+                    "intro words then beta gamma delta epsilon and more",
+                    "alpha only beta alone gamma apart delta solo",
+                ]
+            ),
+        }
+    )
+    d = tmp_path / "decon"
+    d.mkdir()
+    _pq.write_table(docs, str(d / "documents.parquet"))
+    df = doc_decontaminate(str(d)).to_pandas().set_index("doc_id")
+    assert bool(df.loc[0, "contaminated"])  # benchmark doc trivially flagged
+    assert bool(df.loc[1, "contaminated"])
+    assert int(df.loc[1, "n_contaminated_grams"]) == 1
+    assert not bool(df.loc[2, "contaminated"])
