@@ -450,18 +450,11 @@ def _gram_hashes(word_hashes: np.ndarray, n: int) -> np.ndarray:
     return acc
 
 
-def doc_decontaminate(
-    sf_dir: str, n: int = DECON_NGRAM, bench_mod: int = DECON_BENCH_MOD
-) -> rd.Dataset:
-    """(doc_id, n_contaminated_grams, contaminated) per doc: occurrences of
-    benchmark n-grams in the doc. The benchmark gram set (strings + their
-    rolling hashes) is built once from the small filtered read and broadcast
-    via ``ray.put``; per batch, gram HASHES are matched vectorized
-    (np.isin against the sorted benchmark hashes) and only candidate
-    positions pay for gram-string construction + exact membership check —
-    so hash collisions cannot flag a clean doc."""
-    import ray as _ray
-
+def _decon_bench_state(
+    sf_dir: str, n: int, bench_mod: int
+) -> tuple[np.ndarray, frozenset]:
+    """Benchmark gram set for decontamination: (sorted rolling hashes, exact
+    gram strings) built from the small ``doc_id % bench_mod == 0`` slice."""
     from ..core.hashing import hash_strings
 
     def _pick_bench(t: pa.Table) -> pa.Table:
@@ -486,42 +479,65 @@ def doc_decontaminate(
         )
     else:
         bench_h = np.zeros(0, dtype=np.uint64)
-    state_ref = _ray.put((bench_h, frozenset(bench_grams)))
+    return bench_h, frozenset(bench_grams)
+
+
+def _decon_hits(t: pa.Table, bh: np.ndarray, bset: frozenset, n: int) -> np.ndarray:
+    """Per-row count of benchmark n-gram occurrences: vectorized rolling-hash
+    candidates (np.searchsorted against the sorted benchmark hashes), exact
+    gram-string verification on candidate windows only — hash collisions
+    cannot flag a clean doc."""
+    from ..core.hashing import hash_strings
+
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    n_docs = t.num_rows
+    hits = np.zeros(n_docs, dtype=np.int64)
+    m_grams = np.maximum(lens - n + 1, 0)
+    total = int(m_grams.sum())
+    if total and bh.size:
+        wh = hash_strings(flat)
+        flat_gh = _gram_hashes(wh, n)  # gram at every flat position
+        grp = np.cumsum(m_grams) - m_grams
+        intra = np.arange(total, dtype=np.int64) - np.repeat(grp, m_grams)
+        pos = np.repeat(off[:-1], m_grams) + intra
+        gdoc = np.repeat(np.arange(n_docs, dtype=np.int64), m_grams)
+        gh = flat_gh[pos]
+        cand = np.flatnonzero(
+            bh[np.clip(np.searchsorted(bh, gh), 0, bh.size - 1)] == gh
+        )
+        if cand.size:
+            # gather ONLY the candidate windows' tokens (candidates are
+            # rare by the hash prefilter; clean batches never pay)
+            idx = (pos[cand][:, None] + np.arange(n, dtype=np.int64)).reshape(-1)
+            toks = flat.take(pa.array(idx)).to_pylist()
+            for ci, c in enumerate(cand):
+                if " ".join(toks[ci * n : (ci + 1) * n]) in bset:
+                    hits[gdoc[c]] += 1
+    return hits
+
+
+def doc_decontaminate(
+    sf_dir: str, n: int = DECON_NGRAM, bench_mod: int = DECON_BENCH_MOD
+) -> rd.Dataset:
+    """(doc_id, n_contaminated_grams, contaminated) per doc: occurrences of
+    benchmark n-grams in the doc. The benchmark gram set (strings + their
+    rolling hashes) is built once from the small filtered read and broadcast
+    via ``ray.put``."""
+    import ray as _ray
+
+    state_ref = _ray.put(_decon_bench_state(sf_dir, n, bench_mod))
 
     def task(t: pa.Table, _cache={}) -> pa.Table:
         st = _cache.get("st")
         if st is None:
             st = _cache["st"] = _ray.get(state_ref)
-        bh, bset = st
-        texts = pc.fill_null(t.column("text").combine_chunks(), "")
-        _, off, flat, lens = _split_words(texts)
-        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_docs = len(doc_ids)
-        hits = np.zeros(n_docs, dtype=np.int64)
-        m_grams = np.maximum(lens - n + 1, 0)
-        total = int(m_grams.sum())
-        if total and bh.size:
-            wh = hash_strings(flat)
-            flat_gh = _gram_hashes(wh, n)  # gram at every flat position
-            grp = np.cumsum(m_grams) - m_grams
-            intra = np.arange(total, dtype=np.int64) - np.repeat(grp, m_grams)
-            pos = np.repeat(off[:-1], m_grams) + intra
-            gdoc = np.repeat(np.arange(n_docs, dtype=np.int64), m_grams)
-            gh = flat_gh[pos]
-            cand = np.flatnonzero(
-                bh[np.clip(np.searchsorted(bh, gh), 0, bh.size - 1)] == gh
-            )
-            if cand.size:
-                # gather ONLY the candidate windows' tokens (candidates are
-                # rare by the hash prefilter; clean batches never pay)
-                idx = (pos[cand][:, None] + np.arange(n, dtype=np.int64)).reshape(-1)
-                toks = flat.take(pa.array(idx)).to_pylist()
-                for ci, c in enumerate(cand):
-                    if " ".join(toks[ci * n : (ci + 1) * n]) in bset:
-                        hits[gdoc[c]] += 1
+        hits = _decon_hits(t, st[0], st[1], n)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids),
+                "doc_id": pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
                 "n_contaminated_grams": pa.array(hits),
                 "contaminated": pa.array(hits > 0),
             }
