@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_documents_exact": lambda sf: tx.clean_documents(
             sf, near_dup_threshold=None, min_words=16, max_stopword_ratio=0.15
         ),
+        # flagship composition: exact dedup → benchmark holdout →
+        # decontamination → Gopher rules, one fused final pass
+        "clean_documents_full": lambda sf: tx.clean_documents_full(sf),
         "part_sku_parse": rel.part_sku_parse,
         "lineitem_sample": rel.lineitem_sample,
         "order_value_buckets": rel.order_value_buckets,
@@ -604,6 +607,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(regexp_extract_all(d.text, '\S+')) >= 16
               AND len(regexp_extract_all(d.text, '\b(the|and|of|to|in|a|is|that|for|it)\b')) * 1.0
                   / greatest(len(regexp_extract_all(d.text, '\S+')), 1) <= 0.15
+        """,
+        # flagship composition — every CTE is the (already oracle-green)
+        # component SQL verbatim: exact-dup losers (clean_documents_exact),
+        # benchmark grams + contamination join (doc_decontaminate), Gopher
+        # keep expression (doc_gopher_filter, engine float ops mirrored)
+        "clean_documents_full": rf"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+              FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            exact_losers AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                    FROM f
+                ) WHERE rn > 1
+            ),
+            bench AS (SELECT ws FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            bg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
+              FROM bench, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
+            ),
+            dg AS (
+              SELECT doc_id, array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
+              FROM w, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
+            ),
+            contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+            s AS (
+              SELECT doc_id, len(ws)::BIGINT AS nw,
+                     list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mwl,
+                     len(list_filter(ws, x -> x IN ({stoplist}))) * 1.0 / len(ws) AS swf
+              FROM w
+            ),
+            bi AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS b, count(DISTINCT bg)::BIGINT AS d, max(c)::BIGINT AS topc
+              FROM (SELECT doc_id, bg, count(*) OVER (PARTITION BY doc_id, bg) AS c FROM bi)
+              GROUP BY doc_id
+            ),
+            gopher_keep AS (
+              SELECT s.doc_id FROM s LEFT JOIN per p USING (doc_id)
+              WHERE (s.nw >= {GOPHER_MIN_WORDS} AND s.nw <= {GOPHER_MAX_WORDS})
+                AND (s.mwl >= {GOPHER_MWL_RANGE[0]} AND s.mwl <= {GOPHER_MWL_RANGE[1]})
+                AND (s.swf >= {GOPHER_MIN_STOPWORD_FRAC})
+                AND (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= {GOPHER_MAX_DUP_BIGRAM})
+                AND (coalesce(p.topc * 1.0 / p.b, 0.0) <= {GOPHER_MAX_TOP_BIGRAM})
+            )
+            SELECT d.* FROM documents d
+            JOIN gopher_keep USING (doc_id)
+            WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "doc_fingerprints": r"""
             SELECT doc_id,

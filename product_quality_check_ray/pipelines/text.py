@@ -366,15 +366,13 @@ GOPHER_MAX_DUP_BIGRAM = 0.10
 GOPHER_MAX_TOP_BIGRAM = 0.12
 
 
-def _gopher_batch(t: pa.Table) -> pa.Table:
-    """Fused single-pass quality filter: ONE word split feeds word-count,
-    mean-word-length, stopword-fraction and the repetition signals; emits
-    per-rule boolean flags plus the composed keep verdict (flags ARE the
-    reasons — no string building)."""
-    texts = pc.fill_null(t.column("text").combine_chunks(), "")
-    _, off, flat, lens = _split_words(texts)
-    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    n_docs = len(doc_ids)
+def _gopher_flags_from_split(
+    off: np.ndarray, flat: pa.Array, lens: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Per-rule Gopher boolean flags (+ ``n_words``) from an existing word
+    split; one pass computes word-count, mean-word-length, stopword-fraction
+    and the repetition signals."""
+    n_docs = len(lens)
     nw = lens.astype(np.int64)
     wl = np.asarray(
         pc.utf8_length(flat).to_numpy(zero_copy_only=False), dtype=np.int64
@@ -401,18 +399,26 @@ def _gopher_batch(t: pa.Table) -> pa.Table:
     stop_ok = swf >= GOPHER_MIN_STOPWORD_FRAC
     rep_ok = dup_frac <= GOPHER_MAX_DUP_BIGRAM
     top_ok = top_frac <= GOPHER_MAX_TOP_BIGRAM
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids),
-            "n_words": pa.array(nw),
-            "wc_ok": pa.array(wc_ok),
-            "mwl_ok": pa.array(mwl_ok),
-            "stopword_ok": pa.array(stop_ok),
-            "rep_ok": pa.array(rep_ok),
-            "top_ok": pa.array(top_ok),
-            "keep": pa.array(wc_ok & mwl_ok & stop_ok & rep_ok & top_ok),
-        }
-    )
+    return {
+        "n_words": nw,
+        "wc_ok": wc_ok,
+        "mwl_ok": mwl_ok,
+        "stopword_ok": stop_ok,
+        "rep_ok": rep_ok,
+        "top_ok": top_ok,
+        "keep": wc_ok & mwl_ok & stop_ok & rep_ok & top_ok,
+    }
+
+
+def _gopher_batch(t: pa.Table) -> pa.Table:
+    """Fused single-pass quality filter: ONE word split feeds every signal;
+    emits per-rule boolean flags plus the composed keep verdict (flags ARE
+    the reasons — no string building)."""
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    fl = _gopher_flags_from_split(off, flat, lens)
+    return pa.table({"doc_id": pa.array(doc_ids), **{k: pa.array(v) for k, v in fl.items()}})
 
 
 def doc_gopher_filter(sf_dir: str) -> rd.Dataset:
@@ -482,16 +488,21 @@ def _decon_bench_state(
     return bench_h, frozenset(bench_grams)
 
 
-def _decon_hits(t: pa.Table, bh: np.ndarray, bset: frozenset, n: int) -> np.ndarray:
-    """Per-row count of benchmark n-gram occurrences: vectorized rolling-hash
-    candidates (np.searchsorted against the sorted benchmark hashes), exact
-    gram-string verification on candidate windows only — hash collisions
-    cannot flag a clean doc."""
+def _decon_hits_from_split(
+    off: np.ndarray,
+    flat: pa.Array,
+    lens: np.ndarray,
+    bh: np.ndarray,
+    bset: frozenset,
+    n: int,
+) -> np.ndarray:
+    """Per-row count of benchmark n-gram occurrences over an existing word
+    split: vectorized rolling-hash candidates (np.searchsorted against the
+    sorted benchmark hashes), exact gram-string verification on candidate
+    windows only — hash collisions cannot flag a clean doc."""
     from ..core.hashing import hash_strings
 
-    texts = pc.fill_null(t.column("text").combine_chunks(), "")
-    _, off, flat, lens = _split_words(texts)
-    n_docs = t.num_rows
+    n_docs = len(lens)
     hits = np.zeros(n_docs, dtype=np.int64)
     m_grams = np.maximum(lens - n + 1, 0)
     total = int(m_grams.sum())
@@ -515,6 +526,13 @@ def _decon_hits(t: pa.Table, bh: np.ndarray, bset: frozenset, n: int) -> np.ndar
                 if " ".join(toks[ci * n : (ci + 1) * n]) in bset:
                     hits[gdoc[c]] += 1
     return hits
+
+
+def _decon_hits(t: pa.Table, bh: np.ndarray, bset: frozenset, n: int) -> np.ndarray:
+    """`_decon_hits_from_split` over a fresh split of the batch's text col."""
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    return _decon_hits_from_split(off, flat, lens, bh, bset, n)
 
 
 def doc_decontaminate(
@@ -1524,4 +1542,75 @@ def clean_documents(
             _json.dump({"params": {"near_dup_threshold": near_dup_threshold,
                                    "min_words": min_words,
                                    "max_stopword_ratio": max_stopword_ratio}}, f)
+    return cleaned
+
+
+def clean_documents_full(
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> rd.Dataset:
+    """Flagship composed cleaning pipeline — the full LLM training-data
+    preparation flow with every stage exact and SQL-expressible:
+
+      exact dedup (candidate→recover fingerprint reduce, min-id keeper)
+      → benchmark holdout (the eval slice ``doc_id % bench_mod == 0``
+        never trains)
+      → decontamination (drop docs sharing any benchmark word n-gram)
+      → Gopher quality rules (the composed 5-rule keep verdict)
+
+    The dedup drop-set and benchmark gram state are small-side broadcast
+    (``ray.put`` once, fetched per worker); the corpus is then re-read ONCE
+    and all predicates run in a single fused pass with ONE word split per
+    batch — document payloads are never shuffled. Id-level drops (dup
+    losers, benchmark holdout) filter the batch before the split; gram
+    hashing is additionally masked to Gopher keepers so dropped docs never
+    pay for decontamination.
+    """
+    import ray as _ray
+
+    exact_losers = exact_loser_ids(_docs(sf_dir, columns=["doc_id", "text"]))
+    drop_sorted = (
+        np.sort(np.fromiter(exact_losers, dtype=np.int64, count=len(exact_losers)))
+        if exact_losers
+        else np.zeros(0, dtype=np.int64)
+    )
+    state_ref = _ray.put((drop_sorted, *_decon_bench_state(sf_dir, n, bench_mod)))
+
+    def final_pass(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = _ray.get(state_ref)
+        drop, bh, bset = st
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pre = ids % bench_mod != 0
+        if drop.size:
+            at = np.clip(np.searchsorted(drop, ids), 0, drop.size - 1)
+            pre &= drop[at] != ids
+        t = t.filter(pa.array(pre))
+        if t.num_rows == 0:
+            return t
+        texts = pc.fill_null(t.column("text").combine_chunks(), "")
+        _, off, flat, lens = _split_words(texts)
+        keep = _gopher_flags_from_split(off, flat, lens)["keep"]
+        # zero out non-keepers' lengths: no gram positions are generated for
+        # docs Gopher already rejected (the split/offsets stay valid)
+        hits = _decon_hits_from_split(
+            off, flat, np.where(keep, lens, 0), bh, bset, n
+        )
+        return t.filter(pa.array(keep & (hits == 0)))
+
+    cleaned = _docs(sf_dir).map_batches(final_pass, batch_format="pyarrow")
+    if out_dir is not None:
+        import json as _json
+        import os as _os
+
+        marker = _os.path.join(out_dir, "_CLEAN_FULL_SUCCESS.json")
+        if _os.path.exists(marker):
+            return rd.read_parquet(out_dir)
+        cleaned.write_parquet(out_dir, partition_cols=["source"])
+        with open(marker, "w") as f:
+            _json.dump({"params": {"n": n, "bench_mod": bench_mod}}, f)
     return cleaned

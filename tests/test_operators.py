@@ -381,6 +381,44 @@ def test_near_dup_clusters_and_clean(fixture_dir, tmp_path):
     assert set(again["doc_id"]) == set(kept["doc_id"])
 
 
+def test_clean_documents_full_composition(ray_session, tmp_path):
+    """The composed flagship pipeline equals the intersection of its
+    independently-computed component verdicts (dedup ∪ holdout ∪
+    contamination ∪ Gopher), and the resumable-output contract holds."""
+    from product_quality_check_ray.pipelines.text import (
+        DECON_BENCH_MOD,
+        _docs,
+        clean_documents_full,
+        doc_decontaminate,
+        doc_gopher_filter,
+        exact_loser_ids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path / "clean_full"
+    full = clean_documents_full(sf, str(out)).to_pandas()
+    g = doc_gopher_filter(sf).to_pandas().set_index("doc_id")
+    c = doc_decontaminate(sf).to_pandas().set_index("doc_id")
+    losers = exact_loser_ids(_docs(sf, columns=["doc_id", "text"]))
+    expect = {
+        int(d)
+        for d in g.index
+        if g.loc[d, "keep"]
+        and not c.loc[d, "contaminated"]
+        and d % DECON_BENCH_MOD != 0
+        and d not in losers
+    }
+    assert set(full["doc_id"]) == expect
+    # non-vacuous: something survives AND something is dropped
+    assert 0 < len(expect) < len(g)
+    import glob as _glob
+
+    assert _glob.glob(str(out / "source=*/*.parquet"))
+    assert (out / "_CLEAN_FULL_SUCCESS.json").exists()
+    again = clean_documents_full(sf, str(out)).to_pandas()
+    assert set(again["doc_id"]) == expect
+
+
 def test_route_and_adjudicate(ray_session, tmp_path):
     import ray.data as rd
 
