@@ -19,6 +19,7 @@ from product_quality_check_ray.datagen import ensure_sequences, sequences_glob
 from product_quality_check_ray.pipelines import npm
 from product_quality_check_ray.pipelines import relational as rel
 from product_quality_check_ray.pipelines import seq_queries as sq
+from product_quality_check_ray.pipelines import textprep as tp
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
@@ -179,6 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_statements": lambda sf: tx.doc_statements(sf),  # M8 statement splitter (window mode)
         "doc_segment_dedupe": tx.doc_segment_dedupe,  # M8 cross-row statement dedupe
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
+        # --- training-data preparation (pipelines/textprep.py)
+        "doc_chunks": lambda sf: tp.doc_chunks(sf),  # sliding-window example packing
+        "doc_pii_redact": tp.doc_pii_redact,  # PII count + redact (augmented corpus)
+        "doc_shard_assign": lambda sf: tp.doc_shard_assign(sf),  # deterministic global shuffle keys
+        "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
+        "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_quality_scores": tx.doc_quality_scores,
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
         "doc_minhash_dups": tx.doc_minhash_dups,  # LSH candidates + exact verify — oracle = exact pairs
@@ -293,6 +300,20 @@ def oracle_sql() -> dict[str, str]:
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     W = SEGMENT_WIDTH
+    from product_quality_check_ray.pipelines.relational import RANGE_WINDOW_MIN
+    from product_quality_check_ray.pipelines.textprep import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        N_SHARDS,
+        PII_EMAIL,
+        PII_IP,
+        PII_PHONE,
+        SHARD_ADD2,
+        SHARD_MULT1,
+        SHARD_MULT2,
+        TFIDF_K,
+        TFIDF_MIN_DF,
+    )
     npm_sql = npm.npm_oracle_sql(_seq_glob_sql(SF01))
     from product_quality_check_ray.checks.drift import drift_oracle_sql
 
@@ -668,6 +689,100 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
               AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
               AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # sliding-window example packing: DuckDB list slices are 1-based and
+        # end-inclusive, so window i covers ws[i*stride+1 .. i*stride+chunk]
+        "doc_chunks": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   i AS chunk_id,
+                   least(len(ws) - i*{CHUNK_STRIDE}, {CHUNK_WORDS})::BIGINT AS n_words,
+                   array_to_string(ws[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_WORDS}], ' ') AS chunk_text
+            FROM w, UNNEST(range(0, (len(ws)-1)//{CHUNK_STRIDE} + 1)) AS t(i)
+        """,
+        # PII scrub over the deterministically-augmented corpus; the CASE
+        # expressions mirror textprep._augment_pii and the replacement order
+        # (email → ip → phone) is part of the operator contract
+        "doc_pii_redact": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000) ELSE '' END
+                     AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{PII_EMAIL}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(t, '{PII_IP}'))::BIGINT AS n_ip,
+                   len(regexp_extract_all(t, '{PII_PHONE}'))::BIGINT AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_IP}', '<IP>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g') AS redacted_text
+            FROM aug
+        """,
+        # deterministic global-shuffle keys: two rounds of 32-bit
+        # multiplicative hashing (textprep._shard_cols), HUGEINT-exact
+        "doc_shard_assign": f"""
+            WITH k AS (
+              SELECT doc_id, ((doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296) AS k1
+              FROM documents
+            )
+            SELECT doc_id,
+                   (k1 % {N_SHARDS})::BIGINT AS shard,
+                   (((k1 * {SHARD_MULT2}) + {SHARD_ADD2}) % 4294967296)::BIGINT AS shuffle_key
+            FROM k
+        """,
+        # TF-IDF: score expression mirrors the engine op-for-op
+        # ((cnt/nw) * ln(N/df), all float64); ties broken by term ASC
+        "doc_tfidf_topk": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+              FROM documents
+            ),
+            n AS (SELECT count(*) AS nd FROM documents),
+            e AS (SELECT doc_id, len(ws) AS nw, unnest(ws) AS word FROM w),
+            dfreq AS (
+              SELECT word, count(DISTINCT doc_id) AS df FROM e
+              GROUP BY word HAVING count(DISTINCT doc_id) >= {TFIDF_MIN_DF}
+            ),
+            cnts AS (
+              SELECT doc_id, word, nw, count(*) AS cnt FROM e
+              GROUP BY doc_id, word, nw
+            ),
+            scored AS (
+              SELECT c.doc_id, c.word AS term,
+                     (c.cnt * 1.0 / c.nw) * round(ln(n.nd * 1.0 / d.df), 9) AS score
+              FROM cnts c JOIN dfreq d USING (word), n
+            ),
+            ranked AS (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, rnk::BIGINT AS "rank", score
+            FROM ranked WHERE rnk <= {TFIDF_K}
+        """,
+        # trailing-window range join (equality key + interval predicate)
+        "events_range_counts": f"""
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   count(e.event_id)::BIGINT AS n_prior,
+                   coalesce(sum(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END), 0)::BIGINT AS n_clicks_prior
+            FROM events p
+            LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL {RANGE_WINDOW_MIN} MINUTE
+             AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts
         """,
         "doc_fingerprints": r"""
             SELECT doc_id,

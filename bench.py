@@ -126,6 +126,7 @@ def run_suite() -> dict:
     timed("doc_overlap_pairs", tx.doc_overlap_pairs)
     timed("doc_segment_dedupe", tx.doc_segment_dedupe)
     timed("clean_documents", lambda sf: tx.clean_documents(sf))
+    timed("clean_documents_full", lambda sf: tx.clean_documents_full(sf))
     timed("knn_bruteforce", sim.knn_bruteforce)
     timed("embedding_near_dups", sim.embedding_near_dups)
 

@@ -982,3 +982,70 @@ def party_names(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return cust.union(supp)
+
+
+# --------------------------------------------------------------------------
+# Range join: trailing-window lookback per event
+# --------------------------------------------------------------------------
+
+RANGE_WINDOW_MIN = 30
+
+
+def events_range_counts(
+    sf_dir: str, window_min: int = RANGE_WINDOW_MIN, n_buckets: int = 256
+) -> pa.Table:
+    """Interval/range join: for every purchase, count the same user's events
+    in the trailing window ``[ts - window, ts)`` (strictly prior).
+
+    Ray Data has no range-join primitive; the distributed shape is the
+    equality key (user) hashed into chunky buckets (the sessionization
+    pattern), then ONE probe-merge per bucket: events and window-boundary
+    probes are lexsorted together on (user, ts, probe-before-event), so a
+    cumulative event count at the two probe positions yields each window's
+    count — no per-user loop, no per-row searchsorted, no pairwise join
+    blow-up. Shuffle volume is one hash exchange of the events projection.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    win = np.timedelta64(window_min * 60 * 1_000_000_000, "ns")
+    add_bucket = _bucket_by_user(n_buckets)
+
+    def lookback(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy(dtype="datetime64[ns]")
+        etype = df["event_type"].to_numpy()
+        is_purchase = etype == "purchase"
+        p_uid, p_ts = uid[is_purchase], ts[is_purchase]
+        p_eid = df["event_id"].to_numpy()[is_purchase]
+        n_ev, n_p = len(uid), len(p_uid)
+        # merged order: events (tag 1) + lo probes (tag 0, at ts-win,
+        # inclusive → before equal-ts events) + hi probes (tag 0, at ts,
+        # exclusive → before equal-ts events, excluding the purchase itself)
+        m_uid = np.concatenate([uid, p_uid, p_uid])
+        m_ts = np.concatenate([ts, p_ts - win, p_ts])
+        m_tag = np.concatenate(
+            [np.ones(n_ev, np.int8), np.zeros(2 * n_p, np.int8)]
+        )
+        m_click = np.concatenate([etype == "click", np.zeros(2 * n_p, bool)])
+        order = np.lexsort((m_tag, m_ts.view(np.int64), m_uid))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order))
+        s_tag, s_click = m_tag[order], m_click[order]
+        before_ev = np.cumsum(s_tag) - s_tag  # events strictly before slot
+        before_ck = np.cumsum(s_click) - s_click
+        lo, hi = pos[n_ev : n_ev + n_p], pos[n_ev + n_p :]
+        return pd.DataFrame(
+            {
+                "event_id": p_eid,
+                "user_id": p_uid,
+                "ts": pd.to_datetime(p_ts).strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "n_prior": (before_ev[hi] - before_ev[lo]).astype(np.int64),
+                "n_clicks_prior": (before_ck[hi] - before_ck[lo]).astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_aout(lookback), batch_format="pandas")
+    )
+    return _collect(out.sort("event_id"))

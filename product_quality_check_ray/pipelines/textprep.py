@@ -1,0 +1,344 @@
+"""Training-data preparation operators: chunk packing, PII redaction,
+deterministic corpus sharding, and TF-IDF term extraction.
+
+These extend the LLM-pipeline surface (SURVEY.md round brief) beyond
+dedup/quality/decontamination: the ops a corpus needs AFTER cleaning to
+become training input — fixed-size example packing, PII scrubbing, a
+deterministic global shuffle into shards, and salient-term extraction.
+
+Reference analog: the reference preprocesses per-row strings in pandas
+(`novel_check_utils.py` normalization, `app.py` CSV chunking); none of it is
+distributed. Everything here is a vectorized Arrow batch transform; the only
+all-to-all exchanges are the word-DF combiner groupby (TF-IDF) and the
+shard sort, both documented below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from .text import _docs, _split_words
+
+# --------------------------------------------------------------------------
+# Chunk packing: documents → fixed-size word windows (training examples)
+# --------------------------------------------------------------------------
+
+CHUNK_WORDS = 20
+CHUNK_STRIDE = 15  # < CHUNK_WORDS → overlapping windows (context carryover)
+
+
+def _chunk_batch(t: pa.Table, chunk: int, stride: int) -> pa.Table:
+    """Pack one batch of documents into word windows, fully vectorized.
+
+    One whitespace split per batch; window extraction is a single gather
+    (`flat.take`) driven by numpy range arithmetic — overlapping windows
+    (stride < chunk) duplicate flat indices in the gather, so no Python
+    loop and no per-row slicing. Per-doc only: embarrassingly parallel,
+    no shuffle at any scale.
+    """
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    # lens >= 1 always (_split_words maps empty text to the single token "")
+    nc = ((lens - 1) // stride + 1).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens)), nc)
+    cum = np.concatenate(([0], np.cumsum(nc)))
+    chunk_id = np.arange(cum[-1], dtype=np.int64) - cum[doc_idx]
+    starts = off[doc_idx] + chunk_id * stride
+    ends = np.minimum(starts + chunk, off[doc_idx] + lens[doc_idx])
+    clen = ends - starts
+    ccum = np.concatenate(([0], np.cumsum(clen)))
+    # vectorized multi-range arange: index j of window w → starts[w] + j
+    intra = np.arange(ccum[-1], dtype=np.int64) - np.repeat(ccum[:-1], clen)
+    gather = np.repeat(starts, clen) + intra
+    vals = flat.take(pa.array(gather))
+    windows = pa.ListArray.from_arrays(pa.array(ccum, type=pa.int32()), vals)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[doc_idx]),
+            "chunk_id": pa.array(chunk_id),
+            "n_words": pa.array(clen.astype(np.int64)),
+            "chunk_text": pc.binary_join(windows, " "),
+        }
+    )
+
+
+def doc_chunks(
+    sf_dir: str, chunk: int = CHUNK_WORDS, stride: int = CHUNK_STRIDE
+) -> rd.Dataset:
+    """Sliding-window packing of normalized (lowercased) document words into
+    fixed-size training examples: one row per (doc, window)."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: _chunk_batch(t, chunk, stride), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# PII extraction + redaction
+# --------------------------------------------------------------------------
+
+# RE2-compatible (pyarrow and DuckDB both run RE2, so engine and oracle see
+# identical match semantics)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b555-\d{3}-\d{4}\b"
+
+
+def pii_scrub_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Count and redact PII-shaped spans (emails, IPv4, NANP 555 phones) in
+    one vectorized pass. Replacement order is email → ip → phone and is part
+    of the operator contract (mirrored in the SQL oracle)."""
+    texts = pc.fill_null(t.column(text_col).combine_chunks(), "")
+    n_email = pc.count_substring_regex(texts, PII_EMAIL)
+    n_ip = pc.count_substring_regex(texts, PII_IP)
+    n_phone = pc.count_substring_regex(texts, PII_PHONE)
+    red = pc.replace_substring_regex(texts, PII_EMAIL, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_IP, "<IP>")
+    red = pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+    cols = {c: t.column(c) for c in t.column_names if c != text_col}
+    cols.update(
+        {
+            "n_email": pc.cast(n_email, pa.int64()),
+            "n_ip": pc.cast(n_ip, pa.int64()),
+            "n_phone": pc.cast(n_phone, pa.int64()),
+            "redacted_text": red,
+        }
+    )
+    return pa.table(cols)
+
+
+def _augment_pii(t: pa.Table) -> pa.Table:
+    """Deterministically inject PII-shaped spans keyed on doc_id (the fixture
+    corpus contains none, which would make the redaction check vacuous —
+    ADVICE r1 'vacuously green' lesson). The same expression is reproduced
+    in the SQL oracle, so both engines scrub identical inputs."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+
+    def s(x: np.ndarray) -> pa.Array:
+        return pc.cast(pa.array(x), pa.string())
+
+    email = pc.binary_join_element_wise(
+        pa.array(np.where(ids % 3 == 0, " contact user", "")),
+        pc.if_else(pa.array(ids % 3 == 0), s(ids), pa.scalar("")),
+        pa.array(np.where(ids % 3 == 0, "@example.com", "")),
+        "",
+    )
+    ip = pc.binary_join_element_wise(
+        pa.array(np.where(ids % 5 == 0, " from 10.", "")),
+        pc.if_else(pa.array(ids % 5 == 0), s(ids % 256), pa.scalar("")),
+        pa.array(np.where(ids % 5 == 0, ".0.", "")),
+        pc.if_else(pa.array(ids % 5 == 0), s(ids % 100), pa.scalar("")),
+        "",
+    )
+    phone = pc.binary_join_element_wise(
+        pa.array(np.where(ids % 7 == 0, " call 555-", "")),
+        pc.if_else(pa.array(ids % 7 == 0), s(100 + ids % 900), pa.scalar("")),
+        pa.array(np.where(ids % 7 == 0, "-", "")),
+        pc.if_else(pa.array(ids % 7 == 0), s(1000 + ids % 9000), pa.scalar("")),
+        "",
+    )
+    aug = pc.binary_join_element_wise(texts, email, ip, phone, "")
+    return pa.table({"doc_id": t.column("doc_id"), "text": aug})
+
+
+def doc_pii_redact(sf_dir: str) -> rd.Dataset:
+    """Driver query: PII scrub over the deterministically-augmented corpus
+    (augment → count → redact, one fused batch pass)."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: pii_scrub_batch(_augment_pii(t)), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus sharding (the 100 TB global shuffle)
+# --------------------------------------------------------------------------
+
+SHARD_MULT1 = 2654435761  # Knuth multiplicative (2^32 / phi)
+SHARD_MULT2 = 2246822519
+SHARD_ADD2 = 3266489917
+_M32 = np.uint64(2**32)
+N_SHARDS = 16
+
+
+def _shard_cols(ids: np.ndarray, n_shards: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two rounds of 32-bit multiplicative hashing → (shard, shuffle_key).
+
+    Pure modular arithmetic (no xxhash) so the SQL oracle reproduces it
+    exactly with HUGEINT ops; quality is ample for load-balancing shards.
+    """
+    with np.errstate(over="ignore"):
+        k1 = (ids.astype(np.uint64) * np.uint64(SHARD_MULT1)) % _M32
+        k2 = (k1 * np.uint64(SHARD_MULT2) + np.uint64(SHARD_ADD2)) % _M32
+    return (k1 % np.uint64(n_shards)).astype(np.int64), k2.astype(np.int64)
+
+
+def _shard_batch(t: pa.Table, n_shards: int) -> pa.Table:
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    shard, key = _shard_cols(ids, n_shards)
+    return t.append_column("shard", pa.array(shard)).append_column(
+        "shuffle_key", pa.array(key)
+    )
+
+
+def doc_shard_assign(sf_dir: str, n_shards: int = N_SHARDS) -> rd.Dataset:
+    """Shard + within-shard order assignment (the metadata half of
+    `shard_corpus`, exposed as an oracle-checkable query)."""
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: _shard_batch(t, n_shards), batch_format="pyarrow"
+    )
+
+
+def shard_corpus(
+    sf_dir: str, out_dir: str, n_shards: int = N_SHARDS
+) -> rd.Dataset:
+    """Deterministic global shuffle of the corpus into training shards.
+
+    `random_shuffle()` at 100 TB materializes every block AND is seed-stable
+    only for a fixed block structure; hashing doc_id instead gives the same
+    statistical mixing with (a) one explainable all-to-all (the sort), (b)
+    bit-identical output for ANY input partitioning, and (c) resumability —
+    a re-run reproduces the exact shard contents, so finished shard
+    partitions can be skipped. Output is `shard=k/` parquet, rows within a
+    shard ordered by (shuffle_key, doc_id).
+    """
+    import json
+    import os
+
+    marker = os.path.join(out_dir, "_SHARDS_SUCCESS.json")
+    if os.path.exists(marker):
+        return rd.read_parquet(out_dir)
+    ds = (
+        _docs(sf_dir)
+        .map_batches(lambda t: _shard_batch(t, n_shards), batch_format="pyarrow")
+        .sort(["shard", "shuffle_key", "doc_id"])
+    )
+    ds.write_parquet(out_dir, partition_cols=["shard"])
+    with open(marker, "w") as f:
+        json.dump({"n_shards": n_shards}, f)
+    return rd.read_parquet(out_dir)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF salient terms
+# --------------------------------------------------------------------------
+
+TFIDF_K = 5
+TFIDF_MIN_DF = 2
+
+
+def _df_partial(t: pa.Table) -> pa.Table:
+    """Per-batch word document-frequency partial: distinct (doc, word) then
+    count per word. Polars hash-dedup is exact on strings (no 64-bit
+    collision risk, unlike hashing then counting). Docs never span batches,
+    so per-batch distinct composes exactly under the global sum."""
+    import polars as pl
+
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    out = (
+        pl.DataFrame({"d": doc_idx, "word": pl.from_arrow(flat)})
+        .unique()
+        .group_by("word")
+        .len()
+    )
+    return pa.table(
+        {
+            "word": out["word"].to_arrow(),
+            "df_partial": out["len"].cast(pl.Int64).to_arrow(),
+        }
+    )
+
+
+def build_df_table(
+    ds: rd.Dataset, min_df: int = TFIDF_MIN_DF
+) -> tuple[np.ndarray, np.ndarray]:
+    """Corpus word document frequencies → (sorted vocab, df) arrays.
+
+    The groupby ships (word, partial_count) rows — combiner-sized, not
+    corpus-sized (one row per distinct word per batch). The result is a
+    VOCABULARY: bounded by language, further trimmed by min_df; at 100 TB
+    cap to the top-V words by df before broadcast.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..core.batches import strip_schema_metadata
+
+    partials = ds.map_batches(_df_partial, batch_format="pyarrow")
+    # tiny combiner output: materialize so the hash-aggregate doesn't stall
+    # behind the streaming upstream (measured pathology, BASELINE.md)
+    agg = (
+        strip_schema_metadata(partials.materialize())
+        .groupby("word")
+        .aggregate(Sum("df_partial", alias_name="df"))
+        .take_all()
+    )
+    vocab = np.array([r["word"] for r in agg], dtype=object)
+    df = np.array([r["df"] for r in agg], dtype=np.int64)
+    keep = df >= min_df
+    vocab, df = vocab[keep], df[keep]
+    order = np.argsort(vocab)
+    return vocab[order], df[order]
+
+
+def doc_tfidf_topk(
+    sf_dir: str, k: int = TFIDF_K, min_df: int = TFIDF_MIN_DF
+) -> rd.Dataset:
+    """Top-k TF-IDF terms per document.
+
+    Two passes: (1) DF combiner groupby builds the vocabulary, broadcast
+    once via ray.put; (2) per-batch scoring — searchsorted vocab lookup,
+    lexsort+reduceat per-doc counts, vectorized per-doc top-k. Score is
+    (count/n_words) * ln(N/df), ops mirrored in the SQL oracle op-for-op.
+    """
+    from ..core.rounding import round_half_away
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = ds.count()
+    vocab, df = build_df_table(ds, min_df)
+    # DuckDB's ln differs from numpy's log by 1 ulp on ~30% of inputs
+    # (measured); grid-align idf to 9 decimals (half-away, mirroring DuckDB
+    # round) so the engine/oracle product is bit-exact
+    idf = round_half_away(np.log(float(n_docs) / df), 9)
+    state_ref = ray.put((vocab, idf))
+
+    def score(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(state_ref)
+        vocab, idf = st
+        V = len(vocab)
+        texts = pc.fill_null(t.column("text").combine_chunks(), "")
+        _, off, flat, lens = _split_words(texts)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos = np.searchsorted(vocab, words)
+        pos_c = np.minimum(pos, V - 1) if V else pos
+        valid = (pos < V) & (vocab[pos_c] == words) if V else np.zeros(len(words), bool)
+        key = doc_idx[valid] * V + pos_c[valid]
+        uk, cnt = np.unique(key, return_counts=True)
+        d, p = uk // V, uk % V
+        sc = (cnt / lens[d]) * idf[p]
+        # (doc asc, score desc, term asc) — last key in lexsort is primary
+        order = np.lexsort((vocab[p], -sc, d))
+        d, p, sc = d[order], p[order], sc[order]
+        # rank within doc, then keep rank <= k
+        starts = np.flatnonzero(np.diff(d, prepend=-1))
+        rank = np.arange(len(d)) - np.repeat(starts, np.diff(np.append(starts, len(d)))) + 1
+        m = rank <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d[m]]),
+                "term": pa.array(list(vocab[p[m]]), type=pa.string()),
+                "rank": pa.array(rank[m].astype(np.int64)),
+                "score": pa.array(sc[m]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -4,6 +4,7 @@ multimodal, dupfinder) on small deterministic fixtures."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -1049,12 +1050,23 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
         df = t.to_pandas()
         return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
+    from product_quality_check_ray.pipelines.textprep import (
+        doc_chunks,
+        doc_pii_redact,
+        doc_shard_assign,
+        doc_tfidf_topk,
+    )
+
     for op in (
         doc_winnow_fingerprints,
         doc_overlap_pairs,
         doc_segment_dedupe,
         doc_repetition_scores,
         doc_gopher_filter,
+        doc_chunks,
+        doc_pii_redact,
+        doc_shard_assign,
+        doc_tfidf_topk,
     ):
         a, b = canon(op(str(one))), canon(op(str(eight)))
         assert a.equals(b), op.__name__
@@ -1088,3 +1100,153 @@ def test_decontaminate_flags_benchmark_overlap(ray_session, tmp_path):
     assert bool(df.loc[1, "contaminated"])
     assert int(df.loc[1, "n_contaminated_grams"]) == 1
     assert not bool(df.loc[2, "contaminated"])
+
+
+# --------------------------------------------------------------------------
+# textprep: chunk packing / PII / sharding / TF-IDF / range join
+# --------------------------------------------------------------------------
+
+
+def test_doc_chunks_matches_python_reference(ray_session):
+    from product_quality_check_ray.pipelines.textprep import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        doc_chunks,
+    )
+
+    got = doc_chunks(SF_SMALL).to_pandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    expect = []
+    for _, r in docs.iterrows():
+        ws = (r["text"] or "").lower().split() or [""]
+        j = 0
+        while j * CHUNK_STRIDE < len(ws):
+            w = ws[j * CHUNK_STRIDE : j * CHUNK_STRIDE + CHUNK_WORDS]
+            expect.append((int(r["doc_id"]), j, len(w), " ".join(w)))
+            j += 1
+    exp = pd.DataFrame(expect, columns=["doc_id", "chunk_id", "n_words", "chunk_text"])
+    key = ["doc_id", "chunk_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+    # overlap contract: consecutive windows share chunk-stride words
+    assert CHUNK_STRIDE < CHUNK_WORDS and (got.groupby("doc_id").size() > 1).any()
+
+
+def test_pii_scrub_batch_unit(ray_session):
+    from product_quality_check_ray.pipelines.textprep import pii_scrub_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b-c_d@ex-ample.co.uk now",
+                    "srv at 192.168.0.1 and 10.0.0.255",
+                    "call 555-123-4567 or 555-000-9999 not 1234-555-1234567",
+                    None,
+                ]
+            ),
+        }
+    )
+    out = pii_scrub_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 1 and out.loc[1, "redacted_text"] == "mail <EMAIL> now"
+    assert out.loc[2, "n_ip"] == 2 and out.loc[2, "redacted_text"] == "srv at <IP> and <IP>"
+    assert out.loc[3, "n_phone"] == 2
+    assert "<PHONE> or <PHONE>" in out.loc[3, "redacted_text"]
+    assert out.loc[4, "redacted_text"] == ""
+
+
+def test_shard_assign_and_corpus(ray_session, tmp_path):
+    from product_quality_check_ray.pipelines.textprep import (
+        N_SHARDS,
+        doc_shard_assign,
+        shard_corpus,
+    )
+
+    a = doc_shard_assign(SF_SMALL).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = doc_shard_assign(SF_SMALL).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # deterministic
+    counts = a.shard.value_counts()
+    assert len(counts) == N_SHARDS and counts.max() <= 2 * counts.min()  # balanced
+    out = tmp_path / "shards"
+    full = shard_corpus(SF_SMALL, str(out)).to_pandas()
+    assert len(full) == len(a)
+    import glob as _glob
+
+    files = _glob.glob(str(out / "shard=*/*.parquet"))
+    assert files and (out / "_SHARDS_SUCCESS.json").exists()
+    # within-shard order: (shuffle_key, doc_id) ascending inside each file set
+    for k in range(N_SHARDS):
+        part = pd.concat(
+            [pd.read_parquet(f) for f in sorted(_glob.glob(str(out / f"shard={k}/*.parquet")))]
+        )
+        keys = list(zip(part.shuffle_key, part.doc_id))
+        assert keys == sorted(keys)
+    # resume: marker short-circuits to a read-back with identical content
+    again = shard_corpus(SF_SMALL, str(out)).to_pandas()
+    assert set(again.doc_id) == set(full.doc_id)
+
+
+def test_tfidf_matches_pandas_reference(ray_session):
+    from product_quality_check_ray.core.rounding import round_half_away
+    from product_quality_check_ray.pipelines.textprep import (
+        TFIDF_K,
+        TFIDF_MIN_DF,
+        doc_tfidf_topk,
+    )
+
+    got = doc_tfidf_topk(SF_SMALL).to_pandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = len(docs)
+    rows = []
+    for _, r in docs.iterrows():
+        ws = (r["text"] or "").lower().split() or [""]
+        for w in ws:
+            rows.append((int(r["doc_id"]), w, len(ws)))
+    e = pd.DataFrame(rows, columns=["doc_id", "word", "nw"])
+    df_tab = e.drop_duplicates(["doc_id", "word"]).groupby("word").size()
+    df_tab = df_tab[df_tab >= TFIDF_MIN_DF]
+    cnt = e.groupby(["doc_id", "word", "nw"]).size().reset_index(name="cnt")
+    cnt = cnt[cnt.word.isin(df_tab.index)]
+    idf = round_half_away(np.log(float(n_docs) / df_tab.to_numpy()), 9)
+    idf = pd.Series(idf, index=df_tab.index)
+    cnt["score"] = (cnt.cnt.to_numpy() / cnt.nw.to_numpy()) * idf[cnt.word].to_numpy()
+    cnt = cnt.sort_values(["doc_id", "score", "word"], ascending=[True, False, True])
+    cnt["rank"] = cnt.groupby("doc_id").cumcount() + 1
+    exp = cnt[cnt["rank"] <= TFIDF_K][["doc_id", "word", "rank", "score"]].rename(
+        columns={"word": "term"}
+    )
+    key = ["doc_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.term.tolist() == exp.term.tolist()
+    assert (got.score.to_numpy() == exp.score.to_numpy()).all()  # bit-exact
+
+
+def test_events_range_counts_bruteforce(ray_session):
+    from product_quality_check_ray.pipelines.relational import (
+        RANGE_WINDOW_MIN,
+        events_range_counts,
+    )
+
+    got = events_range_counts(SF_SMALL).to_pandas().sort_values("event_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    win = pd.Timedelta(minutes=RANGE_WINDOW_MIN)
+    rows = []
+    for _, p in ev[ev.event_type == "purchase"].iterrows():
+        m = ev[(ev.user_id == p.user_id) & (ev.ts >= p.ts - win) & (ev.ts < p.ts)]
+        rows.append(
+            (
+                int(p.event_id),
+                int(p.user_id),
+                p.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                len(m),
+                int((m.event_type == "click").sum()),
+            )
+        )
+    exp = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "n_prior", "n_clicks_prior"]
+    ).sort_values("event_id").reset_index(drop=True)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
