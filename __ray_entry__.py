@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shard_assign": lambda sf: tp.doc_shard_assign(sf),  # deterministic global shuffle keys
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
+        "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
+        "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
         "doc_quality_scores": tx.doc_quality_scores,
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
         "doc_minhash_dups": tx.doc_minhash_dups,  # LSH candidates + exact verify — oracle = exact pairs
@@ -302,8 +304,12 @@ def oracle_sql() -> dict[str, str]:
     W = SEGMENT_WIDTH
     from product_quality_check_ray.pipelines.relational import RANGE_WINDOW_MIN
     from product_quality_check_ray.pipelines.textprep import (
+        _MIX_DENOM,
         CHUNK_STRIDE,
         CHUNK_WORDS,
+        LM_REF_MOD,
+        MIXTURE_DEFAULT,
+        MIXTURE_WEIGHTS,
         N_SHARDS,
         PII_EMAIL,
         PII_IP,
@@ -314,6 +320,11 @@ def oracle_sql() -> dict[str, str]:
         TFIDF_K,
         TFIDF_MIN_DF,
     )
+
+    mix_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {int(round(v * _MIX_DENOM))}"
+        for s, v in MIXTURE_WEIGHTS.items()
+    ) + f" ELSE {int(round(MIXTURE_DEFAULT * _MIX_DENOM))} END"
     npm_sql = npm.npm_oracle_sql(_seq_glob_sql(SF01))
     from product_quality_check_ray.checks.drift import drift_oracle_sql
 
@@ -783,6 +794,55 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts < p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        # bigram-LM cross-entropy vs the mod-slice reference LM; per-bigram
+        # -log2 p quantized to integer millibits (half-away) so the per-doc
+        # total is an order-independent integer sum in both engines
+        "doc_lm_score": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+              FROM documents
+            ),
+            ref AS (SELECT ws FROM w WHERE doc_id % {LM_REF_MOD} = 0),
+            rb AS (
+              SELECT ws[i] AS w1, ws[i+1] AS w2
+              FROM ref, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+            ),
+            cb2 AS (SELECT w1, w2, count(*) AS c FROM rb GROUP BY w1, w2),
+            cb1 AS (SELECT w1, count(*) AS c FROM rb GROUP BY w1),
+            v AS (
+              SELECT count(DISTINCT x) AS vs
+              FROM (SELECT unnest(ws) AS x FROM ref) u
+            ),
+            db AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+            ),
+            mb AS (
+              SELECT d.doc_id,
+                     round(-log2((coalesce(cb2.c, 0) + 1) * 1.0
+                                 / (coalesce(cb1.c, 0) + v.vs)) * 1000, 0)::BIGINT AS m
+              FROM db d
+              LEFT JOIN cb2 ON d.w1 = cb2.w1 AND d.w2 = cb2.w2
+              LEFT JOIN cb1 ON d.w1 = cb1.w1
+              CROSS JOIN v
+            ),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n, sum(m)::BIGINT AS tot
+              FROM mb GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(s.n, 0)::BIGINT AS n_bigrams,
+                   coalesce(s.tot, 0)::BIGINT AS total_millibits,
+                   CASE WHEN s.n > 0 THEN (s.tot * 1.0) / (1000.0 * s.n) END AS bits_per_bigram
+            FROM w LEFT JOIN s USING (doc_id)
+        """,
+        # deterministic domain reweighting: per-row hash-threshold keep
+        "corpus_mixture_sample": f"""
+            SELECT * FROM documents
+            WHERE ((doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296) % {_MIX_DENOM}
+                  < {mix_case}
         """,
         "doc_fingerprints": r"""
             SELECT doc_id,

@@ -342,3 +342,190 @@ def doc_tfidf_topk(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality scoring (CCNet-style perplexity proxy)
+# --------------------------------------------------------------------------
+
+LM_REF_MOD = 11  # reference slice: doc_id % LM_REF_MOD == 0
+
+
+def build_bigram_lm(sf_dir: str, ref_mod: int = LM_REF_MOD):
+    """Train a word-bigram LM on the reference slice (CCNet trains KenLM on
+    Wikipedia; this is the no-model-container analog with exact SQL parity).
+
+    Distributed shape: per-batch polars bigram-count partials → one combiner
+    groupby over (bigram, partial) rows → driver holds the model. The model
+    is a REFERENCE-slice vocabulary (bounded by language, not corpus size);
+    at 100 TB trim to the top-M bigrams by count before broadcast.
+
+    Returns (vocab_size, w1 sorted, c1, bigram sorted, c2) where c1(w1) is
+    the count of reference bigrams starting with w1 (derived from the bigram
+    table — no second shuffle).
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    from ..core.batches import strip_schema_metadata
+
+    def ref_slice(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % ref_mod == 0))
+
+    ref = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        ref_slice, batch_format="pyarrow"
+    )
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t.column("text").combine_chunks(), "")
+        _, off, flat, lens = _split_words(texts)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n = len(doc_idx)
+        # adjacent pairs within the same doc
+        keep = np.zeros(n, dtype=bool)
+        if n > 1:
+            keep[:-1] = doc_idx[:-1] == doc_idx[1:]
+        w = pl.from_arrow(flat)
+        out = (
+            pl.DataFrame({"w1": w.filter(pl.Series(keep)), "w2": w.shift(-1).filter(pl.Series(keep))})
+            .group_by(["w1", "w2"])
+            .len()
+        )
+        return pa.table(
+            {
+                "bigram": (out["w1"] + " " + out["w2"]).to_arrow(),
+                "cnt": out["len"].cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    partials = ref.map_batches(bigram_partial, batch_format="pyarrow")
+    agg = (
+        strip_schema_metadata(partials.materialize())
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="c"))
+        .take_all()
+    )
+    bigrams = np.array([r["bigram"] for r in agg], dtype=object)
+    c2 = np.array([r["c"] for r in agg], dtype=np.int64)
+    order = np.argsort(bigrams)
+    bigrams, c2 = bigrams[order], c2[order]
+    # context counts derived driver-side (words contain no spaces)
+    w1_all = np.array([b.split(" ", 1)[0] for b in bigrams], dtype=object)
+    w1, inv = np.unique(w1_all, return_inverse=True)
+    c1 = np.zeros(len(w1), dtype=np.int64)
+    np.add.at(c1, inv, c2)
+    vocab, _ = build_df_table(ref, min_df=1)
+    if len(vocab) == 0:
+        raise ValueError(f"empty LM reference slice (doc_id % {ref_mod} == 0)")
+    return len(vocab), w1, c1, bigrams, c2
+
+
+def doc_lm_score(sf_dir: str, ref_mod: int = LM_REF_MOD) -> rd.Dataset:
+    """Per-doc add-one-smoothed bigram cross-entropy against the reference
+    LM: P(w2|w1) = (c2+1)/(c1+V).
+
+    Float-parity design: each bigram's -log2 p is quantized to integer
+    MILLIBITS (half-away, mirroring DuckDB round) so the per-doc total is an
+    ORDER-INDEPENDENT integer sum — exact under any execution order in both
+    engines; bits_per_bigram is then a single mirrored division.
+    """
+    from ..core.rounding import round_half_away
+
+    V, w1, c1, bigrams, c2 = build_bigram_lm(sf_dir, ref_mod)
+    state_ref = ray.put((V, w1, c1, bigrams, c2))
+
+    def score(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(state_ref)
+        V, w1, c1, bigrams, c2 = st
+        texts = pc.fill_null(t.column("text").combine_chunks(), "")
+        _, off, flat, lens = _split_words(texts)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(doc_ids)
+        words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        n = len(words)
+        keep = np.zeros(n, dtype=bool)
+        if n > 1:
+            keep[:-1] = doc_idx[:-1] == doc_idx[1:]
+        d = doc_idx[keep]
+        bg = np.array(
+            [a + " " + b for a, b in zip(words[:-1][keep[:-1]], words[1:][keep[:-1]])],
+            dtype=object,
+        ) if keep.any() else np.zeros(0, dtype=object)
+        first = words[keep] if keep.any() else np.zeros(0, dtype=object)
+
+        def lookup(keys, sorted_keys, vals):
+            if len(sorted_keys) == 0 or len(keys) == 0:
+                return np.zeros(len(keys), dtype=np.int64)
+            pos = np.searchsorted(sorted_keys, keys)
+            pos_c = np.minimum(pos, len(sorted_keys) - 1)
+            hit = (pos < len(sorted_keys)) & (sorted_keys[pos_c] == keys)
+            return np.where(hit, vals[pos_c], 0)
+
+        cc2 = lookup(bg, bigrams, c2)
+        cc1 = lookup(first, w1, c1)
+        mb = round_half_away(
+            -np.log2((cc2 + 1) * 1.0 / (cc1 + V)) * 1000, 0
+        ).astype(np.int64)
+        tot = np.zeros(n_docs, dtype=np.int64)
+        cntb = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(tot, d, mb)
+        np.add.at(cntb, d, 1)
+        bits = np.where(cntb > 0, (tot * 1.0) / (1000.0 * np.maximum(cntb, 1)), np.nan)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_bigrams": pa.array(cntb),
+                "total_millibits": pa.array(tot),
+                "bits_per_bigram": pa.array(
+                    [None if c == 0 else float(b) for c, b in zip(cntb, bits)],
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic source-mixture sampling
+# --------------------------------------------------------------------------
+
+MIXTURE_WEIGHTS = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+}
+MIXTURE_DEFAULT = 0.1
+_MIX_DENOM = 10_000
+
+
+def corpus_mixture_sample(
+    sf_dir: str, weights: dict[str, float] | None = None
+) -> rd.Dataset:
+    """Deterministic per-source downsampling to a target domain mixture
+    (the 'domain reweighting' step of corpus assembly): keep doc iff
+    hash32(doc_id) % 10000 < weight[source]*10000. Per-row arithmetic only —
+    no shuffle, reproducible under any partitioning, exact SQL mirror.
+    """
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    thresholds = {s: int(round(v * _MIX_DENOM)) for s, v in w.items()}
+    default_thr = int(round(MIXTURE_DEFAULT * _MIX_DENOM))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bucket = (
+                (ids.astype(np.uint64) * np.uint64(SHARD_MULT1)) % _M32
+            ) % np.uint64(_MIX_DENOM)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        thr = np.array([thresholds.get(s, default_thr) for s in src], dtype=np.uint64)
+        return t.filter(pa.array(bucket < thr))
+
+    return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")

@@ -1031,7 +1031,11 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
     texts[10] = texts[3] + " " + texts[4]
     texts[77] = texts[3]
     docs = pa.table(
-        {"doc_id": pa.array(range(160), type=pa.int64()), "text": pa.array(texts)}
+        {
+            "doc_id": pa.array(range(160), type=pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array([f"src{i % 6}" for i in range(160)]),
+        }
     )
     one = tmp_path / "one"
     eight = tmp_path / "eight"
@@ -1051,7 +1055,9 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
         return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
     from product_quality_check_ray.pipelines.textprep import (
+        corpus_mixture_sample,
         doc_chunks,
+        doc_lm_score,
         doc_pii_redact,
         doc_shard_assign,
         doc_tfidf_topk,
@@ -1067,6 +1073,8 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
         doc_pii_redact,
         doc_shard_assign,
         doc_tfidf_topk,
+        doc_lm_score,
+        corpus_mixture_sample,
     ):
         a, b = canon(op(str(one))), canon(op(str(eight)))
         assert a.equals(b), op.__name__
@@ -1250,3 +1258,57 @@ def test_events_range_counts_bruteforce(ray_session):
         rows, columns=["event_id", "user_id", "ts", "n_prior", "n_clicks_prior"]
     ).sort_values("event_id").reset_index(drop=True)
     assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_doc_lm_score_matches_python_reference(ray_session):
+    from collections import Counter
+
+    from product_quality_check_ray.core.rounding import round_half_away
+    from product_quality_check_ray.pipelines.textprep import LM_REF_MOD, doc_lm_score
+
+    got = doc_lm_score(SF_SMALL).to_pandas().set_index("doc_id").sort_index()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    words = {
+        int(r["doc_id"]): ((r["text"] or "").lower().split() or [""])
+        for _, r in docs.iterrows()
+    }
+    ref_ids = [d for d in words if d % LM_REF_MOD == 0]
+    c2, c1, vocab = Counter(), Counter(), set()
+    for d in ref_ids:
+        ws = words[d]
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    for d, ws in words.items():
+        mbs = [
+            int(round_half_away(-np.log2((c2[(a, b)] + 1) * 1.0 / (c1[a] + V)) * 1000, 0))
+            for a, b in zip(ws, ws[1:])
+        ]
+        assert got.loc[d, "n_bigrams"] == len(mbs)
+        assert got.loc[d, "total_millibits"] == sum(mbs)
+        if mbs:
+            assert got.loc[d, "bits_per_bigram"] == (sum(mbs) * 1.0) / (1000.0 * len(mbs))
+        else:
+            assert pd.isna(got.loc[d, "bits_per_bigram"])
+    # non-vacuous: reference-slice docs score lower (they ARE the LM corpus)
+    in_ref = got.loc[[d for d in words if d % LM_REF_MOD == 0], "bits_per_bigram"]
+    out_ref = got.loc[[d for d in words if d % LM_REF_MOD != 0], "bits_per_bigram"]
+    assert in_ref.mean() < out_ref.mean()
+
+
+def test_corpus_mixture_sample_rates(ray_session):
+    from product_quality_check_ray.pipelines.textprep import (
+        MIXTURE_WEIGHTS,
+        corpus_mixture_sample,
+    )
+
+    kept = corpus_mixture_sample(SF_SMALL).to_pandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "source"])
+    rates = kept.groupby("source").size() / docs.groupby("source").size()
+    for s, w in MIXTURE_WEIGHTS.items():
+        assert abs(rates.get(s, 0.0) - w) < 0.25  # small-sample tolerance
+    # determinism
+    again = corpus_mixture_sample(SF_SMALL).to_pandas()
+    assert set(again.doc_id) == set(kept.doc_id)
