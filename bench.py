@@ -127,6 +127,12 @@ def run_suite() -> dict:
     timed("doc_segment_dedupe", tx.doc_segment_dedupe)
     timed("clean_documents", lambda sf: tx.clean_documents(sf))
     timed("clean_documents_full", lambda sf: tx.clean_documents_full(sf))
+    from product_quality_check_ray.pipelines import textprep as tp
+
+    timed("doc_chunks", lambda sf: tp.doc_chunks(sf))
+    timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))
+    timed("doc_lm_score", lambda sf: tp.doc_lm_score(sf))
+    timed("events_range_counts", lambda sf: rel.events_range_counts(sf))
     timed("knn_bruteforce", sim.knn_bruteforce)
     timed("embedding_near_dups", sim.embedding_near_dups)
 

@@ -233,24 +233,18 @@ TFIDF_MIN_DF = 2
 
 def _df_partial(t: pa.Table) -> pa.Table:
     """Per-batch word document-frequency partial: distinct (doc, word) then
-    count per word. Polars hash-dedup is exact on strings (no 64-bit
+    count per word — two Arrow hash-group_bys, exact on strings (no 64-bit
     collision risk, unlike hashing then counting). Docs never span batches,
     so per-batch distinct composes exactly under the global sum."""
-    import polars as pl
-
     texts = pc.fill_null(t.column("text").combine_chunks(), "")
     _, off, flat, lens = _split_words(texts)
     doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    out = (
-        pl.DataFrame({"d": doc_idx, "word": pl.from_arrow(flat)})
-        .unique()
-        .group_by("word")
-        .len()
-    )
+    dd = pa.table({"d": doc_idx, "word": flat}).group_by(["d", "word"]).aggregate([])
+    out = dd.group_by("word").aggregate([("d", "count")])
     return pa.table(
         {
-            "word": out["word"].to_arrow(),
-            "df_partial": out["len"].cast(pl.Int64).to_arrow(),
+            "word": out.column("word"),
+            "df_partial": pc.cast(out.column("d_count"), pa.int64()),
         }
     )
 
@@ -260,26 +254,20 @@ def build_df_table(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Corpus word document frequencies → (sorted vocab, df) arrays.
 
-    The groupby ships (word, partial_count) rows — combiner-sized, not
-    corpus-sized (one row per distinct word per batch). The result is a
-    VOCABULARY: bounded by language, further trimmed by min_df; at 100 TB
-    cap to the top-V words by df before broadcast.
+    Only (word, partial_count) combiner rows leave the map stage — one row
+    per distinct word per batch, never corpus-sized. The merge is DRIVER-side
+    (one Arrow group_by over blocks×vocab rows): measured 4.9 s cheaper than
+    Ray's hash-aggregate operator at this key count (fixed operator overhead
+    dominates tiny groupbys — BASELINE.md pathology list). The result is a
+    VOCABULARY: bounded by language, further trimmed by min_df; at 100 TB cap
+    partials to the top-V words by count and merge via the tree reduce
+    instead.
     """
-    from ray.data.aggregate import Sum
-
-    from ..core.batches import strip_schema_metadata
-
     partials = ds.map_batches(_df_partial, batch_format="pyarrow")
-    # tiny combiner output: materialize so the hash-aggregate doesn't stall
-    # behind the streaming upstream (measured pathology, BASELINE.md)
-    agg = (
-        strip_schema_metadata(partials.materialize())
-        .groupby("word")
-        .aggregate(Sum("df_partial", alias_name="df"))
-        .take_all()
-    )
-    vocab = np.array([r["word"] for r in agg], dtype=object)
-    df = np.array([r["df"] for r in agg], dtype=np.int64)
+    tbl = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
+    agg = tbl.group_by("word").aggregate([("df_partial", "sum")])
+    vocab = np.asarray(agg.column("word").to_numpy(zero_copy_only=False), dtype=object)
+    df = agg.column("df_partial_sum").to_numpy(zero_copy_only=False).astype(np.int64)
     keep = df >= min_df
     vocab, df = vocab[keep], df[keep]
     order = np.argsort(vocab)
@@ -355,59 +343,79 @@ def build_bigram_lm(sf_dir: str, ref_mod: int = LM_REF_MOD):
     """Train a word-bigram LM on the reference slice (CCNet trains KenLM on
     Wikipedia; this is the no-model-container analog with exact SQL parity).
 
-    Distributed shape: per-batch polars bigram-count partials → one combiner
-    groupby over (bigram, partial) rows → driver holds the model. The model
-    is a REFERENCE-slice vocabulary (bounded by language, not corpus size);
-    at 100 TB trim to the top-M bigrams by count before broadcast.
+    ONE fused pass over the corpus: each batch filters to the reference
+    slice, splits once, and emits BOTH bigram-count partials and the
+    distinct-word rows needed for the smoothing denominator (tagged by
+    `kind`) — Arrow kernels only, no per-row loops. Partials are
+    combiner-sized (per-batch distinct), merged DRIVER-side with one Arrow
+    group_by (measured ~5 s cheaper than Ray's hash-aggregate operator at
+    tiny key counts — BASELINE.md pathology list). The model is a
+    REFERENCE-slice vocabulary (bounded by language, not corpus size); at
+    100 TB trim to the top-M bigrams by count before broadcast and merge
+    partials via the tree reduce.
 
     Returns (vocab_size, w1 sorted, c1, bigram sorted, c2) where c1(w1) is
     the count of reference bigrams starting with w1 (derived from the bigram
     table — no second shuffle).
     """
-    import polars as pl
-    from ray.data.aggregate import Sum
-
-    from ..core.batches import strip_schema_metadata
-
-    def ref_slice(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(ids % ref_mod == 0))
-
-    ref = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        ref_slice, batch_format="pyarrow"
+    empty = pa.table(
+        {
+            "kind": pa.array([], type=pa.int64()),
+            "key": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
     )
 
-    def bigram_partial(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(ids % ref_mod == 0))
+        if t.num_rows == 0:
+            return empty
         texts = pc.fill_null(t.column("text").combine_chunks(), "")
         _, off, flat, lens = _split_words(texts)
-        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
         n = len(doc_idx)
-        # adjacent pairs within the same doc
-        keep = np.zeros(n, dtype=bool)
+        keep = np.zeros(max(n - 1, 0), dtype=bool)
         if n > 1:
-            keep[:-1] = doc_idx[:-1] == doc_idx[1:]
-        w = pl.from_arrow(flat)
-        out = (
-            pl.DataFrame({"w1": w.filter(pl.Series(keep)), "w2": w.shift(-1).filter(pl.Series(keep))})
-            .group_by(["w1", "w2"])
-            .len()
+            keep = doc_idx[:-1] == doc_idx[1:]
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, max(n - 1, 0)), flat.slice(1, max(n - 1, 0)), " "
+        ).filter(pa.array(keep))
+        bcnt = (
+            pa.table({"key": bg, "one": pa.array(np.ones(len(bg), dtype=np.int64))})
+            .group_by("key")
+            .aggregate([("one", "sum")])
         )
+        words = pc.unique(flat)
         return pa.table(
             {
-                "bigram": (out["w1"] + " " + out["w2"]).to_arrow(),
-                "cnt": out["len"].cast(pl.Int64).to_arrow(),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.ones(bcnt.num_rows, np.int64), np.zeros(len(words), np.int64)]
+                    )
+                ),
+                "key": pa.concat_arrays(
+                    [bcnt.column("key").combine_chunks().cast(pa.string()), words.cast(pa.string())]
+                ),
+                "cnt": pa.concat_arrays(
+                    [
+                        bcnt.column("one_sum").combine_chunks().cast(pa.int64()),
+                        pa.array(np.ones(len(words), dtype=np.int64)),
+                    ]
+                ),
             }
         )
 
-    partials = ref.map_batches(bigram_partial, batch_format="pyarrow")
-    agg = (
-        strip_schema_metadata(partials.materialize())
-        .groupby("bigram")
-        .aggregate(Sum("cnt", alias_name="c"))
-        .take_all()
+    partials = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
     )
-    bigrams = np.array([r["bigram"] for r in agg], dtype=object)
-    c2 = np.array([r["c"] for r in agg], dtype=np.int64)
+    tbl = pa.concat_tables(
+        [b for b in partials.iter_batches(batch_format="pyarrow")] or [empty]
+    )
+    is_bg = pc.equal(tbl.column("kind"), 1)
+    bag = tbl.filter(is_bg).group_by("key").aggregate([("cnt", "sum")])
+    bigrams = np.asarray(bag.column("key").to_numpy(zero_copy_only=False), dtype=object)
+    c2 = bag.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(bigrams)
     bigrams, c2 = bigrams[order], c2[order]
     # context counts derived driver-side (words contain no spaces)
@@ -415,10 +423,10 @@ def build_bigram_lm(sf_dir: str, ref_mod: int = LM_REF_MOD):
     w1, inv = np.unique(w1_all, return_inverse=True)
     c1 = np.zeros(len(w1), dtype=np.int64)
     np.add.at(c1, inv, c2)
-    vocab, _ = build_df_table(ref, min_df=1)
-    if len(vocab) == 0:
+    V = len(pc.unique(tbl.filter(pc.invert(is_bg)).column("key")))
+    if V == 0:
         raise ValueError(f"empty LM reference slice (doc_id % {ref_mod} == 0)")
-    return len(vocab), w1, c1, bigrams, c2
+    return V, w1, c1, bigrams, c2
 
 
 def doc_lm_score(sf_dir: str, ref_mod: int = LM_REF_MOD) -> rd.Dataset:
@@ -444,18 +452,25 @@ def doc_lm_score(sf_dir: str, ref_mod: int = LM_REF_MOD) -> rd.Dataset:
         _, off, flat, lens = _split_words(texts)
         doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n_docs = len(doc_ids)
-        words = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        n = len(words)
+        n = len(doc_idx)
         keep = np.zeros(n, dtype=bool)
         if n > 1:
             keep[:-1] = doc_idx[:-1] == doc_idx[1:]
         d = doc_idx[keep]
-        bg = np.array(
-            [a + " " + b for a, b in zip(words[:-1][keep[:-1]], words[1:][keep[:-1]])],
+        # bigram strings built with one Arrow kernel over shifted slices —
+        # no per-row concat loop (hot-path rule)
+        keep_arr = pa.array(keep[:-1]) if n > 1 else pa.array([], type=pa.bool_())
+        bg_all = (
+            pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+            if n > 1
+            else pa.array([], type=pa.string())
+        )
+        bg = np.asarray(bg_all.filter(keep_arr).to_numpy(zero_copy_only=False), dtype=object)
+        first = np.asarray(
+            flat.slice(0, max(n - 1, 0)).filter(keep_arr).to_numpy(zero_copy_only=False),
             dtype=object,
-        ) if keep.any() else np.zeros(0, dtype=object)
-        first = words[keep] if keep.any() else np.zeros(0, dtype=object)
+        )
 
         def lookup(keys, sorted_keys, vals):
             if len(sorted_keys) == 0 or len(keys) == 0:
