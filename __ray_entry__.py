@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
         "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
+        # capstone: clean → mixture → shard → chunk in ONE fused pass
+        "prepare_training_corpus": lambda sf: tp.prepare_training_corpus(sf),
         "doc_quality_scores": tx.doc_quality_scores,
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
         "doc_minhash_dups": tx.doc_minhash_dups,  # LSH candidates + exact verify — oracle = exact pairs
@@ -333,6 +335,59 @@ def oracle_sql() -> dict[str, str]:
     # null ELEMENTS inside a token list with -1 so the domain check flags the
     # row; DuckDB's list_min ignores NULL elements, hence the explicit
     # list_filter null-element predicate below (ADVICE r1).
+    clean_full_ctes = rf"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+              FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            exact_losers AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                    FROM f
+                ) WHERE rn > 1
+            ),
+            bench AS (SELECT ws FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0),
+            bg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
+              FROM bench, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
+            ),
+            dg AS (
+              SELECT doc_id, array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
+              FROM w, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
+            ),
+            contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+            s AS (
+              SELECT doc_id, len(ws)::BIGINT AS nw,
+                     list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mwl,
+                     len(list_filter(ws, x -> x IN ({stoplist}))) * 1.0 / len(ws) AS swf
+              FROM w
+            ),
+            bi AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM w, UNNEST(range(1, len(ws))) AS t(i)
+              WHERE len(ws) >= 2
+            ),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS b, count(DISTINCT bg)::BIGINT AS d, max(c)::BIGINT AS topc
+              FROM (SELECT doc_id, bg, count(*) OVER (PARTITION BY doc_id, bg) AS c FROM bi)
+              GROUP BY doc_id
+            ),
+            gopher_keep AS (
+              SELECT s.doc_id FROM s LEFT JOIN per p USING (doc_id)
+              WHERE (s.nw >= {GOPHER_MIN_WORDS} AND s.nw <= {GOPHER_MAX_WORDS})
+                AND (s.mwl >= {GOPHER_MWL_RANGE[0]} AND s.mwl <= {GOPHER_MWL_RANGE[1]})
+                AND (s.swf >= {GOPHER_MIN_STOPWORD_FRAC})
+                AND (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= {GOPHER_MAX_DUP_BIGRAM})
+                AND (coalesce(p.topc * 1.0 / p.b, 0.0) <= {GOPHER_MAX_TOP_BIGRAM})
+            )
+    """
+
     flags = f"""
         (doc_id IS NULL) AS null_doc_id,
         (tokens IS NULL) AS null_tokens,
@@ -644,62 +699,33 @@ def oracle_sql() -> dict[str, str]:
         # component SQL verbatim: exact-dup losers (clean_documents_exact),
         # benchmark grams + contamination join (doc_decontaminate), Gopher
         # keep expression (doc_gopher_filter, engine float ops mirrored)
-        "clean_documents_full": rf"""
-            WITH w AS (
-              SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
-              FROM documents
-            ),
-            f AS (
-                SELECT doc_id,
-                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-                FROM documents
-            ),
-            exact_losers AS (
-                SELECT doc_id FROM (
-                    SELECT doc_id,
-                           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-                    FROM f
-                ) WHERE rn > 1
-            ),
-            bench AS (SELECT ws FROM w WHERE doc_id % {DECON_BENCH_MOD} = 0),
-            bg AS (
-              SELECT DISTINCT array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
-              FROM bench, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
-            ),
-            dg AS (
-              SELECT doc_id, array_to_string(ws[i:i+{DECON_NGRAM - 1}], ' ') AS g
-              FROM w, UNNEST(range(1, len(ws) - {DECON_NGRAM - 2})) AS t(i)
-            ),
-            contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
-            s AS (
-              SELECT doc_id, len(ws)::BIGINT AS nw,
-                     list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mwl,
-                     len(list_filter(ws, x -> x IN ({stoplist}))) * 1.0 / len(ws) AS swf
-              FROM w
-            ),
-            bi AS (
-              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
-              FROM w, UNNEST(range(1, len(ws))) AS t(i)
-              WHERE len(ws) >= 2
-            ),
-            per AS (
-              SELECT doc_id, count(*)::BIGINT AS b, count(DISTINCT bg)::BIGINT AS d, max(c)::BIGINT AS topc
-              FROM (SELECT doc_id, bg, count(*) OVER (PARTITION BY doc_id, bg) AS c FROM bi)
-              GROUP BY doc_id
-            ),
-            gopher_keep AS (
-              SELECT s.doc_id FROM s LEFT JOIN per p USING (doc_id)
-              WHERE (s.nw >= {GOPHER_MIN_WORDS} AND s.nw <= {GOPHER_MAX_WORDS})
-                AND (s.mwl >= {GOPHER_MWL_RANGE[0]} AND s.mwl <= {GOPHER_MWL_RANGE[1]})
-                AND (s.swf >= {GOPHER_MIN_STOPWORD_FRAC})
-                AND (coalesce((p.b - p.d) * 1.0 / p.b, 0.0) <= {GOPHER_MAX_DUP_BIGRAM})
-                AND (coalesce(p.topc * 1.0 / p.b, 0.0) <= {GOPHER_MAX_TOP_BIGRAM})
-            )
+        "clean_documents_full": clean_full_ctes + rf"""
             SELECT d.* FROM documents d
             JOIN gopher_keep USING (doc_id)
             WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
               AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
               AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        # capstone composition: clean → mixture → shard → chunk; CTEs are
+        # the clean_documents_full block verbatim plus the mixture/shard
+        # arithmetic and the doc_chunks window expansion
+        "prepare_training_corpus": clean_full_ctes + rf"""
+            , kept AS (
+              SELECT d.doc_id FROM documents d
+              JOIN gopher_keep USING (doc_id)
+              WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+                AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                AND ((d.doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296) % {_MIX_DENOM}
+                    < {mix_case.replace('CASE source', 'CASE d.source')}
+            )
+            SELECT w.doc_id,
+                   i AS chunk_id,
+                   least(len(ws) - i*{CHUNK_STRIDE}, {CHUNK_WORDS})::BIGINT AS n_words,
+                   array_to_string(ws[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_WORDS}], ' ') AS chunk_text,
+                   (((w.doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296) % {N_SHARDS})::BIGINT AS shard
+            FROM w JOIN kept USING (doc_id),
+                 UNNEST(range(0, (len(ws)-1)//{CHUNK_STRIDE} + 1)) AS t(i)
         """,
         # sliding-window example packing: DuckDB list slices are 1-based and
         # end-inclusive, so window i covers ws[i*stride+1 .. i*stride+chunk]

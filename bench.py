@@ -133,6 +133,7 @@ def run_suite() -> dict:
     timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))
     timed("doc_lm_score", lambda sf: tp.doc_lm_score(sf))
     timed("events_range_counts", lambda sf: rel.events_range_counts(sf))
+    timed("prepare_training_corpus", lambda sf: tp.prepare_training_corpus(sf))
     timed("knn_bruteforce", sim.knn_bruteforce)
     timed("embedding_near_dups", sim.embedding_near_dups)
 

@@ -1545,6 +1545,48 @@ def clean_documents(
     return cleaned
 
 
+def clean_full_state_ref(sf_dir: str, n: int, bench_mod: int):
+    """Broadcast state for the composed cleaning pass: sorted exact-dup
+    loser ids + benchmark gram hashes/set, ``ray.put`` once."""
+    import ray as _ray
+
+    exact_losers = exact_loser_ids(_docs(sf_dir, columns=["doc_id", "text"]))
+    drop_sorted = (
+        np.sort(np.fromiter(exact_losers, dtype=np.int64, count=len(exact_losers)))
+        if exact_losers
+        else np.zeros(0, dtype=np.int64)
+    )
+    return _ray.put((drop_sorted, *_decon_bench_state(sf_dir, n, bench_mod)))
+
+
+def clean_full_filter_batch(
+    t: pa.Table, state_ref, n: int, bench_mod: int, _cache: dict
+) -> pa.Table:
+    """One fused cleaning pass over a batch: dup-loser + benchmark-holdout
+    id drops BEFORE the split, then Gopher keep and decontamination hits
+    from ONE shared word split (gram hashing masked to Gopher keepers so
+    rejected docs never pay for decontamination)."""
+    import ray as _ray
+
+    st = _cache.get("st")
+    if st is None:
+        st = _cache["st"] = _ray.get(state_ref)
+    drop, bh, bset = st
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pre = ids % bench_mod != 0
+    if drop.size:
+        at = np.clip(np.searchsorted(drop, ids), 0, drop.size - 1)
+        pre &= drop[at] != ids
+    t = t.filter(pa.array(pre))
+    if t.num_rows == 0:
+        return t
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    keep = _gopher_flags_from_split(off, flat, lens)["keep"]
+    hits = _decon_hits_from_split(off, flat, np.where(keep, lens, 0), bh, bset, n)
+    return t.filter(pa.array(keep & (hits == 0)))
+
+
 def clean_documents_full(
     sf_dir: str,
     out_dir: str | None = None,
@@ -1569,38 +1611,10 @@ def clean_documents_full(
     hashing is additionally masked to Gopher keepers so dropped docs never
     pay for decontamination.
     """
-    import ray as _ray
-
-    exact_losers = exact_loser_ids(_docs(sf_dir, columns=["doc_id", "text"]))
-    drop_sorted = (
-        np.sort(np.fromiter(exact_losers, dtype=np.int64, count=len(exact_losers)))
-        if exact_losers
-        else np.zeros(0, dtype=np.int64)
-    )
-    state_ref = _ray.put((drop_sorted, *_decon_bench_state(sf_dir, n, bench_mod)))
+    state_ref = clean_full_state_ref(sf_dir, n, bench_mod)
 
     def final_pass(t: pa.Table, _cache={}) -> pa.Table:
-        st = _cache.get("st")
-        if st is None:
-            st = _cache["st"] = _ray.get(state_ref)
-        drop, bh, bset = st
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        pre = ids % bench_mod != 0
-        if drop.size:
-            at = np.clip(np.searchsorted(drop, ids), 0, drop.size - 1)
-            pre &= drop[at] != ids
-        t = t.filter(pa.array(pre))
-        if t.num_rows == 0:
-            return t
-        texts = pc.fill_null(t.column("text").combine_chunks(), "")
-        _, off, flat, lens = _split_words(texts)
-        keep = _gopher_flags_from_split(off, flat, lens)["keep"]
-        # zero out non-keepers' lengths: no gram positions are generated for
-        # docs Gopher already rejected (the split/offsets stay valid)
-        hits = _decon_hits_from_split(
-            off, flat, np.where(keep, lens, 0), bh, bset, n
-        )
-        return t.filter(pa.array(keep & (hits == 0)))
+        return clean_full_filter_batch(t, state_ref, n, bench_mod, _cache)
 
     cleaned = _docs(sf_dir).map_batches(final_pass, batch_format="pyarrow")
     if out_dir is not None:

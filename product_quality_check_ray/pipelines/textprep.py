@@ -544,3 +544,82 @@ def corpus_mixture_sample(
         return t.filter(pa.array(bucket < thr))
 
     return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus assembly (the capstone composition)
+# --------------------------------------------------------------------------
+
+
+def prepare_training_corpus(
+    sf_dir: str,
+    out_dir: str | None = None,
+    *,
+    n_shards: int = N_SHARDS,
+    chunk: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+    weights: dict[str, float] | None = None,
+) -> rd.Dataset:
+    """The full corpus-assembly flow, every stage exact and SQL-expressible:
+
+      clean (exact dedup → benchmark holdout → decontamination → Gopher)
+      → domain mixture downsampling (deterministic hash threshold)
+      → shard assignment (deterministic global shuffle)
+      → sliding-window chunk packing (training examples)
+
+    The cleaning drop-state is broadcast once; everything after it is ONE
+    fused batch pass over a single corpus read — per-row arithmetic and one
+    word split feed cleaning, mixture, shard and chunking, and document
+    payloads are never shuffled (the optional output sort by shard is the
+    only all-to-all, and it moves final chunks, not intermediate state).
+    """
+    from .text import DECON_BENCH_MOD, DECON_NGRAM, clean_full_filter_batch, clean_full_state_ref
+
+    w = MIXTURE_WEIGHTS if weights is None else weights
+    thresholds = {s: int(round(v * _MIX_DENOM)) for s, v in w.items()}
+    default_thr = int(round(MIXTURE_DEFAULT * _MIX_DENOM))
+    state_ref = clean_full_state_ref(sf_dir, DECON_NGRAM, DECON_BENCH_MOD)
+
+    def assemble(t: pa.Table, _cache={}) -> pa.Table:
+        t = clean_full_filter_batch(t, state_ref, DECON_NGRAM, DECON_BENCH_MOD, _cache)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "n_words": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+                "shard": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            bucket = (
+                (ids.astype(np.uint64) * np.uint64(SHARD_MULT1)) % _M32
+            ) % np.uint64(_MIX_DENOM)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        thr = np.array([thresholds.get(s, default_thr) for s in src], dtype=np.uint64)
+        t = t.filter(pa.array(bucket < thr))
+        if t.num_rows == 0:
+            return empty
+        chunks = _chunk_batch(t, chunk, stride)
+        cids = chunks.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        shard, _ = _shard_cols(cids, n_shards)
+        return chunks.append_column("shard", pa.array(shard))
+
+    out = _docs(sf_dir).map_batches(assemble, batch_format="pyarrow")
+    if out_dir is not None:
+        import json
+        import os
+
+        marker = os.path.join(out_dir, "_CORPUS_SUCCESS.json")
+        if os.path.exists(marker):
+            return rd.read_parquet(out_dir)
+        out.sort(["shard", "doc_id", "chunk_id"]).write_parquet(
+            out_dir, partition_cols=["shard"]
+        )
+        with open(marker, "w") as f:
+            json.dump({"n_shards": n_shards, "chunk": chunk, "stride": stride}, f)
+        return rd.read_parquet(out_dir)
+    return out

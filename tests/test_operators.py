@@ -1312,3 +1312,38 @@ def test_corpus_mixture_sample_rates(ray_session):
     # determinism
     again = corpus_mixture_sample(SF_SMALL).to_pandas()
     assert set(again.doc_id) == set(kept.doc_id)
+
+
+def test_prepare_training_corpus_composition(ray_session, tmp_path):
+    """Capstone composition equals its components: kept docs = clean_full ∩
+    mixture; chunks = doc_chunks of kept docs with the doc's shard."""
+    from product_quality_check_ray.pipelines.text import clean_documents_full
+    from product_quality_check_ray.pipelines.textprep import (
+        _shard_cols,
+        N_SHARDS,
+        corpus_mixture_sample,
+        doc_chunks,
+        prepare_training_corpus,
+    )
+
+    sf = SF_SMALL
+    got = prepare_training_corpus(sf).to_pandas()
+    kept = set(clean_documents_full(sf).to_pandas().doc_id) & set(
+        corpus_mixture_sample(sf).to_pandas().doc_id
+    )
+    assert set(got.doc_id) == kept and len(kept) > 0
+    chunks = doc_chunks(sf).to_pandas()
+    chunks = chunks[chunks.doc_id.isin(kept)]
+    key = ["doc_id", "chunk_id"]
+    a = got[["doc_id", "chunk_id", "n_words", "chunk_text"]].sort_values(key).reset_index(drop=True)
+    b = chunks.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    shard, _ = _shard_cols(got.doc_id.to_numpy().astype(np.int64), N_SHARDS)
+    assert (got.shard.to_numpy() == shard).all()
+    # resumable write contract
+    out = tmp_path / "corpus"
+    w = prepare_training_corpus(sf, str(out)).to_pandas()
+    import glob as _glob
+
+    assert _glob.glob(str(out / "shard=*/*.parquet")) and (out / "_CORPUS_SUCCESS.json").exists()
+    assert len(w) == len(got)
