@@ -264,7 +264,10 @@ def build_df_table(
     instead.
     """
     partials = ds.map_batches(_df_partial, batch_format="pyarrow")
-    tbl = pa.concat_tables(list(partials.iter_batches(batch_format="pyarrow")))
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)
+    tbl = pa.concat_tables(batches)
     agg = tbl.group_by("word").aggregate([("df_partial", "sum")])
     vocab = np.asarray(agg.column("word").to_numpy(zero_copy_only=False), dtype=object)
     df = agg.column("df_partial_sum").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1347,3 +1347,26 @@ def test_prepare_training_corpus_composition(ray_session, tmp_path):
 
     assert _glob.glob(str(out / "shard=*/*.parquet")) and (out / "_CORPUS_SUCCESS.json").exists()
     assert len(w) == len(got)
+
+
+def test_textprep_ops_empty_corpus(ray_session, tmp_path):
+    """Every textprep operator handles a zero-row corpus without crashing."""
+    import pyarrow.parquet as _pq
+
+    from product_quality_check_ray.pipelines import textprep as tp
+
+    d = tmp_path / "emptycorpus"
+    d.mkdir()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+        }
+    )
+    _pq.write_table(empty, str(d / "documents.parquet"))
+    for op in (tp.doc_chunks, tp.doc_pii_redact, tp.doc_shard_assign,
+               tp.doc_tfidf_topk, tp.corpus_mixture_sample):
+        assert len(op(str(d)).to_pandas()) == 0, op.__name__
+    with pytest.raises(ValueError):  # LM: empty reference slice is an error
+        tp.doc_lm_score(str(d)).to_pandas()
