@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": lambda sf: tp.doc_chunks(sf),  # sliding-window example packing
         "doc_pii_redact": tp.doc_pii_redact,  # PII count + redact (augmented corpus)
         "doc_shard_assign": lambda sf: tp.doc_shard_assign(sf),  # deterministic global shuffle keys
+        "doc_pack_examples": lambda sf: tp.doc_pack_examples(sf),  # greedy token-budget packing plan
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         MIXTURE_DEFAULT,
         MIXTURE_WEIGHTS,
         N_SHARDS,
+        PACK_BUDGET,
         PII_EMAIL,
         PII_IP,
         PII_PHONE,
@@ -775,6 +777,39 @@ def oracle_sql() -> dict[str, str]:
                    (k1 % {N_SHARDS})::BIGINT AS shard,
                    (((k1 * {SHARD_MULT2}) + {SHARD_ADD2}) % 4294967296)::BIGINT AS shuffle_key
             FROM k
+        """,
+        # greedy example packing: the per-shard first-fit walk (take docs in
+        # (shuffle_key, doc_id) order while the pack total stays <= budget,
+        # at least one per pack) is a sequential accumulate-and-reset loop —
+        # expressed as a recursive CTE advancing every shard one doc per step
+        "doc_pack_examples": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     ((doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296) % {N_SHARDS} AS shard,
+                     len(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS nw,
+                     row_number() OVER (
+                       PARTITION BY ((doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296) % {N_SHARDS}
+                       ORDER BY (((((doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296)
+                                  * {SHARD_MULT2}) + {SHARD_ADD2}) % 4294967296), doc_id
+                     ) AS rn
+              FROM documents
+            ),
+            walk AS (
+              SELECT shard, rn, doc_id, nw,
+                     0::BIGINT AS pack_id, 0::BIGINT AS pack_pos,
+                     0::BIGINT AS tok_offset, nw AS acc
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.nw,
+                     CASE WHEN w.acc + b.nw > {PACK_BUDGET} THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN w.acc + b.nw > {PACK_BUDGET} THEN 0 ELSE w.pack_pos + 1 END,
+                     CASE WHEN w.acc + b.nw > {PACK_BUDGET} THEN 0 ELSE w.acc END,
+                     CASE WHEN w.acc + b.nw > {PACK_BUDGET} THEN b.nw ELSE w.acc + b.nw END
+              FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+            )
+            SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
+                   tok_offset, nw::BIGINT AS n_words
+            FROM walk
         """,
         # TF-IDF: score expression mirrors the engine op-for-op
         # ((cnt/nw) * ln(N/df), all float64); ties broken by term ASC

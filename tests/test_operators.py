@@ -1370,3 +1370,57 @@ def test_textprep_ops_empty_corpus(ray_session, tmp_path):
         assert len(op(str(d)).to_pandas()) == 0, op.__name__
     with pytest.raises(ValueError):  # LM: empty reference slice is an error
         tp.doc_lm_score(str(d)).to_pandas()
+
+
+def test_pack_plan_greedy_properties():
+    from product_quality_check_ray.pipelines.textprep import _pack_plan
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(1, 90, size=400).astype(np.int64)
+    lens[::37] = 250  # oversize docs must sit alone
+    budget = 160
+    pack_id, pack_pos, tok_offset = _pack_plan(lens, budget)
+    df = pd.DataFrame({"len": lens, "pack": pack_id, "pos": pack_pos, "off": tok_offset})
+    # packs are contiguous, ids dense from 0
+    assert (np.diff(pack_id) >= 0).all() and pack_id[0] == 0
+    assert set(np.unique(pack_id)) == set(range(pack_id.max() + 1))
+    for _, g in df.groupby("pack"):
+        assert list(g.pos) == list(range(len(g)))  # positions 0..k-1
+        assert list(g.off) == list(np.concatenate(([0], np.cumsum(g.len)[:-1])))
+        assert len(g) == 1 or g.len.sum() <= budget  # budget respected
+    # greedy: first doc of every pack would NOT have fit in the previous pack
+    totals = df.groupby("pack")["len"].sum().to_numpy()
+    firsts = df[df.pos == 0]["len"].to_numpy()
+    assert (totals[:-1] + firsts[1:] > budget).all()
+
+
+def test_doc_pack_examples_matches_python_reference(ray_session):
+    from product_quality_check_ray.pipelines.textprep import (
+        N_SHARDS,
+        PACK_BUDGET,
+        _shard_cols,
+        doc_pack_examples,
+    )
+
+    got = doc_pack_examples(SF_SMALL).to_pandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.doc_id.to_numpy().astype(np.int64)
+    shard, key = _shard_cols(ids, N_SHARDS)
+    nw = np.array(
+        [len((t or "").lower().split() or [""]) for t in docs.text], dtype=np.int64
+    )
+    expect = []
+    ref = pd.DataFrame({"doc_id": ids, "shard": shard, "key": key, "nw": nw})
+    for s, g in ref.sort_values(["key", "doc_id"]).groupby("shard"):
+        pid = pos = off = acc = 0
+        for _, r in g.iterrows():
+            if acc and acc + r.nw > PACK_BUDGET:
+                pid, pos, off, acc = pid + 1, 0, 0, 0
+            expect.append((r.doc_id, s, pid, pos, off, r.nw))
+            pos, off, acc = pos + 1, off + r.nw, acc + r.nw
+    exp = pd.DataFrame(
+        expect, columns=["doc_id", "shard", "pack_id", "pack_pos", "tok_offset", "n_words"]
+    )
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True).astype(got.dtypes.to_dict())
+    assert got.equals(exp)
