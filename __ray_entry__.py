@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from product_quality_check_ray.pipelines import multimodal as mm
     from product_quality_check_ray.pipelines import similarity as sim
     from product_quality_check_ray.pipelines import text as tx
+    from product_quality_check_ray.pipelines import substring as sub
     from product_quality_check_ray.pipelines import textnorm as tn
 
     return {
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dups": tx.doc_minhash_dups,  # LSH candidates + exact verify — oracle = exact pairs
         "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
         "doc_ngram_jaccard_pairs": tx.doc_ngram_jaccard_pairs,
+        "doc_lcs_pairs": sub.doc_lcs_pairs,  # exact shared-substring (Lee et al.) dedup
         "doc_near_dup_clusters": lambda sf: tx.doc_near_dup_clusters(sf),  # oracle via 4-hop component SQL
         "clean_documents": lambda sf: tx.clean_documents(sf),  # full pipeline — oracle via component SQL
         # thresholds chosen so both quality predicates actually drop rows at
@@ -305,6 +307,15 @@ def oracle_sql() -> dict[str, str]:
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     W = SEGMENT_WIDTH
+    from product_quality_check_ray.pipelines.substring import (
+        LCS_GRAM,
+        LCS_HOT_CAP,
+        LCS_MIN_RUN,
+    )
+
+    lcs_leads = " || ' ' || ".join(
+        f"lead(word, {j}) OVER win" for j in range(1, LCS_GRAM)
+    )
     from product_quality_check_ray.pipelines.relational import RANGE_WINDOW_MIN
     from product_quality_check_ray.pipelines.textprep import (
         _MIX_DENOM,
@@ -1386,6 +1397,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = p.a
             JOIN sizes sb ON sb.doc_id = p.b
             WHERE round(p.shared * 1.0 / (sa.n + sb.n - p.shared), 6) >= 0.6
+            ORDER BY 1, 2
+        """,
+        # exact substring dedup: engine anchors = the L-gram equi-join below
+        # (collision-free string keys both sides); maximal shared runs are
+        # gaps-and-islands over anchors on a diagonal (pa − pb constant);
+        # hot grams stop-listed identically (drop, not truncate)
+        "doc_lcs_pairs": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS ws
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM d
+            ),
+            g AS (
+              SELECT doc_id, pos, word || ' ' || {lcs_leads} AS gram
+              FROM t
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(word, {LCS_GRAM - 1}) OVER win IS NOT NULL
+            ),
+            ok AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= {LCS_HOT_CAP}),
+            m AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              WHERE a.gram IN (SELECT gram FROM ok)
+            ),
+            isl AS (
+              SELECT da, db, pa - pb AS diag,
+                     pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+              FROM m
+            ),
+            r AS (
+              SELECT da, db, count(*) + {LCS_GRAM - 1} AS run_len, count(*) AS n_anch
+              FROM isl GROUP BY da, db, diag, grp
+            )
+            SELECT da AS doc_id_a, db AS doc_id_b,
+                   max(run_len)::BIGINT AS max_run,
+                   count(*)::BIGINT AS n_runs,
+                   sum(n_anch)::BIGINT AS n_anchors
+            FROM r GROUP BY da, db
+            HAVING max(run_len) >= {LCS_MIN_RUN}
             ORDER BY 1, 2
         """,
         "part_sku_parse": """

@@ -129,7 +129,11 @@ def run_suite() -> dict:
     timed("clean_documents_full", lambda sf: tx.clean_documents_full(sf))
     from product_quality_check_ray.pipelines import textprep as tp
 
+    from product_quality_check_ray.pipelines import substring as sub
+
     timed("doc_chunks", lambda sf: tp.doc_chunks(sf))
+    timed("doc_pack_examples", lambda sf: tp.doc_pack_examples(sf))
+    timed("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf))
     timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))
     timed("doc_lm_score", lambda sf: tp.doc_lm_score(sf))
     timed("events_range_counts", lambda sf: rel.events_range_counts(sf))

@@ -1,0 +1,301 @@
+"""Exact substring-level duplicate detection between documents.
+
+``doc_lcs_pairs`` finds, for every document pair, the LONGEST run of
+consecutive shared words (and all maximal shared runs ≥ the gram width),
+exactly — the substring-dedup criterion popularized for LLM training
+corpora by Lee et al. 2022 ("Deduplicating Training Data Makes Language
+Models Better", arXiv:2107.06499), which whole-doc fingerprints and
+MinHash both miss (quotes, boilerplate headers, partially-copied docs).
+
+Lee et al. build one giant suffix array; that is the single-machine shape.
+The Ray-native equivalent used here needs no global ordered structure:
+
+1. **Anchor join** — every position emits its L-word gram; docs sharing a
+   gram yield anchor matches ``(doc_a, doc_b, pos_a, pos_b)``. A shared
+   word-run of length R ≥ L is EXACTLY a chain of R−L+1 consecutive
+   anchors on one diagonal (``pos_a − pos_b`` constant), so no suffix
+   array is needed: maximal runs are gaps-and-islands over anchors.
+2. **Two-hop hash-range tree reduce** (raw Ray tasks, the
+   ``state/pairreduce.py`` pattern): hop 1 ranges on the gram, groups
+   exact gram strings (collision-free — the hash only routes), stop-lists
+   grams hotter than ``hot_cap`` docs-positions (boilerplate; drop, not
+   truncate, so the result stays SQL-reproducible), and emits anchors
+   pre-partitioned by a pair hash; hop 2 ranges on the pair, sorts each
+   pair's anchors by (diagonal, pos) and reduces islands → per-pair
+   (max_run, n_runs, n_anchors) with numpy reduceat — no per-pair Python
+   loop, and the driver only ever sees per-pair aggregates, never anchors.
+
+Partitioning assumptions: gram hashes are uniform (they are — xxhash
+routes them); per-gram anchor fan-out is bounded by ``hot_cap``²; each
+doc pair's anchors co-locate in exactly one hop-2 range by construction.
+At 100 TB the gram strings (~L words each) dominate hop-1 shuffle volume;
+the scale path swaps the string key for a 128-bit gram hash (collision
+odds ~n²/2¹²⁸) — kept as strings here so the DuckDB oracle can join on
+the very same key.
+
+Reference analog: the reference dedupes at whole-answer granularity only
+(pandas ``drop_duplicates`` in ``app.py``); substring-level dedup is one
+of the training-data operators this engine adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..core.hashing import hash_ints, hash_strings
+from .text import _docs, _split_words
+
+LCS_GRAM = 8  # anchor width L: shared runs shorter than L words are invisible
+LCS_MIN_RUN = 16  # report pairs whose longest shared run is >= this many words
+LCS_HOT_CAP = 64  # stop-list grams occurring more than this many times corpus-wide
+_RANGE_SEED = 23
+_PAIR_SEED = 29
+
+
+def gram_positions(t: pa.Table, L: int = LCS_GRAM) -> pa.Table:
+    """(gram, doc_id, pos) for every L-word window of every doc in a batch.
+
+    Vectorized: one whitespace split for the whole batch, L takes of the
+    flat word array joined with ``binary_join_element_wise`` — no per-doc
+    Python loop (same flat-buffer idiom as ``text._winnow_batch``).
+    """
+    empty = pa.table(
+        {
+            "gram": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    m_grams = np.maximum(lens - L + 1, 0)
+    total = int(m_grams.sum())
+    if total == 0:
+        return empty
+    grp = np.cumsum(m_grams) - m_grams
+    intra = np.arange(total, dtype=np.int64) - np.repeat(grp, m_grams)
+    pos_flat = np.repeat(off[:-1], m_grams) + intra
+    parts: list = []
+    for j in range(L):
+        parts.append(flat.take(pa.array(pos_flat + j)))
+    gram = pc.binary_join_element_wise(*parts, " ")
+    return pa.table(
+        {
+            "gram": gram,
+            "doc_id": pa.array(np.repeat(ids, m_grams)),
+            "pos": pa.array(intra),
+        }
+    )
+
+
+def _hop_edges(ranges: int) -> np.ndarray:
+    assert ranges >= 2
+    return np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges)
+
+
+def _split_by(h: np.ndarray, edges: np.ndarray, *cols: np.ndarray):
+    """Sort columns by hash and cut at range edges → tuple of col-tuples."""
+    order = np.argsort(h, kind="stable")
+    h = h[order]
+    cols = tuple(c[order] for c in cols)
+    idx = np.searchsorted(h, edges)
+    cuts = list(zip(np.r_[0, idx], np.r_[idx, len(h)]))
+    return tuple(tuple(c[lo:hi] for c in cols) for lo, hi in cuts)
+
+
+_ANCHOR_EMPTY = tuple(np.empty(0, dtype=np.int64) for _ in range(4))
+
+
+@ray.remote
+def _map_gram_blocks(block_refs: list, ranges: int):
+    """Hop-0 map: gram-hash-range-split one bundle of gram blocks.
+
+    Returns ``ranges`` objects of (grams, doc_ids, poss); partials route
+    worker→worker — the driver holds only ObjectRefs.
+    """
+    blocks = ray.get(list(block_refs))
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
+    tables = [x for x in tables if x.num_rows > 0]
+    if not tables:
+        e = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return e if ranges == 1 else tuple(e for _ in range(ranges))
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    grams = t.column("gram").combine_chunks()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = hash_strings(grams, seed=_RANGE_SEED)
+    g = np.asarray(grams.to_pylist(), dtype=object)
+    out = _split_by(h, _hop_edges(ranges), g, ids, pos)
+    return out if ranges > 1 else out[0]
+
+
+@ray.remote
+def _reduce_gram_range(hot_cap: int, pair_ranges: int, *parts):
+    """Hop 1: group one gram-hash range by EXACT gram, emit anchors.
+
+    Buckets hotter than ``hot_cap`` rows are dropped whole (stop-list).
+    Anchors (doc_a < doc_b, diag = pos_a − pos_b, pos_a) leave already
+    split into ``pair_ranges`` pair-hash ranges (``num_returns``), so the
+    anchor volume never converges anywhere — each hop-2 task sees only its
+    pair range.
+    """
+    grams = np.concatenate([p[0] for p in parts])
+    if grams.size == 0:
+        return _ANCHOR_EMPTY if pair_ranges == 1 else tuple(
+            _ANCHOR_EMPTY for _ in range(pair_ranges)
+        )
+    ids = np.concatenate([p[1] for p in parts])
+    pos = np.concatenate([p[2] for p in parts])
+    df = pd.DataFrame({"g": grams, "i": ids, "p": pos}).sort_values(
+        ["g", "i", "p"], kind="mergesort"
+    )
+    g, i, p = (df[c].to_numpy() for c in ("g", "i", "p"))
+    change = np.empty(g.size, dtype=bool)
+    change[0] = True
+    change[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, g.size])
+    da_l, db_l, dg_l, pa_l = [], [], [], []
+    # python loop only over SHARED grams (size >= 2, two+ docs) — the long
+    # unique tail is skipped wholesale
+    for lo, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+        if sz > hot_cap:
+            continue
+        bi = i[lo : lo + sz]
+        if bi[0] == bi[-1]:  # single doc (rows are id-sorted) — no pairs
+            continue
+        bp = p[lo : lo + sz]
+        ia, ib = np.triu_indices(sz, k=1)
+        cross = bi[ia] != bi[ib]
+        ia, ib = ia[cross], ib[cross]
+        # orient each anchor so doc_a < doc_b (rows are sorted by id)
+        da_l.append(bi[ia])
+        db_l.append(bi[ib])
+        dg_l.append(bp[ia] - bp[ib])
+        pa_l.append(bp[ia])
+    if not da_l:
+        return _ANCHOR_EMPTY if pair_ranges == 1 else tuple(
+            _ANCHOR_EMPTY for _ in range(pair_ranges)
+        )
+    da = np.concatenate(da_l)
+    db = np.concatenate(db_l)
+    dg = np.concatenate(dg_l)
+    pp = np.concatenate(pa_l)
+    with np.errstate(over="ignore"):
+        mix = da.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + db.astype(np.uint64)
+    h = hash_ints(mix, seed=_PAIR_SEED)
+    out = _split_by(h, _hop_edges(pair_ranges), da, db, dg, pp)
+    return out if pair_ranges > 1 else out[0]
+
+
+@ray.remote
+def _reduce_pair_range(L: int, min_run: int, *parts):
+    """Hop 2: gaps-and-islands over one pair-hash range of anchors.
+
+    One global lexsort by (doc_a, doc_b, diag, pos); islands are breaks in
+    consecutive pos on a diagonal; per-pair max/count/sum via reduceat.
+    """
+    empty = tuple(np.empty(0, dtype=np.int64) for _ in range(5))
+    da = np.concatenate([p[0] for p in parts])
+    if da.size == 0:
+        return empty
+    db = np.concatenate([p[1] for p in parts])
+    dg = np.concatenate([p[2] for p in parts])
+    pp = np.concatenate([p[3] for p in parts])
+    order = np.lexsort((pp, dg, db, da))
+    da, db, dg, pp = da[order], db[order], dg[order], pp[order]
+    new_diag = np.empty(da.size, dtype=bool)
+    new_diag[0] = True
+    new_diag[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1]) | (dg[1:] != dg[:-1])
+    new_isl = new_diag.copy()
+    new_isl[1:] |= np.diff(pp) != 1
+    isl_starts = np.flatnonzero(new_isl)
+    isl_sizes = np.diff(np.r_[isl_starts, da.size])
+    run_len = isl_sizes + L - 1
+    ida, idb = da[isl_starts], db[isl_starts]
+    new_pair = np.empty(ida.size, dtype=bool)
+    new_pair[0] = True
+    new_pair[1:] = (ida[1:] != ida[:-1]) | (idb[1:] != idb[:-1])
+    p_starts = np.flatnonzero(new_pair)
+    max_run = np.maximum.reduceat(run_len, p_starts)
+    n_runs = np.diff(np.r_[p_starts, ida.size])
+    n_anchors = np.add.reduceat(isl_sizes, p_starts)
+    keep = max_run >= min_run
+    return (
+        ida[p_starts][keep],
+        idb[p_starts][keep],
+        max_run[keep],
+        n_runs[keep],
+        n_anchors[keep],
+    )
+
+
+def doc_lcs_pairs(
+    sf_dir: str,
+    L: int = LCS_GRAM,
+    min_run: int = LCS_MIN_RUN,
+    hot_cap: int = LCS_HOT_CAP,
+    *,
+    ranges: int | None = None,
+    blocks_per_task: int = 8,
+) -> pa.Table:
+    """Doc pairs sharing a word run of ≥ ``min_run`` words, with the exact
+    longest shared run, number of maximal shared runs (≥ L), and total
+    anchor count. Output: (doc_id_a, doc_id_b, max_run, n_runs, n_anchors),
+    sorted by (doc_id_a, doc_id_b)."""
+    if ranges is None:
+        try:
+            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            ranges = 8
+    ranges = max(2, ranges)
+    grams = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda t: gram_positions(t, L), batch_format="pyarrow"
+    )
+    empty = pa.table(
+        {
+            "doc_id_a": pa.array([], type=pa.int64()),
+            "doc_id_b": pa.array([], type=pa.int64()),
+            "max_run": pa.array([], type=pa.int64()),
+            "n_runs": pa.array([], type=pa.int64()),
+            "n_anchors": pa.array([], type=pa.int64()),
+        }
+    )
+    bundles = list(grams.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        return empty
+    mapped = [
+        _map_gram_blocks.options(num_returns=ranges).remote(
+            block_refs[i : i + blocks_per_task], ranges
+        )
+        for i in range(0, len(block_refs), blocks_per_task)
+    ]
+    anchors = [
+        _reduce_gram_range.options(num_returns=ranges).remote(
+            hot_cap, ranges, *[m[r] for m in mapped]
+        )
+        for r in range(ranges)
+    ]
+    reduced = ray.get(
+        [
+            _reduce_pair_range.remote(L, min_run, *[a[r] for a in anchors])
+            for r in range(ranges)
+        ]
+    )
+    nonempty = [r for r in reduced if len(r[0])]
+    if not nonempty:
+        return empty
+    cols = [np.concatenate([r[k] for r in nonempty]) for k in range(5)]
+    order = np.lexsort((cols[1], cols[0]))
+    names = ["doc_id_a", "doc_id_b", "max_run", "n_runs", "n_anchors"]
+    return pa.table({n: pa.array(c[order], type=pa.int64()) for n, c in zip(names, cols)})

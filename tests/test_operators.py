@@ -1063,6 +1063,9 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
         doc_tfidf_topk,
     )
 
+    from product_quality_check_ray.pipelines.substring import doc_lcs_pairs
+    from product_quality_check_ray.pipelines.textprep import doc_pack_examples
+
     for op in (
         doc_winnow_fingerprints,
         doc_overlap_pairs,
@@ -1075,6 +1078,8 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
         doc_tfidf_topk,
         doc_lm_score,
         corpus_mixture_sample,
+        doc_pack_examples,
+        lambda d: doc_lcs_pairs(d, min_run=10),
     ):
         a, b = canon(op(str(one))), canon(op(str(eight)))
         assert a.equals(b), op.__name__
@@ -1424,3 +1429,57 @@ def test_doc_pack_examples_matches_python_reference(ray_session):
     got = got.sort_values("doc_id").reset_index(drop=True)
     exp = exp.sort_values("doc_id").reset_index(drop=True).astype(got.dtypes.to_dict())
     assert got.equals(exp)
+
+
+def test_doc_lcs_pairs_matches_bruteforce(ray_session):
+    """Engine vs brute-force python over the fixture corpus: identical pair
+    set with exact max shared run, island count, and anchor count."""
+    from collections import defaultdict
+
+    from product_quality_check_ray.pipelines.substring import (
+        LCS_GRAM,
+        LCS_HOT_CAP,
+        LCS_MIN_RUN,
+        doc_lcs_pairs,
+    )
+
+    got = doc_lcs_pairs(SF_SMALL).to_pandas().reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    L, mr, cap = LCS_GRAM, LCS_MIN_RUN, LCS_HOT_CAP
+    gram_map = defaultdict(list)
+    for _, r in docs.iterrows():
+        ws = (r.text or "").lower().split()
+        for i in range(len(ws) - L + 1):
+            gram_map[" ".join(ws[i : i + L])].append((int(r.doc_id), i))
+    anchors = defaultdict(list)
+    for occ in gram_map.values():
+        if len(occ) > cap:
+            continue
+        for x in range(len(occ)):
+            for y in range(x + 1, len(occ)):
+                (d1, p1), (d2, p2) = occ[x], occ[y]
+                if d1 == d2:
+                    continue
+                if d1 > d2:
+                    d1, d2, p1, p2 = d2, d1, p2, p1
+                anchors[(d1, d2)].append((p1 - p2, p1))
+    rows = []
+    for (a, b), an in anchors.items():
+        an.sort()
+        runs, prev = [], None
+        for dg, p in an:
+            if prev and prev[0] == dg and prev[1] == p - 1:
+                runs[-1] += 1
+            else:
+                runs.append(1)
+            prev = (dg, p)
+        lens = [r + L - 1 for r in runs]
+        if max(lens) >= mr:
+            rows.append((a, b, max(lens), len(lens), sum(runs)))
+    exp = (
+        pd.DataFrame(rows, columns=list(got.columns))
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0  # fixture near-dups share long runs — non-vacuous
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
