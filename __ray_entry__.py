@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
         "doc_ngram_jaccard_pairs": tx.doc_ngram_jaccard_pairs,
         "doc_lcs_pairs": sub.doc_lcs_pairs,  # exact shared-substring (Lee et al.) dedup
+        "doc_strip_dup_spans": sub.doc_strip_dup_spans,  # cut duplicated spans, keep-first
         "doc_near_dup_clusters": lambda sf: tx.doc_near_dup_clusters(sf),  # oracle via 4-hop component SQL
         "clean_documents": lambda sf: tx.clean_documents(sf),  # full pipeline — oracle via component SQL
         # thresholds chosen so both quality predicates actually drop rows at
@@ -1440,6 +1441,84 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY da, db
             HAVING max(run_len) >= {LCS_MIN_RUN}
             ORDER BY 1, 2
+        """,
+        # substring-removal dedup: same anchor/island chain as doc_lcs_pairs,
+        # spans charged to the higher doc_id (keep-first), interval-unioned
+        # per doc (sorted-cummax merge, adjacent spans merge), words inside
+        # any merged span dropped, text rebuilt as ' '-joined lowered words
+        "doc_strip_dup_spans": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS ws
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM d
+            ),
+            g AS (
+              SELECT doc_id, pos, word || ' ' || {lcs_leads} AS gram
+              FROM t
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(word, {LCS_GRAM - 1}) OVER win IS NOT NULL
+            ),
+            ok AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= {LCS_HOT_CAP}),
+            m AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              WHERE a.gram IN (SELECT gram FROM ok)
+            ),
+            isl AS (
+              SELECT da, db, pa - pb AS diag, pb,
+                     pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+              FROM m
+            ),
+            r AS (
+              SELECT db, min(pb) AS s,
+                     min(pb) + count(*) + {LCS_GRAM - 1} AS e,
+                     count(*) + {LCS_GRAM - 1} AS run_len
+              FROM isl GROUP BY da, db, diag, grp
+            ),
+            sp AS (SELECT db AS doc_id, s, e FROM r WHERE run_len >= {LCS_MIN_RUN}),
+            m1 AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM sp
+            ),
+            m2 AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk
+              FROM m1
+            ),
+            m3 AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS gid
+              FROM m2
+            ),
+            mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM m3 GROUP BY doc_id, gid),
+            keepw AS (
+              SELECT t.doc_id, t.pos, t.word
+              FROM t LEFT JOIN mg
+                ON mg.doc_id = t.doc_id AND t.pos >= mg.s AND t.pos < mg.e
+              WHERE mg.doc_id IS NULL
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text
+              FROM keepw GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT doc_id, sum(e - s) AS n_removed, count(*) AS n_spans
+              FROM mg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(st.n_removed, 0)::BIGINT AS n_removed,
+                   coalesce(st.n_spans, 0)::BIGINT AS n_spans
+            FROM d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            LEFT JOIN stats st ON st.doc_id = d.doc_id
+            ORDER BY 1
         """,
         "part_sku_parse": """
             SELECT p_partkey,

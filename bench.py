@@ -134,6 +134,7 @@ def run_suite() -> dict:
     timed("doc_chunks", lambda sf: tp.doc_chunks(sf))
     timed("doc_pack_examples", lambda sf: tp.doc_pack_examples(sf))
     timed("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf))
+    timed("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf))
     timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))
     timed("doc_lm_score", lambda sf: tp.doc_lm_score(sf))
     timed("events_range_counts", lambda sf: rel.events_range_counts(sf))

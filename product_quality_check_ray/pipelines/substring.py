@@ -239,6 +239,235 @@ def _reduce_pair_range(L: int, min_run: int, *parts):
     )
 
 
+_SPAN_EMPTY = tuple(np.empty(0, dtype=np.int64) for _ in range(3))
+
+
+@ray.remote
+def _reduce_pair_spans(L: int, min_run: int, doc_ranges: int, *parts):
+    """Hop 2 (strip variant): islands as in ``_reduce_pair_range``, but emit
+    one REMOVAL SPAN per qualifying run, charged to the higher doc_id of the
+    pair (keep-first policy: the lowest doc keeps its text). Span is in the
+    victim doc's word coordinates: ``[pos_b, pos_b + run_len)``, and spans
+    leave pre-split into ``doc_ranges`` doc-hash ranges (``num_returns``)
+    so hop 3 can interval-union each doc's spans without any Dataset
+    shuffle."""
+    no = _SPAN_EMPTY if doc_ranges == 1 else tuple(_SPAN_EMPTY for _ in range(doc_ranges))
+    da = np.concatenate([p[0] for p in parts])
+    if da.size == 0:
+        return no
+    db = np.concatenate([p[1] for p in parts])
+    dg = np.concatenate([p[2] for p in parts])
+    pp = np.concatenate([p[3] for p in parts])
+    order = np.lexsort((pp, dg, db, da))
+    da, db, dg, pp = da[order], db[order], dg[order], pp[order]
+    new_isl = np.empty(da.size, dtype=bool)
+    new_isl[0] = True
+    new_isl[1:] = (
+        (da[1:] != da[:-1]) | (db[1:] != db[:-1]) | (dg[1:] != dg[:-1]) | (np.diff(pp) != 1)
+    )
+    starts = np.flatnonzero(new_isl)
+    run_len = np.diff(np.r_[starts, da.size]) + L - 1
+    keep = run_len >= min_run
+    starts, run_len = starts[keep], run_len[keep]
+    if starts.size == 0:
+        return no
+    s = pp[starts] - dg[starts]  # pos_b of the island start
+    doc = db[starts]
+    h = hash_ints(doc.astype(np.uint64), seed=_RANGE_SEED)
+    out = _split_by(h, _hop_edges(doc_ranges), doc, s, s + run_len)
+    return out if doc_ranges > 1 else out[0]
+
+
+@ray.remote
+def _merge_doc_range(*parts):
+    """Hop 3: interval-union spans per doc over one doc-hash range
+    (vectorized across the whole range): classic sorted-cummax merge, with
+    the segment cummax done in one ``np.maximum.accumulate`` by lifting
+    each doc onto its own 2³²-band. Adjacent spans ([0,5) + [5,9)) merge.
+    One output row per doc with the merged (starts, ends) CSV strings —
+    always a TYPED table, so the downstream join never sees the
+    zero-column empty blocks a Dataset ``map_groups`` can emit."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "starts": pa.array([], type=pa.string()),
+            "ends": pa.array([], type=pa.string()),
+        }
+    )
+    d = np.concatenate([p[0] for p in parts])
+    if d.size == 0:
+        return empty, 0
+    s = np.concatenate([p[1] for p in parts])
+    e = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((e, s, d))
+    d, s, e = d[order], s[order], e[order]
+    new_doc = np.empty(d.size, dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = d[1:] != d[:-1]
+    doc_rank = np.cumsum(new_doc) - 1
+    BAND = np.int64(1) << np.int64(32)
+    lifted_cummax = np.maximum.accumulate(e + doc_rank * BAND) - doc_rank * BAND
+    brk = new_doc.copy()
+    brk[1:] |= s[1:] > lifted_cummax[:-1]
+    g_starts = np.flatnonzero(brk)
+    m_doc = d[g_starts]
+    m_s = s[g_starts]
+    m_e = np.maximum.reduceat(e, g_starts)
+    # one row per doc: list-ify the merged intervals (sorted by s already)
+    first = np.empty(m_doc.size, dtype=bool)
+    first[0] = True
+    first[1:] = m_doc[1:] != m_doc[:-1]
+    doc_offsets = np.r_[np.flatnonzero(first), m_doc.size].astype(np.int32)
+    # CSV-encode the per-doc interval lists: Arrow's hash join rejects
+    # list-typed payload columns, so the spans ride through the join as two
+    # comma-joined strings and are re-parsed vectorized on the other side
+    s_str = pc.cast(pa.array(m_s, type=pa.int64()), pa.string())
+    e_str = pc.cast(pa.array(m_e, type=pa.int64()), pa.string())
+    out = pa.table(
+        {
+            "doc_id": pa.array(m_doc[doc_offsets[:-1]], type=pa.int64()),
+            "starts": pc.binary_join(pa.ListArray.from_arrays(doc_offsets, s_str), ","),
+            "ends": pc.binary_join(pa.ListArray.from_arrays(doc_offsets, e_str), ","),
+        }
+    )
+    return out, out.num_rows
+
+
+def _strip_spans_batch(t: pa.Table) -> pa.Table:
+    """Cut each doc's removal spans out of its word sequence — one flat
+    keep-mask built with scatter-add over the batch's flat word buffer, one
+    filter, one list rebuild; no per-doc Python loop. ``clean_text`` is the
+    lowercased whitespace-normalized reconstruction (' '-joined words) for
+    ALL docs, stripped or not, so output text is deterministic."""
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    n_docs = t.num_rows
+    starts_col = pc.split_pattern(
+        pc.fill_null(t.column("starts").combine_chunks(), ""), ","
+    )
+    ends_col = pc.split_pattern(pc.fill_null(t.column("ends").combine_chunks(), ""), ",")
+    # a null/empty spans string splits to [''] — mask those rows to 0 spans
+    has = pc.not_equal(
+        pc.fill_null(t.column("starts").combine_chunks(), ""), ""
+    ).to_numpy(zero_copy_only=False)
+    sp_counts = np.where(
+        has,
+        np.asarray(pc.list_value_length(starts_col).to_numpy(zero_copy_only=False), dtype=np.int64),
+        0,
+    )
+    keep_rows = pa.array(
+        np.repeat(has, pc.list_value_length(starts_col).to_numpy(zero_copy_only=False))
+    )
+    s_flat = np.asarray(
+        pc.cast(pc.list_flatten(starts_col).filter(keep_rows), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.int64,
+    )
+    e_flat = np.asarray(
+        pc.cast(pc.list_flatten(ends_col).filter(keep_rows), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.int64,
+    )
+    row_of_span = np.repeat(np.arange(n_docs, dtype=np.int64), sp_counts)
+    diff = np.zeros(int(off[-1]) + 1, dtype=np.int64)
+    np.add.at(diff, off[row_of_span] + s_flat, 1)
+    np.add.at(diff, off[row_of_span] + e_flat, -1)
+    keep = np.cumsum(diff[:-1]) == 0
+    removed_per_doc = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(removed_per_doc, row_of_span, e_flat - s_flat)
+    kept_flat = flat.filter(pa.array(keep))
+    new_off = np.r_[0, np.cumsum(lens - removed_per_doc)].astype(np.int64)
+    words = pa.ListArray.from_arrays(pa.array(new_off, type=pa.int64()).cast(pa.int32()), kept_flat)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "clean_text": pc.binary_join(words, " "),
+            "n_removed": pa.array(removed_per_doc),
+            "n_spans": pa.array(sp_counts),
+        }
+    )
+
+
+def doc_strip_dup_spans(
+    sf_dir: str,
+    L: int = LCS_GRAM,
+    min_run: int = LCS_MIN_RUN,
+    hot_cap: int = LCS_HOT_CAP,
+    *,
+    ranges: int | None = None,
+    blocks_per_task: int = 8,
+) -> rd.Dataset:
+    """Substring-level corpus dedup à la Lee et al. 2022: CUT every shared
+    word run ≥ ``min_run`` out of the higher-doc_id copy (keep-first), and
+    rebuild the corpus. Output (doc_id, clean_text, n_removed, n_spans).
+
+    Composition, all distributed: three-hop anchor tree reduce (gram range
+    → pair range → doc range; the driver holds only ObjectRefs) → merged
+    per-doc spans as a Dataset via ``from_arrow_refs`` (zero driver
+    materialization) → ``left_outer`` hash join onto the corpus → one
+    vectorized cut pass. Docs without spans flow through the join with
+    null span columns and are reconstructed unchanged.
+    """
+    from ..core.batches import strip_schema_metadata
+
+    if ranges is None:
+        try:
+            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            ranges = 8
+    ranges = max(2, ranges)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    grams = docs.map_batches(lambda t: gram_positions(t, L), batch_format="pyarrow")
+    bundles = list(grams.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    merged_tables = []
+    if block_refs:
+        mapped = [
+            _map_gram_blocks.options(num_returns=ranges).remote(
+                block_refs[i : i + blocks_per_task], ranges
+            )
+            for i in range(0, len(block_refs), blocks_per_task)
+        ]
+        anchors = [
+            _reduce_gram_range.options(num_returns=ranges).remote(
+                hot_cap, ranges, *[m[r] for m in mapped]
+            )
+            for r in range(ranges)
+        ]
+        span_parts = [
+            _reduce_pair_spans.options(num_returns=ranges).remote(
+                L, min_run, ranges, *[a[r] for a in anchors]
+            )
+            for r in range(ranges)
+        ]
+        hop3 = [
+            _merge_doc_range.options(num_returns=2).remote(*[s[r] for s in span_parts])
+            for r in range(ranges)
+        ]
+        # an EMPTY table inside from_arrow_refs loses its schema in the join
+        # shuffle ("no match for key field doc_id") — keep only non-empty
+        # ranges, known from the tiny count returns (never the tables)
+        counts = ray.get([c for _, c in hop3])
+        merged_tables = [t for (t, _), n in zip(hop3, counts) if n > 0]
+    if merged_tables:
+        joined = strip_schema_metadata(docs).join(
+            rd.from_arrow_refs(merged_tables),
+            join_type="left_outer",
+            num_partitions=max(8, ranges // 2),
+            on=("doc_id",),
+        )
+    else:
+        joined = docs.map_batches(
+            lambda t: t.append_column(
+                "starts", pa.array([None] * t.num_rows, type=pa.string())
+            ).append_column("ends", pa.array([None] * t.num_rows, type=pa.string())),
+            batch_format="pyarrow",
+        )
+    return joined.map_batches(_strip_spans_batch, batch_format="pyarrow")
+
+
 def doc_lcs_pairs(
     sf_dir: str,
     L: int = LCS_GRAM,

@@ -1063,7 +1063,10 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
         doc_tfidf_topk,
     )
 
-    from product_quality_check_ray.pipelines.substring import doc_lcs_pairs
+    from product_quality_check_ray.pipelines.substring import (
+        doc_lcs_pairs,
+        doc_strip_dup_spans,
+    )
     from product_quality_check_ray.pipelines.textprep import doc_pack_examples
 
     for op in (
@@ -1080,6 +1083,7 @@ def test_doc_ops_block_structure_invariance(ray_session, tmp_path):
         corpus_mixture_sample,
         doc_pack_examples,
         lambda d: doc_lcs_pairs(d, min_run=10),
+        lambda d: doc_strip_dup_spans(d, min_run=10),
     ):
         a, b = canon(op(str(one))), canon(op(str(eight)))
         assert a.equals(b), op.__name__
@@ -1483,3 +1487,80 @@ def test_doc_lcs_pairs_matches_bruteforce(ray_session):
     )
     assert len(got) > 0  # fixture near-dups share long runs — non-vacuous
     assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_doc_strip_dup_spans_matches_bruteforce(ray_session):
+    """Span-removal dedup vs a brute-force reference: identical stripped
+    text, removed-word counts, and merged-interval counts per doc."""
+    from collections import defaultdict
+
+    from product_quality_check_ray.pipelines.substring import (
+        LCS_GRAM,
+        LCS_HOT_CAP,
+        LCS_MIN_RUN,
+        doc_strip_dup_spans,
+    )
+
+    got = (
+        doc_strip_dup_spans(SF_SMALL)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    L, mr, cap = LCS_GRAM, LCS_MIN_RUN, LCS_HOT_CAP
+    words = {int(r.doc_id): ((r.text or "").lower().split() or [""]) for _, r in docs.iterrows()}
+    gram_map = defaultdict(list)
+    for d, ws in words.items():
+        for i in range(len(ws) - L + 1):
+            gram_map[" ".join(ws[i : i + L])].append((d, i))
+    spans = defaultdict(list)
+    for occ in gram_map.values():
+        if len(occ) > cap:
+            continue
+        by_pair = defaultdict(list)
+        for x in range(len(occ)):
+            for y in range(x + 1, len(occ)):
+                (d1, p1), (d2, p2) = occ[x], occ[y]
+                if d1 == d2:
+                    continue
+                if d1 > d2:
+                    d1, d2, p1, p2 = d2, d1, p2, p1
+                by_pair[(d1, d2)].append((p1 - p2, p1))
+        for k, v in by_pair.items():
+            spans[k].extend(v)
+    cut = defaultdict(list)
+    for (a, b), an in spans.items():
+        an.sort()
+        runs, prev = [], None
+        for dg, p in an:
+            if prev and prev[0] == dg and prev[1] == p - 1:
+                runs[-1] = (runs[-1][0], runs[-1][1] + 1)
+            else:
+                runs.append(((dg, p), 1))
+            prev = (dg, p)
+        for (dg, p0), n in runs:
+            rl = n + L - 1
+            if rl >= mr:
+                cut[b].append((p0 - dg, p0 - dg + rl))
+    rows = []
+    for d, ws in words.items():
+        merged = []
+        for s, e in sorted(cut.get(d, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        rm = set()
+        for s, e in merged:
+            rm.update(range(s, e))
+        kept = [w for i, w in enumerate(ws) if i not in rm]
+        rows.append((d, " ".join(kept), sum(e - s for s, e in merged), len(merged)))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "clean_text", "n_removed", "n_spans"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(got.dtypes.to_dict())
+    )
+    assert (got.n_spans > 0).any()  # fixture near-dups make this non-vacuous
+    assert got.equals(exp)
