@@ -1374,9 +1374,13 @@ def test_textprep_ops_empty_corpus(ray_session, tmp_path):
         }
     )
     _pq.write_table(empty, str(d / "documents.parquet"))
+    from product_quality_check_ray.pipelines import substring as sub
+
     for op in (tp.doc_chunks, tp.doc_pii_redact, tp.doc_shard_assign,
-               tp.doc_tfidf_topk, tp.corpus_mixture_sample):
+               tp.doc_tfidf_topk, tp.corpus_mixture_sample, tp.doc_pack_examples,
+               sub.doc_strip_dup_spans):
         assert len(op(str(d)).to_pandas()) == 0, op.__name__
+    assert sub.doc_lcs_pairs(str(d)).num_rows == 0
     with pytest.raises(ValueError):  # LM: empty reference slice is an error
         tp.doc_lm_score(str(d)).to_pandas()
 
