@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": tp.doc_pii_redact,  # PII count + redact (augmented corpus)
         "doc_shard_assign": lambda sf: tp.doc_shard_assign(sf),  # deterministic global shuffle keys
         "doc_pack_examples": lambda sf: tp.doc_pack_examples(sf),  # greedy token-budget packing plan
+        "seq_pack_plan": lambda sf: tp.seq_pack_plan(sf),  # packing over pre-tokenized sequences
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -328,6 +329,8 @@ def oracle_sql() -> dict[str, str]:
         N_SHARDS,
         PACK_BUDGET,
         PII_EMAIL,
+        SEQ_PACK_BUDGET,
+        SEQ_PACK_SHARDS,
         PII_IP,
         PII_PHONE,
         SHARD_ADD2,
@@ -419,7 +422,7 @@ def oracle_sql() -> dict[str, str]:
         f" OR source IS NULL OR source NOT IN {_ALLOWED}"
         " OR coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048)"
     )
-    return {
+    sql = {
         "seq_row_violations": f"""
             SELECT doc_id, n_tok, source, {flags}
             FROM {seq} WHERE {any_flag}
@@ -821,6 +824,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
                    tok_offset, nw::BIGINT AS n_words
+            FROM walk
+        """,
+        # same walk over the PRE-TOKENIZED sequences table: valid rows only,
+        # shard key from the numeric doc_id suffix, n_tok as the pack cost,
+        # (shuffle_key, doc_num, n_tok) walk order (n_tok breaks the
+        # injected-duplicate-doc_id ties deterministically)
+        "seq_pack_plan": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     CAST(n_tok AS BIGINT) AS nt,
+                     ((CAST(right(doc_id, 12) AS BIGINT)::HUGEINT * {SHARD_MULT1})
+                      % 4294967296) % {SEQ_PACK_SHARDS} AS shard,
+                     row_number() OVER (
+                       PARTITION BY ((CAST(right(doc_id, 12) AS BIGINT)::HUGEINT
+                                     * {SHARD_MULT1}) % 4294967296) % {SEQ_PACK_SHARDS}
+                       ORDER BY ((((CAST(right(doc_id, 12) AS BIGINT)::HUGEINT
+                                   * {SHARD_MULT1}) % 4294967296)
+                                  * {SHARD_MULT2}) + {SHARD_ADD2}) % 4294967296,
+                                CAST(right(doc_id, 12) AS BIGINT), n_tok
+                     ) AS rn
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
+                AND n_tok BETWEEN 1 AND 2048
+            ),
+            walk AS (
+              SELECT shard, rn, doc_id, nt,
+                     0::BIGINT AS pack_id, 0::BIGINT AS pack_pos,
+                     0::BIGINT AS tok_offset, nt AS acc
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.nt,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN 0 ELSE w.pack_pos + 1 END,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN 0 ELSE w.acc END,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN b.nt ELSE w.acc + b.nt END
+              FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+            )
+            SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
+                   tok_offset, nt AS n_tok
             FROM walk
         """,
         # TF-IDF: score expression mirrors the engine op-for-op
@@ -1548,3 +1590,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label ORDER BY label
         """,
     }
+    # Whitespace-trim parity: the engine trims with Arrow's
+    # utf8_trim_whitespace, but DuckDB's one-arg trim() strips SPACES only —
+    # a '\n'-edged doc would grow a phantom '' token at pos 0 and shift
+    # every word position. Give every trim(lower(...)) the explicit ASCII
+    # whitespace set (the fixtures are ASCII; NBSP-class divergence is the
+    # documented md5-parity caveat in pipelines/text.py). Applied here once
+    # so no individual oracle can forget it.
+    ws = " \t\n\r\x0b\x0c"
+    for pat in (
+        "trim(lower(coalesce(text, '')))",
+        "trim(lower(text))",
+        "trim(lower(coalesce(source, '')))",
+    ):
+        fixed = pat[:-1] + f", '{ws}')"
+        sql = {k: v.replace(pat, fixed) for k, v in sql.items()}
+    return sql

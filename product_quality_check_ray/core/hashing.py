@@ -49,3 +49,13 @@ def hash_ints(x: np.ndarray, seed: int = 0) -> np.ndarray:
     with np.errstate(over="ignore"):
         z = x.astype(_U64, copy=False) + _U64(seed) * _U64(0x9E3779B97F4A7C15)
     return splitmix64(z)
+
+
+def range_edges(ranges: int) -> np.ndarray:
+    """Split points of the uint64 hash space into ``ranges`` uniform ranges
+    (the hash-range tree-reduce partitioner shared by ``state/dupfinder``,
+    ``state/pairreduce`` and ``pipelines/substring``)."""
+    # ranges is clamped >= 2 by callers: ranges=1 would evaluate
+    # np.uint64(2**64) (OverflowError) and break num_returns plumbing
+    assert ranges >= 2
+    return np.arange(1, ranges, dtype=_U64) * _U64((2**64) // ranges)

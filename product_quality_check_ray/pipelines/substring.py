@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..core.hashing import hash_ints, hash_strings
+from ..core.hashing import hash_ints, hash_strings, range_edges as _hop_edges
 from .text import _docs, _split_words
 
 LCS_GRAM = 8  # anchor width L: shared runs shorter than L words are invisible
@@ -95,11 +95,6 @@ def gram_positions(t: pa.Table, L: int = LCS_GRAM) -> pa.Table:
             "pos": pa.array(intra),
         }
     )
-
-
-def _hop_edges(ranges: int) -> np.ndarray:
-    assert ranges >= 2
-    return np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges)
 
 
 def _split_by(h: np.ndarray, edges: np.ndarray, *cols: np.ndarray):
@@ -342,22 +337,16 @@ def _strip_spans_batch(t: pa.Table) -> pa.Table:
     texts = pc.fill_null(t.column("text").combine_chunks(), "")
     _, off, flat, lens = _split_words(texts)
     n_docs = t.num_rows
-    starts_col = pc.split_pattern(
-        pc.fill_null(t.column("starts").combine_chunks(), ""), ","
-    )
+    starts_str = pc.fill_null(t.column("starts").combine_chunks(), "")
+    starts_col = pc.split_pattern(starts_str, ",")
     ends_col = pc.split_pattern(pc.fill_null(t.column("ends").combine_chunks(), ""), ",")
     # a null/empty spans string splits to [''] — mask those rows to 0 spans
-    has = pc.not_equal(
-        pc.fill_null(t.column("starts").combine_chunks(), ""), ""
-    ).to_numpy(zero_copy_only=False)
-    sp_counts = np.where(
-        has,
-        np.asarray(pc.list_value_length(starts_col).to_numpy(zero_copy_only=False), dtype=np.int64),
-        0,
+    has = pc.not_equal(starts_str, "").to_numpy(zero_copy_only=False)
+    split_lens = np.asarray(
+        pc.list_value_length(starts_col).to_numpy(zero_copy_only=False), dtype=np.int64
     )
-    keep_rows = pa.array(
-        np.repeat(has, pc.list_value_length(starts_col).to_numpy(zero_copy_only=False))
-    )
+    sp_counts = np.where(has, split_lens, 0)
+    keep_rows = pa.array(np.repeat(has, split_lens))
     s_flat = np.asarray(
         pc.cast(pc.list_flatten(starts_col).filter(keep_rows), pa.int64()).to_numpy(
             zero_copy_only=False
@@ -390,6 +379,40 @@ def _strip_spans_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def _anchor_partials(
+    sf_dir: str, L: int, hot_cap: int, ranges: int | None, blocks_per_task: int
+):
+    """Shared hop-0/hop-1 wiring for both substring operators: gram
+    extraction over the corpus, gram-hash-range map tasks, and the hop-1
+    exact-gram anchor reduce. Returns (docs_dataset, resolved_ranges,
+    anchor_refs) — anchor_refs is None for an empty corpus."""
+    if ranges is None:
+        try:
+            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            ranges = 8
+    ranges = max(2, ranges)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    grams = docs.map_batches(lambda t: gram_positions(t, L), batch_format="pyarrow")
+    bundles = list(grams.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        return docs, ranges, None
+    mapped = [
+        _map_gram_blocks.options(num_returns=ranges).remote(
+            block_refs[i : i + blocks_per_task], ranges
+        )
+        for i in range(0, len(block_refs), blocks_per_task)
+    ]
+    anchors = [
+        _reduce_gram_range.options(num_returns=ranges).remote(
+            hot_cap, ranges, *[m[r] for m in mapped]
+        )
+        for r in range(ranges)
+    ]
+    return docs, ranges, anchors
+
+
 def doc_strip_dup_spans(
     sf_dir: str,
     L: int = LCS_GRAM,
@@ -412,30 +435,9 @@ def doc_strip_dup_spans(
     """
     from ..core.batches import strip_schema_metadata
 
-    if ranges is None:
-        try:
-            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            ranges = 8
-    ranges = max(2, ranges)
-    docs = _docs(sf_dir, columns=["doc_id", "text"])
-    grams = docs.map_batches(lambda t: gram_positions(t, L), batch_format="pyarrow")
-    bundles = list(grams.iter_internal_ref_bundles())
-    block_refs = [ref for b in bundles for ref in b.block_refs]
+    docs, ranges, anchors = _anchor_partials(sf_dir, L, hot_cap, ranges, blocks_per_task)
     merged_tables = []
-    if block_refs:
-        mapped = [
-            _map_gram_blocks.options(num_returns=ranges).remote(
-                block_refs[i : i + blocks_per_task], ranges
-            )
-            for i in range(0, len(block_refs), blocks_per_task)
-        ]
-        anchors = [
-            _reduce_gram_range.options(num_returns=ranges).remote(
-                hot_cap, ranges, *[m[r] for m in mapped]
-            )
-            for r in range(ranges)
-        ]
+    if anchors is not None:
         span_parts = [
             _reduce_pair_spans.options(num_returns=ranges).remote(
                 L, min_run, ranges, *[a[r] for a in anchors]
@@ -481,15 +483,6 @@ def doc_lcs_pairs(
     longest shared run, number of maximal shared runs (≥ L), and total
     anchor count. Output: (doc_id_a, doc_id_b, max_run, n_runs, n_anchors),
     sorted by (doc_id_a, doc_id_b)."""
-    if ranges is None:
-        try:
-            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        except Exception:
-            ranges = 8
-    ranges = max(2, ranges)
-    grams = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        lambda t: gram_positions(t, L), batch_format="pyarrow"
-    )
     empty = pa.table(
         {
             "doc_id_a": pa.array([], type=pa.int64()),
@@ -499,22 +492,9 @@ def doc_lcs_pairs(
             "n_anchors": pa.array([], type=pa.int64()),
         }
     )
-    bundles = list(grams.iter_internal_ref_bundles())
-    block_refs = [ref for b in bundles for ref in b.block_refs]
-    if not block_refs:
+    _, ranges, anchors = _anchor_partials(sf_dir, L, hot_cap, ranges, blocks_per_task)
+    if anchors is None:
         return empty
-    mapped = [
-        _map_gram_blocks.options(num_returns=ranges).remote(
-            block_refs[i : i + blocks_per_task], ranges
-        )
-        for i in range(0, len(block_refs), blocks_per_task)
-    ]
-    anchors = [
-        _reduce_gram_range.options(num_returns=ranges).remote(
-            hot_cap, ranges, *[m[r] for m in mapped]
-        )
-        for r in range(ranges)
-    ]
     reduced = ray.get(
         [
             _reduce_pair_range.remote(L, min_run, *[a[r] for a in anchors])

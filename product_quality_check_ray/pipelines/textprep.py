@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..core.schema import MAX_N_TOK_DEFAULT
 from .text import _docs, _split_words
 
 # --------------------------------------------------------------------------
@@ -737,3 +738,96 @@ def prepare_training_corpus(
             json.dump({"n_shards": n_shards, "chunk": chunk, "stride": stride}, f)
         return rd.read_parquet(out_dir)
     return out
+
+
+# --------------------------------------------------------------------------
+# Greedy packing over the PRE-TOKENIZED sequences table (the north-star
+# input: doc_id:string, tokens:list<int32>, n_tok:int32, source:string)
+# --------------------------------------------------------------------------
+
+SEQ_PACK_BUDGET = 4096  # tokens per packed training example
+SEQ_PACK_SHARDS = 256  # one shard's metadata must fit a worker at 10^12 rows
+
+
+def seq_pack_plan(
+    sf_dir: str, budget: int = SEQ_PACK_BUDGET, n_shards: int = SEQ_PACK_SHARDS
+) -> rd.Dataset:
+    """``doc_pack_examples`` applied to the actual training-sequence table:
+    greedy first-fit of VALID sequences (non-null doc_id, 1 ≤ n_tok ≤ 2048)
+    into ``budget``-token examples, keyed by the numeric doc_id suffix.
+
+    Reads only (doc_id, n_tok) — the token payload column never leaves
+    storage; at 10^12 sequences the whole plan is 40 B/row of metadata.
+    Within-shard order is (shuffle_key, doc_num, n_tok): doc_num ties are
+    injected duplicate doc_ids, and the extra n_tok key makes the walk
+    order (hence the output multiset) deterministic under them.
+    """
+    from .seq_queries import _seq_ds
+
+    def meta(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        ntok = t.column("n_tok").combine_chunks()
+        valid = pc.and_(
+            pc.is_valid(ids),
+            pc.and_(
+                pc.is_valid(ntok),
+                pc.and_(
+                    pc.greater_equal(ntok, 1),
+                    pc.less_equal(ntok, MAX_N_TOK_DEFAULT),
+                ),
+            ),
+        )
+        t = pa.table({"doc_id": ids, "n_tok": ntok}).filter(valid)
+        num = pc.cast(
+            pc.utf8_slice_codeunits(t.column("doc_id").combine_chunks(), start=-12),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        shard, key = _shard_cols(num, n_shards)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "doc_num": pa.array(num),
+                "shard": pa.array(shard),
+                "shuffle_key": pa.array(key),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "shard": pa.array([], type=pa.int64()),
+            "pack_id": pa.array([], type=pa.int64()),
+            "pack_pos": pa.array([], type=pa.int64()),
+            "tok_offset": pa.array([], type=pa.int64()),
+            "n_tok": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        num = t.column("doc_num").to_numpy(zero_copy_only=False)
+        key = t.column("shuffle_key").to_numpy(zero_copy_only=False)
+        lens = t.column("n_tok").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lens, num, key))
+        lens = lens[order]
+        pack_id, pack_pos, tok_offset = _pack_plan(lens, budget)
+        take = pa.array(order)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").take(take),
+                "shard": t.column("shard").take(take),
+                "pack_id": pa.array(pack_id),
+                "pack_pos": pa.array(pack_pos),
+                "tok_offset": pa.array(tok_offset),
+                "n_tok": pa.array(lens),
+            }
+        )
+
+    return (
+        _seq_ds(sf_dir, columns=["doc_id", "n_tok"])
+        .map_batches(meta, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack_group, batch_format="pyarrow")
+    )

@@ -40,16 +40,9 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..core.hashing import hash_strings
+from ..core.hashing import hash_strings, range_edges as _range_edges
 
 HASH_SEED = 7
-
-
-def _range_edges(ranges: int) -> np.ndarray:
-    # ranges is clamped ≥ 2 by callers: ranges=1 would evaluate
-    # np.uint64(2**64) (OverflowError) and break num_returns plumbing
-    assert ranges >= 2
-    return np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges)
 
 
 @ray.remote

@@ -30,16 +30,9 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..core.hashing import hash_ints, hash_strings
+from ..core.hashing import hash_ints, hash_strings, range_edges as _edges
 
 RANGE_SEED = 11
-
-
-def _edges(ranges: int) -> np.ndarray:
-    # ranges is clamped ≥ 2 by cooccurrence_pairs (ranges=1 would evaluate
-    # np.uint64(2**64) → OverflowError and break num_returns plumbing)
-    assert ranges >= 2
-    return np.arange(1, ranges, dtype=np.uint64) * np.uint64((2**64) // ranges)
 
 
 @ray.remote

@@ -1568,3 +1568,34 @@ def test_doc_strip_dup_spans_matches_bruteforce(ray_session):
     )
     assert (got.n_spans > 0).any()  # fixture near-dups make this non-vacuous
     assert got.equals(exp)
+
+
+def test_seq_pack_plan_properties(ray_session):
+    from product_quality_check_ray.pipelines.textprep import (
+        SEQ_PACK_BUDGET,
+        seq_pack_plan,
+    )
+
+    got = seq_pack_plan(SF_SMALL).to_pandas()
+    seqs = pd.concat(
+        [pd.read_parquet(f, columns=["doc_id", "n_tok"]) for f in
+         sorted(__import__("glob").glob("/tmp/pqcray_data/sf0.001/sequences/*.parquet"))]
+    )
+    valid = seqs[seqs.doc_id.notna() & seqs.n_tok.notna()
+                 & (seqs.n_tok >= 1) & (seqs.n_tok <= 2048)]
+    assert len(got) == len(valid)  # exactly the valid rows are packed
+    assert got.doc_id.notna().all()
+    for (_, _), g in got.groupby(["shard", "pack_id"]):
+        g = g.sort_values("pack_pos")
+        assert list(g.pack_pos) == list(range(len(g)))
+        assert list(g.tok_offset) == list(np.r_[0, np.cumsum(g.n_tok)[:-1]])
+        assert len(g) == 1 or g.n_tok.sum() <= SEQ_PACK_BUDGET
+    # determinism across runs
+    a = got.sort_values(["shard", "pack_id", "pack_pos"]).reset_index(drop=True)
+    b = (
+        seq_pack_plan(SF_SMALL)
+        .to_pandas()
+        .sort_values(["shard", "pack_id", "pack_pos"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
