@@ -1599,3 +1599,26 @@ def test_seq_pack_plan_properties(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_substring_ops_invariant_to_range_count(ray_session):
+    """Hash-range parallelism (the per-cluster-size knob) must not change
+    results: 3 vs 8 ranges give byte-identical pairs and stripped corpora —
+    the single-node stand-in for the north rule's N vs 4N identical-output
+    requirement on these operators."""
+    from product_quality_check_ray.pipelines.substring import (
+        doc_lcs_pairs,
+        doc_strip_dup_spans,
+    )
+
+    a = doc_lcs_pairs(SF_SMALL, ranges=3).to_pandas()
+    b = doc_lcs_pairs(SF_SMALL, ranges=8).to_pandas()
+    assert len(a) > 0 and a.equals(b)
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    sa = canon(doc_strip_dup_spans(SF_SMALL, ranges=3))
+    sb = canon(doc_strip_dup_spans(SF_SMALL, ranges=8))
+    assert (sa.n_spans > 0).any() and sa.equals(sb)
