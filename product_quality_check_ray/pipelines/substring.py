@@ -111,24 +111,29 @@ _ANCHOR_EMPTY = tuple(np.empty(0, dtype=np.int64) for _ in range(4))
 
 
 @ray.remote
-def _map_gram_blocks(block_refs: list, ranges: int):
+def _map_gram_blocks(block_refs: list, ranges: int, exact_keys: bool = True):
     """Hop-0 map: gram-hash-range-split one bundle of gram blocks.
 
     Returns ``ranges`` objects of (grams, doc_ids, poss); partials route
-    worker→worker — the driver holds only ObjectRefs.
+    worker→worker — the driver holds only ObjectRefs. ``exact_keys=False``
+    is the scale path: the key column carries the 64-bit gram hash (int64
+    view, 8 B/row) instead of the ~L-word gram string — hop-1 grouping is
+    then by-hash (collision odds ~n²/2⁶⁴ per range; at 100 TB widen to
+    128 bits) and the numeric sort avoids the object-array round-trip.
     """
     blocks = ray.get(list(block_refs))
     tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
     tables = [x for x in tables if x.num_rows > 0]
     if not tables:
-        e = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        kd = object if exact_keys else np.int64
+        e = (np.empty(0, dtype=kd), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         return e if ranges == 1 else tuple(e for _ in range(ranges))
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     grams = t.column("gram").combine_chunks()
     ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
     h = hash_strings(grams, seed=_RANGE_SEED)
-    g = np.asarray(grams.to_pylist(), dtype=object)
+    g = np.asarray(grams.to_pylist(), dtype=object) if exact_keys else h.view(np.int64)
     out = _split_by(h, _hop_edges(ranges), g, ids, pos)
     return out if ranges > 1 else out[0]
 
@@ -380,7 +385,12 @@ def _strip_spans_batch(t: pa.Table) -> pa.Table:
 
 
 def _anchor_partials(
-    sf_dir: str, L: int, hot_cap: int, ranges: int | None, blocks_per_task: int
+    sf_dir: str,
+    L: int,
+    hot_cap: int,
+    ranges: int | None,
+    blocks_per_task: int,
+    exact_keys: bool = True,
 ):
     """Shared hop-0/hop-1 wiring for both substring operators: gram
     extraction over the corpus, gram-hash-range map tasks, and the hop-1
@@ -400,7 +410,7 @@ def _anchor_partials(
         return docs, ranges, None
     mapped = [
         _map_gram_blocks.options(num_returns=ranges).remote(
-            block_refs[i : i + blocks_per_task], ranges
+            block_refs[i : i + blocks_per_task], ranges, exact_keys
         )
         for i in range(0, len(block_refs), blocks_per_task)
     ]
@@ -421,6 +431,7 @@ def doc_strip_dup_spans(
     *,
     ranges: int | None = None,
     blocks_per_task: int = 8,
+    exact_keys: bool = True,
 ) -> rd.Dataset:
     """Substring-level corpus dedup à la Lee et al. 2022: CUT every shared
     word run ≥ ``min_run`` out of the higher-doc_id copy (keep-first), and
@@ -435,7 +446,9 @@ def doc_strip_dup_spans(
     """
     from ..core.batches import strip_schema_metadata
 
-    docs, ranges, anchors = _anchor_partials(sf_dir, L, hot_cap, ranges, blocks_per_task)
+    docs, ranges, anchors = _anchor_partials(
+        sf_dir, L, hot_cap, ranges, blocks_per_task, exact_keys
+    )
     merged_tables = []
     if anchors is not None:
         span_parts = [
@@ -478,6 +491,7 @@ def doc_lcs_pairs(
     *,
     ranges: int | None = None,
     blocks_per_task: int = 8,
+    exact_keys: bool = True,
 ) -> pa.Table:
     """Doc pairs sharing a word run of ≥ ``min_run`` words, with the exact
     longest shared run, number of maximal shared runs (≥ L), and total
@@ -492,7 +506,9 @@ def doc_lcs_pairs(
             "n_anchors": pa.array([], type=pa.int64()),
         }
     )
-    _, ranges, anchors = _anchor_partials(sf_dir, L, hot_cap, ranges, blocks_per_task)
+    _, ranges, anchors = _anchor_partials(
+        sf_dir, L, hot_cap, ranges, blocks_per_task, exact_keys
+    )
     if anchors is None:
         return empty
     reduced = ray.get(

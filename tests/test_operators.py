@@ -1622,3 +1622,14 @@ def test_substring_ops_invariant_to_range_count(ray_session):
     sa = canon(doc_strip_dup_spans(SF_SMALL, ranges=3))
     sb = canon(doc_strip_dup_spans(SF_SMALL, ranges=8))
     assert (sa.n_spans > 0).any() and sa.equals(sb)
+
+
+def test_substring_hashed_key_path_matches_exact(ray_session):
+    """The exact_keys=False scale path (8-byte gram hashes through hop 1
+    instead of gram strings) must reproduce the exact-key results on the
+    fixture corpus."""
+    from product_quality_check_ray.pipelines.substring import doc_lcs_pairs
+
+    a = doc_lcs_pairs(SF_SMALL).to_pandas()
+    b = doc_lcs_pairs(SF_SMALL, exact_keys=False).to_pandas()
+    assert len(a) > 0 and a.equals(b)
