@@ -20,6 +20,7 @@ from product_quality_check_ray.pipelines import npm
 from product_quality_check_ray.pipelines import relational as rel
 from product_quality_check_ray.pipelines import seq_queries as sq
 from product_quality_check_ray.pipelines import textprep as tp
+from product_quality_check_ray.pipelines import tokens as tk
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
@@ -187,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shard_assign": lambda sf: tp.doc_shard_assign(sf),  # deterministic global shuffle keys
         "doc_pack_examples": lambda sf: tp.doc_pack_examples(sf),  # greedy token-budget packing plan
         "seq_pack_plan": lambda sf: tp.seq_pack_plan(sf),  # packing over pre-tokenized sequences
+        # token-LEVEL ops on the north-star table (pipelines/tokens.py)
+        "seq_decontaminate": lambda sf: tk.seq_decontaminate(sf),  # benchmark k-gram decontamination
+        "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -224,6 +228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (decode stubbed; schema/layout real)
         "multimodal_features": mm.multimodal_features,  # rows-only
     }
+
+
+def _canary_sql() -> str:
+    """The tokens.py canary as a DuckDB int32-list literal."""
+    return "[" + ", ".join(str(v) for v in tk.CANARY) + "]"
 
 
 def _seq_glob_sql(sf_dir: str) -> str:
@@ -864,6 +873,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
                    tok_offset, nt AS n_tok
             FROM walk
+        """,
+        # token-level decontamination: same canary patch + holdout slice as
+        # the engine (pipelines/tokens.py constants interpolated); corp is
+        # MATERIALIZED so the internal row_number (used only to regroup gram
+        # hits back to their row) is computed exactly once
+        "seq_decontaminate": f"""
+            WITH raw AS (
+              SELECT doc_id, tokens, n_tok, source, len(tokens) AS tlen,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+            ),
+            pat AS (
+              SELECT doc_id, n_tok, source, tlen,
+                     CASE WHEN sfx IS NOT NULL
+                               AND sfx % {tk.DECON_PATCH_MOD} = {tk.DECON_PATCH_RES}
+                          THEN list_cat(
+                                 {_canary_sql()}[1:least({tk.CANARY_LEN}, tlen)],
+                                 tokens[least({tk.CANARY_LEN}, tlen) + 1:])
+                          ELSE tokens END AS ptok,
+                     coalesce(sfx % {tk.DECON_HOLD_MOD} = 0, FALSE) AS is_hold
+              FROM raw
+            ),
+            hold_grams AS (
+              SELECT DISTINCT ptok[i + 1:i + {tk.DECON_K}] AS g
+              FROM pat, unnest(range(tlen - {tk.DECON_K - 1})) AS t(i)
+              WHERE is_hold
+            ),
+            corp AS MATERIALIZED (
+              SELECT row_number() OVER () AS rn, doc_id, source, n_tok, tlen, ptok
+              FROM pat WHERE NOT is_hold
+            ),
+            hits AS (
+              SELECT rn, count(*) AS hit_grams
+              FROM corp, unnest(range(tlen - {tk.DECON_K - 1})) AS t(i)
+              WHERE ptok[i + 1:i + {tk.DECON_K}] IN (SELECT g FROM hold_grams)
+              GROUP BY rn
+            )
+            SELECT c.doc_id, c.source, c.n_tok,
+                   CAST(greatest(c.tlen - {tk.DECON_K - 1}, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+                   coalesce(h.hit_grams, 0) > 0 AS contaminated
+            FROM corp c LEFT JOIN hits h USING (rn)
+        """,
+        # exact token-array content dedup over the same augmented view
+        "seq_dup_token_arrays": f"""
+            WITH raw AS (
+              SELECT doc_id, tokens, n_tok, source,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+            ),
+            pat AS (
+              SELECT doc_id, n_tok, source,
+                     CASE WHEN sfx IS NOT NULL
+                               AND sfx % {tk.DUPSEQ_MOD} = {tk.DUPSEQ_RES}
+                          THEN {_canary_sql()}[1:{tk.DUPSEQ_LEN_BASE} + sfx % {tk.DUPSEQ_LEN_CHOICES}]
+                          ELSE tokens END AS ptok
+              FROM raw
+            )
+            SELECT doc_id, source, n_tok,
+                   CAST(len(ptok) AS BIGINT) AS tlen,
+                   min(doc_id) OVER (PARTITION BY ptok) AS group_rep,
+                   count(*) OVER (PARTITION BY ptok) AS group_size
+            FROM pat
+            QUALIFY count(*) OVER (PARTITION BY ptok) > 1
         """,
         # TF-IDF: score expression mirrors the engine op-for-op
         # ((cnt/nw) * ln(N/df), all float64); ties broken by term ASC

@@ -1,0 +1,396 @@
+"""Token-level operators over the pre-tokenized ``sequences`` table.
+
+These run directly on the north-star input shape (``BASELINE.json:
+input_hint`` — doc_id:string, tokens:list<int32>, n_tok:int32,
+source:string) at the TOKEN level, with no text detour:
+
+- ``seq_decontaminate``: benchmark n-gram decontamination. A deterministic
+  holdout slice of the corpus (doc_id numeric suffix % DECON_HOLD_MOD == 0)
+  plays the benchmark suite; every non-holdout sequence is scanned for
+  EXACT token k-gram overlap with the holdout's gram set. The gram set is
+  collected once and broadcast via ``ray.put`` — the contract is the
+  real-world one: benchmark suites are MBs (≤ millions of grams), so the
+  gram index fits in the object store even when the corpus is 100 TB, and
+  the corpus side stays one streaming ``map_batches`` pass that never
+  shuffles. Membership is exact (32-byte gram keys, sorted-array
+  searchsorted), not hash-approximate.
+- ``seq_dup_token_arrays``: exact sequence-level content dedup — groups of
+  rows whose ENTIRE token arrays are identical (token-array equality, the
+  per-row invariant named in ``BASELINE.json``). Candidate→recover shape
+  (the ``exact_loser_ids`` / ``state/dupfinder`` design): a 64-bit
+  position-mixed content hash per row (fully vectorized; cumsum-diff
+  segment sums, no reduceat-empty-segment pitfalls) goes through the
+  hash-range tree reduce, and only CANDIDATE rows (duplicated hash) are
+  materialized and verified by exact array comparison — the corpus never
+  shuffles, the driver only ever sees the candidate set, and 64-bit
+  collisions are filtered exactly.
+
+Both ops read a deterministically AUGMENTED view of the corpus: the random
+fixture has essentially zero cross-row token overlap, which would make both
+queries vacuously empty (the ADVICE r1 "vacuously green" lesson on
+``embedding_near_dups``). A fixed 16-token canary is spliced in, keyed on
+the doc_id numeric suffix, with the exact same expression reproduced in the
+SQL oracles so both engines transform identical inputs (the
+``doc_pii_redact`` augmentation precedent, ``pipelines/textprep.py``).
+
+Reference analogs: prescreen exact-match pass over a broadcast dictionary
+(``prompts/banningredients.py:149,192-197``) for the gram membership; exact
+duplicate grouping (``app.py`` duplicate handling, SURVEY G4/D1) for the
+content dedup.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..core.collect import collect_table as _collect
+from ..core.hashing import splitmix64
+from ..core.schema import VOCAB
+from ..datagen import ensure_sequences, sequences_glob
+
+# --- decontamination constants (mirrored verbatim into the SQL oracle) ----
+DECON_K = 8            # token n-gram length
+DECON_HOLD_MOD = 97    # doc_id suffix % this == 0  → benchmark holdout row
+DECON_PATCH_MOD = 13   # suffix % this == DECON_PATCH_RES → canary-patched row
+DECON_PATCH_RES = 5
+CANARY_LEN = 16
+# Knuth multiplicative constant; values land uniformly in [0, VOCAB)
+CANARY: tuple[int, ...] = tuple((2654435761 * (j + 1)) % VOCAB for j in range(CANARY_LEN))
+_CANARY_NP = np.asarray(CANARY, dtype=np.int32)
+
+# --- content-dedup constants (mirrored into the SQL oracle) ---------------
+DUPSEQ_MOD = 257       # suffix % this == DUPSEQ_RES → whole array replaced
+DUPSEQ_RES = 3
+DUPSEQ_LEN_BASE = 4    # replacement = CANARY[: 4 + suffix % 5] (5 groups)
+DUPSEQ_LEN_CHOICES = 5
+
+_U64 = np.uint64
+_GOLD = _U64(0x9E3779B97F4A7C15)
+
+
+def _seq_ds(sf_dir: str, columns=None) -> rd.Dataset:
+    ensure_sequences(sf_dir)
+    return rd.read_parquet(sorted(_glob.glob(sequences_glob(sf_dir))), columns=columns)
+
+
+def _suffix_i64(doc_id: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Numeric 12-digit doc_id suffix; -1 where doc_id is NULL.
+
+    The SQL analog is ``try_cast(right(doc_id, 12) AS BIGINT)`` — fixture
+    doc_ids always end in 12 digits, so the cast only "fails" on NULL
+    (asserted by the strict Arrow cast here)."""
+    s = pc.cast(pc.utf8_slice_codeunits(doc_id, start=-12, stop=1 << 30), pa.int64())
+    return np.asarray(pc.fill_null(s, -1).to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+def _tokens_parts(col: "pa.ChunkedArray | pa.ListArray") -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 [n+1], values int32 buffer truncated to offsets[-1]).
+
+    Offsets are ABSOLUTE into the values buffer (offsets[0] may be nonzero
+    for sliced arrays — callers index with them directly, the
+    ``row_checks._list_min_max`` convention). Null list ELEMENTS become -1
+    (invalid-token sentinel, same as the check kernels)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    inner = arr.values
+    if inner.null_count:
+        inner = pc.fill_null(inner, -1)
+    vals = inner.to_numpy(zero_copy_only=False)[: offs[-1]]
+    return offs, np.asarray(vals, dtype=np.int32)
+
+
+def _patch_prefix(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """Copy of ``vals`` with rows' first min(CANARY_LEN, len) tokens replaced
+    by the canary (SQL: list_cat(CANARY[1:least(16,len)], tokens[least+1:]))."""
+    if rows.size == 0:
+        return vals
+    out = vals.copy()
+    m = np.minimum(offs[rows + 1] - offs[rows], CANARY_LEN)
+    nz = m > 0
+    rows, m = rows[nz], m[nz]
+    if rows.size == 0:
+        return out
+    total = int(m.sum())
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    out[np.repeat(offs[rows], m) + intra] = _CANARY_NP[intra]
+    return out
+
+
+def _gram_windows(
+    offs: np.ndarray, vals: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-row k-token windows: ((total, k) int32 contiguous,
+    row index per window, per-row window counts)."""
+    lens = offs[1:] - offs[:-1]
+    m = np.maximum(lens - k + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        return (
+            np.empty((0, k), dtype=np.int32),
+            np.empty(0, dtype=np.int64),
+            m,
+        )
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    starts = np.repeat(offs[:-1][m > 0], m[m > 0]) + intra
+    win = vals[starts[:, None] + np.arange(k, dtype=np.int64)[None, :]]
+    gdoc = np.repeat(np.arange(len(lens), dtype=np.int64), m)
+    return np.ascontiguousarray(win, dtype=np.int32), gdoc, m
+
+
+def _void(win: np.ndarray, k: int) -> np.ndarray:
+    """(n, k) int32 windows → length-n V{4k} byte-key view (exact, orderable)."""
+    return np.ascontiguousarray(win).view(f"V{4 * k}").ravel()
+
+
+_GRAM_BYTES = 4 * DECON_K
+_GRAM_TYPE = pa.binary(_GRAM_BYTES)  # fixed-size binary
+
+
+def _fsb_to_void(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty(0, dtype=f"V{_GRAM_BYTES}")
+    buf = arr.buffers()[1]
+    return np.frombuffer(
+        buf, dtype=f"V{_GRAM_BYTES}", count=len(arr), offset=arr.offset * _GRAM_BYTES
+    )
+
+
+def _holdout_grams_batch(t: pa.Table) -> pa.Table:
+    """Per-batch UNIQUE canary-patched k-gram keys of holdout rows (combiner:
+    the driver unions already-deduped 32-byte keys, never raw windows)."""
+    sfx = _suffix_i64(t.column("doc_id"))
+    hold = (sfx >= 0) & (sfx % DECON_HOLD_MOD == 0)
+    if not hold.any():
+        return pa.table({"g": pa.array([], type=_GRAM_TYPE)})
+    sel = t.filter(pa.array(hold))
+    s2 = sfx[hold]
+    offs, vals = _tokens_parts(sel.column("tokens"))
+    prows = np.flatnonzero(s2 % DECON_PATCH_MOD == DECON_PATCH_RES)
+    win, _, _ = _gram_windows(offs, _patch_prefix(offs, vals, prows), DECON_K)
+    u = np.unique(_void(win, DECON_K))
+    garr = pa.Array.from_buffers(_GRAM_TYPE, len(u), [None, pa.py_buffer(u.tobytes())])
+    return pa.table({"g": garr})
+
+
+def holdout_gram_index(seq: rd.Dataset) -> np.ndarray:
+    """Sorted unique V32 gram keys of the holdout slice (the broadcast
+    benchmark index). Size contract documented in the module docstring."""
+    tbl = _collect(seq.map_batches(_holdout_grams_batch, batch_format="pyarrow"))
+    return np.unique(_fsb_to_void(tbl.column("g")))
+
+
+_DECON_EMPTY = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("n_tok", pa.int32()),
+        ("n_grams", pa.int64()),
+        ("hit_grams", pa.int64()),
+        ("contaminated", pa.bool_()),
+    ]
+)
+
+
+def seq_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Token-level benchmark decontamination over the sequences corpus.
+
+    Two passes over storage (the canonical decontamination shape: build the
+    benchmark gram index once, then stream the corpus): pass 1 collects the
+    holdout gram set and broadcasts it; pass 2 flags every non-holdout row
+    with its exact contaminated-gram count. Output: one row per non-holdout
+    input row."""
+    seq = _seq_ds(sf_dir)
+    hold_ref = ray.put(holdout_gram_index(seq))
+
+    def scan(t: pa.Table) -> pa.Table:
+        hold: np.ndarray = ray.get(hold_ref)  # zero-copy from local object store
+        sfx = _suffix_i64(t.column("doc_id"))
+        keep = ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
+        sel = t.filter(pa.array(keep))
+        if sel.num_rows == 0:
+            return _DECON_EMPTY.empty_table()
+        s2 = sfx[keep]
+        offs, vals = _tokens_parts(sel.column("tokens"))
+        prows = np.flatnonzero((s2 >= 0) & (s2 % DECON_PATCH_MOD == DECON_PATCH_RES))
+        win, gdoc, m = _gram_windows(offs, _patch_prefix(offs, vals, prows), DECON_K)
+        hits = np.zeros(sel.num_rows, dtype=np.int64)
+        if win.shape[0] and hold.size:
+            v = _void(win, DECON_K)
+            member = hold[np.minimum(np.searchsorted(hold, v), hold.size - 1)] == v
+            if member.any():
+                hits = np.bincount(gdoc[member], minlength=sel.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id"),
+                "source": sel.column("source"),
+                "n_tok": sel.column("n_tok"),
+                "n_grams": pa.array(m.astype(np.int64)),
+                "hit_grams": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return seq.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact sequence-content dedup
+# ---------------------------------------------------------------------------
+
+
+def _content_hash(offs: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit content hash per row (uint64), fully vectorized.
+
+    h = mix( Σ_j mix(v_j + j·GOLD)  +  mix(len) ): each element is mixed with
+    its INTRA-ROW position before a commutative sum, so permutations differ;
+    segment sums come from a cumsum difference (no reduceat empty-segment
+    pitfall). Candidate-only contract: collisions are filtered by the exact
+    verification pass."""
+    lens = offs[1:] - offs[:-1]
+    with np.errstate(over="ignore"):
+        seg = vals[offs[0] : offs[-1]].astype(_U64)  # -1 → 2^64-1, deterministic
+        total = seg.size
+        intra = (
+            np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+        ).astype(_U64)
+        hv = splitmix64(seg + intra * _GOLD)
+        c = np.zeros(total + 1, dtype=_U64)
+        np.cumsum(hv, out=c[1:])
+        sums = c[offs[1:] - offs[0]] - c[offs[:-1] - offs[0]]
+        return splitmix64(sums + splitmix64(lens.astype(_U64)))
+
+
+def _canary_prefix_hash(length: int) -> np.uint64:
+    offs = np.array([0, length], dtype=np.int64)
+    return _content_hash(offs, _CANARY_NP[:length].copy())[0]
+
+
+_DUPSEQ_PREFIX_HASHES = np.array(
+    [_canary_prefix_hash(DUPSEQ_LEN_BASE + i) for i in range(DUPSEQ_LEN_CHOICES)],
+    dtype=_U64,
+)
+
+
+def _row_hashes(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(sfx, offs, vals, per-row content hash of the AUGMENTED view)."""
+    sfx = _suffix_i64(t.column("doc_id"))
+    offs, vals = _tokens_parts(t.column("tokens"))
+    h = _content_hash(offs, vals)
+    rep = (sfx >= 0) & (sfx % DUPSEQ_MOD == DUPSEQ_RES)
+    if rep.any():
+        h[rep] = _DUPSEQ_PREFIX_HASHES[(sfx[rep] % DUPSEQ_LEN_CHOICES).astype(np.int64)]
+    return sfx, offs, vals, h
+
+
+_DUPSEQ_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("n_tok", pa.int32()),
+        ("tlen", pa.int64()),
+        ("group_rep", pa.string()),
+        ("group_size", pa.int64()),
+    ]
+)
+
+
+def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
+    """Rows whose augmented token arrays are EXACTLY duplicated corpus-wide.
+
+    Output per duplicated row: (doc_id, source, n_tok, tlen, group_rep =
+    min doc_id in the group, group_size). Candidate→recover: only rows whose
+    64-bit content hash repeats are ever materialized; exact token-array
+    equality is verified on the (tiny) candidate set."""
+    seq = _seq_ds(sf_dir)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        _, _, _, h = _row_hashes(t)
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    hashed = seq.map_batches(add_hash, batch_format="pyarrow").materialize()
+    dup_h = find_dup_hash_values(hashed, "h")
+    if dup_h.size == 0:
+        return _DUPSEQ_SCHEMA.empty_table()
+    dup_sorted = np.sort(dup_h.view(_U64))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        sfx, offs, vals, h = _row_hashes(t)
+        pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
+        mask = dup_sorted[pos] == h
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "source": pa.array([], type=pa.string()),
+                    "n_tok": pa.array([], type=pa.int32()),
+                    "ptok": pa.array([], type=pa.list_(pa.int32())),
+                }
+            )
+        idx = np.flatnonzero(mask)
+        sel = t.take(pa.array(idx))
+        # augmented token arrays for candidate rows only (cold path)
+        rep = (sfx[idx] >= 0) & (sfx[idx] % DUPSEQ_MOD == DUPSEQ_RES)
+        ptok = []
+        for j, i in enumerate(idx):
+            if rep[j]:
+                L = DUPSEQ_LEN_BASE + int(sfx[i] % DUPSEQ_LEN_CHOICES)
+                ptok.append(_CANARY_NP[:L].tolist())
+            else:
+                ptok.append(vals[offs[i] : offs[i + 1]].tolist())
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id"),
+                "source": sel.column("source"),
+                "n_tok": sel.column("n_tok"),
+                "ptok": pa.array(ptok, type=pa.list_(pa.int32())),
+            }
+        )
+
+    cand = _collect(seq.map_batches(candidates, batch_format="pyarrow"))
+    if cand.num_rows == 0:
+        return _DUPSEQ_SCHEMA.empty_table()
+    # exact grouping of the candidate set (driver-side, candidate-only)
+    keys = [
+        np.asarray(x, dtype=np.int32).tobytes() if x is not None else b""
+        for x in cand.column("ptok").to_pylist()
+    ]
+    groups: dict[bytes, list[int]] = {}
+    for i, kb in enumerate(keys):
+        groups.setdefault(kb, []).append(i)
+    doc_ids = cand.column("doc_id").to_pylist()
+    out_rows: list[int] = []
+    reps: list[str | None] = []
+    sizes: list[int] = []
+    for members in groups.values():
+        if len(members) < 2:
+            continue  # 64-bit collision filtered exactly
+        named = [doc_ids[i] for i in members if doc_ids[i] is not None]
+        rep = min(named) if named else None
+        for i in members:
+            out_rows.append(i)
+            reps.append(rep)
+            sizes.append(len(members))
+    if not out_rows:
+        return _DUPSEQ_SCHEMA.empty_table()
+    sel = cand.take(pa.array(out_rows))
+    tlen = pc.cast(pc.list_value_length(sel.column("ptok")), pa.int64())
+    return pa.table(
+        {
+            "doc_id": sel.column("doc_id"),
+            "source": sel.column("source"),
+            "n_tok": sel.column("n_tok"),
+            "tlen": tlen,
+            "group_rep": pa.array(reps, type=pa.string()),
+            "group_size": pa.array(sizes, type=pa.int64()),
+        }
+    )

@@ -1,0 +1,119 @@
+"""Token-level north-star ops (pipelines/tokens.py): differential tests
+against independent pure-Python re-implementations on the sf0.001 corpus."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from product_quality_check_ray.datagen import ensure_sequences, sequences_glob
+from product_quality_check_ray.pipelines import tokens as tk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _load_rows():
+    import glob
+
+    ensure_sequences(SF)
+    t = pq.read_table(sorted(glob.glob(sequences_glob(SF))))
+    return t.to_pylist()
+
+
+def _sfx(doc_id):
+    return int(doc_id[-12:]) if doc_id is not None else -1
+
+
+def _patched_prefix(tokens, sfx):
+    if sfx >= 0 and sfx % tk.DECON_PATCH_MOD == tk.DECON_PATCH_RES:
+        m = min(tk.CANARY_LEN, len(tokens))
+        return list(tk.CANARY[:m]) + list(tokens[m:])
+    return list(tokens)
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return _load_rows()
+
+
+def test_seq_decontaminate_differential(ray_session, rows):
+    k = tk.DECON_K
+    hold_grams = set()
+    for r in rows:
+        s = _sfx(r["doc_id"])
+        if s >= 0 and s % tk.DECON_HOLD_MOD == 0:
+            p = _patched_prefix(r["tokens"], s)
+            for i in range(len(p) - k + 1):
+                hold_grams.add(tuple(p[i : i + k]))
+    expected = {}
+    for r in rows:
+        s = _sfx(r["doc_id"])
+        if s >= 0 and s % tk.DECON_HOLD_MOD == 0:
+            continue
+        p = _patched_prefix(r["tokens"], s)
+        hits = sum(1 for i in range(len(p) - k + 1) if tuple(p[i : i + k]) in hold_grams)
+        key = (r["doc_id"], r["source"], r["n_tok"])
+        expected.setdefault(key, []).append((max(len(p) - k + 1, 0), hits))
+
+    out = tk.seq_decontaminate(SF).to_pandas()
+    assert len(out) == sum(len(v) for v in expected.values())
+    got = {}
+    for rec in out.itertuples(index=False):
+        did = None if rec.doc_id is None else rec.doc_id
+        got.setdefault((did, rec.source, rec.n_tok), []).append(
+            (rec.n_grams, rec.hit_grams)
+        )
+        assert rec.contaminated == (rec.hit_grams > 0)
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in expected.items()
+    }
+    # non-vacuous on the fixture
+    assert (out["hit_grams"] > 0).sum() > 0
+
+
+def test_seq_decontaminate_excludes_holdout(ray_session):
+    out = tk.seq_decontaminate(SF).to_pandas()
+    sfx = out["doc_id"].dropna().str[-12:].astype(np.int64)
+    assert not (sfx % tk.DECON_HOLD_MOD == 0).any()
+
+
+def test_seq_dup_token_arrays_differential(ray_session, rows):
+    groups = {}
+    for r in rows:
+        s = _sfx(r["doc_id"])
+        if s >= 0 and s % tk.DUPSEQ_MOD == tk.DUPSEQ_RES:
+            p = tuple(tk.CANARY[: tk.DUPSEQ_LEN_BASE + s % tk.DUPSEQ_LEN_CHOICES])
+        else:
+            p = tuple(r["tokens"])
+        groups.setdefault(p, []).append(r)
+    expected = []
+    for p, members in groups.items():
+        if len(members) < 2:
+            continue
+        named = [m["doc_id"] for m in members if m["doc_id"] is not None]
+        rep = min(named) if named else None
+        for m in members:
+            expected.append(
+                (m["doc_id"], m["source"], m["n_tok"], len(p), rep, len(members))
+            )
+
+    out = tk.seq_dup_token_arrays(SF).to_pandas()
+    got = [
+        (r.doc_id, r.source, r.n_tok, r.tlen, r.group_rep, r.group_size)
+        for r in out.itertuples(index=False)
+    ]
+    key = lambda t: tuple("" if x is None else str(x) for x in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)
+    assert len(expected) > 0  # non-vacuous: empty-tokens group + canary groups
+
+
+def test_content_hash_properties():
+    # permutation sensitivity + length sensitivity of the candidate hash
+    offs = np.array([0, 3, 6, 8, 8], dtype=np.int64)
+    vals = np.array([1, 2, 3, 3, 2, 1, 5, 5], dtype=np.int32)
+    h = tk._content_hash(offs, vals)
+    assert h[0] != h[1]  # [1,2,3] vs [3,2,1]
+    assert h[2] != h[3]  # [5,5] vs []
+    # equal content, equal hash — independent of buffer position
+    offs2 = np.array([2, 5], dtype=np.int64)
+    vals2 = np.array([9, 9, 1, 2, 3], dtype=np.int32)
+    assert tk._content_hash(offs2, vals2)[0] == h[0]
