@@ -134,6 +134,10 @@ def run_suite() -> dict:
     timed("doc_chunks", lambda sf: tp.doc_chunks(sf))
     timed("doc_pack_examples", lambda sf: tp.doc_pack_examples(sf))
     timed("seq_pack_plan", lambda sf: tp.seq_pack_plan(sf))
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    timed("seq_decontaminate", lambda sf: tk.seq_decontaminate(sf))
+    timed("seq_dup_token_arrays", lambda sf: tk.seq_dup_token_arrays(sf))
     timed("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf))
     timed("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf))
     timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))

@@ -123,25 +123,36 @@ def _patch_prefix(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray) -> np.nd
     return out
 
 
+def _window_starts(offs: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Absolute start positions of all WITHIN-ROW k-token windows:
+    (starts, row index per window, per-row window counts) — no gather."""
+    lens = offs[1:] - offs[:-1]
+    m = np.maximum(lens - k + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), m
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    starts = np.repeat(offs[:-1], m) + intra
+    gdoc = np.repeat(np.arange(len(lens), dtype=np.int64), m)
+    return starts, gdoc, m
+
+
+def _gather_windows(vals: np.ndarray, starts: np.ndarray, k: int) -> np.ndarray:
+    """(len(starts), k) contiguous int32 windows (candidate-set-sized only
+    in hot paths — the full-corpus path prefilters by hash first)."""
+    if starts.size == 0:
+        return np.empty((0, k), dtype=np.int32)
+    win = vals[starts[:, None] + np.arange(k, dtype=np.int64)[None, :]]
+    return np.ascontiguousarray(win, dtype=np.int32)
+
+
 def _gram_windows(
     offs: np.ndarray, vals: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All within-row k-token windows: ((total, k) int32 contiguous,
     row index per window, per-row window counts)."""
-    lens = offs[1:] - offs[:-1]
-    m = np.maximum(lens - k + 1, 0)
-    total = int(m.sum())
-    if total == 0:
-        return (
-            np.empty((0, k), dtype=np.int32),
-            np.empty(0, dtype=np.int64),
-            m,
-        )
-    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
-    starts = np.repeat(offs[:-1][m > 0], m[m > 0]) + intra
-    win = vals[starts[:, None] + np.arange(k, dtype=np.int64)[None, :]]
-    gdoc = np.repeat(np.arange(len(lens), dtype=np.int64), m)
-    return np.ascontiguousarray(win, dtype=np.int32), gdoc, m
+    starts, gdoc, m = _window_starts(offs, k)
+    return _gather_windows(vals, starts, k), gdoc, m
 
 
 def _void(win: np.ndarray, k: int) -> np.ndarray:
@@ -180,11 +191,62 @@ def _holdout_grams_batch(t: pa.Table) -> pa.Table:
     return pa.table({"g": garr})
 
 
-def holdout_gram_index(seq: rd.Dataset) -> np.ndarray:
-    """Sorted unique V32 gram keys of the holdout slice (the broadcast
-    benchmark index). Size contract documented in the module docstring."""
+def _window_hash64(vals: np.ndarray, k: int) -> np.ndarray:
+    """64-bit mixes of EVERY length-k window of the flat values buffer
+    (k shifted multiply-adds, uint64 wraparound — no (n, k) materialization).
+    Prefilter only: exact membership is verified on the 32-byte keys."""
+    v = vals.astype(_U64)
+    n = v.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=_U64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=_U64)
+        mult = _U64(1)
+        for j in range(k - 1, -1, -1):
+            acc += v[j : j + n] * mult
+            mult = _U64(mult * _GOLD)
+        return splitmix64(acc)
+
+
+class GramIndex:
+    """Broadcast benchmark gram index: a direct-addressed hash bitmap for the
+    O(1) per-window prefilter plus the sorted exact 32-byte keys for the
+    verify step (false positives from the bitmap are filtered exactly)."""
+
+    __slots__ = ("keys", "bitmap", "mask")
+
+    def __init__(self, keys: np.ndarray, k: int):
+        self.keys = keys  # sorted V{4k} keys
+        n = max(int(keys.size), 1)
+        bits = 1 << max(20, min(30, int(np.ceil(np.log2(n * 64)))))
+        self.mask = _U64(bits - 1)
+        if keys.size:
+            # per-key hash computed column-wise on the (n, k) view — same
+            # polynomial as _window_hash64 at each key's own window
+            w = np.frombuffer(keys.tobytes(), dtype=np.int32).reshape(-1, k)
+            with np.errstate(over="ignore"):
+                acc = np.zeros(len(w), dtype=_U64)
+                mult = _U64(1)
+                for j in range(k - 1, -1, -1):
+                    acc += w[:, j].astype(_U64) * mult
+                    mult = _U64(mult * _GOLD)
+            pos = splitmix64(acc) & self.mask
+            flags = np.zeros(bits, dtype=bool)
+            flags[pos.astype(np.int64)] = True
+            self.bitmap = np.packbits(flags, bitorder="little")
+        else:
+            self.bitmap = np.zeros(bits >> 3, dtype=np.uint8)
+
+    def maybe(self, h: np.ndarray) -> np.ndarray:
+        pos = h & self.mask
+        return (self.bitmap[(pos >> _U64(3)).astype(np.int64)] >> (pos & _U64(7)).astype(np.uint8)) & 1 > 0
+
+
+def holdout_gram_index(seq: rd.Dataset) -> GramIndex:
+    """Benchmark gram index of the holdout slice (broadcast once).
+    Size contract documented in the module docstring."""
     tbl = _collect(seq.map_batches(_holdout_grams_batch, batch_format="pyarrow"))
-    return np.unique(_fsb_to_void(tbl.column("g")))
+    return GramIndex(np.unique(_fsb_to_void(tbl.column("g"))), DECON_K)
 
 
 _DECON_EMPTY = pa.schema(
@@ -208,10 +270,11 @@ def seq_decontaminate(sf_dir: str) -> rd.Dataset:
     with its exact contaminated-gram count. Output: one row per non-holdout
     input row."""
     seq = _seq_ds(sf_dir)
-    hold_ref = ray.put(holdout_gram_index(seq))
+    # index pass reads only what it needs (column pruning at the read)
+    hold_ref = ray.put(holdout_gram_index(_seq_ds(sf_dir, columns=["doc_id", "tokens"])))
 
     def scan(t: pa.Table) -> pa.Table:
-        hold: np.ndarray = ray.get(hold_ref)  # zero-copy from local object store
+        index: GramIndex = ray.get(hold_ref)  # zero-copy from local object store
         sfx = _suffix_i64(t.column("doc_id"))
         keep = ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
         sel = t.filter(pa.array(keep))
@@ -220,13 +283,22 @@ def seq_decontaminate(sf_dir: str) -> rd.Dataset:
         s2 = sfx[keep]
         offs, vals = _tokens_parts(sel.column("tokens"))
         prows = np.flatnonzero((s2 >= 0) & (s2 % DECON_PATCH_MOD == DECON_PATCH_RES))
-        win, gdoc, m = _gram_windows(offs, _patch_prefix(offs, vals, prows), DECON_K)
+        vals = _patch_prefix(offs, vals, prows)
+        starts, gdoc, m = _window_starts(offs, DECON_K)
         hits = np.zeros(sel.num_rows, dtype=np.int64)
-        if win.shape[0] and hold.size:
-            v = _void(win, DECON_K)
-            member = hold[np.minimum(np.searchsorted(hold, v), hold.size - 1)] == v
-            if member.any():
-                hits = np.bincount(gdoc[member], minlength=sel.num_rows).astype(np.int64)
+        if starts.size and index.keys.size:
+            # O(1) bitmap prefilter on the rolling 64-bit hash; exact 32-byte
+            # verification gathers CANDIDATE windows only
+            h = _window_hash64(vals, DECON_K)[starts]
+            cand = index.maybe(h)
+            if cand.any():
+                v = _void(_gather_windows(vals, starts[cand], DECON_K), DECON_K)
+                keys = index.keys
+                member = keys[np.minimum(np.searchsorted(keys, v), keys.size - 1)] == v
+                if member.any():
+                    hits = np.bincount(
+                        gdoc[cand][member], minlength=sel.num_rows
+                    ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": sel.column("doc_id"),
