@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_buckets": rel.order_value_buckets,
         "embedding_near_dups": sim.embedding_near_dups,  # exact block-pair matmul
         "embedding_near_dups_lsh": sim.embedding_near_dups_lsh,  # approximate scale path
+        "embedding_semantic_dedup": sim.embedding_semantic_dedup,  # SemDeDup-style cluster prune
         # --- similarity search over embeddings
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_lsh": sim.knn_lsh,  # approximate — rows-only
@@ -297,6 +298,8 @@ def _winnow_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from product_quality_check_ray.pipelines import similarity as sim
+
     seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
     from product_quality_check_ray.pipelines.text import (
         GOPHER_MAX_DUP_BIGRAM,
@@ -1216,6 +1219,40 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
             ORDER BY vec_id_a, vec_id_b
+        """,
+        # SemDeDup verdicts: seeded centroids (vec_id < C) make the cluster
+        # assignment exact SQL; pairs and assignment both use round(cos, 6)
+        # like the engine so ulp noise can't flip a verdict
+        "embedding_semantic_dedup": f"""
+            WITH c AS (
+                SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+                FROM embeddings WHERE vec_id < {sim.SEMDEDUP_CENTROIDS}
+            ),
+            asg AS (
+                SELECT vec_id, centroid_id AS cluster_id FROM (
+                    SELECT e.vec_id, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_cosine_similarity(
+                                             e.embedding::DOUBLE[], c.cv), 6) DESC,
+                                        c.centroid_id
+                           ) AS rk
+                    FROM embeddings e CROSS JOIN c
+                ) WHERE rk = 1
+            ),
+            pairs AS (
+                SELECT b.vec_id AS idb
+                FROM embeddings a
+                JOIN asg aa ON aa.vec_id = a.vec_id
+                JOIN embeddings b ON b.vec_id > a.vec_id
+                JOIN asg bb ON bb.vec_id = b.vec_id AND bb.cluster_id = aa.cluster_id
+                WHERE round(list_cosine_similarity(
+                          a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                      >= {sim.SEMDEDUP_TAU}
+            )
+            SELECT g.vec_id, g.cluster_id,
+                   g.vec_id IN (SELECT idb FROM pairs) AS dropped
+            FROM asg g ORDER BY g.vec_id
         """,
         "knn_bruteforce": """
             WITH q AS (

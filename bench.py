@@ -146,6 +146,7 @@ def run_suite() -> dict:
     timed("prepare_training_corpus", lambda sf: tp.prepare_training_corpus(sf))
     timed("knn_bruteforce", sim.knn_bruteforce)
     timed("embedding_near_dups", sim.embedding_near_dups)
+    timed("embedding_semantic_dedup", sim.embedding_semantic_dedup)
 
     total = round(sum(queries.values()), 3)
     return {

@@ -381,6 +381,17 @@ def embedding_near_dups(
     list_cosine_similarity self-join (see __ray_entry__.oracle_sql).
     """
     mat = _emb(sf_dir, columns=["vec_id", "embedding"]).materialize()
+    parts = _pairs_over_chunks(_block_chunks(mat, chunk_rows), threshold)
+    if not parts:
+        return _PAIR_SCHEMA.empty_table()
+    out = pa.concat_tables(parts).to_pandas()
+    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False).cast(_PAIR_SCHEMA)
+
+
+def _block_chunks(mat, chunk_rows: int) -> list[list]:
+    """Group a materialized dataset's block refs into ~chunk_rows-row chunks
+    (refs only — payloads stay in the object store)."""
     chunks: list[list] = [[]]
     rows_in_chunk = 0
     for bundle in mat.iter_internal_ref_bundles():
@@ -391,15 +402,15 @@ def embedding_near_dups(
                 rows_in_chunk = 0
             chunks[-1].append(ref)
             rows_in_chunk += nrows
-    chunks = [c for c in chunks if c]
-    # windowed submission: keep a bounded number of chunk-pair tasks in
-    # flight (ray.wait) instead of materializing all O(n_chunks²) futures —
-    # at corpus scale the unbounded futures list itself would exhaust the
-    # driver before the (inherent) O(n²) compute does
+    return [c for c in chunks if c]
+
+
+def _pairs_over_chunks(chunks: list[list], threshold: float) -> list[pa.Table]:
+    """All unordered chunk-pair scoring tasks with windowed submission: keep
+    a bounded number in flight (ray.wait) instead of materializing all
+    O(n_chunks²) futures — at corpus scale the unbounded futures list itself
+    would exhaust the driver before the (inherent) O(n²) compute does."""
     max_inflight = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
-    pair_iter = (
-        (i, j) for i in range(len(chunks)) for j in range(i, len(chunks))
-    )
     inflight: list = []
     parts: list[pa.Table] = []
 
@@ -412,18 +423,17 @@ def embedding_near_dups(
             if t.num_rows:
                 parts.append(t)
 
-    for i, j in pair_iter:
-        while len(inflight) >= max_inflight:
-            _drain(block=True)
-        inflight.append(_chunk_pair_task.remote(chunks[i], chunks[j], threshold, i == j))
-        _drain(block=False)
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            while len(inflight) >= max_inflight:
+                _drain(block=True)
+            inflight.append(
+                _chunk_pair_task.remote(chunks[i], chunks[j], threshold, i == j)
+            )
+            _drain(block=False)
     while inflight:
         _drain(block=True)
-    if not parts:
-        return _PAIR_SCHEMA.empty_table()
-    out = pa.concat_tables(parts).to_pandas()
-    out = out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False).cast(_PAIR_SCHEMA)
+    return parts
 
 
 def embedding_near_dups_lsh(
@@ -524,6 +534,113 @@ def embedding_near_dups_lsh(
         schema=pa.schema(
             [("vec_id_a", pa.int64()), ("vec_id_b", pa.int64()), ("cosine", pa.float64())]
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style cluster-bucketed semantic dedup
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CENTROIDS = 8
+# fixture-scaled: the synthetic embeddings' max pairwise cosine is ~0.51, so
+# the published 0.9+ settings would be vacuously empty here (the ADVICE r1
+# "vacuously green" lesson); real corpora set this to their dup band
+SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("cluster_id", pa.int64()), ("dropped", pa.bool_())]
+)
+
+
+def embedding_semantic_dedup(
+    sf_dir: str,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    threshold: float = SEMDEDUP_TAU,
+    chunk_rows: int = 8192,
+) -> pa.Table:
+    """Cluster-bucketed semantic dedup (the SemDeDup shape: Abbas et al.
+    2023, arXiv:2303.09540), made deterministic and oracle-checkable.
+
+    Centroids are the SEEDED first ``n_centroids`` vectors (no k-means
+    iteration, so the assignment is exact SQL); every vector goes to its
+    max-rounded-cosine centroid (ties → lowest centroid id); within each
+    cluster every pair with rounded cosine ≥ threshold drops the higher
+    vec_id (keep-min-id — SemDeDup's keep-one-representative rule made
+    deterministic). Output: one verdict row per vector
+    (vec_id, cluster_id, dropped).
+
+    Scale shape: the centroid matrix is broadcast once and assignment is one
+    streaming matmul pass; pairwise scoring runs per cluster over
+    object-store block refs via the windowed chunk-pair tasks, so the
+    quadratic term is bounded to O(n²/C) — the published algorithm's own
+    contract (clusters sized to fit a worker). On a multi-node corpus the
+    per-cluster selection becomes one hash-partition-by-cluster shuffle; at
+    fixture scale C filtered scans over the materialized assignment are
+    equivalent. The driver only ever sees block refs, qualifying pairs and
+    the dropped-id set."""
+    import pyarrow.compute as pc
+
+    cids, cm = _query_matrix(sf_dir, n_centroids)
+    cnorm = np.linalg.norm(cm, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    cent_ref = ray.put((cids.astype(np.int64), cm, cnorm))
+
+    def assign(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(cent_ref)
+        cids_, cm_, cn_ = st
+        em = _list_col_to_matrix(t.column("embedding"))
+        en = np.linalg.norm(em, axis=1)
+        en[en == 0] = 1.0
+        cos = _rha((em @ cm_.T) / np.outer(en, cn_), 6)
+        # argmax takes the FIRST max → lowest centroid id (cids_ is sorted),
+        # the same tie-break as the oracle's (cosine DESC, centroid_id) rank
+        best = cos.argmax(axis=1) if len(cos) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(cids_[best]),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    assigned = (
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .materialize()
+    )
+    parts: list[pa.Table] = []
+    for c in cids:
+        sub = assigned.filter(expr=f"cluster == {int(c)}").materialize()
+        parts.extend(_pairs_over_chunks(_block_chunks(sub, chunk_rows), threshold))
+    if parts:
+        dropped = np.unique(
+            np.concatenate([p.column("vec_id_b").to_numpy() for p in parts])
+        ).astype(np.int64)
+    else:
+        dropped = np.empty(0, dtype=np.int64)
+    drop_ref = ray.put(dropped)  # already sorted (np.unique)
+
+    def verdict(t: pa.Table, _cache={}) -> pa.Table:
+        dr = _cache.get("dr")
+        if dr is None:
+            dr = _cache["dr"] = ray.get(drop_ref)
+        vid = t.column("vec_id").to_numpy().astype(np.int64)
+        isdrop = np.zeros(len(vid), dtype=bool)
+        if dr.size:
+            isdrop = dr[np.minimum(np.searchsorted(dr, vid), dr.size - 1)] == vid
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "cluster_id": pc.cast(t.column("cluster"), pa.int64()),
+                "dropped": pa.array(isdrop),
+            }
+        )
+
+    out = _collect(assigned.map_batches(verdict, batch_format="pyarrow"))
+    return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")])).cast(
+        _SEMDEDUP_SCHEMA
     )
 
 

@@ -1,0 +1,46 @@
+"""embedding_semantic_dedup: differential vs a pure-numpy brute force."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from product_quality_check_ray.core.rounding import round_half_away as rha
+from product_quality_check_ray.pipelines import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = np.vstack(
+        [np.asarray(x, dtype=np.float64) for x in t.column("embedding").to_pylist()]
+    )
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    cm = m[ids < sim.SEMDEDUP_CENTROIDS]
+    cn = n[ids < sim.SEMDEDUP_CENTROIDS]
+    a = rha((m @ cm.T) / np.outer(n, cn), 6).argmax(axis=1)
+    cos = rha((m @ m.T) / np.outer(n, n), 6)
+    dropped = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if a[i] == a[j] and cos[i, j] >= sim.SEMDEDUP_TAU:
+                dropped.add(int(max(ids[i], ids[j])))
+    return {int(v): (int(a[i]), int(v) in dropped) for i, v in enumerate(ids)}
+
+
+def test_semantic_dedup_matches_brute_force(ray_session):
+    expected = _brute(SF)
+    out = sim.embedding_semantic_dedup(SF).to_pandas()
+    assert len(out) == len(expected)
+    got = {
+        int(r.vec_id): (int(r.cluster_id), bool(r.dropped))
+        for r in out.itertuples(index=False)
+    }
+    assert got == expected
+    # non-vacuous + keep-min-id sanity: every cluster keeps at least one vector
+    assert out["dropped"].any()
+    kept = out[~out["dropped"]]
+    assert set(out["cluster_id"]) == set(kept["cluster_id"])
