@@ -607,7 +607,7 @@ def embedding_semantic_dedup(
 
     assigned = (
         _emb(sf_dir, columns=["vec_id", "embedding"])
-        .map_batches(assign, batch_format="pyarrow")
+        .map_batches(assign, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
     parts: list[pa.Table] = []
@@ -638,7 +638,7 @@ def embedding_semantic_dedup(
             }
         )
 
-    out = _collect(assigned.map_batches(verdict, batch_format="pyarrow"))
+    out = _collect(assigned.map_batches(verdict, batch_format="pyarrow", batch_size=None))
     return out.take(pc.sort_indices(out, sort_keys=[("vec_id", "ascending")])).cast(
         _SEMDEDUP_SCHEMA
     )

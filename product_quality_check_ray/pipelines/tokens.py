@@ -12,8 +12,8 @@ source:string) at the TOKEN level, with no text detour:
   real-world one: benchmark suites are MBs (≤ millions of grams), so the
   gram index fits in the object store even when the corpus is 100 TB, and
   the corpus side stays one streaming ``map_batches`` pass that never
-  shuffles. Membership is exact (32-byte gram keys, sorted-array
-  searchsorted), not hash-approximate.
+  shuffles. Membership is exact end-to-end (bitmap + sorted-hash prefilter,
+  then row-compare of the int32 gram keys), not hash-approximate.
 - ``seq_dup_token_arrays``: exact sequence-level content dedup — groups of
   rows whose ENTIRE token arrays are identical (token-array equality, the
   per-row invariant named in ``BASELINE.json``). Candidate→recover shape
@@ -164,16 +164,6 @@ _GRAM_BYTES = 4 * DECON_K
 _GRAM_TYPE = pa.binary(_GRAM_BYTES)  # fixed-size binary
 
 
-def _fsb_to_void(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if len(arr) == 0:
-        return np.empty(0, dtype=f"V{_GRAM_BYTES}")
-    buf = arr.buffers()[1]
-    return np.frombuffer(
-        buf, dtype=f"V{_GRAM_BYTES}", count=len(arr), offset=arr.offset * _GRAM_BYTES
-    )
-
-
 def _holdout_grams_batch(t: pa.Table) -> pa.Table:
     """Per-batch UNIQUE canary-patched k-gram keys of holdout rows (combiner:
     the driver unions already-deduped 32-byte keys, never raw windows)."""
@@ -209,44 +199,105 @@ def _window_hash64(vals: np.ndarray, k: int) -> np.ndarray:
 
 
 class GramIndex:
-    """Broadcast benchmark gram index: a direct-addressed hash bitmap for the
-    O(1) per-window prefilter plus the sorted exact 32-byte keys for the
-    verify step (false positives from the bitmap are filtered exactly)."""
+    """Broadcast benchmark gram index.
 
-    __slots__ = ("keys", "bitmap", "mask")
+    Three plain numpy arrays (so the broadcast is zero-copy: workers read
+    plasma buffers, no per-task deserialization copy):
 
-    def __init__(self, keys: np.ndarray, k: int):
-        self.keys = keys  # sorted V{4k} keys
-        n = max(int(keys.size), 1)
+    - ``bitmap``: direct-addressed hash bitmap — the O(1) per-window
+      prefilter (~2% false positives at the cap, 0 false negatives);
+    - ``h``: per-key 64-bit hashes sorted ascending (uint64 searchsorted is
+      8-byte SIMD compares — measured ~10× cheaper than sorting/searching
+      the 32-byte keys directly);
+    - ``keymat``: the exact (n, k) int32 gram keys in ``h``'s order, used to
+      verify candidates by row comparison (hash-collision runs are resolved
+      exactly, so membership is EXACT end to end).
+
+    Keys need not be unique: per-batch combiner dedup already removes ~all
+    repeats, and boolean membership is unaffected by the stragglers — which
+    removes a corpus-sized driver ``np.unique`` (22 s at 28M grams)."""
+
+    __slots__ = ("keymat", "h", "bitmap", "mask")
+
+    def __init__(self, keymat: np.ndarray, h: np.ndarray, bitmap: np.ndarray, mask):
+        self.keymat, self.h, self.bitmap, self.mask = keymat, h, bitmap, _U64(mask)
+
+    @classmethod
+    def build(cls, keymat: np.ndarray) -> "GramIndex":
+        n = max(len(keymat), 1)
         bits = 1 << max(20, min(30, int(np.ceil(np.log2(n * 64)))))
-        self.mask = _U64(bits - 1)
-        if keys.size:
-            # per-key hash computed column-wise on the (n, k) view — same
-            # polynomial as _window_hash64 at each key's own window
-            w = np.frombuffer(keys.tobytes(), dtype=np.int32).reshape(-1, k)
-            with np.errstate(over="ignore"):
-                acc = np.zeros(len(w), dtype=_U64)
-                mult = _U64(1)
-                for j in range(k - 1, -1, -1):
-                    acc += w[:, j].astype(_U64) * mult
-                    mult = _U64(mult * _GOLD)
-            pos = splitmix64(acc) & self.mask
+        mask = _U64(bits - 1)
+        if len(keymat):
+            h = _key_hash64(keymat)
+            order = np.argsort(h, kind="stable")
+            h = h[order]
+            keymat = np.ascontiguousarray(keymat[order])
             flags = np.zeros(bits, dtype=bool)
-            flags[pos.astype(np.int64)] = True
-            self.bitmap = np.packbits(flags, bitorder="little")
+            flags[(h & mask).astype(np.int64)] = True
+            bitmap = np.packbits(flags, bitorder="little")
         else:
-            self.bitmap = np.zeros(bits >> 3, dtype=np.uint8)
+            h = np.empty(0, dtype=_U64)
+            bitmap = np.zeros(bits >> 3, dtype=np.uint8)
+        return cls(keymat, h, bitmap, mask)
+
+    def parts(self) -> tuple:
+        """ray.put payload: a tuple of top-level numpy arrays (zero-copy on
+        every worker read, unlike a pickled instance)."""
+        return (self.keymat, self.h, self.bitmap, int(self.mask))
 
     def maybe(self, h: np.ndarray) -> np.ndarray:
         pos = h & self.mask
-        return (self.bitmap[(pos >> _U64(3)).astype(np.int64)] >> (pos & _U64(7)).astype(np.uint8)) & 1 > 0
+        return (
+            self.bitmap[(pos >> _U64(3)).astype(np.int64)]
+            >> (pos & _U64(7)).astype(np.uint8)
+        ) & 1 > 0
+
+    def member(self, h: np.ndarray, win: np.ndarray) -> np.ndarray:
+        """Exact membership of candidate windows: hash searchsorted, then
+        row-compare the int32 keys; hash-collision runs (≈0 expected)
+        checked exhaustively."""
+        left = np.searchsorted(self.h, h, side="left")
+        right = np.searchsorted(self.h, h, side="right")
+        out = np.zeros(len(h), dtype=bool)
+        runs = right - left
+        single = np.flatnonzero(runs == 1)
+        if single.size:
+            out[single] = (self.keymat[left[single]] == win[single]).all(axis=1)
+        for i in np.flatnonzero(runs > 1):  # collision runs: cold path
+            out[i] = bool(
+                (self.keymat[left[i] : right[i]] == win[i]).all(axis=1).any()
+            )
+        return out
+
+
+def _key_hash64(keymat: np.ndarray) -> np.ndarray:
+    """Per-key hash computed column-wise on the (n, k) int32 key matrix —
+    the same polynomial ``_window_hash64`` evaluates at each window."""
+    with np.errstate(over="ignore"):
+        acc = np.zeros(len(keymat), dtype=_U64)
+        mult = _U64(1)
+        for j in range(keymat.shape[1] - 1, -1, -1):
+            acc += keymat[:, j].astype(_U64) * mult
+            mult = _U64(mult * _GOLD)
+    return splitmix64(acc)
+
+
+def _fsb_to_mat(col: "pa.ChunkedArray | pa.Array", k: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, k), dtype=np.int32)
+    buf = arr.buffers()[1]
+    flat = np.frombuffer(
+        buf, dtype=np.int32, count=len(arr) * k, offset=arr.offset * 4 * k
+    )
+    return flat.reshape(-1, k)
 
 
 def holdout_gram_index(seq: rd.Dataset) -> GramIndex:
     """Benchmark gram index of the holdout slice (broadcast once).
     Size contract documented in the module docstring."""
-    tbl = _collect(seq.map_batches(_holdout_grams_batch, batch_format="pyarrow"))
-    return GramIndex(np.unique(_fsb_to_void(tbl.column("g"))), DECON_K)
+    tbl = _collect(seq.map_batches(_holdout_grams_batch, batch_format="pyarrow", batch_size=None))
+    return GramIndex.build(_fsb_to_mat(tbl.column("g"), DECON_K))
 
 
 _DECON_EMPTY = pa.schema(
@@ -271,10 +322,12 @@ def seq_decontaminate(sf_dir: str) -> rd.Dataset:
     input row."""
     seq = _seq_ds(sf_dir)
     # index pass reads only what it needs (column pruning at the read)
-    hold_ref = ray.put(holdout_gram_index(_seq_ds(sf_dir, columns=["doc_id", "tokens"])))
+    hold_ref = ray.put(
+        holdout_gram_index(_seq_ds(sf_dir, columns=["doc_id", "tokens"])).parts()
+    )
 
     def scan(t: pa.Table) -> pa.Table:
-        index: GramIndex = ray.get(hold_ref)  # zero-copy from local object store
+        index = GramIndex(*ray.get(hold_ref))  # zero-copy from local object store
         sfx = _suffix_i64(t.column("doc_id"))
         keep = ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
         sel = t.filter(pa.array(keep))
@@ -286,15 +339,14 @@ def seq_decontaminate(sf_dir: str) -> rd.Dataset:
         vals = _patch_prefix(offs, vals, prows)
         starts, gdoc, m = _window_starts(offs, DECON_K)
         hits = np.zeros(sel.num_rows, dtype=np.int64)
-        if starts.size and index.keys.size:
-            # O(1) bitmap prefilter on the rolling 64-bit hash; exact 32-byte
+        if starts.size and index.h.size:
+            # O(1) bitmap prefilter on the rolling 64-bit hash; exact key
             # verification gathers CANDIDATE windows only
             h = _window_hash64(vals, DECON_K)[starts]
             cand = index.maybe(h)
             if cand.any():
-                v = _void(_gather_windows(vals, starts[cand], DECON_K), DECON_K)
-                keys = index.keys
-                member = keys[np.minimum(np.searchsorted(keys, v), keys.size - 1)] == v
+                win = _gather_windows(vals, starts[cand], DECON_K)
+                member = index.member(h[cand], win)
                 if member.any():
                     hits = np.bincount(
                         gdoc[cand][member], minlength=sel.num_rows
@@ -310,7 +362,7 @@ def seq_decontaminate(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return seq.map_batches(scan, batch_format="pyarrow")
+    return seq.map_batches(scan, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +441,7 @@ def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
 
     from ..state.dupfinder import find_dup_hash_values
 
-    hashed = seq.map_batches(add_hash, batch_format="pyarrow").materialize()
+    hashed = seq.map_batches(add_hash, batch_format="pyarrow", batch_size=None).materialize()
     dup_h = find_dup_hash_values(hashed, "h")
     if dup_h.size == 0:
         return _DUPSEQ_SCHEMA.empty_table()
@@ -428,7 +480,7 @@ def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
             }
         )
 
-    cand = _collect(seq.map_batches(candidates, batch_format="pyarrow"))
+    cand = _collect(seq.map_batches(candidates, batch_format="pyarrow", batch_size=None))
     if cand.num_rows == 0:
         return _DUPSEQ_SCHEMA.empty_table()
     # exact grouping of the candidate set (driver-side, candidate-only)
