@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-LEVEL ops on the north-star table (pipelines/tokens.py)
         "seq_decontaminate": lambda sf: tk.seq_decontaminate(sf),  # benchmark k-gram decontamination
         "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
+        "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
+        "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -940,6 +942,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY ptok) AS group_size
             FROM pat
             QUALIFY count(*) OVER (PARTITION BY ptok) > 1
+        """,
+        # token sliding-window chunking: chunk boundaries are integer
+        # arithmetic mirrored verbatim; null list ELEMENTS take the engine's
+        # -1 sentinel via list_transform
+        "seq_chunk_windows": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     list_transform(tokens, x -> coalesce(x, -1)) AS ptok,
+                     len(tokens) AS tlen
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+            ),
+            c AS (
+              SELECT doc_id, ptok, tlen, CAST(i AS BIGINT) AS chunk_idx,
+                     CAST(i AS BIGINT) * {tk.CHUNK_S} AS st,
+                     least(CAST(i AS BIGINT) * {tk.CHUNK_S} + {tk.CHUNK_W}, tlen) AS en
+              FROM raw, unnest(range(
+                     CASE WHEN tlen = 0 THEN 0
+                          ELSE 1 + (greatest(tlen - {tk.CHUNK_W}, 0)
+                                    + {tk.CHUNK_S - 1}) // {tk.CHUNK_S} END
+                   )) AS t(i)
+            )
+            SELECT doc_id, chunk_idx, st AS tok_start,
+                   en - st AS chunk_len,
+                   CAST(list_sum(ptok[st + 1:en]) AS BIGINT) AS tok_sum,
+                   CAST(ptok[st + 1] AS BIGINT) AS tok_first,
+                   CAST(ptok[en] AS BIGINT) AS tok_last
+            FROM c
+        """,
+        # length-sorted batch plan: global (n_tok, doc_id) rank → fixed-size
+        # batches → per-batch padding waste
+        "seq_length_batches": f"""
+            WITH base AS (
+              SELECT CAST(n_tok AS BIGINT) AS nt,
+                     (row_number() OVER (ORDER BY n_tok, doc_id) - 1)
+                       // {tk.LENBATCH_B} AS batch_id
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
+                AND n_tok BETWEEN 1 AND 2048
+            )
+            SELECT batch_id, count(*) AS n_seqs,
+                   min(nt) AS min_tok, max(nt) AS max_tok,
+                   CAST(sum(nt) AS BIGINT) AS sum_tok,
+                   CAST(count(*) * max(nt) - sum(nt) AS BIGINT) AS pad_waste
+            FROM base GROUP BY batch_id
         """,
         # TF-IDF: score expression mirrors the engine op-for-op
         # ((cnt/nw) * ln(N/df), all float64); ties broken by term ASC

@@ -366,6 +366,277 @@ def seq_decontaminate(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Token-level sliding-window chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 512  # window width (tokens per training chunk)
+CHUNK_S = 384  # stride (W - S = 128-token overlap between adjacent chunks)
+
+_CHUNK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("chunk_idx", pa.int64()),
+        ("tok_start", pa.int64()),
+        ("chunk_len", pa.int64()),
+        ("tok_sum", pa.int64()),
+        ("tok_first", pa.int64()),
+        ("tok_last", pa.int64()),
+    ]
+)
+
+
+def seq_chunk_windows(
+    sf_dir: str, width: int = CHUNK_W, stride: int = CHUNK_S
+) -> rd.Dataset:
+    """Split over-length sequences into fixed-width token windows.
+
+    The token-level analog of ``textprep.doc_chunks`` (word windows over
+    documents), run directly on the north-star pre-tokenized table: every
+    valid row (non-null doc_id and tokens, ≥1 token) yields
+    ``1 + ceil(max(len - width, 0) / stride)`` chunks; chunk *i* covers
+    token positions ``[i*stride, min(i*stride + width, len))``. The final
+    window is CLIPPED to the row end, never padded, so every token lands
+    in ≥1 chunk and chunk boundaries are a pure function of the row —
+    embarrassingly parallel, no shuffle, one streaming pass.
+
+    Emits per-chunk summary columns (offset/length plus content-sensitive
+    ``tok_sum``/``tok_first``/``tok_last``) rather than the sliced arrays:
+    the driver's value hash covers scalars, and the three content columns
+    pin the slice boundaries exactly (an off-by-one start/end moves
+    first/last/sum). Chunk sums come from one cumulative sum over the flat
+    values buffer (no per-chunk gather). Null token ELEMENTS take the -1
+    invalid sentinel (``_tokens_parts``), mirrored in the oracle via
+    ``list_transform(coalesce(x, -1))``.
+
+    Reference analog: fixed-size statement windows (SURVEY M8) — here at
+    the token level for training-example assembly.
+    """
+
+    def chunk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        valid = pc.and_(pc.is_valid(ids), pc.is_valid(toks))
+        sel = pa.table({"doc_id": ids, "tokens": toks}).filter(valid)
+        if sel.num_rows == 0:
+            return _CHUNK_SCHEMA.empty_table()
+        offs, vals = _tokens_parts(sel.column("tokens"))
+        lens = offs[1:] - offs[:-1]
+        nchunks = 1 + (np.maximum(lens - width, 0) + stride - 1) // stride
+        nchunks[lens == 0] = 0  # zero-token rows yield no chunks
+        total = int(nchunks.sum())
+        if total == 0:
+            return _CHUNK_SCHEMA.empty_table()
+        row = np.repeat(np.arange(lens.size, dtype=np.int64), nchunks)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(nchunks) - nchunks, nchunks
+        )
+        st = cidx * stride
+        en = np.minimum(st + width, lens[row])
+        vals64 = vals.astype(np.int64)  # vals spans [0, offs[-1]) — absolute
+        csum = np.zeros(vals64.size + 1, dtype=np.int64)
+        np.cumsum(vals64, out=csum[1:])
+        abs_st = offs[:-1][row] + st
+        abs_en = offs[:-1][row] + en
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id").take(pa.array(row)),
+                "chunk_idx": pa.array(cidx),
+                "tok_start": pa.array(st),
+                "chunk_len": pa.array(en - st),
+                "tok_sum": pa.array(csum[abs_en] - csum[abs_st]),
+                "tok_first": pa.array(vals64[abs_st]),
+                "tok_last": pa.array(vals64[abs_en - 1]),
+            }
+        )
+
+    return _seq_ds(sf_dir, columns=["doc_id", "tokens"]).map_batches(
+        chunk, batch_format="pyarrow", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-sorted batch plan (padding-efficiency / dynamic batching)
+# ---------------------------------------------------------------------------
+
+LENBATCH_B = 512  # sequences per training batch
+
+_LENBATCH_SCHEMA = pa.schema(
+    [
+        ("batch_id", pa.int64()),
+        ("n_seqs", pa.int64()),
+        ("min_tok", pa.int64()),
+        ("max_tok", pa.int64()),
+        ("sum_tok", pa.int64()),
+        ("pad_waste", pa.int64()),
+    ]
+)
+
+
+def seq_length_batches(sf_dir: str, batch_rows: int = LENBATCH_B) -> pa.Table:
+    """Length-sorted batch plan over the sequences table: global order by
+    (n_tok, doc_id), consecutive runs of ``batch_rows`` sequences form one
+    training batch, and each batch reports its padding waste
+    (``n_seqs·max_tok − sum_tok`` — the cost of padding the batch to its
+    longest member). Length-grouped batching is the standard fix for
+    padding blow-up in variable-length training; this op IS the planner.
+
+    Distributed shape (the ``state/dupfinder`` split/reduce pattern, but
+    range-partitioned by VALUE): one metadata-only pass (16 B/row —
+    ``columns=["doc_id", "n_tok"]``, the token payload never leaves
+    storage) splits rows into contiguous n_tok intervals, so the global
+    sort decomposes into independent per-range Arrow sorts. Global ranks
+    need only per-range COUNTS (driver cumsum over ≤R ints — wave 1
+    returns counts, sorted range tables stay in the object store), then
+    wave 2 assigns ranks/batch ids per range and emits per-batch PARTIAL
+    aggregates; a batch straddles ≤2 ranges, so the driver's final merge
+    sees ``n_batches + R`` tiny rows. Skew note: ranges split the n_tok
+    VALUE domain [1, 2048]; a corpus concentrated on one length puts that
+    length's run in one range — rank assignment within equal n_tok is
+    order-free ACROSS equal keys only via doc_id, so a skewed key can be
+    salted by widening the range key to (n_tok, doc_id prefix) without
+    changing output (ranks within identical (n_tok, doc_id) ties are
+    interchangeable).
+
+    Validity filter matches ``seq_pack_plan``: non-null doc_id/n_tok,
+    1 ≤ n_tok ≤ 2048.
+    """
+    from ..core.schema import MAX_N_TOK_DEFAULT
+
+    def meta(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        ntok = t.column("n_tok").combine_chunks()
+        valid = pc.and_(
+            pc.and_(pc.is_valid(ids), pc.is_valid(ntok)),
+            pc.and_(
+                pc.greater_equal(ntok, 1), pc.less_equal(ntok, MAX_N_TOK_DEFAULT)
+            ),
+        )
+        sel = pa.table(
+            {"doc_id": ids, "n_tok": pc.cast(ntok, pa.int64())}
+        ).filter(valid)
+        return sel
+
+    meta_ds = _seq_ds(sf_dir, columns=["doc_id", "n_tok"]).map_batches(
+        meta, batch_format="pyarrow", batch_size=None
+    )
+    bundles = list(meta_ds.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        return _LENBATCH_SCHEMA.empty_table()
+    try:
+        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        ranges = 8
+    ranges = int(min(max(2, ranges), MAX_N_TOK_DEFAULT))
+    # contiguous n_tok intervals: bounds[r] = first n_tok of range r+1
+    width = -(-MAX_N_TOK_DEFAULT // ranges)
+    per = 8
+    mapped = [
+        _lenbatch_split.options(num_returns=ranges).remote(
+            block_refs[i : i + per], ranges, width
+        )
+        for i in range(0, len(block_refs), per)
+    ]
+    sorted_counts = [
+        _lenbatch_sort.options(num_returns=2).remote(*[m[r] for m in mapped])
+        for r in range(ranges)
+    ]
+    counts = ray.get([c for (_t, c) in sorted_counts])
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    partials = [
+        _lenbatch_aggregate.remote(t, int(offsets[r]), batch_rows)
+        for r, (t, _c) in enumerate(sorted_counts)
+        if counts[r] > 0
+    ]
+    parts = [p for p in ray.get(partials) if p is not None and p.num_rows]
+    if not parts:
+        return _LENBATCH_SCHEMA.empty_table()
+    t = pa.concat_tables(parts)
+    # final merge: boundary batches appear in ≤2 ranges (tiny driver table)
+    bid = t.column("batch_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(bid, kind="stable")
+    bid = bid[order]
+    cnt = t.column("n_seqs").to_numpy(zero_copy_only=False)[order]
+    mn = t.column("min_tok").to_numpy(zero_copy_only=False)[order]
+    mx = t.column("max_tok").to_numpy(zero_copy_only=False)[order]
+    sm = t.column("sum_tok").to_numpy(zero_copy_only=False)[order]
+    starts = np.r_[0, np.flatnonzero(bid[1:] != bid[:-1]) + 1]
+    n_seqs = np.add.reduceat(cnt, starts)
+    min_tok = np.minimum.reduceat(mn, starts)
+    max_tok = np.maximum.reduceat(mx, starts)
+    sum_tok = np.add.reduceat(sm, starts)
+    return pa.table(
+        {
+            "batch_id": pa.array(bid[starts]),
+            "n_seqs": pa.array(n_seqs),
+            "min_tok": pa.array(min_tok),
+            "max_tok": pa.array(max_tok),
+            "sum_tok": pa.array(sum_tok),
+            "pad_waste": pa.array(n_seqs * max_tok - sum_tok),
+        }
+    )
+
+
+@ray.remote
+def _lenbatch_split(block_refs: list, ranges: int, width: int):
+    """Map task: split meta blocks into contiguous n_tok intervals
+    (``(n_tok - 1) // width`` — every row of one n_tok value lands in
+    exactly one range, so per-range sorts compose to the global order)."""
+    blocks = ray.get(list(block_refs))
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks
+    ]
+    tables = [x for x in tables if x.num_rows > 0]
+    if not tables:
+        return tuple(None for _ in range(ranges)) if ranges > 1 else None
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    nt = t.column("n_tok").to_numpy(zero_copy_only=False)
+    rng = (nt - 1) // width
+    order = np.argsort(rng, kind="stable")
+    bounds = np.searchsorted(rng[order], np.arange(1, ranges))
+    parts = []
+    for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, len(order)]):
+        parts.append(t.take(pa.array(order[lo:hi])) if hi > lo else None)
+    return tuple(parts) if ranges > 1 else parts[0]
+
+
+@ray.remote
+def _lenbatch_sort(*parts):
+    """Wave-1 reduce: sort one n_tok interval by (n_tok, doc_id); returns
+    (sorted table, row count). The driver fetches ONLY the count — the
+    sorted table ref feeds wave 2 without leaving the object store."""
+    tables = [p for p in parts if p is not None]
+    if not tables:
+        return None, 0
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    t = t.sort_by([("n_tok", "ascending"), ("doc_id", "ascending")])
+    return t, t.num_rows
+
+
+@ray.remote
+def _lenbatch_aggregate(t, offset: int, batch_rows: int):
+    """Wave-2: global ranks = offset + local position; per-batch partial
+    aggregates via reduceat over the (already sorted) range."""
+    if t is None or t.num_rows == 0:
+        return None
+    nt = t.column("n_tok").to_numpy(zero_copy_only=False)
+    rn = offset + np.arange(nt.size, dtype=np.int64)
+    bid = rn // batch_rows
+    starts = np.r_[0, np.flatnonzero(bid[1:] != bid[:-1]) + 1]
+    cnt = np.diff(np.r_[starts, nt.size])
+    return pa.table(
+        {
+            "batch_id": pa.array(bid[starts]),
+            "n_seqs": pa.array(cnt.astype(np.int64)),
+            "min_tok": pa.array(np.minimum.reduceat(nt, starts)),
+            "max_tok": pa.array(np.maximum.reduceat(nt, starts)),
+            "sum_tok": pa.array(np.add.reduceat(nt, starts)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact sequence-content dedup
 # ---------------------------------------------------------------------------
 

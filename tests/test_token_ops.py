@@ -106,6 +106,90 @@ def test_seq_dup_token_arrays_differential(ray_session, rows):
     assert len(expected) > 0  # non-vacuous: empty-tokens group + canary groups
 
 
+def test_seq_chunk_windows_differential(ray_session, rows):
+    W, S = tk.CHUNK_W, tk.CHUNK_S
+    expected = []
+    for r in rows:
+        if r["doc_id"] is None or r["tokens"] is None:
+            continue
+        toks = [-1 if x is None else x for x in r["tokens"]]
+        n = len(toks)
+        if n == 0:
+            continue
+        nch = 1 + (max(n - W, 0) + S - 1) // S
+        for i in range(nch):
+            st, en = i * S, min(i * S + W, n)
+            expected.append(
+                (r["doc_id"], i, st, en - st, sum(toks[st:en]), toks[st], toks[en - 1])
+            )
+    out = tk.seq_chunk_windows(SF).to_pandas()
+    got = [
+        (r.doc_id, r.chunk_idx, r.tok_start, r.chunk_len, r.tok_sum, r.tok_first, r.tok_last)
+        for r in out.itertuples(index=False)
+    ]
+    assert sorted(got) == sorted(expected)
+    # non-vacuous: fixture has rows longer than one window
+    assert (out["chunk_idx"] > 0).any()
+    # coverage property: per doc, chunks tile [0, len) with stride S
+    per_doc = out.groupby("doc_id")
+    assert (per_doc["tok_start"].min() == 0).all()
+
+
+def test_seq_chunk_windows_empty(ray_session, tmp_path, monkeypatch):
+    from product_quality_check_ray import datagen as dg
+
+    d = tmp_path / "sf_tokempty"
+    d.mkdir()
+    monkeypatch.setitem(dg.SF_ROWS, "sf_tokempty", 0)
+    assert tk.seq_chunk_windows(str(d)).count() == 0
+    t = tk.seq_length_batches(str(d))
+    assert t.num_rows == 0 and t.schema == tk._LENBATCH_SCHEMA
+
+
+def test_seq_length_batches_differential(ray_session, rows):
+    B = tk.LENBATCH_B
+    valid = sorted(
+        (
+            (r["n_tok"], r["doc_id"])
+            for r in rows
+            if r["doc_id"] is not None
+            and r["n_tok"] is not None
+            and 1 <= r["n_tok"] <= 2048
+        ),
+    )
+    expected = {}
+    for rn, (nt, _d) in enumerate(valid):
+        b = rn // B
+        c, mn, mx, sm = expected.get(b, (0, 1 << 60, -1, 0))
+        expected[b] = (c + 1, min(mn, nt), max(mx, nt), sm + nt)
+    out = tk.seq_length_batches(SF).to_pandas().sort_values("batch_id")
+    assert len(out) == len(expected)
+    for r in out.itertuples(index=False):
+        c, mn, mx, sm = expected[r.batch_id]
+        assert (r.n_seqs, r.min_tok, r.max_tok, r.sum_tok) == (c, mn, mx, sm)
+        assert r.pad_waste == c * mx - sm
+    # batches are dense, full except the last
+    assert set(out["batch_id"]) == set(range(len(out)))
+    assert (out["n_seqs"].iloc[:-1] == B).all() if len(out) > 1 else True
+
+
+def test_seq_length_batches_range_invariance(ray_session, monkeypatch):
+    """Output must not depend on the range count (the cluster-size knob)."""
+    base = tk.seq_length_batches(SF).to_pandas().sort_values("batch_id").reset_index(drop=True)
+    import ray as _ray
+
+    real = _ray.cluster_resources
+
+    def two_cpus():
+        r = dict(real())
+        r["CPU"] = 2
+        return r
+
+    monkeypatch.setattr(_ray, "cluster_resources", two_cpus)
+    alt = tk.seq_length_batches(SF).to_pandas().sort_values("batch_id").reset_index(drop=True)
+    assert base.equals(alt)
+
+
 def test_content_hash_properties():
     # permutation sensitivity + length sensitivity of the candidate hash
     offs = np.array([0, 3, 6, 8, 8], dtype=np.int64)
