@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shard_assign": lambda sf: tp.doc_shard_assign(sf),  # deterministic global shuffle keys
         "doc_pack_examples": lambda sf: tp.doc_pack_examples(sf),  # greedy token-budget packing plan
         "seq_pack_plan": lambda sf: tp.seq_pack_plan(sf),  # packing over pre-tokenized sequences
+        "seq_pack_execute": lambda sf: tp.seq_pack_execute(sf),  # materialized packs (payload half)
         # token-LEVEL ops on the north-star table (pipelines/tokens.py)
         "seq_decontaminate": lambda sf: tk.seq_decontaminate(sf),  # benchmark k-gram decontamination
         "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
@@ -878,6 +879,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
                    tok_offset, nt AS n_tok
             FROM walk
+        """,
+        # pack EXECUTION: the plan walk over CONSISTENT rows (len(tokens) ==
+        # n_tok) with the token-array lexicographic tiebreak, aggregated per
+        # pack; ptok mirrors the engine's -1 null-element sentinel
+        "seq_pack_execute": f"""
+            WITH RECURSIVE base AS (
+              SELECT CAST(n_tok AS BIGINT) AS nt,
+                     list_transform(tokens, x -> coalesce(x, -1)) AS ptok,
+                     ((CAST(right(doc_id, 12) AS BIGINT)::HUGEINT * {SHARD_MULT1})
+                      % 4294967296) % {SEQ_PACK_SHARDS} AS shard,
+                     row_number() OVER (
+                       PARTITION BY ((CAST(right(doc_id, 12) AS BIGINT)::HUGEINT
+                                     * {SHARD_MULT1}) % 4294967296) % {SEQ_PACK_SHARDS}
+                       ORDER BY ((((CAST(right(doc_id, 12) AS BIGINT)::HUGEINT
+                                   * {SHARD_MULT1}) % 4294967296)
+                                  * {SHARD_MULT2}) + {SHARD_ADD2}) % 4294967296,
+                                CAST(right(doc_id, 12) AS BIGINT), n_tok,
+                                list_transform(tokens, x -> coalesce(x, -1))
+                     ) AS rn
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
+                AND n_tok BETWEEN 1 AND 2048
+                AND tokens IS NOT NULL AND len(tokens) = n_tok
+            ),
+            walk AS (
+              SELECT shard, rn, nt, 0::BIGINT AS pack_id, nt AS acc
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.nt,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN b.nt ELSE w.acc + b.nt END
+              FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+            )
+            SELECT w.shard::BIGINT AS shard, w.pack_id,
+                   count(*) AS n_seqs,
+                   CAST(sum(w.nt) AS BIGINT) AS fill,
+                   CAST(sum(list_sum(b.ptok)) AS BIGINT) AS tok_sum,
+                   CAST(min_by(b.ptok[1], w.rn) AS BIGINT) AS tok_first,
+                   CAST(max_by(b.ptok[len(b.ptok)], w.rn) AS BIGINT) AS tok_last
+            FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn
+            GROUP BY w.shard, w.pack_id
         """,
         # token-level decontamination: same canary patch + holdout slice as
         # the engine (pipelines/tokens.py constants interpolated); corp is

@@ -889,3 +889,226 @@ def _seq_pack_reduce(budget: int, *parts) -> pa.Table:
             "n_tok": pa.array(lens),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Pack EXECUTION: materialize the packed token arrays (the payload half)
+# --------------------------------------------------------------------------
+
+_SEQ_PACKX_SCHEMA = pa.schema(
+    [
+        ("shard", pa.int64()),
+        ("pack_id", pa.int64()),
+        ("n_seqs", pa.int64()),
+        ("fill", pa.int64()),
+        ("tok_sum", pa.int64()),
+        ("tok_first", pa.int64()),
+        ("tok_last", pa.int64()),
+    ]
+)
+
+
+def seq_pack_execute(
+    sf_dir: str,
+    budget: int = SEQ_PACK_BUDGET,
+    n_shards: int = SEQ_PACK_SHARDS,
+    with_payload: bool = False,
+) -> rd.Dataset:
+    """Materialize the packed training examples ``seq_pack_plan`` only PLANS:
+    pack members' token arrays concatenated in pack order, one row per pack.
+
+    Unlike the plan (32 B/row metadata), execution must CO-LOCATE pack
+    members' payloads — the one unavoidable full-payload exchange in the
+    packing story. It reuses the plan's raw-task shard-range split/reduce
+    (one exchange, two task waves: the same movement a shuffle would do,
+    without the Sort operator's measured ~7 s overhead), so each reduce
+    task holds a contiguous shard range, re-derives the greedy walk from
+    its local metadata, and emits its packs without any further shuffle.
+
+    Two semantic deltas from the plan, both deliberate:
+
+    - Only CONSISTENT rows pack (``len(tokens) == n_tok`` on top of the
+      plan's validity filter): execution uses n_tok as the *cost* of a
+      row, which is only honest when it matches the actual array.
+    - The within-shard order appends the token array itself as the final
+      tiebreak. Plan output is invariant under (doc_id, n_tok)-tie swaps
+      (both rows contribute identical plan rows); pack CONTENT is not, so
+      ties are resolved by array lexicographic order — mirrored exactly by
+      the oracle's ``ORDER BY ..., ptok`` (DuckDB list comparison). Tie
+      runs have equal n_tok (hence equal length), so the resolver is one
+      ``np.lexsort`` over the stacked (run, n_tok) matrix; runs are
+      vanishingly rare at scale (identical suffix+length), cost ~0.
+
+    Default output is the per-pack summary (driver-hashable scalars whose
+    values pin the member multiset and concatenation boundaries:
+    ``tok_sum`` is content-sensitive, ``tok_first``/``tok_last`` pin the
+    edges); ``with_payload=True`` adds the packed ``tokens`` list column —
+    built zero-copy from the reduce's already-ordered flat values buffer
+    (`ListArray.from_arrays` over pack offsets, no per-pack gather).
+
+    Reference analog: the reference assembles per-row prompt payloads
+    before scoring (SURVEY §3); here the assembly is the training-example
+    pack itself.
+    """
+    from .tokens import _tokens_parts  # shared list-column decomposition
+
+    def meta(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").combine_chunks()
+        ntok = t.column("n_tok").combine_chunks()
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        tlen = pc.list_value_length(toks)
+        valid = pc.and_(
+            pc.and_(pc.is_valid(ids), pc.is_valid(ntok)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(ntok, 1),
+                    pc.less_equal(ntok, MAX_N_TOK_DEFAULT),
+                ),
+                pc.equal(pc.cast(tlen, pa.int32()), ntok),
+            ),
+        )
+        valid = pc.fill_null(valid, False)
+        t = pa.table({"doc_id": ids, "n_tok": ntok, "tokens": toks}).filter(valid)
+        num = pc.cast(
+            pc.utf8_slice_codeunits(t.column("doc_id").combine_chunks(), start=-12),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        shard, key = _shard_cols(num, n_shards)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "doc_num": pa.array(num),
+                "shard": pa.array(shard),
+                "shuffle_key": pa.array(key),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+                "tokens": t.column("tokens"),
+            }
+        )
+
+    from .seq_queries import _seq_ds
+
+    ds = _seq_ds(sf_dir, columns=["doc_id", "n_tok", "tokens"]).map_batches(
+        meta, batch_format="pyarrow"
+    )
+    bundles = list(ds.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    empty = (
+        _SEQ_PACKX_SCHEMA.append(pa.field("tokens", pa.list_(pa.int32())))
+        if with_payload
+        else _SEQ_PACKX_SCHEMA
+    ).empty_table()
+    if not block_refs:
+        return rd.from_arrow([empty])
+    try:
+        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        ranges = 8
+    ranges = min(max(2, ranges), n_shards)
+    per = 8
+    mapped = [
+        _seq_pack_split.options(num_returns=ranges).remote(
+            block_refs[i : i + per], ranges, n_shards
+        )
+        for i in range(0, len(block_refs), per)
+    ]
+    tables = [
+        _seq_packx_reduce.remote(budget, with_payload, *[m[r] for m in mapped])
+        for r in range(ranges)
+    ]
+    return rd.from_arrow_refs(tables)
+
+
+def _lex_tie_resolve(
+    order: np.ndarray,
+    keys: tuple[np.ndarray, ...],
+    offs: np.ndarray,
+    vals: np.ndarray,
+) -> np.ndarray:
+    """Stable-reorder ``order`` so rows tied on all ``keys`` are sorted by
+    token-array lexicographic order (ties share a length — equal n_tok)."""
+    n = order.size
+    if n < 2:
+        return order
+    tie = np.ones(n - 1, dtype=bool)
+    for k in keys:
+        s = k[order]
+        tie &= s[1:] == s[:-1]
+    if not tie.any():
+        return order
+    runs = np.flatnonzero(np.diff(np.r_[False, tie, False].astype(np.int8)))
+    out = order.copy()
+    for lo, hi in zip(runs[::2], runs[1::2] + 1):
+        rows = order[lo:hi]
+        L = int(offs[rows[0] + 1] - offs[rows[0]])
+        if L == 0:
+            continue  # identical empties: any order, output-invariant
+        mat = vals[offs[rows][:, None] + np.arange(L, dtype=np.int64)[None, :]]
+        out[lo:hi] = rows[np.lexsort(tuple(mat[:, j] for j in range(L - 1, -1, -1)))]
+    return out
+
+
+@ray.remote
+def _seq_packx_reduce(budget: int, with_payload: bool, *parts) -> pa.Table:
+    """Reduce: order one shard range, run the greedy walk, emit one row per
+    pack (summary scalars; optionally the concatenated payload)."""
+    from .tokens import _tokens_parts
+
+    tables = [p for p in parts if p is not None]
+    base = (
+        _SEQ_PACKX_SCHEMA.append(pa.field("tokens", pa.list_(pa.int32())))
+        if with_payload
+        else _SEQ_PACKX_SCHEMA
+    ).empty_table()
+    if not tables:
+        return base
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    if t.num_rows == 0:
+        return base
+    shard = t.column("shard").to_numpy(zero_copy_only=False)
+    num = t.column("doc_num").to_numpy(zero_copy_only=False)
+    key = t.column("shuffle_key").to_numpy(zero_copy_only=False)
+    lens = t.column("n_tok").to_numpy(zero_copy_only=False)
+    offs0, vals0 = _tokens_parts(t.column("tokens"))
+    order = np.lexsort((lens, num, key, shard))
+    order = _lex_tie_resolve(order, (shard, key, num, lens), offs0, vals0)
+    shard, lens = shard[order], lens[order]
+    # flat values in FINAL order: gather per-row segments once
+    total = int(lens.sum())
+    starts = np.repeat(offs0[order], lens)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    flat = vals0[starts + intra]
+    row_off = np.concatenate(([0], np.cumsum(lens)))
+    new_shard = np.empty(shard.size, dtype=bool)
+    new_shard[0] = True
+    new_shard[1:] = shard[1:] != shard[:-1]
+    seg_starts = np.r_[np.flatnonzero(new_shard), shard.size]
+    pid = np.empty(shard.size, dtype=np.int64)
+    for lo, hi in zip(seg_starts[:-1], seg_starts[1:]):
+        pid[lo:hi], _, _ = _pack_plan(lens[lo:hi], budget)
+    # pack boundaries: first row of each (shard, pack) run
+    newp = np.empty(shard.size, dtype=bool)
+    newp[0] = True
+    newp[1:] = (shard[1:] != shard[:-1]) | (pid[1:] != pid[:-1])
+    p0 = np.flatnonzero(newp)  # first member row of each pack
+    pn = np.r_[p0[1:], shard.size]  # one past the last member
+    n_seqs = pn - p0
+    fill = row_off[pn] - row_off[p0]
+    csum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(flat.astype(np.int64), out=csum[1:])
+    tok_sum = csum[row_off[pn]] - csum[row_off[p0]]
+    cols = {
+        "shard": pa.array(shard[p0]),
+        "pack_id": pa.array(pid[p0]),
+        "n_seqs": pa.array(n_seqs.astype(np.int64)),
+        "fill": pa.array(fill),
+        "tok_sum": pa.array(tok_sum),
+        "tok_first": pa.array(flat[row_off[p0]].astype(np.int64)),
+        "tok_last": pa.array(flat[row_off[pn] - 1].astype(np.int64)),
+    }
+    if with_payload:
+        cols["tokens"] = pa.ListArray.from_arrays(
+            pa.array(np.r_[row_off[p0], total], type=pa.int64()).cast(pa.int32()),
+            pa.array(flat, type=pa.int32()),
+        )
+    return pa.table(cols)

@@ -190,6 +190,114 @@ def test_seq_length_batches_range_invariance(ray_session, monkeypatch):
     assert base.equals(alt)
 
 
+def _py_pack_execute(rows, budget, n_shards):
+    """Pure-python re-implementation of seq_pack_execute's summary output."""
+    from product_quality_check_ray.pipelines.textprep import (
+        SHARD_ADD2,
+        SHARD_MULT1,
+        SHARD_MULT2,
+    )
+
+    M32 = 1 << 32
+    per_shard = {}
+    for r in rows:
+        if (
+            r["doc_id"] is None
+            or r["n_tok"] is None
+            or not (1 <= r["n_tok"] <= 2048)
+            or r["tokens"] is None
+            or len(r["tokens"]) != r["n_tok"]
+        ):
+            continue
+        num = int(r["doc_id"][-12:])
+        k1 = (num * SHARD_MULT1) % M32
+        key = (k1 * SHARD_MULT2 + SHARD_ADD2) % M32
+        toks = [-1 if x is None else x for x in r["tokens"]]
+        per_shard.setdefault(k1 % n_shards, []).append((key, num, r["n_tok"], toks))
+    expected = {}
+    for shard, members in per_shard.items():
+        members.sort()
+        pid, acc = 0, 0
+        for key, num, nt, toks in members:
+            if acc and acc + nt > budget:
+                pid, acc = pid + 1, 0
+            acc += nt
+            c, f, s, first, last = expected.get((shard, pid), (0, 0, 0, None, None))
+            expected[(shard, pid)] = (
+                c + 1,
+                f + nt,
+                s + sum(toks),
+                toks[0] if first is None else first,
+                toks[-1],
+            )
+    return expected
+
+
+def test_seq_pack_execute_differential(ray_session, rows):
+    from product_quality_check_ray.pipelines import textprep as tp
+
+    expected = _py_pack_execute(rows, tp.SEQ_PACK_BUDGET, tp.SEQ_PACK_SHARDS)
+    out = tp.seq_pack_execute(SF).to_pandas()
+    assert len(out) == len(expected)
+    for r in out.itertuples(index=False):
+        c, f, s, first, last = expected[(r.shard, r.pack_id)]
+        assert (r.n_seqs, r.fill, r.tok_sum, r.tok_first, r.tok_last) == (
+            c,
+            f,
+            s,
+            first,
+            last,
+        )
+    assert ((out["fill"] <= tp.SEQ_PACK_BUDGET) | (out["n_seqs"] == 1)).all()
+
+
+def test_seq_pack_execute_payload(ray_session):
+    from product_quality_check_ray.pipelines import textprep as tp
+
+    out = tp.seq_pack_execute(SF, with_payload=True).to_pandas()
+    # payload concatenation is consistent with the summary scalars
+    assert (out["tokens"].map(len) == out["fill"]).all()
+    assert (out["tokens"].map(lambda t: int(np.sum(t))) == out["tok_sum"]).all()
+    assert (out["tokens"].map(lambda t: t[0]) == out["tok_first"]).all()
+    assert (out["tokens"].map(lambda t: t[-1]) == out["tok_last"]).all()
+
+
+def test_seq_pack_execute_tie_resolution(ray_session, tmp_path, monkeypatch):
+    """Duplicate (doc_id, n_tok) rows with DIFFERENT content must pack in
+    token-array lexicographic order (the documented tiebreak)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from product_quality_check_ray import datagen as dg
+    from product_quality_check_ray.pipelines import textprep as tp
+
+    d = tmp_path / "sf_ties"
+    d.mkdir()
+    monkeypatch.setitem(dg.SF_ROWS, "sf_ties", 0)
+    seq_dir = dg.ensure_sequences(str(d))
+    # two rows, same doc_id and n_tok, contents differ only in the arrays; both in
+    # one shard, budget fits exactly one per pack (n_tok=3, budget=4)
+    t = pa.table(
+        {
+            "doc_id": ["seq-000000000001", "seq-000000000001"],
+            "tokens": pa.array([[9, 9, 9], [1, 2, 3]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 3], type=pa.int32()),
+            "source": ["web", "web"],
+        }
+    )
+    pq_.write_table(t, f"{seq_dir}/frag-99999.parquet")
+    out = (
+        tp.seq_pack_execute(str(d), budget=4, n_shards=4)
+        .to_pandas()
+        .sort_values("pack_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    # lexicographically smaller array ([1,2,3]) packs first
+    assert out.loc[0, "tok_first"] == 1 and out.loc[0, "tok_last"] == 3
+    assert out.loc[1, "tok_first"] == 9 and out.loc[1, "tok_last"] == 9
+
+
 def test_content_hash_properties():
     # permutation sensitivity + length sensitivity of the candidate hash
     offs = np.array([0, 3, 6, 8, 8], dtype=np.int64)
