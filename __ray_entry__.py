@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
+        "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
+        "seq_unigram_lm_score": lambda sf: tk.seq_unigram_lm_score(sf),  # token-level perplexity proxy
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -1012,6 +1014,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ptok[st + 1] AS BIGINT) AS tok_first,
                    CAST(ptok[en] AS BIGINT) AS tok_last
             FROM c
+        """,
+        # detokenization audit columns: stub vocab id → 'w<id>', OOV (and
+        # null elements, the engine's -1 sentinel) → '<unk>'; empty lists
+        # decode to '' (Arrow binary_join), null lists stay NULL
+        "seq_detokenize": f"""
+            WITH d AS (
+              SELECT doc_id, source, n_tok, tokens,
+                     CASE WHEN tokens IS NULL THEN NULL
+                          ELSE coalesce(list_aggregate(list_transform(tokens,
+                                 x -> CASE WHEN x IS NULL OR x < 0 OR x >= {VOCAB}
+                                           THEN '<unk>' ELSE 'w' || x END),
+                               'string_agg', ' '), '') END AS txt
+              FROM {seq}
+            )
+            SELECT doc_id, source, n_tok,
+                   CAST(len(tokens) AS BIGINT) AS tlen,
+                   CAST(len(list_filter(tokens,
+                        x -> x IS NULL OR x < 0 OR x >= {VOCAB})) AS BIGINT) AS n_oov,
+                   CAST(length(txt) AS BIGINT) AS text_len,
+                   left(txt, {tk.DETOK_PREFIX_CHARS}) AS text_prefix
+            FROM d
+        """,
+        # token-level unigram-LM cross-entropy: reference slice counts +
+        # add-one smoothing, integer-millibit quantization (the doc_lm_score
+        # float-parity contract, one level down the stack)
+        "seq_unigram_lm_score": f"""
+            WITH raw AS (
+              SELECT doc_id, source, n_tok, tokens,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+            ),
+            ref AS (
+              SELECT tokens FROM raw
+              WHERE sfx IS NOT NULL AND sfx % {tk.SEQLM_REF_MOD} = 0
+            ),
+            tot AS (
+              SELECT coalesce(sum(len(tokens)), 0) AS n FROM ref
+              WHERE tokens IS NOT NULL
+            ),
+            cnt AS (
+              SELECT tok, count(*) AS c
+              FROM (SELECT unnest(tokens) AS tok FROM ref)
+              WHERE tok >= 0 AND tok < {VOCAB}
+              GROUP BY tok
+            ),
+            corp AS MATERIALIZED (
+              SELECT row_number() OVER () AS rn, doc_id, source, n_tok, tokens
+              FROM raw
+            ),
+            el AS (SELECT rn, unnest(tokens) AS tok FROM corp),
+            scored AS (
+              SELECT el.rn,
+                     round(-log2((coalesce(c.c, 0) + 1) * 1.0
+                                 / (t.n + {VOCAB})) * 1000, 0)::BIGINT AS m
+              FROM el LEFT JOIN cnt c ON el.tok = c.tok
+              CROSS JOIN tot t
+            ),
+            s AS (
+              SELECT rn, count(*)::BIGINT AS n, sum(m)::BIGINT AS tot
+              FROM scored GROUP BY rn
+            )
+            SELECT c.doc_id, c.source, c.n_tok,
+                   CASE WHEN c.tokens IS NULL THEN NULL
+                        ELSE coalesce(s.n, 0) END::BIGINT AS n_scored,
+                   CASE WHEN c.tokens IS NULL THEN NULL
+                        ELSE coalesce(s.tot, 0) END::BIGINT AS total_millibits,
+                   CASE WHEN c.tokens IS NOT NULL AND s.n > 0
+                        THEN (s.tot * 1.0) / (1000.0 * s.n) END AS bits_per_tok
+            FROM corp c LEFT JOIN s USING (rn)
         """,
         # length-sorted batch plan: global (n_tok, doc_id) rank → fixed-size
         # batches → per-batch padding waste

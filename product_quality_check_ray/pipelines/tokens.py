@@ -789,3 +789,177 @@ def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
             "group_size": pa.array(sizes, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Detokenization (decode) and unigram-LM scoring
+# ---------------------------------------------------------------------------
+
+DETOK_PREFIX_CHARS = 64  # driver-hashed text prefix length
+
+_DETOK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("n_tok", pa.int32()),
+        ("tlen", pa.int64()),
+        ("n_oov", pa.int64()),
+        ("text_len", pa.int64()),
+        ("text_prefix", pa.string()),
+    ]
+)
+
+
+def seq_detokenize(sf_dir: str, with_text: bool = False) -> rd.Dataset:
+    """Decode token ids back to text — the audit/inspection step every
+    training-data pipeline needs (sample rows, eyeball the decode).
+
+    The sandbox vocabulary is the deterministic stub ``id → "w<id>"`` with
+    ``"<unk>"`` for out-of-vocabulary ids (anything outside [0, VOCAB); the
+    -1 null-element sentinel is OOV by construction), so the decode is pure
+    Arrow kernels — int→string cast, elementwise concat, ``binary_join``
+    over the original list offsets — with NO per-row Python and no lookup
+    table to ship. A real tokenizer vocab swaps the cast for one broadcast
+    ``np.ndarray`` gather (``ray.put`` once, index per batch); the stage
+    shape is identical.
+
+    Default output keeps the driver-hashable audit columns (oov count,
+    decoded length, 64-char prefix — the prefix pins token order, the
+    length pins the whole decode); ``with_text=True`` adds the full decoded
+    string column. One streaming pass, no shuffle.
+    """
+
+    def decode(t: pa.Table) -> pa.Table:
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        n = len(toks)
+        valid_list = pc.is_valid(toks)
+        offs, vals = _tokens_parts(toks.fill_null([]))
+        # re-base to the row span so flat strings, offsets and masks align
+        rel = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        oov = (rel < 0) | (rel >= VOCAB)
+        flat = pc.if_else(
+            pa.array(oov),
+            pa.scalar("<unk>"),
+            pc.binary_join_element_wise(
+                pa.scalar("w"), pc.cast(pa.array(rel), pa.string()), pa.scalar("")
+            ),
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int64()).cast(pa.int32()), flat
+        )
+        txt = pc.binary_join(lists, " ")
+        # null token LISTS decode to NULL text (mirrored by the oracle)
+        txt = pc.if_else(valid_list, txt, pa.scalar(None, pa.string()))
+        row = np.repeat(np.arange(n, dtype=np.int64), offs[1:] - offs[:-1])
+        n_oov = np.bincount(row[oov], minlength=n).astype(np.int64) if row.size else np.zeros(n, dtype=np.int64)
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "n_tok": t.column("n_tok"),
+            "tlen": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_oov": pc.if_else(valid_list, pa.array(n_oov), pa.scalar(None, pa.int64())),
+            "text_len": pc.utf8_length(txt).cast(pa.int64()),
+            "text_prefix": pc.utf8_slice_codeunits(txt, 0, DETOK_PREFIX_CHARS),
+        }
+        if with_text:
+            cols["text"] = txt
+        return pa.table(cols)
+
+    return _seq_ds(sf_dir).map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
+SEQLM_REF_MOD = 11  # suffix % this == 0 → reference-LM slice (~9% of rows)
+
+
+def _seqlm_counts(sf_dir: str) -> tuple[np.ndarray, int]:
+    """Dense unigram counts over the reference slice: one VOCAB-length int64
+    vector per batch (combiner), summed on the driver. The count vector is
+    256 KB at VOCAB=32k — broadcastable at any corpus scale, and the
+    groupby a string-keyed LM would need simply never happens."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sfx = _suffix_i64(t.column("doc_id"))
+        ref = (sfx >= 0) & (sfx % SEQLM_REF_MOD == 0)
+        if not ref.any():
+            return pa.table({"c": pa.array([], type=pa.int64())})
+        offs, vals = _tokens_parts(t.filter(pa.array(ref)).column("tokens"))
+        seg = vals[offs[0] : offs[-1]]
+        inv = seg[(seg >= 0) & (seg < VOCAB)]
+        c = np.bincount(inv, minlength=VOCAB).astype(np.int64)
+        # total INCLUDING oov/null-sentinel tokens rides in one extra slot
+        return pa.table({"c": pa.array(np.r_[c, seg.size])})
+
+    tbl = _collect(
+        _seq_ds(sf_dir, columns=["doc_id", "tokens"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
+    )
+    arr = tbl.column("c").to_numpy(zero_copy_only=False)
+    if arr.size == 0:
+        return np.zeros(VOCAB, dtype=np.int64), 0
+    mat = arr.reshape(-1, VOCAB + 1).sum(axis=0)
+    return mat[:VOCAB], int(mat[VOCAB])
+
+
+def seq_unigram_lm_score(sf_dir: str, ref_mod: int = SEQLM_REF_MOD) -> rd.Dataset:
+    """Per-sequence add-one-smoothed unigram cross-entropy against a
+    reference slice of the corpus — the token-level CCNet-style perplexity
+    quality proxy (``doc_lm_score``'s design, one level down the stack and
+    with a DENSE count vector instead of a string-keyed LM).
+
+    P(t) = (c[t] + 1) / (total + VOCAB); out-of-vocabulary ids (and the -1
+    null-element sentinel) take c = 0. Float parity is the proven
+    ``doc_lm_score`` contract: each token's -log2 P is quantized to integer
+    MILLIBITS (half-away, = DuckDB ``round``), so per-row totals are
+    order-independent integer sums; the per-token millibit value is
+    precomputed ONCE per worker as a VOCAB-length table and the whole score
+    pass is one gather + cumsum-diff — no log evaluations in the hot loop.
+    """
+    from ..core.rounding import round_half_away
+
+    counts, total = _seqlm_counts(sf_dir)
+    state_ref = ray.put((counts, total))
+
+    def score(t: pa.Table, _cache={}) -> pa.Table:
+        mb = _cache.get("mb")
+        if mb is None:
+            counts, total = ray.get(state_ref)
+            vals_mb = round_half_away(
+                -np.log2((counts + 1) * 1.0 / (total + VOCAB)) * 1000, 0
+            ).astype(np.int64)
+            oov_mb = int(
+                round_half_away(
+                    np.array([-np.log2(1.0 / (total + VOCAB)) * 1000]), 0
+                )[0]
+            )
+            mb = _cache["mb"] = (vals_mb, oov_mb)
+        vals_mb, oov_mb = mb
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        valid_list = pc.is_valid(toks)
+        offs, vals = _tokens_parts(toks.fill_null([]))
+        inv = (vals >= 0) & (vals < VOCAB)
+        per_tok = np.where(inv, vals_mb[np.clip(vals, 0, VOCAB - 1)], oov_mb)
+        csum = np.zeros(per_tok.size + 1, dtype=np.int64)
+        np.cumsum(per_tok, out=csum[1:])
+        tot = csum[offs[1:]] - csum[offs[:-1]]
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        bits = pa.array(
+            np.where(lens > 0, tot * 1.0 / (1000.0 * np.maximum(lens, 1)), np.nan)
+        )
+        bits = pc.if_else(pc.and_(valid_list, pa.array(lens > 0)), bits, pa.scalar(None, pa.float64()))
+        zero = pa.scalar(None, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "n_tok": t.column("n_tok"),
+                "n_scored": pc.if_else(valid_list, pa.array(lens), zero),
+                "total_millibits": pc.if_else(valid_list, pa.array(tot), zero),
+                "bits_per_tok": bits,
+            }
+        )
+
+    return _seq_ds(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)

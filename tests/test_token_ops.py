@@ -190,6 +190,101 @@ def test_seq_length_batches_range_invariance(ray_session, monkeypatch):
     assert base.equals(alt)
 
 
+def test_seq_detokenize_differential(ray_session, rows):
+    from product_quality_check_ray.core.schema import VOCAB
+
+    def dec(x):
+        return "<unk>" if x is None or x < 0 or x >= VOCAB else f"w{x}"
+
+    expected = []
+    for r in rows:
+        toks = r["tokens"]
+        if toks is None:
+            expected.append((r["doc_id"], None, None, None, None))
+            continue
+        txt = " ".join(dec(x) for x in toks)
+        oov = sum(1 for x in toks if x is None or x < 0 or x >= VOCAB)
+        expected.append((r["doc_id"], len(toks), oov, len(txt), txt[:64]))
+    out = tk.seq_detokenize(SF).to_pandas()
+    got = [
+        (
+            r.doc_id,
+            None if r.tlen is None or r.tlen != r.tlen else int(r.tlen),
+            None if r.n_oov is None or r.n_oov != r.n_oov else int(r.n_oov),
+            None if r.text_len is None or r.text_len != r.text_len else int(r.text_len),
+            r.text_prefix,
+        )
+        for r in out.itertuples(index=False)
+    ]
+    key = lambda t: tuple("" if x is None else str(x) for x in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)
+    # non-vacuous: fixture injects oov and null-element rows
+    assert (out["n_oov"].fillna(0) > 0).any()
+
+
+def test_seq_detokenize_with_text_roundtrip(ray_session):
+    out = tk.seq_detokenize(SF, with_text=True).to_pandas()
+    ok = out["text"].notna()
+    assert (out.loc[ok, "text"].str.len() == out.loc[ok, "text_len"]).all()
+    assert (out.loc[ok, "text"].str[:64] == out.loc[ok, "text_prefix"]).all()
+
+
+def test_seq_unigram_lm_score_differential(ray_session, rows):
+    import math
+
+    from product_quality_check_ray.core.schema import VOCAB
+
+    cnt = {}
+    total = 0
+    for r in rows:
+        s = _sfx(r["doc_id"])
+        if s >= 0 and s % tk.SEQLM_REF_MOD == 0 and r["tokens"] is not None:
+            for x in r["tokens"]:
+                total += 1
+                if x is not None and 0 <= x < VOCAB:
+                    cnt[x] = cnt.get(x, 0) + 1
+
+    def mb(x):
+        c = cnt.get(x, 0) if x is not None and 0 <= x < VOCAB else 0
+        v = -math.log2((c + 1) * 1.0 / (total + VOCAB)) * 1000
+        f = math.floor(v)
+        return f + (1 if v - f >= 0.5 else 0)  # half-away for positive v
+
+    expected = {}
+    for r in rows:
+        toks = r["tokens"]
+        t = None if toks is None else sum(mb(x) for x in toks)
+        n = None if toks is None else len(toks)
+        expected.setdefault((r["doc_id"], r["source"], r["n_tok"]), []).append((n, t))
+    out = tk.seq_unigram_lm_score(SF).to_pandas()
+    got = {}
+    for r in out.itertuples(index=False):
+        n = None if r.n_scored != r.n_scored else int(r.n_scored)
+        t = None if r.total_millibits != r.total_millibits else int(r.total_millibits)
+        got.setdefault((r.doc_id, r.source, r.n_tok), []).append((n, t))
+        if n and n > 0:
+            assert abs(r.bits_per_tok - t / (1000.0 * n)) < 1e-12
+    def norm(x):
+        if x is None or x != x:
+            return ""
+        return x if isinstance(x, str) else str(int(x))
+
+    def fix(d):
+        return {
+            tuple(norm(x) for x in k): sorted(
+                v,
+                key=lambda p: (
+                    p[0] is None,
+                    -1 if p[0] is None else p[0],
+                    -1 if p[1] is None else p[1],
+                ),
+            )
+            for k, v in d.items()
+        }
+
+    assert fix(got) == fix(expected)
+
+
 def _py_pack_execute(rows, budget, n_shards):
     """Pure-python re-implementation of seq_pack_execute's summary output."""
     from product_quality_check_ray.pipelines.textprep import (
