@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
         "seq_unigram_lm_score": lambda sf: tk.seq_unigram_lm_score(sf),  # token-level perplexity proxy
+        # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
+        "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -922,6 +924,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max_by(b.ptok[len(b.ptok)], w.rn) AS BIGINT) AS tok_last
             FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn
             GROUP BY w.shard, w.pack_id
+        """,
+        # tokens-axis capstone: the component CTEs are the proven fragments
+        # (augmented view + validity gate + keep-min dedup window + hit-count
+        # decontamination + the recursive pack walk), composed in stage order
+        "prepare_training_sequences": f"""
+            WITH RECURSIVE raw AS (
+              SELECT doc_id, tokens, source,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+            ),
+            aug AS (
+              SELECT doc_id, source, sfx,
+                     CASE WHEN sfx % {tk.DUPSEQ_MOD} = {tk.DUPSEQ_RES}
+                          THEN {_canary_sql()}[1:{tk.DUPSEQ_LEN_BASE} + sfx % {tk.DUPSEQ_LEN_CHOICES}]
+                          WHEN sfx % {tk.DECON_PATCH_MOD} = {tk.DECON_PATCH_RES}
+                          THEN list_cat(
+                                 {_canary_sql()}[1:least({tk.CANARY_LEN}, len(tokens))],
+                                 tokens[least({tk.CANARY_LEN}, len(tokens)) + 1:])
+                          ELSE tokens END AS ptok
+              FROM raw
+            ),
+            hold_grams AS (
+              SELECT DISTINCT ptok[i + 1:i + {tk.DECON_K}] AS g
+              FROM aug, unnest(range(len(ptok) - {tk.DECON_K - 1})) AS t(i)
+              WHERE sfx % {tk.DECON_HOLD_MOD} = 0
+            ),
+            valid AS (
+              SELECT doc_id, source, sfx, ptok, CAST(len(ptok) AS BIGINT) AS ne
+              FROM aug
+              WHERE len(ptok) BETWEEN 1 AND 2048
+                AND len(list_filter(ptok, x -> x IS NULL)) = 0
+                AND list_min(ptok) >= 0 AND list_max(ptok) < {VOCAB}
+                AND source IN ('web', 'books', 'code', 'wiki', 'forums')
+                AND NOT (sfx % {tk.DECON_HOLD_MOD} = 0)
+            ),
+            ded AS (
+              SELECT * FROM valid
+              QUALIFY doc_id = min(doc_id) OVER (PARTITION BY ptok)
+            ),
+            corp AS MATERIALIZED (
+              SELECT row_number() OVER () AS rid, doc_id, sfx, ne, ptok FROM ded
+            ),
+            hits AS (
+              SELECT rid
+              FROM corp, unnest(range(len(ptok) - {tk.DECON_K - 1})) AS t(i)
+              WHERE ptok[i + 1:i + {tk.DECON_K}] IN (SELECT g FROM hold_grams)
+              GROUP BY rid
+            ),
+            surv AS MATERIALIZED (
+              SELECT c.doc_id, c.sfx, c.ne FROM corp c
+              LEFT JOIN hits h USING (rid) WHERE h.rid IS NULL
+            ),
+            base AS (
+              SELECT doc_id, ne AS nt,
+                     ((sfx::HUGEINT * {SHARD_MULT1})
+                      % 4294967296) % {SEQ_PACK_SHARDS} AS shard,
+                     row_number() OVER (
+                       PARTITION BY ((sfx::HUGEINT * {SHARD_MULT1})
+                                     % 4294967296) % {SEQ_PACK_SHARDS}
+                       ORDER BY ((((sfx::HUGEINT * {SHARD_MULT1}) % 4294967296)
+                                  * {SHARD_MULT2}) + {SHARD_ADD2}) % 4294967296,
+                                sfx, ne
+                     ) AS rn
+              FROM surv
+            ),
+            walk AS (
+              SELECT shard, rn, doc_id, nt,
+                     0::BIGINT AS pack_id, 0::BIGINT AS pack_pos,
+                     0::BIGINT AS tok_offset, nt AS acc
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.nt,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN 0 ELSE w.pack_pos + 1 END,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN 0 ELSE w.acc END,
+                     CASE WHEN w.acc + b.nt > {SEQ_PACK_BUDGET} THEN b.nt ELSE w.acc + b.nt END
+              FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+            )
+            SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
+                   tok_offset, nt AS n_tok
+            FROM walk
         """,
         # token-level decontamination: same canary patch + holdout slice as
         # the engine (pipelines/tokens.py constants interpolated); corp is

@@ -138,6 +138,12 @@ def run_suite() -> dict:
 
     timed("seq_decontaminate", lambda sf: tk.seq_decontaminate(sf))
     timed("seq_dup_token_arrays", lambda sf: tk.seq_dup_token_arrays(sf))
+    timed("seq_chunk_windows", lambda sf: tk.seq_chunk_windows(sf))
+    timed("seq_length_batches", lambda sf: tk.seq_length_batches(sf))
+    timed("seq_detokenize", lambda sf: tk.seq_detokenize(sf))
+    timed("seq_unigram_lm_score", lambda sf: tk.seq_unigram_lm_score(sf))
+    timed("seq_pack_execute", lambda sf: tp.seq_pack_execute(sf))
+    timed("prepare_training_sequences", lambda sf: tk.prepare_training_sequences(sf))
     timed("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf))
     timed("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf))
     timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))

@@ -963,3 +963,322 @@ def seq_unigram_lm_score(sf_dir: str, ref_mod: int = SEQLM_REF_MOD) -> rd.Datase
         )
 
     return _seq_ds(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Capstone: full training-sequence preparation in one composition
+# ---------------------------------------------------------------------------
+
+
+def _intra(counts: np.ndarray) -> np.ndarray:
+    """0..c-1 within each segment of ``counts`` (flat, vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+
+
+def _capstone_view(
+    t: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, pa.Table]:
+    """The capstone's augmented token view for rows with non-null doc_id AND
+    tokens: DUPSEQ whole-array replacement wins over the DECON prefix patch
+    (replacement overwrites the whole array, so precedence only needs to be
+    fixed and mirrored). Returns (sfx, offs_eff [0-based], vals_eff,
+    row_selector_mask_applied_table) aligned to the FILTERED table."""
+    ids = t.column("doc_id").combine_chunks()
+    toks = t.column("tokens")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    keep = pc.and_(pc.is_valid(ids), pc.is_valid(toks))
+    sel = t.filter(keep)
+    if sel.num_rows == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32), e, sel
+    sfx = _suffix_i64(sel.column("doc_id"))
+    offs, vals = _tokens_parts(sel.column("tokens"))
+    lens = offs[1:] - offs[:-1]
+    prows = np.flatnonzero((sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES))
+    vals_p = _patch_prefix(offs, vals, prows)
+    dup = (sfx >= 0) & (sfx % DUPSEQ_MOD == DUPSEQ_RES)
+    lens_eff = np.where(dup, DUPSEQ_LEN_BASE + sfx % DUPSEQ_LEN_CHOICES, lens)
+    offs_eff = np.concatenate(([0], np.cumsum(lens_eff)))
+    out = np.empty(int(offs_eff[-1]), dtype=np.int32)
+    nd = ~dup
+    cn = lens[nd]
+    out[np.repeat(offs_eff[:-1][nd], cn) + _intra(cn)] = vals_p[
+        np.repeat(offs[:-1][nd], cn) + _intra(cn)
+    ]
+    cd = lens_eff[dup]
+    di = _intra(cd)
+    out[np.repeat(offs_eff[:-1][dup], cd) + di] = _CANARY_NP[di]
+    return sfx, offs_eff, out, lens_eff, sel
+
+
+def _capstone_training_rows(t: pa.Table):
+    """(sel_table, sfx, offs_eff, vals_eff, lens_eff) for the capstone's
+    TRAINING-candidate population: valid (1 ≤ len ≤ 2048, all tokens in
+    [0, VOCAB), allowlisted source) and not in the benchmark holdout."""
+    sfx, offs, vals, lens, sel = _capstone_view(t)
+    if sel.num_rows == 0:
+        return sel, sfx, offs, vals, lens
+    # per-row min/max over the augmented buffer (cummin-free: reduceat is
+    # safe here because zero-length rows are invalid anyway and masked)
+    ok_len = (lens >= 1) & (lens <= 2048)
+    tmin = np.full(sel.num_rows, -1, dtype=np.int64)
+    tmax = np.full(sel.num_rows, 1 << 40, dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        st = offs[:-1][nz]
+        tmin[nz] = np.minimum.reduceat(vals, st) if st.size else tmin[nz]
+        tmax[nz] = np.maximum.reduceat(vals, st) if st.size else tmax[nz]
+        # reduceat runs to the NEXT start, so mask rows after the last
+        # nonzero segment correctly: reduceat over starts covers to end of
+        # vals for the final segment — exact because trailing zero-length
+        # rows contribute no values
+    src = sel.column("source")
+    src_ok = pc.fill_null(pc.is_in(src, value_set=pa.array(list(_ALLOWED))), False)
+    src_ok = np.asarray(src_ok.to_numpy(zero_copy_only=False), dtype=bool)
+    keep = (
+        ok_len
+        & (tmin >= 0)
+        & (tmax < VOCAB)
+        & src_ok
+        & ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
+    )
+    if keep.all():
+        return sel, sfx, offs, vals, lens
+    idx = np.flatnonzero(keep)
+    sel2 = sel.take(pa.array(idx))
+    lens2 = lens[idx]
+    offs2 = np.concatenate(([0], np.cumsum(lens2)))
+    cn = lens2
+    vals2 = vals[np.repeat(offs[:-1][idx], cn) + _intra(cn)]
+    return sel2, sfx[idx], offs2, vals2, lens2
+
+
+from ..core.schema import SOURCES as _SRC_TUPLE  # noqa: E402
+
+_ALLOWED = frozenset(_SRC_TUPLE)
+
+
+def _capstone_holdout_grams(t: pa.Table) -> pa.Table:
+    """Benchmark gram combiner over the CAPSTONE view's holdout slice."""
+    sfx, offs, vals, _lens, _sel = _capstone_view(t)
+    hold = np.flatnonzero((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
+    if hold.size == 0:
+        return pa.table({"g": pa.array([], type=_GRAM_TYPE)})
+    # gather holdout rows' segments into a compact buffer
+    lens = offs[1:] - offs[:-1]
+    ch = lens[hold]
+    sub = vals[np.repeat(offs[:-1][hold], ch) + _intra(ch)]
+    soff = np.concatenate(([0], np.cumsum(ch)))
+    win, _, _ = _gram_windows(soff, sub, DECON_K)
+    u = np.unique(_void(win, DECON_K))
+    garr = pa.Array.from_buffers(_GRAM_TYPE, len(u), [None, pa.py_buffer(u.tobytes())])
+    return pa.table({"g": garr})
+
+
+def prepare_training_sequences(
+    sf_dir: str, budget: int | None = None, n_shards: int | None = None
+) -> rd.Dataset:
+    """The tokens-axis CAPSTONE: the full training-sequence preparation flow
+    over the north-star table, every stage exact and SQL-expressible —
+
+      validity gate (augmented view: 1 ≤ len ≤ 2048, all tokens in
+        [0, VOCAB), allowlisted source; the -1 null-element sentinel fails
+        the range check, mirroring the row-check kernels)
+      → benchmark holdout exclusion (suffix % DECON_HOLD_MOD == 0 rows are
+        the eval suite — they index the decontamination pass and never
+        train)
+      → exact content dedup (keep the min-doc_id copy of each duplicated
+        token array; rows TIED on (array, min doc_id) are mutually
+        indistinguishable and all kept — the deterministic,
+        window-SQL-mirrorable rule)
+      → decontamination (drop survivors sharing any token 8-gram with the
+        holdout)
+      → greedy pack plan (the ``seq_pack_plan`` shard-range walk over the
+        survivors, n_eff = augmented length as cost)
+
+    Dataflow: pass A builds the broadcast gram index over the holdout
+    slice; pass B runs the content-hash combiner into the
+    ``state/dupfinder`` tree reduce, recovers only CANDIDATE rows (dup
+    hashes) and derives the loser set exactly on the driver — keyed by
+    (hash, doc_id) with the candidate ARRAYS kept for an exact byte
+    re-verify in the final pass, so duplicate doc_ids and 64-bit
+    collisions cannot misfire; the final pass re-reads the corpus ONCE,
+    applies every predicate fused, and feeds 40 B/row metadata into the
+    pack split/reduce. Token payloads never shuffle at any stage.
+    """
+    from .textprep import (
+        SEQ_PACK_BUDGET,
+        SEQ_PACK_SHARDS,
+        _SEQ_PACK_EMPTY,
+        _seq_pack_reduce,
+        _seq_pack_split,
+        _shard_cols,
+    )
+
+    budget = SEQ_PACK_BUDGET if budget is None else budget
+    n_shards = SEQ_PACK_SHARDS if n_shards is None else n_shards
+
+    # --- pass A: benchmark gram index (broadcast once)
+    idx = GramIndex.build(
+        _fsb_to_mat(
+            _collect(
+                _seq_ds(sf_dir, columns=["doc_id", "tokens"]).map_batches(
+                    _capstone_holdout_grams, batch_format="pyarrow", batch_size=None
+                )
+            ).column("g"),
+            DECON_K,
+        )
+    )
+    gram_ref = ray.put(idx.parts())
+
+    # --- pass B: dup-hash reduce + exact loser derivation (candidates only)
+    def hash_batch(t: pa.Table) -> pa.Table:
+        sel, sfx, offs, vals, lens = _capstone_training_rows(t)
+        if sel.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        return pa.table({"h": pa.array(_content_hash(offs, vals).view(np.int64))})
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    hashed = _seq_ds(sf_dir).map_batches(
+        hash_batch, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    dup_h = find_dup_hash_values(hashed, "h")
+    losers: dict[tuple[int, str], set[bytes]] = {}
+    if dup_h.size:
+        dup_sorted = np.sort(dup_h.view(_U64))
+
+        def candidates(t: pa.Table) -> pa.Table:
+            sel, sfx, offs, vals, lens = _capstone_training_rows(t)
+            if sel.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], type=pa.string()),
+                        "h": pa.array([], type=pa.int64()),
+                        "b": pa.array([], type=pa.binary()),
+                    }
+                )
+            h = _content_hash(offs, vals)
+            pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
+            m = dup_sorted[pos] == h
+            ii = np.flatnonzero(m)
+            return pa.table(
+                {
+                    "doc_id": sel.column("doc_id").take(pa.array(ii)),
+                    "h": pa.array(h[ii].view(np.int64)),
+                    "b": pa.array(
+                        [vals[offs[i] : offs[i + 1]].tobytes() for i in ii],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+
+        cand = _collect(
+            _seq_ds(sf_dir).map_batches(
+                candidates, batch_format="pyarrow", batch_size=None
+            )
+        )
+        groups: dict[bytes, list[tuple[str, int]]] = {}
+        for did, hv, b in zip(
+            cand.column("doc_id").to_pylist(),
+            cand.column("h").to_pylist(),
+            cand.column("b").to_pylist(),
+        ):
+            groups.setdefault(b, []).append((did, hv))
+        for b, members in groups.items():
+            if len(members) < 2:
+                continue
+            rep = min(d for d, _ in members)
+            for did, hv in members:
+                if did != rep:
+                    losers.setdefault((hv, did), set()).add(b)
+    loser_ref = ray.put(losers)
+
+    # --- final fused pass → pack metadata
+    def final(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            lm = ray.get(loser_ref)
+            lh = np.sort(np.array([k[0] for k in lm], dtype=np.int64))
+            st = _cache["st"] = (GramIndex(*ray.get(gram_ref)), lm, lh)
+        index, loser_map, loser_hashes = st
+        sel, sfx, offs, vals, lens = _capstone_training_rows(t)
+        n = sel.num_rows
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "doc_num": pa.array([], type=pa.int64()),
+                "shard": pa.array([], type=pa.int64()),
+                "shuffle_key": pa.array([], type=pa.int64()),
+                "n_tok": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        keep = np.ones(n, dtype=bool)
+        if loser_map:
+            hi = _content_hash(offs, vals).view(np.int64)
+            pos = np.minimum(np.searchsorted(loser_hashes, hi), loser_hashes.size - 1)
+            maybe = np.flatnonzero(loser_hashes[pos] == hi)  # tiny: losers only
+            if maybe.size:
+                ids = sel.column("doc_id").take(pa.array(maybe)).to_pylist()
+                for j, i in enumerate(maybe):
+                    s = loser_map.get((int(hi[i]), ids[j]))
+                    if s is not None and vals[offs[i] : offs[i + 1]].tobytes() in s:
+                        keep[i] = False
+        # decontamination on the remaining rows
+        if index.h.size:
+            starts, gdoc, _m = _window_starts(offs, DECON_K)
+            if starts.size:
+                gmask = keep[gdoc]
+                starts2, gdoc2 = starts[gmask], gdoc[gmask]
+                if starts2.size:
+                    hh = _window_hash64(vals, DECON_K)[starts2]
+                    cndt = index.maybe(hh)
+                    if cndt.any():
+                        win = _gather_windows(vals, starts2[cndt], DECON_K)
+                        member = index.member(hh[cndt], win)
+                        if member.any():
+                            keep[np.unique(gdoc2[cndt][member])] = False
+        ii = np.flatnonzero(keep)
+        if ii.size == 0:
+            return empty
+        out = sel.take(pa.array(ii))
+        num = sfx[ii]
+        shard, key = _shard_cols(num, n_shards)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "doc_num": pa.array(num),
+                "shard": pa.array(shard),
+                "shuffle_key": pa.array(key),
+                "n_tok": pa.array(lens[ii].astype(np.int64)),
+            }
+        )
+
+    meta_ds = _seq_ds(sf_dir).map_batches(final, batch_format="pyarrow", batch_size=None)
+    bundles = list(meta_ds.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        return rd.from_arrow([_SEQ_PACK_EMPTY])
+    try:
+        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        ranges = 8
+    ranges = min(max(2, ranges), n_shards)
+    per = 8
+    mapped = [
+        _seq_pack_split.options(num_returns=ranges).remote(
+            block_refs[i : i + per], ranges, n_shards
+        )
+        for i in range(0, len(block_refs), per)
+    ]
+    tables = [
+        _seq_pack_reduce.remote(budget, *[m[r] for m in mapped]) for r in range(ranges)
+    ]
+    return rd.from_arrow_refs(tables)

@@ -285,6 +285,88 @@ def test_seq_unigram_lm_score_differential(ray_session, rows):
     assert fix(got) == fix(expected)
 
 
+def test_prepare_training_sequences_differential(ray_session, rows):
+    from product_quality_check_ray.core.schema import SOURCES, VOCAB
+    from product_quality_check_ray.pipelines.textprep import (
+        SEQ_PACK_BUDGET,
+        SEQ_PACK_SHARDS,
+        SHARD_ADD2,
+        SHARD_MULT1,
+        SHARD_MULT2,
+    )
+
+    M32 = 1 << 32
+    allowed = set(SOURCES)
+    # stage 1: augmented view + validity + holdout exclusion
+    pop = []
+    n_raw = 0
+    for r in rows:
+        if r["doc_id"] is None or r["tokens"] is None:
+            continue
+        n_raw += 1
+        s = _sfx(r["doc_id"])
+        if s % tk.DUPSEQ_MOD == tk.DUPSEQ_RES:
+            p = list(tk.CANARY[: tk.DUPSEQ_LEN_BASE + s % tk.DUPSEQ_LEN_CHOICES])
+        elif s % tk.DECON_PATCH_MOD == tk.DECON_PATCH_RES:
+            m = min(tk.CANARY_LEN, len(r["tokens"]))
+            p = list(tk.CANARY[:m]) + list(r["tokens"][m:])
+        else:
+            p = list(r["tokens"])
+        pop.append((r["doc_id"], r["source"], s, p))
+    hold_grams = set()
+    for _d, _src, s, p in pop:
+        if s % tk.DECON_HOLD_MOD == 0:
+            for i in range(len(p) - tk.DECON_K + 1):
+                hold_grams.add(tuple(p[i : i + tk.DECON_K]))
+    valid = [
+        (d, s, p)
+        for d, src, s, p in pop
+        if 1 <= len(p) <= 2048
+        and all(x is not None and 0 <= x < VOCAB for x in p)
+        and src in allowed
+        and s % tk.DECON_HOLD_MOD != 0
+    ]
+    assert len(valid) < n_raw  # validity/holdout non-vacuous
+    # stage 2: keep-min dedup on full arrays
+    reps = {}
+    for d, s, p in valid:
+        key = tuple(p)
+        reps[key] = d if key not in reps else min(reps[key], d)
+    ded = [(d, s, p) for d, s, p in valid if reps[tuple(p)] == d]
+    assert len(ded) < len(valid)  # dedup non-vacuous (injected dups)
+    # stage 3: decontamination
+    surv = [
+        (d, s, p)
+        for d, s, p in ded
+        if not any(
+            tuple(p[i : i + tk.DECON_K]) in hold_grams
+            for i in range(len(p) - tk.DECON_K + 1)
+        )
+    ]
+    assert len(surv) < len(ded)  # decontamination non-vacuous (canary rows)
+    # stage 4: pack walk per shard
+    per_shard = {}
+    for d, s, p in surv:
+        k1 = (s * SHARD_MULT1) % M32
+        key = (k1 * SHARD_MULT2 + SHARD_ADD2) % M32
+        per_shard.setdefault(k1 % SEQ_PACK_SHARDS, []).append((key, s, len(p), d))
+    expected = []
+    for shard, members in per_shard.items():
+        members.sort(key=lambda m: m[:3])
+        pid, pos, acc = 0, 0, 0
+        for key, s, nt, d in members:
+            if acc and acc + nt > SEQ_PACK_BUDGET:
+                pid, pos, acc = pid + 1, 0, 0
+            expected.append((d, shard, pid, pos, acc, nt))
+            pos, acc = pos + 1, acc + nt
+    out = tk.prepare_training_sequences(SF).to_pandas()
+    got = [
+        (r.doc_id, r.shard, r.pack_id, r.pack_pos, r.tok_offset, r.n_tok)
+        for r in out.itertuples(index=False)
+    ]
+    assert sorted(got) == sorted(expected)
+
+
 def _py_pack_execute(rows, budget, n_shards):
     """Pure-python re-implementation of seq_pack_execute's summary output."""
     from product_quality_check_ray.pipelines.textprep import (
