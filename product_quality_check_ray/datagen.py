@@ -54,7 +54,10 @@ SF_ROWS: dict[str, int] = {
     "sf0.1": 800_000,
 }
 DEFAULT_ROWS = 20_000
-NUM_FRAGMENTS = 16
+# 2 fragments per CPU at the 32-CPU bench size: fragment count bounds map
+# parallelism (one row group per fragment, so reads cannot split further) —
+# 16 fragments left half the box idle in every token-payload map stage
+NUM_FRAGMENTS = 32
 
 # corruption rates (FIXTURES.md §2); disjoint row sets, assigned in this order
 CORRUPTION_RATES: dict[str, float] = {

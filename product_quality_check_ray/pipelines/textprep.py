@@ -1073,11 +1073,13 @@ def _seq_packx_reduce(budget: int, with_payload: bool, *parts) -> pa.Table:
     order = np.lexsort((lens, num, key, shard))
     order = _lex_tie_resolve(order, (shard, key, num, lens), offs0, vals0)
     shard, lens = shard[order], lens[order]
-    # flat values in FINAL order: gather per-row segments once
+    # flat values in FINAL order via Arrow take (C++ list gather rebuilds the
+    # child buffer contiguously — no O(total-tokens) int64 index temporaries,
+    # which at 10^12-row shard ranges would triple the reduce's footprint)
+    taken = t.column("tokens").take(pa.array(order))
+    offs_t, flat = _tokens_parts(taken)
+    flat = flat[offs_t[0] : offs_t[-1]]
     total = int(lens.sum())
-    starts = np.repeat(offs0[order], lens)
-    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
-    flat = vals0[starts + intra]
     row_off = np.concatenate(([0], np.cumsum(lens)))
     new_shard = np.empty(shard.size, dtype=bool)
     new_shard[0] = True

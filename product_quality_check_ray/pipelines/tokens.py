@@ -1004,23 +1004,42 @@ def _capstone_view(
     dup = (sfx >= 0) & (sfx % DUPSEQ_MOD == DUPSEQ_RES)
     lens_eff = np.where(dup, DUPSEQ_LEN_BASE + sfx % DUPSEQ_LEN_CHOICES, lens)
     offs_eff = np.concatenate(([0], np.cumsum(lens_eff)))
-    out = np.empty(int(offs_eff[-1]), dtype=np.int32)
-    nd = ~dup
-    cn = lens[nd]
-    out[np.repeat(offs_eff[:-1][nd], cn) + _intra(cn)] = vals_p[
-        np.repeat(offs[:-1][nd], cn) + _intra(cn)
-    ]
-    cd = lens_eff[dup]
-    di = _intra(cd)
-    out[np.repeat(offs_eff[:-1][dup], cd) + di] = _CANARY_NP[di]
-    return sfx, offs_eff, out, lens_eff, sel
+    span = vals_p[offs[0] : offs[-1]]
+    drows = np.flatnonzero(dup)
+    if drows.size == 0:
+        return sfx, offs_eff, span, lens_eff, sel
+    # DUPSEQ rows are ~1/257 of the corpus: drop their original tokens with
+    # ONE boolean-mask compaction (a single C pass over the buffer) and
+    # splice their canary replacements in with one np.concatenate — no
+    # O(total-tokens) int64 index temporaries (measured 2.3 s → ~0.2 s per
+    # 50k-row block at sf0.1)
+    keep = np.ones(span.size, dtype=bool)
+    base = offs - offs[0]
+    cd = lens[drows]
+    if cd.sum():
+        keep[np.repeat(base[:-1][drows], cd) + _intra(cd)] = False
+    main = span[keep]
+    # insertion points in compacted coordinates: dropped-tokens-before is a
+    # cumsum over the TINY dup-row lengths (not over the 50M-element mask)
+    kept_before = base[:-1][drows] - np.concatenate(([0], np.cumsum(cd)))[:-1]
+    pieces = []
+    prev = 0
+    for pos, r in zip(kept_before, drows):
+        pieces.append(main[prev:pos])
+        pieces.append(_CANARY_NP[: lens_eff[r]])
+        prev = pos
+    pieces.append(main[prev:])
+    return sfx, offs_eff, np.concatenate(pieces), lens_eff, sel
 
 
 def _capstone_training_rows(t: pa.Table):
+    return _training_rows_from_view(*_capstone_view(t))
+
+
+def _training_rows_from_view(sfx, offs, vals, lens, sel):
     """(sel_table, sfx, offs_eff, vals_eff, lens_eff) for the capstone's
     TRAINING-candidate population: valid (1 ≤ len ≤ 2048, all tokens in
     [0, VOCAB), allowlisted source) and not in the benchmark holdout."""
-    sfx, offs, vals, lens, sel = _capstone_view(t)
     if sel.num_rows == 0:
         return sel, sfx, offs, vals, lens
     # per-row min/max over the augmented buffer (cummin-free: reduceat is
@@ -1053,8 +1072,15 @@ def _capstone_training_rows(t: pa.Table):
     sel2 = sel.take(pa.array(idx))
     lens2 = lens[idx]
     offs2 = np.concatenate(([0], np.cumsum(lens2)))
-    cn = lens2
-    vals2 = vals[np.repeat(offs[:-1][idx], cn) + _intra(cn)]
+    # compact the values buffer by DROPPING rejected rows' tokens (one
+    # boolean-mask pass) — rejects are ~10% of rows, so the mask scatter is
+    # small and there are no O(total-tokens) index temporaries
+    drop = np.flatnonzero(~keep)
+    mask = np.ones(int(offs[-1] - offs[0]), dtype=bool)
+    cdp = lens[drop]
+    if cdp.sum():
+        mask[np.repeat(offs[:-1][drop] - offs[0], cdp) + _intra(cdp)] = False
+    vals2 = vals[offs[0] : offs[-1]][mask]
     return sel2, sfx[idx], offs2, vals2, lens2
 
 
@@ -1064,8 +1090,11 @@ _ALLOWED = frozenset(_SRC_TUPLE)
 
 
 def _capstone_holdout_grams(t: pa.Table) -> pa.Table:
+    return _holdout_grams_from_view(*_capstone_view(t))
+
+
+def _holdout_grams_from_view(sfx, offs, vals, _lens, _sel) -> pa.Table:
     """Benchmark gram combiner over the CAPSTONE view's holdout slice."""
-    sfx, offs, vals, _lens, _sel = _capstone_view(t)
     hold = np.flatnonzero((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
     if hold.size == 0:
         return pa.table({"g": pa.array([], type=_GRAM_TYPE)})
@@ -1101,12 +1130,16 @@ def prepare_training_sequences(
       → greedy pack plan (the ``seq_pack_plan`` shard-range walk over the
         survivors, n_eff = augmented length as cost)
 
-    Dataflow: pass A builds the broadcast gram index over the holdout
-    slice; pass B runs the content-hash combiner into the
-    ``state/dupfinder`` tree reduce, recovers only CANDIDATE rows (dup
-    hashes) and derives the loser set exactly on the driver — keyed by
-    (hash, doc_id) with the candidate ARRAYS kept for an exact byte
-    re-verify in the final pass, so duplicate doc_ids and 64-bit
+    Dataflow (THREE reads of storage, the minimum under the two inherent
+    barriers — the gram/hash state must exist before candidates can be
+    recovered, and the loser set before the final filter): the SCOUT pass
+    computes the augmented view once per batch and emits BOTH the holdout
+    gram combiner rows and the training-row content hashes as one union
+    table (one parquet read instead of two); grams build the broadcast
+    index, hashes feed the ``state/dupfinder`` tree reduce; the candidate
+    pass recovers only dup-hash rows and derives the loser set exactly on
+    the driver — keyed by (hash, doc_id) with the candidate ARRAYS kept
+    for an exact byte re-verify, so duplicate doc_ids and 64-bit
     collisions cannot misfire; the final pass re-reads the corpus ONCE,
     applies every predicate fused, and feeds 40 B/row metadata into the
     pack split/reduce. Token payloads never shuffle at any stage.
@@ -1123,30 +1156,53 @@ def prepare_training_sequences(
     budget = SEQ_PACK_BUDGET if budget is None else budget
     n_shards = SEQ_PACK_SHARDS if n_shards is None else n_shards
 
-    # --- pass A: benchmark gram index (broadcast once)
+    # --- scout pass: holdout grams + training-row hashes in ONE read (the
+    # augmented view is computed once per batch and shared by both halves)
+    def scout(t: pa.Table) -> pa.Table:
+        view = _capstone_view(t)
+        gt = _holdout_grams_from_view(*view)
+        sel, sfx, offs, vals, lens = _training_rows_from_view(*view)
+        ng, nh = gt.num_rows, sel.num_rows
+        h = (
+            _content_hash(offs, vals).view(np.int64)
+            if nh
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "g": pa.concat_arrays(
+                    [gt.column("g").combine_chunks(), pa.nulls(nh, _GRAM_TYPE)]
+                ),
+                "h": pa.concat_arrays(
+                    [pa.nulls(ng, pa.int64()), pa.array(h, type=pa.int64())]
+                ),
+            }
+        )
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    scouted = (
+        _seq_ds(sf_dir, columns=["doc_id", "tokens", "source"])
+        .map_batches(scout, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
     idx = GramIndex.build(
         _fsb_to_mat(
             _collect(
-                _seq_ds(sf_dir, columns=["doc_id", "tokens"]).map_batches(
-                    _capstone_holdout_grams, batch_format="pyarrow", batch_size=None
+                scouted.map_batches(
+                    lambda t: t.filter(pc.is_valid(t.column("g"))).select(["g"]),
+                    batch_format="pyarrow",
+                    batch_size=None,
                 )
             ).column("g"),
             DECON_K,
         )
     )
     gram_ref = ray.put(idx.parts())
-
-    # --- pass B: dup-hash reduce + exact loser derivation (candidates only)
-    def hash_batch(t: pa.Table) -> pa.Table:
-        sel, sfx, offs, vals, lens = _capstone_training_rows(t)
-        if sel.num_rows == 0:
-            return pa.table({"h": pa.array([], type=pa.int64())})
-        return pa.table({"h": pa.array(_content_hash(offs, vals).view(np.int64))})
-
-    from ..state.dupfinder import find_dup_hash_values
-
-    hashed = _seq_ds(sf_dir).map_batches(
-        hash_batch, batch_format="pyarrow", batch_size=None
+    hashed = scouted.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("h"))).select(["h"]),
+        batch_format="pyarrow",
+        batch_size=None,
     ).materialize()
     dup_h = find_dup_hash_values(hashed, "h")
     losers: dict[tuple[int, str], set[bytes]] = {}
@@ -1179,7 +1235,7 @@ def prepare_training_sequences(
             )
 
         cand = _collect(
-            _seq_ds(sf_dir).map_batches(
+            _seq_ds(sf_dir, columns=["doc_id", "tokens", "source"]).map_batches(
                 candidates, batch_format="pyarrow", batch_size=None
             )
         )
@@ -1261,7 +1317,9 @@ def prepare_training_sequences(
             }
         )
 
-    meta_ds = _seq_ds(sf_dir).map_batches(final, batch_format="pyarrow", batch_size=None)
+    meta_ds = _seq_ds(sf_dir, columns=["doc_id", "tokens", "source"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
     bundles = list(meta_ds.iter_internal_ref_bundles())
     block_refs = [ref for b in bundles for ref in b.block_refs]
     if not block_refs:
