@@ -1110,7 +1110,10 @@ def _holdout_grams_from_view(sfx, offs, vals, _lens, _sel) -> pa.Table:
 
 
 def prepare_training_sequences(
-    sf_dir: str, budget: int | None = None, n_shards: int | None = None
+    sf_dir: str,
+    budget: int | None = None,
+    n_shards: int | None = None,
+    out_dir: str | None = None,
 ) -> rd.Dataset:
     """The tokens-axis CAPSTONE: the full training-sequence preparation flow
     over the north-star table, every stage exact and SQL-expressible —
@@ -1323,6 +1326,8 @@ def prepare_training_sequences(
     bundles = list(meta_ds.iter_internal_ref_bundles())
     block_refs = [ref for b in bundles for ref in b.block_refs]
     if not block_refs:
+        # empty plan: nothing to sink (a partitioned write of 0 rows writes
+        # no files, which a resume read could not distinguish from failure)
         return rd.from_arrow([_SEQ_PACK_EMPTY])
     try:
         ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
@@ -1339,4 +1344,25 @@ def prepare_training_sequences(
     tables = [
         _seq_pack_reduce.remote(budget, *[m[r] for m in mapped]) for r in range(ranges)
     ]
-    return rd.from_arrow_refs(tables)
+    return _maybe_sink_plan(rd.from_arrow_refs(tables), out_dir)
+
+
+def _maybe_sink_plan(ds: rd.Dataset, out_dir: str | None) -> rd.Dataset:
+    """Resumable capstone sink: shard-partitioned parquet + success marker.
+
+    A rerun that finds the marker reads the finished plan back instead of
+    recomputing (the ``clean_documents`` sink contract); a killed run left
+    no marker, so it recomputes and overwrites — output is only ever
+    observed complete."""
+    if out_dir is None:
+        return ds
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(out_dir, "_PREP_SUCCESS.json")
+    if _os.path.exists(marker):
+        return rd.read_parquet(out_dir)
+    ds.write_parquet(out_dir, partition_cols=["shard"])
+    with open(marker, "w") as f:
+        _json.dump({"rows": "complete"}, f)
+    return rd.read_parquet(out_dir)

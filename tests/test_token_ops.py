@@ -367,6 +367,30 @@ def test_prepare_training_sequences_differential(ray_session, rows):
     assert sorted(got) == sorted(expected)
 
 
+def test_prepare_training_sequences_resumable_sink(ray_session, tmp_path):
+    import os
+
+    out = str(tmp_path / "prep_out")
+    a = tk.prepare_training_sequences(SF, out_dir=out).to_pandas()
+    assert os.path.exists(os.path.join(out, "_PREP_SUCCESS.json"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(out)
+        for f in fs
+    }
+    b = tk.prepare_training_sequences(SF, out_dir=out).to_pandas()
+    # rerun READ the finished sink (no rewrite), same rows
+    assert {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(out)
+        for f in fs
+    } == mtimes
+    cols = ["doc_id", "shard", "pack_id", "pack_pos", "tok_offset", "n_tok"]
+    sa = a[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    sb = b[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert sa.equals(sb)
+
+
 def _py_pack_execute(rows, budget, n_shards):
     """Pure-python re-implementation of seq_pack_execute's summary output."""
     from product_quality_check_ray.pipelines.textprep import (
