@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from product_quality_check_ray.core.schema import HIST_BIN_WIDTH, VOCAB
+from product_quality_check_ray.core.schema import HIST_BIN_WIDTH, MAX_N_TOK_DEFAULT, VOCAB
 from product_quality_check_ray.datagen import ensure_sequences, sequences_glob
 from product_quality_check_ray.pipelines import npm
 from product_quality_check_ray.pipelines import relational as rel
@@ -865,7 +865,7 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM {seq}
               WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
-                AND n_tok BETWEEN 1 AND 2048
+                AND n_tok BETWEEN 1 AND {MAX_N_TOK_DEFAULT}
             ),
             walk AS (
               SELECT shard, rn, doc_id, nt,
@@ -904,7 +904,7 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM {seq}
               WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
-                AND n_tok BETWEEN 1 AND 2048
+                AND n_tok BETWEEN 1 AND {MAX_N_TOK_DEFAULT}
                 AND tokens IS NOT NULL AND len(tokens) = n_tok
             ),
             walk AS (
@@ -954,7 +954,7 @@ def oracle_sql() -> dict[str, str]:
             valid AS (
               SELECT doc_id, source, sfx, ptok, CAST(len(ptok) AS BIGINT) AS ne
               FROM aug
-              WHERE len(ptok) BETWEEN 1 AND 2048
+              WHERE len(ptok) BETWEEN 1 AND {MAX_N_TOK_DEFAULT}
                 AND len(list_filter(ptok, x -> x IS NULL)) = 0
                 AND list_min(ptok) >= 0 AND list_max(ptok) < {VOCAB}
                 AND source IN ('web', 'books', 'code', 'wiki', 'forums')
@@ -1177,7 +1177,7 @@ def oracle_sql() -> dict[str, str]:
                        // {tk.LENBATCH_B} AS batch_id
               FROM {seq}
               WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
-                AND n_tok BETWEEN 1 AND 2048
+                AND n_tok BETWEEN 1 AND {MAX_N_TOK_DEFAULT}
             )
             SELECT batch_id, count(*) AS n_seqs,
                    min(nt) AS min_tok, max(nt) AS max_tok,

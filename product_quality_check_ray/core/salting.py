@@ -84,3 +84,16 @@ def hash_bucket_stage(col: str, n_buckets: int):
         return t.append_column("bucket", pa.array(b))
 
     return add_bucket
+
+
+def cluster_range_count(cap: int, floor: int = 8) -> int:
+    """Reduce-range fan-out for the raw-task split/reduce pattern: one range
+    per cluster CPU (bounded by ``cap`` key values, at least 2). Shared by
+    the pack/length-batch/capstone reducers so the heuristic lives once."""
+    import ray
+
+    try:
+        ranges = max(floor, int(ray.cluster_resources().get("CPU", floor)))
+    except Exception:
+        ranges = floor
+    return int(min(max(2, ranges), cap))

@@ -805,11 +805,9 @@ def seq_pack_plan(
     block_refs = [ref for b in bundles for ref in b.block_refs]
     if not block_refs:
         return rd.from_arrow([_SEQ_PACK_EMPTY])
-    try:
-        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        ranges = 8
-    ranges = min(max(2, ranges), n_shards)
+    from ..core.salting import cluster_range_count
+
+    ranges = cluster_range_count(n_shards)
     per = 8
     mapped = [
         _seq_pack_split.options(num_returns=ranges).remote(
@@ -994,17 +992,15 @@ def seq_pack_execute(
     bundles = list(ds.iter_internal_ref_bundles())
     block_refs = [ref for b in bundles for ref in b.block_refs]
     empty = (
-        _SEQ_PACKX_SCHEMA.append(pa.field("tokens", pa.list_(pa.int32())))
+        _SEQ_PACKX_SCHEMA.append(pa.field("tokens", pa.large_list(pa.int32())))
         if with_payload
         else _SEQ_PACKX_SCHEMA
     ).empty_table()
     if not block_refs:
         return rd.from_arrow([empty])
-    try:
-        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        ranges = 8
-    ranges = min(max(2, ranges), n_shards)
+    from ..core.salting import cluster_range_count
+
+    ranges = cluster_range_count(n_shards)
     per = 8
     mapped = [
         _seq_pack_split.options(num_returns=ranges).remote(
@@ -1056,7 +1052,7 @@ def _seq_packx_reduce(budget: int, with_payload: bool, *parts) -> pa.Table:
 
     tables = [p for p in parts if p is not None]
     base = (
-        _SEQ_PACKX_SCHEMA.append(pa.field("tokens", pa.list_(pa.int32())))
+        _SEQ_PACKX_SCHEMA.append(pa.field("tokens", pa.large_list(pa.int32())))
         if with_payload
         else _SEQ_PACKX_SCHEMA
     ).empty_table()
@@ -1109,8 +1105,10 @@ def _seq_packx_reduce(budget: int, with_payload: bool, *parts) -> pa.Table:
         "tok_last": pa.array(flat[row_off[pn] - 1].astype(np.int64)),
     }
     if with_payload:
-        cols["tokens"] = pa.ListArray.from_arrays(
-            pa.array(np.r_[row_off[p0], total], type=pa.int64()).cast(pa.int32()),
+        # large_list: int64 offsets — a shard range can exceed 2^31 tokens
+        # at design scale, where int32 list offsets would overflow
+        cols["tokens"] = pa.LargeListArray.from_arrays(
+            pa.array(np.r_[row_off[p0], total], type=pa.int64()),
             pa.array(flat, type=pa.int32()),
         )
     return pa.table(cols)

@@ -524,11 +524,9 @@ def seq_length_batches(sf_dir: str, batch_rows: int = LENBATCH_B) -> pa.Table:
     block_refs = [ref for b in bundles for ref in b.block_refs]
     if not block_refs:
         return _LENBATCH_SCHEMA.empty_table()
-    try:
-        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        ranges = 8
-    ranges = int(min(max(2, ranges), MAX_N_TOK_DEFAULT))
+    from ..core.salting import cluster_range_count
+
+    ranges = cluster_range_count(MAX_N_TOK_DEFAULT)
     # contiguous n_tok intervals: bounds[r] = first n_tok of range r+1
     width = -(-MAX_N_TOK_DEFAULT // ranges)
     per = 8
@@ -1044,7 +1042,9 @@ def _training_rows_from_view(sfx, offs, vals, lens, sel):
         return sel, sfx, offs, vals, lens
     # per-row min/max over the augmented buffer (cummin-free: reduceat is
     # safe here because zero-length rows are invalid anyway and masked)
-    ok_len = (lens >= 1) & (lens <= 2048)
+    from ..core.schema import MAX_N_TOK_DEFAULT
+
+    ok_len = (lens >= 1) & (lens <= MAX_N_TOK_DEFAULT)
     tmin = np.full(sel.num_rows, -1, dtype=np.int64)
     tmax = np.full(sel.num_rows, 1 << 40, dtype=np.int64)
     nz = lens > 0
@@ -1158,6 +1158,10 @@ def prepare_training_sequences(
 
     budget = SEQ_PACK_BUDGET if budget is None else budget
     n_shards = SEQ_PACK_SHARDS if n_shards is None else n_shards
+    if out_dir is not None:
+        done = _read_finished_plan(out_dir)
+        if done is not None:  # resume: skip ALL recomputation
+            return done
 
     # --- scout pass: holdout grams + training-row hashes in ONE read (the
     # augmented view is computed once per batch and shared by both halves)
@@ -1329,11 +1333,9 @@ def prepare_training_sequences(
         # empty plan: nothing to sink (a partitioned write of 0 rows writes
         # no files, which a resume read could not distinguish from failure)
         return rd.from_arrow([_SEQ_PACK_EMPTY])
-    try:
-        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        ranges = 8
-    ranges = min(max(2, ranges), n_shards)
+    from ..core.salting import cluster_range_count
+
+    ranges = cluster_range_count(n_shards)
     per = 8
     mapped = [
         _seq_pack_split.options(num_returns=ranges).remote(
@@ -1347,22 +1349,49 @@ def prepare_training_sequences(
     return _maybe_sink_plan(rd.from_arrow_refs(tables), out_dir)
 
 
+def _read_finished_plan(out_dir: str) -> "rd.Dataset | None":
+    """Read a marker-complete plan sink back, restoring the direct-path
+    schema (the hive partition read re-infers ``shard`` as a trailing
+    partition field; consumers must see the same int64 column order either
+    way). Returns None when no complete sink exists."""
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(out_dir, "_PREP_SUCCESS.json")):
+        return None
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": pc.cast(t.column("shard"), pa.int64()),
+                "pack_id": t.column("pack_id"),
+                "pack_pos": t.column("pack_pos"),
+                "tok_offset": t.column("tok_offset"),
+                "n_tok": t.column("n_tok"),
+            }
+        )
+
+    return rd.read_parquet(out_dir).map_batches(fix, batch_format="pyarrow")
+
+
 def _maybe_sink_plan(ds: rd.Dataset, out_dir: str | None) -> rd.Dataset:
     """Resumable capstone sink: shard-partitioned parquet + success marker.
 
-    A rerun that finds the marker reads the finished plan back instead of
-    recomputing (the ``clean_documents`` sink contract); a killed run left
-    no marker, so it recomputes and overwrites — output is only ever
-    observed complete."""
+    A marker-complete sink short-circuits the WHOLE pipeline (checked at
+    the top of ``prepare_training_sequences``); a killed run left no
+    marker, so its partial files are REMOVED before the rewrite (Ray's
+    ``write_parquet`` appends by default — stale survivors would otherwise
+    merge into the new output) — the sink is only ever observed complete."""
     if out_dir is None:
         return ds
     import json as _json
     import os as _os
+    import shutil as _shutil
 
     marker = _os.path.join(out_dir, "_PREP_SUCCESS.json")
-    if _os.path.exists(marker):
-        return rd.read_parquet(out_dir)
+    if _os.path.exists(out_dir) and not _os.path.exists(marker):
+        _shutil.rmtree(out_dir)  # partial files from a killed run
     ds.write_parquet(out_dir, partition_cols=["shard"])
     with open(marker, "w") as f:
         _json.dump({"rows": "complete"}, f)
-    return rd.read_parquet(out_dir)
+    return _read_finished_plan(out_dir)

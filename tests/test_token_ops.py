@@ -367,7 +367,7 @@ def test_prepare_training_sequences_differential(ray_session, rows):
     assert sorted(got) == sorted(expected)
 
 
-def test_prepare_training_sequences_resumable_sink(ray_session, tmp_path):
+def test_prepare_training_sequences_resumable_sink(ray_session, tmp_path, monkeypatch):
     import os
 
     out = str(tmp_path / "prep_out")
@@ -378,7 +378,13 @@ def test_prepare_training_sequences_resumable_sink(ray_session, tmp_path):
         for r, _d, fs in os.walk(out)
         for f in fs
     }
+
+    def boom(_t):
+        raise AssertionError("resume must not recompute the pipeline")
+
+    monkeypatch.setattr(tk, "_capstone_view", boom)
     b = tk.prepare_training_sequences(SF, out_dir=out).to_pandas()
+    monkeypatch.undo()
     # rerun READ the finished sink (no rewrite), same rows
     assert {
         f: os.path.getmtime(os.path.join(r, f))
