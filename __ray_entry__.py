@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_unigram_lm_score": lambda sf: tk.seq_unigram_lm_score(sf),  # token-level perplexity proxy
         # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
         "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
+        "seq_neardup_pairs": lambda sf: tk.seq_neardup_pairs(sf),  # head-anchor near-dup, exact verify
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -1006,6 +1007,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
                    tok_offset, nt AS n_tok
             FROM walk
+        """,
+        # token-level near-dup pairs: planted-family generation, head-anchor
+        # self-join, exact distinct-gram Jaccard — constants interpolated
+        "seq_neardup_pairs": f"""
+            WITH raw AS (
+              SELECT doc_id, tokens,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+            ),
+            aug AS (
+              SELECT doc_id,
+                     CASE WHEN sfx % {tk.SEQND_MOD} = {tk.SEQND_RES}
+                          THEN list_transform(range({tk.SEQND_L}), j -> CAST(
+                                 ({tk.SEQND_A} * ((sfx // {2 * tk.SEQND_MOD}) % {VOCAB} + 1)
+                                  + {tk.SEQND_B} * (j + 1)
+                                  + CASE WHEN j >= {tk.SEQND_L - tk.SEQND_TAIL}
+                                         THEN {tk.SEQND_C} * ((sfx // {tk.SEQND_MOD}) % 2 + 1)
+                                         ELSE 0 END) % {VOCAB} AS INTEGER))
+                          ELSE list_transform(tokens, x -> coalesce(x, -1)) END AS ptok
+              FROM raw
+            ),
+            ok AS (SELECT doc_id, ptok FROM aug WHERE len(ptok) >= {tk.DECON_K}),
+            p AS MATERIALIZED (
+              SELECT row_number() OVER () AS pid,
+                     a.doc_id AS da, b.doc_id AS db, a.ptok AS ta, b.ptok AS tb
+              FROM ok a JOIN ok b
+                ON a.ptok[1:{tk.DECON_K}] = b.ptok[1:{tk.DECON_K}]
+               AND a.doc_id < b.doc_id
+            ),
+            ga AS (SELECT DISTINCT pid, ta[i + 1:i + {tk.DECON_K}] AS g
+                   FROM p, unnest(range(len(ta) - {tk.DECON_K - 1})) AS t(i)),
+            gb AS (SELECT DISTINCT pid, tb[i + 1:i + {tk.DECON_K}] AS g
+                   FROM p, unnest(range(len(tb) - {tk.DECON_K - 1})) AS t(i)),
+            na AS (SELECT pid, count(*) AS n FROM ga GROUP BY pid),
+            nb AS (SELECT pid, count(*) AS n FROM gb GROUP BY pid),
+            sh AS (SELECT pid, count(*) AS s FROM ga JOIN gb USING (pid, g) GROUP BY pid),
+            scored AS (
+              SELECT p.da, p.db,
+                     coalesce(sh.s, 0)::BIGINT AS shared,
+                     (na.n + nb.n - coalesce(sh.s, 0))::BIGINT AS n_union,
+                     round(coalesce(sh.s, 0) * 1.0
+                           / (na.n + nb.n - coalesce(sh.s, 0)), 6) AS jaccard
+              FROM p JOIN na USING (pid) JOIN nb USING (pid)
+              LEFT JOIN sh USING (pid)
+            )
+            SELECT da AS doc_id_a, db AS doc_id_b, shared, n_union, jaccard
+            FROM scored WHERE jaccard >= {tk.SEQND_THRESHOLD}
         """,
         # token-level decontamination: same canary patch + holdout slice as
         # the engine (pipelines/tokens.py constants interpolated); corp is

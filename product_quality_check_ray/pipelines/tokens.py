@@ -1395,3 +1395,234 @@ def _maybe_sink_plan(ds: rd.Dataset, out_dir: str | None) -> rd.Dataset:
     with open(marker, "w") as f:
         _json.dump({"rows": "complete"}, f)
     return _read_finished_plan(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Token-level near-duplicate pairs (head-anchor blocking + exact verify)
+# ---------------------------------------------------------------------------
+
+SEQND_MOD = 401   # suffix % this == SEQND_RES → near-dup family member
+SEQND_RES = 7
+SEQND_L = 64      # generated array length
+SEQND_TAIL = 2    # trailing tokens that differ between pair members
+SEQND_A = 17      # generation constants (kept < VOCAB so BIGINT math is
+SEQND_B = 31      # exact in both numpy int64 and DuckDB — no overflow)
+SEQND_C = 101
+SEQND_THRESHOLD = 0.8
+
+_SEQND_SCHEMA = pa.schema(
+    [
+        ("doc_id_a", pa.string()),
+        ("doc_id_b", pa.string()),
+        ("shared", pa.int64()),
+        ("n_union", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def _seqnd_tokens(sfx: np.ndarray) -> np.ndarray:
+    """Generated member arrays, flattened ((n, L) int32): pair members share
+    group g = sfx // (2·MOD) and differ only in the last TAIL tokens via
+    member m = (sfx // MOD) % 2 — token j = (A·((g+1) % V) + B·(j+1)
+    [+ C·(m+1) for tail j]) % V, mirrored verbatim in the SQL oracle."""
+    g = (sfx // (2 * SEQND_MOD)) % VOCAB
+    m = (sfx // SEQND_MOD) % 2
+    j = np.arange(SEQND_L, dtype=np.int64)
+    base = SEQND_A * (g + 1)[:, None] + SEQND_B * (j + 1)[None, :]
+    tail = np.where(j >= SEQND_L - SEQND_TAIL, 1, 0)[None, :] * (
+        SEQND_C * (m + 1)[:, None]
+    )
+    return ((base + tail) % VOCAB).astype(np.int32)
+
+
+def _seqnd_view(t: pa.Table):
+    """(doc_ids, offs, vals) of the near-dup-augmented view, rows with
+    ≥ DECON_K tokens only (the head anchor needs one full window)."""
+    ids = t.column("doc_id").combine_chunks()
+    toks = t.column("tokens")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    keep = pc.and_(pc.is_valid(ids), pc.is_valid(toks))
+    sel = pa.table({"doc_id": ids, "tokens": toks}).filter(keep)
+    if sel.num_rows == 0:
+        return sel.column("doc_id"), np.zeros(1, dtype=np.int64), np.empty(0, np.int32)
+    sfx = _suffix_i64(sel.column("doc_id"))
+    offs, vals = _tokens_parts(sel.column("tokens"))
+    lens = offs[1:] - offs[:-1]
+    nd = (sfx >= 0) & (sfx % SEQND_MOD == SEQND_RES)
+    lens_eff = np.where(nd, SEQND_L, lens)
+    # same mask-compaction + splice shape as _capstone_view
+    span = vals[offs[0] : offs[-1]]
+    drows = np.flatnonzero(nd)
+    offs_eff = np.concatenate(([0], np.cumsum(lens_eff)))
+    if drows.size == 0:
+        out = span
+    else:
+        keep_m = np.ones(span.size, dtype=bool)
+        base = offs - offs[0]
+        cd = lens[drows]
+        if cd.sum():
+            keep_m[np.repeat(base[:-1][drows], cd) + _intra(cd)] = False
+        main = span[keep_m]
+        gen = _seqnd_tokens(sfx[drows])
+        kept_before = base[:-1][drows] - np.concatenate(([0], np.cumsum(cd)))[:-1]
+        pieces = []
+        prev = 0
+        for k, (pos, _r) in enumerate(zip(kept_before, drows)):
+            pieces.append(main[prev:pos])
+            pieces.append(gen[k])
+            prev = pos
+        pieces.append(main[prev:])
+        out = np.concatenate(pieces)
+    # restrict to rows with at least one head window
+    ok = lens_eff >= DECON_K
+    if not ok.all():
+        idx = np.flatnonzero(ok)
+        drop = np.flatnonzero(~ok)
+        mask = np.ones(out.size, dtype=bool)
+        cdp = lens_eff[drop]
+        if cdp.sum():
+            mask[np.repeat(offs_eff[:-1][drop], cdp) + _intra(cdp)] = False
+        out = out[mask]
+        lens_eff = lens_eff[idx]
+        offs_eff = np.concatenate(([0], np.cumsum(lens_eff)))
+        return sel.column("doc_id").take(pa.array(idx)), offs_eff, out
+    return sel.column("doc_id"), offs_eff, out
+
+
+def seq_neardup_pairs(sf_dir: str, threshold: float = SEQND_THRESHOLD) -> pa.Table:
+    """Token-level NEAR-duplicate pairs over the sequences table: rows whose
+    exact distinct-8-gram Jaccard is ≥ ``threshold``, blocked on the HEAD
+    anchor (rows sharing their first 8-gram verbatim).
+
+    Head-anchor blocking is the deterministic cousin of MinHash banding:
+    candidate generation is exact set equality on one 32-byte key per row
+    (so the whole op is oracle-expressible and collision-free), at the cost
+    of a documented recall assumption — near-dups must agree on their head
+    window (true for prefix-preserving edits: the tail-append/suffix-edit
+    family this view plants, and the common real-world boilerplate-prefix
+    case). For edit-anywhere near-dups, ``doc_minhash_dups`` is the
+    probabilistic scale path (word level; same machinery lifts to tokens).
+
+    Candidate→recover shape: one streaming pass emits each row's 64-bit
+    head hash into the ``dupfinder`` tree reduce (8 B/row through the
+    exchange, corpus never shuffles); only rows with a DUPLICATED head
+    hash are recovered (with payloads) and verified on the driver — exact
+    32-byte head grouping resolves hash collisions, then exact
+    distinct-gram Jaccard per in-group pair. Pair members are ROWS;
+    doc_id_a < doc_id_b (same-id row pairs are excluded, matching the SQL
+    self-join).
+
+    The planted family (suffix % {MOD} == {RES}; generated 64-token arrays
+    per group differing in a 2-token tail → Jaccard 55/59 ≈ 0.932) makes
+    the query non-vacuous on the random fixture — the same ADVICE-r1
+    augmentation contract as the other token ops, mirrored in the oracle.
+    """
+    from ..state.dupfinder import find_dup_hash_values
+
+    def head_hash(t: pa.Table) -> pa.Table:
+        _ids, offs, vals = _seqnd_view(t)
+        if offs.size <= 1:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        heads = _gather_windows(vals, offs[:-1], DECON_K)
+        return pa.table({"h": pa.array(_key_hash64(heads).view(np.int64))})
+
+    cols = ["doc_id", "tokens"]
+    hashed = (
+        _seq_ds(sf_dir, columns=cols)
+        .map_batches(head_hash, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    dup_h = find_dup_hash_values(hashed, "h")
+    if dup_h.size == 0:
+        return _SEQND_SCHEMA.empty_table()
+    dup_sorted = np.sort(dup_h.view(_U64))
+
+    def recover(t: pa.Table) -> pa.Table:
+        ids, offs, vals = _seqnd_view(t)
+        if offs.size <= 1:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "head": pa.array([], type=_GRAM_TYPE),
+                    "ptok": pa.array([], type=pa.list_(pa.int32())),
+                }
+            )
+        heads = _gather_windows(vals, offs[:-1], DECON_K)
+        h = _key_hash64(heads)
+        pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
+        m = np.flatnonzero(dup_sorted[pos] == h)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "head": pa.array([], type=_GRAM_TYPE),
+                    "ptok": pa.array([], type=pa.list_(pa.int32())),
+                }
+            )
+        hb = _void(heads[m], DECON_K)
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(m)) if isinstance(ids, pa.ChunkedArray) else pa.chunked_array([ids]).take(pa.array(m)),
+                "head": pa.Array.from_buffers(
+                    _GRAM_TYPE, m.size, [None, pa.py_buffer(np.ascontiguousarray(hb).tobytes())]
+                ),
+                "ptok": pa.array(
+                    [vals[offs[i] : offs[i + 1]].tolist() for i in m],
+                    type=pa.list_(pa.int32()),
+                ),
+            }
+        )
+
+    cand = _collect(
+        _seq_ds(sf_dir, columns=cols).map_batches(
+            recover, batch_format="pyarrow", batch_size=None
+        )
+    )
+    if cand.num_rows == 0:
+        return _SEQND_SCHEMA.empty_table()
+    # driver verify: exact head grouping, exact distinct-gram Jaccard
+    from ..core.rounding import round_half_away as _rha
+
+    heads = cand.column("head").to_pylist()
+    ids = cand.column("doc_id").to_pylist()
+    toks = cand.column("ptok").to_pylist()
+    groups: dict[bytes, list[int]] = {}
+    for i, hb in enumerate(heads):
+        groups.setdefault(hb, []).append(i)
+    gsets = {}
+    out = {"doc_id_a": [], "doc_id_b": [], "shared": [], "n_union": [], "jaccard": []}
+    for members in groups.values():
+        if len(members) < 2:
+            continue  # 64-bit collision filtered exactly
+        for i in members:
+            if i not in gsets:
+                arr = np.asarray(toks[i], dtype=np.int32)
+                win = _gather_windows(arr, np.arange(arr.size - DECON_K + 1), DECON_K)
+                gsets[i] = np.unique(_void(win, DECON_K))
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                da, db = ids[i], ids[j]
+                if da is None or db is None or da == db:
+                    continue
+                if da > db:
+                    i, j, da, db = j, i, db, da
+                s = np.intersect1d(gsets[i], gsets[j]).size
+                u = gsets[i].size + gsets[j].size - s
+                jac = float(_rha(np.array([s / u]), 6)[0]) if u else 0.0
+                if jac >= threshold:
+                    out["doc_id_a"].append(da)
+                    out["doc_id_b"].append(db)
+                    out["shared"].append(s)
+                    out["n_union"].append(u)
+                    out["jaccard"].append(jac)
+    return pa.table(
+        {
+            "doc_id_a": pa.array(out["doc_id_a"], type=pa.string()),
+            "doc_id_b": pa.array(out["doc_id_b"], type=pa.string()),
+            "shared": pa.array(out["shared"], type=pa.int64()),
+            "n_union": pa.array(out["n_union"], type=pa.int64()),
+            "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+        }
+    )

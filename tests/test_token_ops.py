@@ -397,6 +397,66 @@ def test_prepare_training_sequences_resumable_sink(ray_session, tmp_path, monkey
     assert sa.equals(sb)
 
 
+def test_seq_neardup_pairs_differential(ray_session, rows):
+    import math
+
+    from product_quality_check_ray.core.schema import VOCAB
+
+    K = tk.DECON_K
+
+    def aug(r):
+        s = _sfx(r["doc_id"])
+        if s >= 0 and s % tk.SEQND_MOD == tk.SEQND_RES:
+            g = (s // (2 * tk.SEQND_MOD)) % VOCAB
+            m = (s // tk.SEQND_MOD) % 2
+            return [
+                (
+                    tk.SEQND_A * (g + 1)
+                    + tk.SEQND_B * (j + 1)
+                    + (tk.SEQND_C * (m + 1) if j >= tk.SEQND_L - tk.SEQND_TAIL else 0)
+                )
+                % VOCAB
+                for j in range(tk.SEQND_L)
+            ]
+        return [-1 if x is None else x for x in r["tokens"]]
+
+    pop = [
+        (r["doc_id"], aug(r))
+        for r in rows
+        if r["doc_id"] is not None and r["tokens"] is not None
+    ]
+    pop = [(d, p) for d, p in pop if len(p) >= K]
+    by_head = {}
+    for i, (d, p) in enumerate(pop):
+        by_head.setdefault(tuple(p[:K]), []).append(i)
+    expected = []
+    for members in by_head.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                da, db = pop[i][0], pop[j][0]
+                if da == db:
+                    continue
+                if da > db:
+                    i, j, da, db = j, i, db, da
+                sa = {tuple(pop[i][1][o : o + K]) for o in range(len(pop[i][1]) - K + 1)}
+                sb = {tuple(pop[j][1][o : o + K]) for o in range(len(pop[j][1]) - K + 1)}
+                s = len(sa & sb)
+                u = len(sa | sb)
+                jac = math.floor(s / u * 1e6 + 0.5) / 1e6
+                if jac >= tk.SEQND_THRESHOLD:
+                    expected.append((da, db, s, u, jac))
+    out = tk.seq_neardup_pairs(SF).to_pandas()
+    got = [
+        (r.doc_id_a, r.doc_id_b, r.shared, r.n_union, r.jaccard)
+        for r in out.itertuples(index=False)
+    ]
+    assert sorted(got) == sorted(expected)
+    assert len(expected) > 0  # planted family non-vacuous
+    # planted pairs carry the designed similarity
+    assert all(abs(j - 55 / 59) < 1e-4 for *_x, j in expected)
+
+
 def _py_pack_execute(rows, budget, n_shards):
     """Pure-python re-implementation of seq_pack_execute's summary output."""
     from product_quality_check_ray.pipelines.textprep import (
