@@ -457,6 +457,64 @@ def test_seq_neardup_pairs_differential(ray_session, rows):
     assert all(abs(j - 55 / 59) < 1e-4 for *_x, j in expected)
 
 
+def test_token_ops_block_structure_invariance(ray_session, tmp_path, monkeypatch):
+    """Identical outputs whether the SAME rows arrive as 8 parquet fragments
+    or 1 merged file (different Ray block structures — the single-node
+    stand-in for different cluster partitionings)."""
+    import glob as g
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from product_quality_check_ray import datagen as dg
+    from product_quality_check_ray.pipelines import textprep as tp
+
+    da = tmp_path / "sf_blk8"
+    db = tmp_path / "sf_blk1"
+    da.mkdir()
+    db.mkdir()
+    monkeypatch.setitem(dg.SF_ROWS, "sf_blk8", 4000)
+    monkeypatch.setitem(dg.SF_ROWS, "sf_blk1", 4000)
+    src = dg.write_sequences(dg.sequences_dir_for(str(da)), 4000, num_fragments=8)
+    # merged single-file copy with a spec-matching marker (content identical)
+    dst = dg.sequences_dir_for(str(db))
+    os.makedirs(dst, exist_ok=True)
+    frags = sorted(g.glob(os.path.join(src, "frag-*.parquet")))
+    assert len(frags) == 8
+    merged = pa.concat_tables([pq_.read_table(f) for f in frags])
+    pq_.write_table(merged, os.path.join(dst, "frag-00000.parquet"))
+    for meta in ("_COMPLETE.json", "_injections.json"):
+        with open(os.path.join(src, meta)) as f:
+            blob = json.load(f)
+        with open(os.path.join(dst, meta), "w") as f:
+            json.dump(blob, f)
+
+    def key(df):
+        return (
+            df.astype(str)
+            .sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+
+    ops = [
+        tk.seq_chunk_windows,
+        tk.seq_length_batches,
+        tk.seq_detokenize,
+        tk.seq_unigram_lm_score,
+        tk.seq_neardup_pairs,
+        tk.prepare_training_sequences,
+        tp.seq_pack_execute,
+    ]
+    for fn in ops:
+        ra = fn(str(da))
+        rb = fn(str(db))
+        pda = ra.to_pandas() if not isinstance(ra, pa.Table) else ra.to_pandas()
+        pdb_ = rb.to_pandas() if not isinstance(rb, pa.Table) else rb.to_pandas()
+        assert key(pda).equals(key(pdb_)), fn.__name__
+
+
 def _py_pack_execute(rows, budget, n_shards):
     """Pure-python re-implementation of seq_pack_execute's summary output."""
     from product_quality_check_ray.pipelines.textprep import (
