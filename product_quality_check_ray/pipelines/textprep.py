@@ -980,7 +980,10 @@ def seq_pack_execute(
                 "shard": pa.array(shard),
                 "shuffle_key": pa.array(key),
                 "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
-                "tokens": t.column("tokens"),
+                # large_list NOW so downstream concat/take in the reduce use
+                # int64 offsets — a shard range can exceed 2^31 tokens at
+                # design scale, where int32 list offsets overflow
+                "tokens": pc.cast(t.column("tokens"), pa.large_list(pa.int32())),
             }
         )
 

@@ -52,6 +52,7 @@ import ray.data as rd
 
 from ..core.collect import collect_table as _collect
 from ..core.hashing import splitmix64
+from ..core.schema import ALLOWED_SOURCES as _ALLOWED
 from ..core.schema import VOCAB
 from ..datagen import ensure_sequences, sequences_glob
 
@@ -795,19 +796,6 @@ def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
 
 DETOK_PREFIX_CHARS = 64  # driver-hashed text prefix length
 
-_DETOK_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.string()),
-        ("source", pa.string()),
-        ("n_tok", pa.int32()),
-        ("tlen", pa.int64()),
-        ("n_oov", pa.int64()),
-        ("text_len", pa.int64()),
-        ("text_prefix", pa.string()),
-    ]
-)
-
-
 def seq_detokenize(sf_dir: str, with_text: bool = False) -> rd.Dataset:
     """Decode token ids back to text — the audit/inspection step every
     training-data pipeline needs (sample rows, eyeball the decode).
@@ -871,7 +859,7 @@ def seq_detokenize(sf_dir: str, with_text: bool = False) -> rd.Dataset:
 SEQLM_REF_MOD = 11  # suffix % this == 0 → reference-LM slice (~9% of rows)
 
 
-def _seqlm_counts(sf_dir: str) -> tuple[np.ndarray, int]:
+def _seqlm_counts(sf_dir: str, ref_mod: int = SEQLM_REF_MOD) -> tuple[np.ndarray, int]:
     """Dense unigram counts over the reference slice: one VOCAB-length int64
     vector per batch (combiner), summed on the driver. The count vector is
     256 KB at VOCAB=32k — broadcastable at any corpus scale, and the
@@ -879,7 +867,7 @@ def _seqlm_counts(sf_dir: str) -> tuple[np.ndarray, int]:
 
     def partial(t: pa.Table) -> pa.Table:
         sfx = _suffix_i64(t.column("doc_id"))
-        ref = (sfx >= 0) & (sfx % SEQLM_REF_MOD == 0)
+        ref = (sfx >= 0) & (sfx % ref_mod == 0)
         if not ref.any():
             return pa.table({"c": pa.array([], type=pa.int64())})
         offs, vals = _tokens_parts(t.filter(pa.array(ref)).column("tokens"))
@@ -917,7 +905,7 @@ def seq_unigram_lm_score(sf_dir: str, ref_mod: int = SEQLM_REF_MOD) -> rd.Datase
     """
     from ..core.rounding import round_half_away
 
-    counts, total = _seqlm_counts(sf_dir)
+    counts, total = _seqlm_counts(sf_dir, ref_mod)
     state_ref = ray.put((counts, total))
 
     def score(t: pa.Table, _cache={}) -> pa.Table:
@@ -1084,11 +1072,6 @@ def _training_rows_from_view(sfx, offs, vals, lens, sel):
     return sel2, sfx[idx], offs2, vals2, lens2
 
 
-from ..core.schema import SOURCES as _SRC_TUPLE  # noqa: E402
-
-_ALLOWED = frozenset(_SRC_TUPLE)
-
-
 def _capstone_holdout_grams(t: pa.Table) -> pa.Table:
     return _holdout_grams_from_view(*_capstone_view(t))
 
@@ -1159,7 +1142,7 @@ def prepare_training_sequences(
     budget = SEQ_PACK_BUDGET if budget is None else budget
     n_shards = SEQ_PACK_SHARDS if n_shards is None else n_shards
     if out_dir is not None:
-        done = _read_finished_plan(out_dir)
+        done = _read_finished_plan(out_dir, {"budget": budget, "n_shards": n_shards})
         if done is not None:  # resume: skip ALL recomputation
             return done
 
@@ -1346,18 +1329,32 @@ def prepare_training_sequences(
     tables = [
         _seq_pack_reduce.remote(budget, *[m[r] for m in mapped]) for r in range(ranges)
     ]
-    return _maybe_sink_plan(rd.from_arrow_refs(tables), out_dir)
+    return _maybe_sink_plan(
+        rd.from_arrow_refs(tables), out_dir, {"budget": budget, "n_shards": n_shards}
+    )
 
 
-def _read_finished_plan(out_dir: str) -> "rd.Dataset | None":
+def _read_finished_plan(out_dir: str, params: dict | None = None) -> "rd.Dataset | None":
     """Read a marker-complete plan sink back, restoring the direct-path
     schema (the hive partition read re-infers ``shard`` as a trailing
     partition field; consumers must see the same int64 column order either
-    way). Returns None when no complete sink exists."""
+    way). Returns None when no complete sink exists OR the marker records
+    different parameters (budget/n_shards) than the caller asked for —
+    a stale plan must recompute, not silently satisfy a different request."""
+    import json as _json
     import os as _os
 
-    if not _os.path.exists(_os.path.join(out_dir, "_PREP_SUCCESS.json")):
+    marker = _os.path.join(out_dir, "_PREP_SUCCESS.json")
+    if not _os.path.exists(marker):
         return None
+    if params is not None:
+        try:
+            with open(marker) as f:
+                recorded = _json.load(f).get("params")
+        except (OSError, _json.JSONDecodeError):
+            return None
+        if recorded != params:
+            return None
 
     def fix(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1374,14 +1371,23 @@ def _read_finished_plan(out_dir: str) -> "rd.Dataset | None":
     return rd.read_parquet(out_dir).map_batches(fix, batch_format="pyarrow")
 
 
-def _maybe_sink_plan(ds: rd.Dataset, out_dir: str | None) -> rd.Dataset:
-    """Resumable capstone sink: shard-partitioned parquet + success marker.
+def _maybe_sink_plan(
+    ds: rd.Dataset, out_dir: str | None, params: dict | None = None
+) -> rd.Dataset:
+    """Resumable capstone sink: shard-partitioned parquet + success marker
+    (recording the plan parameters — a resume with DIFFERENT budget/shards
+    must recompute, never silently satisfy a different request).
 
     A marker-complete sink short-circuits the WHOLE pipeline (checked at
     the top of ``prepare_training_sequences``); a killed run left no
     marker, so its partial files are REMOVED before the rewrite (Ray's
     ``write_parquet`` appends by default — stale survivors would otherwise
-    merge into the new output) — the sink is only ever observed complete."""
+    merge into the new output). Cleanup only touches what a prior run
+    could have written (``shard=<n>`` partition dirs and the marker),
+    never unrelated files sharing the directory. A plan with ZERO rows is
+    returned directly without writing a marker (a partitioned write of 0
+    rows emits no files, which a resume read could not distinguish from a
+    missing sink)."""
     if out_dir is None:
         return ds
     import json as _json
@@ -1389,12 +1395,20 @@ def _maybe_sink_plan(ds: rd.Dataset, out_dir: str | None) -> rd.Dataset:
     import shutil as _shutil
 
     marker = _os.path.join(out_dir, "_PREP_SUCCESS.json")
-    if _os.path.exists(out_dir) and not _os.path.exists(marker):
-        _shutil.rmtree(out_dir)  # partial files from a killed run
-    ds.write_parquet(out_dir, partition_cols=["shard"])
+    if _os.path.exists(out_dir):
+        for name in _os.listdir(out_dir):
+            path = _os.path.join(out_dir, name)
+            if name.startswith("shard=") and _os.path.isdir(path):
+                _shutil.rmtree(path)
+            elif name == "_PREP_SUCCESS.json":
+                _os.remove(path)
+    mat = ds.materialize()
+    if mat.count() == 0:
+        return mat
+    mat.write_parquet(out_dir, partition_cols=["shard"])
     with open(marker, "w") as f:
-        _json.dump({"rows": "complete"}, f)
-    return _read_finished_plan(out_dir)
+        _json.dump({"params": params}, f)
+    return _read_finished_plan(out_dir, params)
 
 
 # ---------------------------------------------------------------------------

@@ -395,6 +395,14 @@ def test_prepare_training_sequences_resumable_sink(ray_session, tmp_path, monkey
     sa = a[cols].astype(str).sort_values(cols).reset_index(drop=True)
     sb = b[cols].astype(str).sort_values(cols).reset_index(drop=True)
     assert sa.equals(sb)
+    monkeypatch.undo()
+    # a resume with DIFFERENT parameters must recompute, not reuse the sink
+    c = tk.prepare_training_sequences(SF, budget=512, out_dir=out).to_pandas()
+    assert c["pack_id"].max() > b["pack_id"].max()  # smaller budget → more packs
+    import json
+
+    with open(os.path.join(out, "_PREP_SUCCESS.json")) as f:
+        assert json.load(f)["params"]["budget"] == 512
 
 
 def test_seq_neardup_pairs_differential(ray_session, rows):
