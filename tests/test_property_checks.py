@@ -94,3 +94,127 @@ def test_tdigest_quantiles_bounded_error(values, n_parts):
         lo = s[max(0, int(np.floor((q - 0.1) * (len(s) - 1))))]
         hi = s[min(len(s) - 1, int(np.ceil((q + 0.1) * (len(s) - 1))))]
         assert lo - 1e-9 <= est <= hi + 1e-9, (q, est, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Capstone/near-dup view kernels (mask-compaction + splice rewrites)
+# ---------------------------------------------------------------------------
+
+import pyarrow as _pa
+
+from product_quality_check_ray.core.schema import VOCAB as _V
+from product_quality_check_ray.pipelines import tokens as _tk
+
+
+@st.composite
+def _token_tables(draw):
+    n = draw(st.integers(min_value=0, max_value=24))
+    rows = []
+    for i in range(n):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            rows.append(None)  # null list
+        else:
+            ln = draw(st.integers(0, 12))
+            rows.append(
+                [
+                    draw(
+                        st.one_of(
+                            st.none(),
+                            st.integers(-2, _V + 2),
+                        )
+                    )
+                    for _ in range(ln)
+                ]
+            )
+    # doc_id suffixes chosen to hit every augmentation class sometimes
+    sfx = [
+        draw(
+            st.one_of(
+                st.integers(0, 3000),
+                st.just(_tk.DUPSEQ_MOD + _tk.DUPSEQ_RES),
+                st.just(_tk.SEQND_MOD + _tk.SEQND_RES),
+                st.just(_tk.DECON_PATCH_MOD + _tk.DECON_PATCH_RES),
+            )
+        )
+        for _ in range(n)
+    ]
+    ids = [
+        draw(st.one_of(st.just(None), st.just(f"seq-{s:012d}")))
+        for s in sfx
+    ]
+    t = _pa.table(
+        {
+            "doc_id": _pa.array(ids, type=_pa.string()),
+            "tokens": _pa.array(rows, type=_pa.list_(_pa.int32())),
+            "source": _pa.array(["web"] * n, type=_pa.string()),
+        }
+    )
+    # exercise the sliced-array path (offsets[0] > 0) half the time
+    if n >= 2 and draw(st.booleans()):
+        t = t.slice(1)
+    return t
+
+
+def _naive_capstone(t):
+    out = []
+    for r in t.to_pylist():
+        if r["doc_id"] is None or r["tokens"] is None:
+            continue
+        s = int(r["doc_id"][-12:])
+        toks = [-1 if x is None else x for x in r["tokens"]]
+        if s % _tk.DUPSEQ_MOD == _tk.DUPSEQ_RES:
+            toks = list(_tk.CANARY[: _tk.DUPSEQ_LEN_BASE + s % _tk.DUPSEQ_LEN_CHOICES])
+        elif s % _tk.DECON_PATCH_MOD == _tk.DECON_PATCH_RES:
+            m = min(_tk.CANARY_LEN, len(toks))
+            toks = list(_tk.CANARY[:m]) + toks[m:]
+        out.append((s, toks))
+    return out
+
+
+@given(_token_tables())
+@settings(max_examples=120, deadline=None)
+def test_capstone_view_matches_naive(t):
+    sfx, offs, vals, lens, sel = _tk._capstone_view(t)
+    naive = _naive_capstone(t)
+    assert len(naive) == sel.num_rows == len(sfx) == len(lens)
+    for i, (s, toks) in enumerate(naive):
+        assert sfx[i] == s
+        assert vals[offs[i] : offs[i + 1]].tolist() == toks
+
+
+def _naive_seqnd(t):
+    out = []
+    for r in t.to_pylist():
+        if r["doc_id"] is None or r["tokens"] is None:
+            continue
+        s = int(r["doc_id"][-12:])
+        if s % _tk.SEQND_MOD == _tk.SEQND_RES:
+            g = (s // (2 * _tk.SEQND_MOD)) % _V
+            m = (s // _tk.SEQND_MOD) % 2
+            toks = [
+                (
+                    _tk.SEQND_A * (g + 1)
+                    + _tk.SEQND_B * (j + 1)
+                    + (_tk.SEQND_C * (m + 1) if j >= _tk.SEQND_L - _tk.SEQND_TAIL else 0)
+                )
+                % _V
+                for j in range(_tk.SEQND_L)
+            ]
+        else:
+            toks = [-1 if x is None else x for x in r["tokens"]]
+        if len(toks) >= _tk.DECON_K:
+            out.append((r["doc_id"], toks))
+    return out
+
+
+@given(_token_tables())
+@settings(max_examples=120, deadline=None)
+def test_seqnd_view_matches_naive(t):
+    ids, offs, vals = _tk._seqnd_view(t)
+    ids = ids.to_pylist() if hasattr(ids, "to_pylist") else list(ids)
+    naive = _naive_seqnd(t)
+    assert len(naive) == len(ids)
+    for i, (d, toks) in enumerate(naive):
+        assert ids[i] == d
+        assert vals[offs[i] : offs[i + 1]].tolist() == toks
