@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
         "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
         "seq_neardup_pairs": lambda sf: tk.seq_neardup_pairs(sf),  # head-anchor near-dup, exact verify
+        "seq_bigram_topk": lambda sf: tk.seq_bigram_topk(sf),  # exact BPE merge-candidate mining
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -1007,6 +1008,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard::BIGINT AS shard, pack_id, pack_pos,
                    tok_offset, nt AS n_tok
             FROM walk
+        """,
+        # exact corpus-wide bigram top-k over the canary-patched view; the
+        # engine's heavy-hitter guarantee makes the ranking exact, so plain
+        # GROUP BY + ORDER BY + LIMIT is the oracle
+        "seq_bigram_topk": f"""
+            WITH raw AS (
+              SELECT tokens, len(tokens) AS tlen,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+            ),
+            pat AS (
+              SELECT tlen,
+                     CASE WHEN sfx % {tk.DECON_PATCH_MOD} = {tk.DECON_PATCH_RES}
+                          THEN list_cat(
+                                 {_canary_sql()}[1:least({tk.CANARY_LEN}, tlen)],
+                                 tokens[least({tk.CANARY_LEN}, tlen) + 1:])
+                          ELSE tokens END AS ptok
+              FROM raw
+            ),
+            bg AS (
+              SELECT coalesce(ptok[i + 1], -1) AS a, coalesce(ptok[i + 2], -1) AS b
+              FROM pat, unnest(range(tlen - 1)) AS t(i)
+            )
+            SELECT CAST(a AS BIGINT) AS tok_a, CAST(b AS BIGINT) AS tok_b,
+                   count(*)::BIGINT AS cnt
+            FROM bg GROUP BY a, b
+            ORDER BY cnt DESC, a, b LIMIT {tk.BIGRAM_TOPK}
         """,
         # token-level near-dup pairs: planted-family generation, head-anchor
         # self-join, exact distinct-gram Jaccard — constants interpolated

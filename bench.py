@@ -145,6 +145,7 @@ def run_suite() -> dict:
     timed("seq_pack_execute", lambda sf: tp.seq_pack_execute(sf))
     timed("prepare_training_sequences", lambda sf: tk.prepare_training_sequences(sf))
     timed("seq_neardup_pairs", lambda sf: tk.seq_neardup_pairs(sf))
+    timed("seq_bigram_topk", lambda sf: tk.seq_bigram_topk(sf))
     timed("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf))
     timed("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf))
     timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))

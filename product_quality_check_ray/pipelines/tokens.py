@@ -1640,3 +1640,132 @@ def seq_neardup_pairs(sf_dir: str, threshold: float = SEQND_THRESHOLD) -> pa.Tab
             "jaccard": pa.array(out["jaccard"], type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide token-bigram top-k (BPE merge-candidate mining)
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOPK = 10
+BIGRAM_CAND_MIN = 3  # pass-1 per-block threshold (see guarantee below)
+
+_BIGRAM_SCHEMA = pa.schema(
+    [("tok_a", pa.int64()), ("tok_b", pa.int64()), ("cnt", pa.int64())]
+)
+_BIGRAM_PAD = VOCAB + 4  # -1 sentinels shift keys by +2: keys stay ≥ 0
+
+
+def _bigram_keys(offs: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Within-row adjacent-token bigram keys ((a+2)·PAD + (b+2), int64;
+    monotone in (a, b) so key order IS (tok_a, tok_b) order) — one shifted
+    add over the flat buffer, row boundaries masked out."""
+    starts, _gdoc, _m = _window_starts(offs, 2)
+    if starts.size == 0:
+        return np.empty(0, dtype=np.int64)
+    a = vals[starts].astype(np.int64)
+    b = vals[starts + 1].astype(np.int64)
+    return (a + 2) * _BIGRAM_PAD + (b + 2)
+
+
+def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
+    """EXACT top-k most frequent adjacent token bigrams corpus-wide — the
+    first step of BPE-style vocabulary induction (the highest-count pair is
+    the next merge), over the canary-patched view ``seq_decontaminate``
+    reads (the raw random fixture has ~unit bigram counts, which would make
+    a top-k meaningless; the patch is mirrored in the oracle).
+
+    Distributed heavy-hitter shape, two passes, exact under a CHECKED
+    guarantee. Pass 1 emits only bigrams appearing ≥ ``BIGRAM_CAND_MIN``
+    times within a block (per-block ``np.unique`` combiner — the random
+    floor of within-block repeats is what sets the threshold: at 50M
+    bigrams/block over a ~10^9 key space, count-≥2 keys number ~10^6 per
+    block while count-≥3 keys number ~10^4). A bigram MISSED by pass 1 has
+    per-block count ≤ BIGRAM_CAND_MIN−1 everywhere, so its global count is
+    ≤ (BIGRAM_CAND_MIN−1)·n_blocks; if the k-th candidate's exact count
+    (from pass 2's searchsorted+bincount recount of the broadcast
+    candidate set) exceeds that bound, the top-k is provably exact —
+    asserted at runtime (raises rather than silently returning an
+    approximate ranking). The corpus never shuffles; both passes stream
+    combiner-sized tables only.
+    """
+
+    def view(t: pa.Table):
+        ids = t.column("doc_id").combine_chunks()
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        keep = pc.and_(pc.is_valid(ids), pc.is_valid(toks))
+        sel = pa.table({"doc_id": ids, "tokens": toks}).filter(keep)
+        if sel.num_rows == 0:
+            return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32)
+        sfx = _suffix_i64(sel.column("doc_id"))
+        offs, vals = _tokens_parts(sel.column("tokens"))
+        prows = np.flatnonzero((sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES))
+        return offs, _patch_prefix(offs, vals, prows)
+
+    def candidates_batch(t: pa.Table) -> pa.Table:
+        offs, vals = view(t)
+        keys = _bigram_keys(offs, vals)
+        if keys.size == 0:
+            rep = np.empty(0, dtype=np.int64)
+        else:
+            u, c = np.unique(keys, return_counts=True)
+            rep = u[c >= BIGRAM_CAND_MIN]
+        # a -1 sentinel row per BATCH lets the driver count n_blocks exactly
+        return pa.table({"key": pa.array(np.r_[np.int64(-1), rep])})
+
+    cols = ["doc_id", "tokens"]
+    cand_tbl = _collect(
+        _seq_ds(sf_dir, columns=cols).map_batches(
+            candidates_batch, batch_format="pyarrow", batch_size=None
+        )
+    )
+    raw = cand_tbl.column("key").to_numpy(zero_copy_only=False)
+    n_blocks = int((raw == -1).sum())
+    cand = np.unique(raw[raw >= 0])
+    if cand.size == 0:
+        return _BIGRAM_SCHEMA.empty_table()
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table, _cache={}) -> pa.Table:
+        c = _cache.get("c")
+        if c is None:
+            c = _cache["c"] = ray.get(cand_ref)
+        offs, vals = view(t)
+        keys = _bigram_keys(offs, vals)
+        cnt = np.zeros(c.size, dtype=np.int64)
+        if keys.size:
+            pos = np.searchsorted(c, keys)
+            posc = np.minimum(pos, c.size - 1)
+            hit = c[posc] == keys
+            if hit.any():
+                cnt = np.bincount(posc[hit], minlength=c.size).astype(np.int64)
+        return pa.table({"cnt": pa.array(cnt)})
+
+    parts = _collect(
+        _seq_ds(sf_dir, columns=cols).map_batches(
+            recount, batch_format="pyarrow", batch_size=None
+        )
+    )
+    total = (
+        parts.column("cnt")
+        .to_numpy(zero_copy_only=False)
+        .reshape(-1, cand.size)
+        .sum(axis=0)
+    )
+    order = np.lexsort((cand, -total))[: int(k)]
+    kth = int(total[order[-1]]) if order.size else 0
+    bound = (BIGRAM_CAND_MIN - 1) * n_blocks
+    if kth <= bound:
+        raise ValueError(
+            f"bigram top-{k} not provably exact: k-th candidate count {kth} "
+            f"<= miss bound {bound} ((threshold-1) x {n_blocks} blocks); "
+            "lower k or raise BIGRAM_CAND_MIN with block size"
+        )
+    key = cand[order]
+    return pa.table(
+        {
+            "tok_a": pa.array(key // _BIGRAM_PAD - 2),
+            "tok_b": pa.array(key % _BIGRAM_PAD - 2),
+            "cnt": pa.array(total[order]),
+        }
+    )

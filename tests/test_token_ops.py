@@ -465,6 +465,25 @@ def test_seq_neardup_pairs_differential(ray_session, rows):
     assert all(abs(j - 55 / 59) < 1e-4 for *_x, j in expected)
 
 
+def test_seq_bigram_topk_differential(ray_session, rows):
+    from collections import Counter
+
+    cnt = Counter()
+    for r in rows:
+        if r["doc_id"] is None or r["tokens"] is None:
+            continue
+        p = _patched_prefix([-1 if x is None else x for x in r["tokens"]], _sfx(r["doc_id"]))
+        for x, y in zip(p, p[1:]):
+            cnt[(x, y)] += 1
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: tk.BIGRAM_TOPK]
+    out = tk.seq_bigram_topk(SF).to_pandas()
+    got = [((r.tok_a, r.tok_b), r.cnt) for r in out.itertuples(index=False)]
+    assert got == expected
+    # the canary prefix dominates the random floor (non-vacuous heavy hitters)
+    canary_bigrams = set(zip(tk.CANARY, tk.CANARY[1:]))
+    assert all(pair in canary_bigrams for pair, _c in got)
+
+
 def test_token_ops_block_structure_invariance(ray_session, tmp_path, monkeypatch):
     """Identical outputs whether the SAME rows arrive as 8 parquet fragments
     or 1 merged file (different Ray block structures — the single-node
