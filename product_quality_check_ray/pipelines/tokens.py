@@ -882,6 +882,8 @@ def _seqlm_counts(sf_dir: str, ref_mod: int = SEQLM_REF_MOD) -> tuple[np.ndarray
             partial, batch_format="pyarrow", batch_size=None
         )
     )
+    if tbl.num_rows == 0 or "c" not in tbl.column_names:
+        return np.zeros(VOCAB, dtype=np.int64), 0  # 0-row corpus: no blocks
     arr = tbl.column("c").to_numpy(zero_copy_only=False)
     if arr.size == 0:
         return np.zeros(VOCAB, dtype=np.int64), 0
@@ -1176,18 +1178,16 @@ def prepare_training_sequences(
         .map_batches(scout, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    idx = GramIndex.build(
-        _fsb_to_mat(
-            _collect(
-                scouted.map_batches(
-                    lambda t: t.filter(pc.is_valid(t.column("g"))).select(["g"]),
-                    batch_format="pyarrow",
-                    batch_size=None,
-                )
-            ).column("g"),
-            DECON_K,
+    gram_tbl = _collect(
+        scouted.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("g"))).select(["g"]),
+            batch_format="pyarrow",
+            batch_size=None,
         )
     )
+    if "g" not in gram_tbl.column_names:  # 0-row corpus: no blocks reach scout
+        gram_tbl = pa.table({"g": pa.array([], type=_GRAM_TYPE)})
+    idx = GramIndex.build(_fsb_to_mat(gram_tbl.column("g"), DECON_K))
     gram_ref = ray.put(idx.parts())
     hashed = scouted.map_batches(
         lambda t: t.filter(pc.is_valid(t.column("h"))).select(["h"]),
@@ -1719,6 +1719,8 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
             candidates_batch, batch_format="pyarrow", batch_size=None
         )
     )
+    if cand_tbl.num_rows == 0 or "key" not in cand_tbl.column_names:
+        return _BIGRAM_SCHEMA.empty_table()  # 0-row corpus: no blocks reach the map
     raw = cand_tbl.column("key").to_numpy(zero_copy_only=False)
     n_blocks = int((raw == -1).sum())
     cand = np.unique(raw[raw >= 0])

@@ -144,6 +144,11 @@ def test_seq_chunk_windows_empty(ray_session, tmp_path, monkeypatch):
     assert tk.seq_chunk_windows(str(d)).count() == 0
     t = tk.seq_length_batches(str(d))
     assert t.num_rows == 0 and t.schema == tk._LENBATCH_SCHEMA
+    assert tk.seq_neardup_pairs(str(d)).num_rows == 0
+    assert tk.seq_bigram_topk(str(d)).num_rows == 0
+    assert tk.seq_detokenize(str(d)).count() == 0
+    assert tk.seq_unigram_lm_score(str(d)).count() == 0
+    assert tk.prepare_training_sequences(str(d)).count() == 0
 
 
 def test_seq_length_batches_differential(ray_session, rows):
