@@ -66,6 +66,35 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0 if not summary["failed_partitions"] else 2
 
 
+def cmd_prep(args: argparse.Namespace) -> int:
+    """Training-sequence preparation capstone over a sequences corpus dir
+    (any directory of ``frag-*.parquet`` in the north-star shape): validity
+    gate → benchmark-holdout exclusion → exact dedup → decontamination →
+    greedy pack plan, written as a resumable shard-partitioned sink."""
+    _init_ray(args.num_cpus)
+    from .pipelines.tokens import prepare_training_sequences
+
+    ds = prepare_training_sequences(
+        args.input,
+        budget=args.budget,
+        n_shards=args.shards,
+        out_dir=args.out,
+    )
+    n = ds.count()
+    packs = None
+    if n:
+        agg = ds.map_batches(
+            lambda t: t.select(["shard", "pack_id"]), batch_format="pyarrow"
+        ).to_pandas()
+        packs = int(agg.drop_duplicates().shape[0])
+    print(
+        json.dumps(
+            {"rows_packed": n, "packs": packs, "budget": args.budget, "out": args.out}
+        )
+    )
+    return 0
+
+
 def cmd_gen(args: argparse.Namespace) -> int:
     from .datagen import write_sequences
 
@@ -93,6 +122,16 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the validated (all-checks-passing) corpus under out/clean/",
     )
     v.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser(
+        "prep", help="prepare training sequences (clean -> dedup -> decontaminate -> pack)"
+    )
+    pr.add_argument("--input", required=True, help="sequences corpus dir (frag-*.parquet)")
+    pr.add_argument("--out", required=True, help="resumable plan sink directory")
+    pr.add_argument("--budget", type=int, default=None, help="tokens per packed example")
+    pr.add_argument("--shards", type=int, default=None)
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_prep)
 
     g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     g.add_argument("--out", required=True)

@@ -300,3 +300,19 @@ def reference_histograms(seed: int = 0) -> dict[str, np.ndarray]:
         m = source_idx == i
         out[s] = np.bincount(bins[m], minlength=HIST_NUM_BINS + 1).astype(np.int64)
     return out
+
+
+def resolve_sequences(sf_dir: str) -> list[str]:
+    """Input resolution for every sequences-table op: a directory that
+    already CONTAINS ``frag-*.parquet`` files is used directly (the
+    user-facing path — any corpus in the north-star shape works); otherwise
+    ``sf_dir`` is treated as a testdata sf tag and the deterministic
+    fixture corpus is materialized under DATA_ROOT (the driver/test path).
+    """
+    import glob as _g
+
+    direct = sorted(_g.glob(os.path.join(sf_dir, "frag-*.parquet")))
+    if direct:
+        return direct
+    ensure_sequences(sf_dir)
+    return sorted(_g.glob(sequences_glob(sf_dir)))

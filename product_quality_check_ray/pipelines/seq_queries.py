@@ -33,11 +33,9 @@ from ..sources.dimensions import build_check_ctx
 
 
 def _seq_ds(sf_dir: str, columns=None) -> rd.Dataset:
-    import glob
+    from ..datagen import resolve_sequences
 
-    ensure_sequences(sf_dir)
-    files = sorted(glob.glob(sequences_glob(sf_dir)))
-    return rd.read_parquet(files, columns=columns)
+    return rd.read_parquet(resolve_sequences(sf_dir), columns=columns)
 
 
 

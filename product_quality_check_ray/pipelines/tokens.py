@@ -41,8 +41,6 @@ content dedup.
 
 from __future__ import annotations
 
-import glob as _glob
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -54,8 +52,6 @@ from ..core.collect import collect_table as _collect
 from ..core.hashing import splitmix64
 from ..core.schema import ALLOWED_SOURCES as _ALLOWED
 from ..core.schema import VOCAB
-from ..datagen import ensure_sequences, sequences_glob
-
 # --- decontamination constants (mirrored verbatim into the SQL oracle) ----
 DECON_K = 8            # token n-gram length
 DECON_HOLD_MOD = 97    # doc_id suffix % this == 0  → benchmark holdout row
@@ -77,8 +73,9 @@ _GOLD = _U64(0x9E3779B97F4A7C15)
 
 
 def _seq_ds(sf_dir: str, columns=None) -> rd.Dataset:
-    ensure_sequences(sf_dir)
-    return rd.read_parquet(sorted(_glob.glob(sequences_glob(sf_dir))), columns=columns)
+    from ..datagen import resolve_sequences
+
+    return rd.read_parquet(resolve_sequences(sf_dir), columns=columns)
 
 
 def _suffix_i64(doc_id: "pa.ChunkedArray | pa.Array") -> np.ndarray:

@@ -255,3 +255,48 @@ def test_write_clean_sink(ray_session, tmp_path):
     # resumed run: everything complete → no rewrite, same counts
     run_validation(seq, out, write_clean=True, uniqueness=False)
     assert clean_dataset(out).count() == n_clean
+
+
+def test_resolve_sequences_direct_dir(ray_session, tmp_path):
+    """A dir that already holds frag-*.parquet is used directly (user-facing
+    path); an sf-tag dir goes through the fixture generator."""
+    from product_quality_check_ray.datagen import resolve_sequences, write_sequences
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    out = write_sequences(str(tmp_path / "corpus"), 1000, seed=3, num_fragments=2)
+    files = resolve_sequences(out)
+    assert len(files) == 2 and all(f.startswith(out) for f in files)
+    # a token op runs against the direct dir end-to-end
+    assert tk.seq_chunk_windows(out).count() > 0
+
+
+def test_cli_prep_subcommand(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    from product_quality_check_ray.datagen import write_sequences
+
+    corpus = write_sequences(str(tmp_path / "c"), 1000, seed=4, num_fragments=2)
+    out = str(tmp_path / "plan")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "product_quality_check_ray",
+            "prep",
+            "--input",
+            corpus,
+            "--out",
+            out,
+            "--num-cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["rows_packed"] > 0 and line["packs"] > 0
