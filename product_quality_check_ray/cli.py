@@ -83,10 +83,19 @@ def cmd_prep(args: argparse.Namespace) -> int:
     n = ds.count()
     packs = None
     if n:
-        agg = ds.map_batches(
-            lambda t: t.select(["shard", "pack_id"]), batch_format="pyarrow"
-        ).to_pandas()
-        packs = int(agg.drop_duplicates().shape[0])
+        # pack ids are dense 0..max within each shard, so the pack count is
+        # Σ_shard (max pack_id + 1) — per-batch (shard, max) partials only,
+        # never a driver pull of the plan rows
+        import pandas as pd
+
+        def partial(t):
+            df = t.select(["shard", "pack_id"]).to_pandas()
+            return pd.DataFrame(
+                df.groupby("shard")["pack_id"].max()
+            ).reset_index()
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        packs = int((parts.groupby("shard")["pack_id"].max() + 1).sum())
     print(
         json.dumps(
             {"rows_packed": n, "packs": packs, "budget": args.budget, "out": args.out}
