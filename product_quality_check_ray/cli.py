@@ -74,11 +74,13 @@ def cmd_prep(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.tokens import prepare_training_sequences
 
+    augment = {"on": True, "off": False, "auto": None}[args.fixture_augment]
     ds = prepare_training_sequences(
         args.input,
         budget=args.budget,
         n_shards=args.shards,
         out_dir=args.out,
+        augment=augment,
     )
     n = ds.count()
     packs = None
@@ -140,6 +142,15 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--budget", type=int, default=None, help="tokens per packed example")
     pr.add_argument("--shards", type=int, default=None)
     pr.add_argument("--num-cpus", type=int, default=None)
+    pr.add_argument(
+        "--fixture-augment",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="apply the deterministic fixture augmentations (canary splices, "
+        "benchmark-holdout slice). auto = only on fixture-provenance corpora "
+        "(sf tags / generator output with _injections.json); user corpora "
+        "run plain unless 'on' is forced",
+    )
     pr.set_defaults(fn=cmd_prep)
 
     g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")

@@ -131,3 +131,55 @@ def semi_join(
         return t.filter(pc.is_null(t.column("__k_n"))).select(out_cols)
 
     return joined.map_batches(unmatched, batch_format="pyarrow")
+
+
+def lookup_join(
+    ds: rd.Dataset,
+    key_col: str,
+    dim_ds: rd.Dataset,
+    dim_key: str,
+    value_cols: list[str],
+    *,
+    cap: int | None = None,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Enrich ``ds`` with ``value_cols`` from a dimension table (inner,
+    key → values; dim keys are assumed unique, the dimension-loader
+    contract).
+
+    Same policy as ``semi_join``: if the dim side holds ≤ ``cap`` rows it is
+    ``ray.put`` ONCE and each batch does a local Arrow hash join against the
+    per-worker-cached table (zero-copy plasma read, never re-shipped per
+    task); above the cap it falls back to the native hash ``Dataset.join``.
+    Output columns: ``ds``'s columns ⊕ ``value_cols``.
+    """
+    cap = BROADCAST_KEY_CAP if cap is None else cap
+    dim_head = _collect(dim_ds.select_columns([dim_key, *value_cols]).limit(cap + 1))
+    out_cols = list(ds.schema().names) + list(value_cols)
+    if dim_head.num_rows <= cap:
+        ref = ray.put(dim_head.combine_chunks())
+
+        def enrich(t: pa.Table, _cache={}) -> pa.Table:
+            dim = _cache.get("dim")
+            if dim is None:
+                dim = _cache["dim"] = ray.get(ref)
+            j = t.join(
+                dim, keys=[key_col], right_keys=[dim_key], join_type="inner"
+            )
+            return j.select(out_cols).replace_schema_metadata(None)
+
+        return ds.map_batches(enrich, batch_format="pyarrow")
+
+    from .batches import strip_schema_metadata
+
+    joined = strip_schema_metadata(ds).join(
+        strip_schema_metadata(dim_ds.select_columns([dim_key, *value_cols])),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key_col,),
+        right_on=(dim_key,),
+    )
+    return joined.map_batches(
+        lambda t: t.select(out_cols).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass, field
 
@@ -302,17 +303,52 @@ def reference_histograms(seed: int = 0) -> dict[str, np.ndarray]:
     return out
 
 
+# basenames accepted as fixture tags even when absent from SF_ROWS (rows
+# fall back to DEFAULT_ROWS); anything else must be a real corpus directory
+_TAG_PATTERN = re.compile(r"^sf[0-9][0-9._-]*$")
+
+
+def _is_fixture_tag(sf_dir: str) -> bool:
+    tag = sf_tag(sf_dir)
+    return tag in SF_ROWS or bool(_TAG_PATTERN.match(tag))
+
+
 def resolve_sequences(sf_dir: str) -> list[str]:
     """Input resolution for every sequences-table op: a directory that
     already CONTAINS ``frag-*.parquet`` files is used directly (the
     user-facing path — any corpus in the north-star shape works); otherwise
-    ``sf_dir`` is treated as a testdata sf tag and the deterministic
-    fixture corpus is materialized under DATA_ROOT (the driver/test path).
+    ``sf_dir`` must be a testdata sf tag (``SF_ROWS`` key or ``sf*``
+    basename), for which the deterministic fixture corpus is materialized
+    under DATA_ROOT (the driver/test path).
+
+    An EXISTING directory that holds no ``frag-*.parquet`` and is not a
+    known tag raises instead of silently generating a synthetic corpus —
+    ``prep --input /typo/dir`` must fail loudly, never pack fake data.
     """
     import glob as _g
 
     direct = sorted(_g.glob(os.path.join(sf_dir, "frag-*.parquet")))
     if direct:
         return direct
+    if not _is_fixture_tag(sf_dir):
+        raise FileNotFoundError(
+            f"{sf_dir!r} contains no frag-*.parquet fragments and its basename "
+            f"is not a known fixture tag ({sorted(SF_ROWS)} or sf<digits>); "
+            "point --input at a directory of frag-*.parquet files in the "
+            "north-star shape (doc_id, tokens, n_tok, source)"
+        )
     ensure_sequences(sf_dir)
     return sorted(_g.glob(sequences_glob(sf_dir)))
+
+
+def is_fixture_corpus(sf_dir: str) -> bool:
+    """Provenance gate for the deterministic fixture AUGMENTATIONS (canary
+    splices, benchmark-holdout slice, near-dup families): True only when the
+    corpus resolves to the synthetic fixture generator's output — an sf-tag
+    path, or a direct directory carrying the generator's ``_injections.json``
+    marker. User corpora (any other frag-*.parquet directory) run PLAIN."""
+    import glob as _g
+
+    if _g.glob(os.path.join(sf_dir, "frag-*.parquet")):
+        return os.path.exists(os.path.join(sf_dir, "_injections.json"))
+    return _is_fixture_tag(sf_dir)

@@ -306,17 +306,25 @@ def region_revenue(sf_dir: str) -> pa.Table:
 def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
     """Top-k orders per customer market segment by total price.
 
-    Broadcast customer→segment map into a batch transform, then
-    per-batch local top-k combiner → groupby(segment) → exact top-k within
-    each group (map_groups). The shuffle only carries k rows per segment per
-    batch, never the orders table.
+    Customer→segment enrichment via the broadcast-or-shuffle
+    ``core.joins.lookup_join`` (dim broadcast under the 2M-row cap, native
+    hash join above — never a driver ``take_all`` dict), then per-batch
+    local top-k combiner → groupby(segment) → exact top-k within each group
+    (map_groups). The shuffle only carries k rows per segment per batch,
+    never the orders table.
     """
-    cust_rows = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
-    seg_map = {int(r["c_custkey"]): r["c_mktsegment"] for r in cust_rows}
+    from ..core.joins import lookup_join
+
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    enriched = lookup_join(
+        orders,
+        "o_custkey",
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        "c_custkey",
+        ["c_mktsegment"],
+    )
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(c_mktsegment=df["o_custkey"].map(seg_map))
         df = df.sort_values(
             ["c_mktsegment", "o_totalprice", "o_orderkey"],
             ascending=[True, False, True],
@@ -332,7 +340,7 @@ def grouped_topk_orders(sf_dir: str, k: int = 3) -> pa.Table:
         return df
 
     out = (
-        orders.map_batches(_aout(local_topk), batch_format="pandas")
+        enriched.map_batches(_aout(local_topk), batch_format="pandas")
         .materialize()  # tiny combiner output; see core/batches.py note
         .groupby("c_mktsegment")
         .map_groups(_aout(group_topk), batch_format="pandas")

@@ -778,10 +778,9 @@ def seq_pack_plan(
             ),
         )
         t = pa.table({"doc_id": ids, "n_tok": ntok}).filter(valid)
-        num = pc.cast(
-            pc.utf8_slice_codeunits(t.column("doc_id").combine_chunks(), start=-12),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
+        from .tokens import _doc_num
+
+        num = _doc_num(t.column("doc_id"))
         shard, key = _shard_cols(num, n_shards)
         return pa.table(
             {
@@ -968,10 +967,9 @@ def seq_pack_execute(
         )
         valid = pc.fill_null(valid, False)
         t = pa.table({"doc_id": ids, "n_tok": ntok, "tokens": toks}).filter(valid)
-        num = pc.cast(
-            pc.utf8_slice_codeunits(t.column("doc_id").combine_chunks(), start=-12),
-            pa.int64(),
-        ).to_numpy(zero_copy_only=False)
+        from .tokens import _doc_num
+
+        num = _doc_num(t.column("doc_id"))
         shard, key = _shard_cols(num, n_shards)
         return pa.table(
             {

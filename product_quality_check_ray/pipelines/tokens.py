@@ -78,14 +78,60 @@ def _seq_ds(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(resolve_sequences(sf_dir), columns=columns)
 
 
-def _suffix_i64(doc_id: "pa.ChunkedArray | pa.Array") -> np.ndarray:
-    """Numeric 12-digit doc_id suffix; -1 where doc_id is NULL.
+def _aug(sf_dir: str, augment: "bool | None") -> bool:
+    """Resolve an op's fixture-augmentation flag (ADVICE r2, high): the
+    deterministic canary splices / holdout slice / near-dup families apply
+    ONLY to fixture-provenance corpora (or on explicit opt-in) — a user
+    corpus reaching these ops through ``resolve_sequences`` runs plain, so
+    its rows are never silently rewritten, dropped, or mis-reported."""
+    if augment is not None:
+        return augment
+    from ..datagen import is_fixture_corpus
 
-    The SQL analog is ``try_cast(right(doc_id, 12) AS BIGINT)`` — fixture
-    doc_ids always end in 12 digits, so the cast only "fails" on NULL
-    (asserted by the strict Arrow cast here)."""
-    s = pc.cast(pc.utf8_slice_codeunits(doc_id, start=-12, stop=1 << 30), pa.int64())
+    return is_fixture_corpus(sf_dir)
+
+
+def _suffix_i64(doc_id: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Numeric 12-digit doc_id suffix; -1 where doc_id is NULL or does not
+    end in 12 digits.
+
+    The SQL analog is ``try_cast(right(doc_id, 12) AS BIGINT)``: fixture
+    doc_ids always end in 12 digits, but every sequences op also accepts
+    USER corpora via ``datagen.resolve_sequences``, whose ids may have any
+    shape — those rows take the -1 sentinel instead of raising
+    (ADVICE r2)."""
+    sl = pc.utf8_slice_codeunits(doc_id, start=-12, stop=1 << 30)
+    ok = pc.fill_null(pc.match_substring_regex(sl, r"^\d{12}$"), False)
+    s = pc.cast(pc.if_else(ok, sl, pa.scalar(None, pa.string())), pa.int64())
     return np.asarray(pc.fill_null(s, -1).to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+def _doc_num(doc_id: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """int64 shard/order key per (non-null) doc_id: the numeric 12-digit
+    suffix when present (fixture ids — mirrored by the SQL oracles' cast),
+    else a deterministic 48-bit string hash so arbitrary user ids still
+    spread across shards instead of all colliding on the -1 sentinel."""
+    sfx = _suffix_i64(doc_id)
+    bad = sfx < 0
+    if bad.any():
+        import pandas as pd
+
+        sfx = sfx.copy()  # the fill_null output buffer can be read-only
+
+        ids_obj = np.asarray(
+            [
+                x if x is not None else ""
+                for x in (
+                    doc_id.combine_chunks()
+                    if isinstance(doc_id, pa.ChunkedArray)
+                    else doc_id
+                ).to_pylist()
+            ],
+            dtype=object,
+        )
+        h = pd.util.hash_array(ids_obj[bad]) % np.uint64(1 << 48)
+        sfx[bad] = h.astype(np.int64)
+    return sfx
 
 
 def _tokens_parts(col: "pa.ChunkedArray | pa.ListArray") -> tuple[np.ndarray, np.ndarray]:
@@ -310,31 +356,46 @@ _DECON_EMPTY = pa.schema(
 )
 
 
-def seq_decontaminate(sf_dir: str) -> rd.Dataset:
+def seq_decontaminate(sf_dir: str, augment: bool | None = None) -> rd.Dataset:
     """Token-level benchmark decontamination over the sequences corpus.
 
     Two passes over storage (the canonical decontamination shape: build the
     benchmark gram index once, then stream the corpus): pass 1 collects the
     holdout gram set and broadcasts it; pass 2 flags every non-holdout row
     with its exact contaminated-gram count. Output: one row per non-holdout
-    input row."""
+    input row.
+
+    On NON-fixture corpora (``_aug``) there is no synthetic holdout slice:
+    every row is scanned, none is patched, and — with no external benchmark
+    index — nothing flags. Real deployments plug a benchmark gram table in
+    via ``holdout_gram_index`` over their own eval suite."""
+    aug = _aug(sf_dir, augment)
     seq = _seq_ds(sf_dir)
     # index pass reads only what it needs (column pruning at the read)
     hold_ref = ray.put(
         holdout_gram_index(_seq_ds(sf_dir, columns=["doc_id", "tokens"])).parts()
+        if aug
+        else GramIndex.build(np.empty((0, DECON_K), dtype=np.int32)).parts()
     )
 
     def scan(t: pa.Table) -> pa.Table:
         index = GramIndex(*ray.get(hold_ref))  # zero-copy from local object store
         sfx = _suffix_i64(t.column("doc_id"))
-        keep = ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
+        keep = (
+            ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
+            if aug
+            else np.ones(sfx.size, dtype=bool)
+        )
         sel = t.filter(pa.array(keep))
         if sel.num_rows == 0:
             return _DECON_EMPTY.empty_table()
         s2 = sfx[keep]
         offs, vals = _tokens_parts(sel.column("tokens"))
-        prows = np.flatnonzero((s2 >= 0) & (s2 % DECON_PATCH_MOD == DECON_PATCH_RES))
-        vals = _patch_prefix(offs, vals, prows)
+        if aug:
+            prows = np.flatnonzero(
+                (s2 >= 0) & (s2 % DECON_PATCH_MOD == DECON_PATCH_RES)
+            )
+            vals = _patch_prefix(offs, vals, prows)
         starts, gdoc, m = _window_starts(offs, DECON_K)
         hits = np.zeros(sel.num_rows, dtype=np.int64)
         if starts.size and index.h.size:
@@ -670,14 +731,20 @@ _DUPSEQ_PREFIX_HASHES = np.array(
 )
 
 
-def _row_hashes(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(sfx, offs, vals, per-row content hash of the AUGMENTED view)."""
+def _row_hashes(
+    t: pa.Table, aug: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(sfx, offs, vals, per-row content hash of the AUGMENTED view);
+    ``aug=False`` hashes the plain input arrays."""
     sfx = _suffix_i64(t.column("doc_id"))
     offs, vals = _tokens_parts(t.column("tokens"))
     h = _content_hash(offs, vals)
-    rep = (sfx >= 0) & (sfx % DUPSEQ_MOD == DUPSEQ_RES)
-    if rep.any():
-        h[rep] = _DUPSEQ_PREFIX_HASHES[(sfx[rep] % DUPSEQ_LEN_CHOICES).astype(np.int64)]
+    if aug:
+        rep = (sfx >= 0) & (sfx % DUPSEQ_MOD == DUPSEQ_RES)
+        if rep.any():
+            h[rep] = _DUPSEQ_PREFIX_HASHES[
+                (sfx[rep] % DUPSEQ_LEN_CHOICES).astype(np.int64)
+            ]
     return sfx, offs, vals, h
 
 
@@ -693,17 +760,19 @@ _DUPSEQ_SCHEMA = pa.schema(
 )
 
 
-def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
-    """Rows whose augmented token arrays are EXACTLY duplicated corpus-wide.
+def seq_dup_token_arrays(sf_dir: str, augment: bool | None = None) -> pa.Table:
+    """Rows whose (augmented-view) token arrays are EXACTLY duplicated
+    corpus-wide; non-fixture corpora are hashed PLAIN (``_aug``).
 
     Output per duplicated row: (doc_id, source, n_tok, tlen, group_rep =
     min doc_id in the group, group_size). Candidate→recover: only rows whose
     64-bit content hash repeats are ever materialized; exact token-array
     equality is verified on the (tiny) candidate set."""
+    aug = _aug(sf_dir, augment)
     seq = _seq_ds(sf_dir)
 
     def add_hash(t: pa.Table) -> pa.Table:
-        _, _, _, h = _row_hashes(t)
+        _, _, _, h = _row_hashes(t, aug)
         return pa.table({"h": pa.array(h.view(np.int64))})
 
     from ..state.dupfinder import find_dup_hash_values
@@ -715,7 +784,7 @@ def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
     dup_sorted = np.sort(dup_h.view(_U64))
 
     def candidates(t: pa.Table) -> pa.Table:
-        sfx, offs, vals, h = _row_hashes(t)
+        sfx, offs, vals, h = _row_hashes(t, aug)
         pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
         mask = dup_sorted[pos] == h
         if not mask.any():
@@ -730,7 +799,7 @@ def seq_dup_token_arrays(sf_dir: str) -> pa.Table:
         idx = np.flatnonzero(mask)
         sel = t.take(pa.array(idx))
         # augmented token arrays for candidate rows only (cold path)
-        rep = (sfx[idx] >= 0) & (sfx[idx] % DUPSEQ_MOD == DUPSEQ_RES)
+        rep = aug & (sfx[idx] >= 0) & (sfx[idx] % DUPSEQ_MOD == DUPSEQ_RES)
         ptok = []
         for j, i in enumerate(idx):
             if rep[j]:
@@ -829,9 +898,9 @@ def seq_detokenize(sf_dir: str, with_text: bool = False) -> rd.Dataset:
                 pa.scalar("w"), pc.cast(pa.array(rel), pa.string()), pa.scalar("")
             ),
         )
-        lists = pa.ListArray.from_arrays(
-            pa.array(offs, type=pa.int64()).cast(pa.int32()), flat
-        )
+        # large_list: a block's flat token count may exceed 2^31 at design
+        # scale — int64 offsets end-to-end, same as the pack-execute path
+        lists = pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()), flat)
         txt = pc.binary_join(lists, " ")
         # null token LISTS decode to NULL text (mirrored by the oracle)
         txt = pc.if_else(valid_list, txt, pa.scalar(None, pa.string()))
@@ -966,13 +1035,16 @@ def _intra(counts: np.ndarray) -> np.ndarray:
 
 
 def _capstone_view(
-    t: pa.Table,
+    t: pa.Table, aug: bool = True
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, pa.Table]:
     """The capstone's augmented token view for rows with non-null doc_id AND
     tokens: DUPSEQ whole-array replacement wins over the DECON prefix patch
     (replacement overwrites the whole array, so precedence only needs to be
     fixed and mirrored). Returns (sfx, offs_eff [0-based], vals_eff,
-    row_selector_mask_applied_table) aligned to the FILTERED table."""
+    row_selector_mask_applied_table) aligned to the FILTERED table.
+
+    ``aug=False`` (user corpora, ADVICE r2): the view is the PLAIN input —
+    no canary splices, no prefix patches."""
     ids = t.column("doc_id").combine_chunks()
     toks = t.column("tokens")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
@@ -984,6 +1056,8 @@ def _capstone_view(
     sfx = _suffix_i64(sel.column("doc_id"))
     offs, vals = _tokens_parts(sel.column("tokens"))
     lens = offs[1:] - offs[:-1]
+    if not aug:
+        return sfx, offs - offs[0], vals[offs[0] : offs[-1]], lens, sel
     prows = np.flatnonzero((sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES))
     vals_p = _patch_prefix(offs, vals, prows)
     dup = (sfx >= 0) & (sfx % DUPSEQ_MOD == DUPSEQ_RES)
@@ -1017,14 +1091,16 @@ def _capstone_view(
     return sfx, offs_eff, np.concatenate(pieces), lens_eff, sel
 
 
-def _capstone_training_rows(t: pa.Table):
-    return _training_rows_from_view(*_capstone_view(t))
+def _capstone_training_rows(t: pa.Table, aug: bool = True):
+    return _training_rows_from_view(*_capstone_view(t, aug), holdout=aug)
 
 
-def _training_rows_from_view(sfx, offs, vals, lens, sel):
+def _training_rows_from_view(sfx, offs, vals, lens, sel, holdout: bool = True):
     """(sel_table, sfx, offs_eff, vals_eff, lens_eff) for the capstone's
     TRAINING-candidate population: valid (1 ≤ len ≤ 2048, all tokens in
-    [0, VOCAB), allowlisted source) and not in the benchmark holdout."""
+    [0, VOCAB), allowlisted source) and not in the benchmark holdout
+    (``holdout=False`` on user corpora: no fixture holdout slice exists,
+    so no rows are excluded as "benchmark")."""
     if sel.num_rows == 0:
         return sel, sfx, offs, vals, lens
     # per-row min/max over the augmented buffer (cummin-free: reduceat is
@@ -1046,13 +1122,9 @@ def _training_rows_from_view(sfx, offs, vals, lens, sel):
     src = sel.column("source")
     src_ok = pc.fill_null(pc.is_in(src, value_set=pa.array(list(_ALLOWED))), False)
     src_ok = np.asarray(src_ok.to_numpy(zero_copy_only=False), dtype=bool)
-    keep = (
-        ok_len
-        & (tmin >= 0)
-        & (tmax < VOCAB)
-        & src_ok
-        & ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
-    )
+    keep = ok_len & (tmin >= 0) & (tmax < VOCAB) & src_ok
+    if holdout:
+        keep &= ~((sfx >= 0) & (sfx % DECON_HOLD_MOD == 0))
     if keep.all():
         return sel, sfx, offs, vals, lens
     idx = np.flatnonzero(keep)
@@ -1073,6 +1145,9 @@ def _training_rows_from_view(sfx, offs, vals, lens, sel):
 
 def _capstone_holdout_grams(t: pa.Table) -> pa.Table:
     return _holdout_grams_from_view(*_capstone_view(t))
+
+
+_EMPTY_GRAMS = pa.table({"g": pa.array([], type=_GRAM_TYPE)})
 
 
 def _holdout_grams_from_view(sfx, offs, vals, _lens, _sel) -> pa.Table:
@@ -1096,6 +1171,7 @@ def prepare_training_sequences(
     budget: int | None = None,
     n_shards: int | None = None,
     out_dir: str | None = None,
+    augment: bool | None = None,
 ) -> rd.Dataset:
     """The tokens-axis CAPSTONE: the full training-sequence preparation flow
     over the north-star table, every stage exact and SQL-expressible —
@@ -1140,17 +1216,21 @@ def prepare_training_sequences(
 
     budget = SEQ_PACK_BUDGET if budget is None else budget
     n_shards = SEQ_PACK_SHARDS if n_shards is None else n_shards
+    aug = _aug(sf_dir, augment)
+    params = {"budget": budget, "n_shards": n_shards, "augment": aug}
     if out_dir is not None:
-        done = _read_finished_plan(out_dir, {"budget": budget, "n_shards": n_shards})
+        done = _read_finished_plan(out_dir, params)
         if done is not None:  # resume: skip ALL recomputation
             return done
 
     # --- scout pass: holdout grams + training-row hashes in ONE read (the
-    # augmented view is computed once per batch and shared by both halves)
+    # augmented view is computed once per batch and shared by both halves;
+    # plain user corpora have no holdout slice, so their gram half is empty
+    # and the decontamination stage naturally no-ops)
     def scout(t: pa.Table) -> pa.Table:
-        view = _capstone_view(t)
-        gt = _holdout_grams_from_view(*view)
-        sel, sfx, offs, vals, lens = _training_rows_from_view(*view)
+        view = _capstone_view(t, aug)
+        gt = _holdout_grams_from_view(*view) if aug else _EMPTY_GRAMS
+        sel, sfx, offs, vals, lens = _training_rows_from_view(*view, holdout=aug)
         ng, nh = gt.num_rows, sel.num_rows
         h = (
             _content_hash(offs, vals).view(np.int64)
@@ -1197,7 +1277,7 @@ def prepare_training_sequences(
         dup_sorted = np.sort(dup_h.view(_U64))
 
         def candidates(t: pa.Table) -> pa.Table:
-            sel, sfx, offs, vals, lens = _capstone_training_rows(t)
+            sel, sfx, offs, vals, lens = _capstone_training_rows(t, aug)
             if sel.num_rows == 0:
                 return pa.table(
                     {
@@ -1250,7 +1330,7 @@ def prepare_training_sequences(
             lh = np.sort(np.array([k[0] for k in lm], dtype=np.int64))
             st = _cache["st"] = (GramIndex(*ray.get(gram_ref)), lm, lh)
         index, loser_map, loser_hashes = st
-        sel, sfx, offs, vals, lens = _capstone_training_rows(t)
+        sel, sfx, offs, vals, lens = _capstone_training_rows(t, aug)
         n = sel.num_rows
         empty = pa.table(
             {
@@ -1292,7 +1372,9 @@ def prepare_training_sequences(
         if ii.size == 0:
             return empty
         out = sel.take(pa.array(ii))
-        num = sfx[ii]
+        # fixture ids: doc_num == suffix (oracle parity); arbitrary user ids
+        # fall back to the deterministic string hash so shards stay balanced
+        num = sfx[ii] if (sfx[ii] >= 0).all() else _doc_num(out.column("doc_id"))
         shard, key = _shard_cols(num, n_shards)
         return pa.table(
             {
@@ -1326,9 +1408,7 @@ def prepare_training_sequences(
     tables = [
         _seq_pack_reduce.remote(budget, *[m[r] for m in mapped]) for r in range(ranges)
     ]
-    return _maybe_sink_plan(
-        rd.from_arrow_refs(tables), out_dir, {"budget": budget, "n_shards": n_shards}
-    )
+    return _maybe_sink_plan(rd.from_arrow_refs(tables), out_dir, params)
 
 
 def _read_finished_plan(out_dir: str, params: dict | None = None) -> "rd.Dataset | None":
@@ -1447,9 +1527,10 @@ def _seqnd_tokens(sfx: np.ndarray) -> np.ndarray:
     return ((base + tail) % VOCAB).astype(np.int32)
 
 
-def _seqnd_view(t: pa.Table):
+def _seqnd_view(t: pa.Table, aug: bool = True):
     """(doc_ids, offs, vals) of the near-dup-augmented view, rows with
-    ≥ DECON_K tokens only (the head anchor needs one full window)."""
+    ≥ DECON_K tokens only (the head anchor needs one full window);
+    ``aug=False`` (user corpora) plants no synthetic family."""
     ids = t.column("doc_id").combine_chunks()
     toks = t.column("tokens")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
@@ -1460,7 +1541,7 @@ def _seqnd_view(t: pa.Table):
     sfx = _suffix_i64(sel.column("doc_id"))
     offs, vals = _tokens_parts(sel.column("tokens"))
     lens = offs[1:] - offs[:-1]
-    nd = (sfx >= 0) & (sfx % SEQND_MOD == SEQND_RES)
+    nd = aug & (sfx >= 0) & (sfx % SEQND_MOD == SEQND_RES)
     lens_eff = np.where(nd, SEQND_L, lens)
     # same mask-compaction + splice shape as _capstone_view
     span = vals[offs[0] : offs[-1]]
@@ -1501,7 +1582,9 @@ def _seqnd_view(t: pa.Table):
     return sel.column("doc_id"), offs_eff, out
 
 
-def seq_neardup_pairs(sf_dir: str, threshold: float = SEQND_THRESHOLD) -> pa.Table:
+def seq_neardup_pairs(
+    sf_dir: str, threshold: float = SEQND_THRESHOLD, augment: bool | None = None
+) -> pa.Table:
     """Token-level NEAR-duplicate pairs over the sequences table: rows whose
     exact distinct-8-gram Jaccard is ≥ ``threshold``, blocked on the HEAD
     anchor (rows sharing their first 8-gram verbatim).
@@ -1531,8 +1614,10 @@ def seq_neardup_pairs(sf_dir: str, threshold: float = SEQND_THRESHOLD) -> pa.Tab
     """
     from ..state.dupfinder import find_dup_hash_values
 
+    aug = _aug(sf_dir, augment)
+
     def head_hash(t: pa.Table) -> pa.Table:
-        _ids, offs, vals = _seqnd_view(t)
+        _ids, offs, vals = _seqnd_view(t, aug)
         if offs.size <= 1:
             return pa.table({"h": pa.array([], type=pa.int64())})
         heads = _gather_windows(vals, offs[:-1], DECON_K)
@@ -1550,7 +1635,7 @@ def seq_neardup_pairs(sf_dir: str, threshold: float = SEQND_THRESHOLD) -> pa.Tab
     dup_sorted = np.sort(dup_h.view(_U64))
 
     def recover(t: pa.Table) -> pa.Table:
-        ids, offs, vals = _seqnd_view(t)
+        ids, offs, vals = _seqnd_view(t, aug)
         if offs.size <= 1:
             return pa.table(
                 {

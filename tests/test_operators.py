@@ -566,6 +566,43 @@ def test_semi_join_broadcast_and_shuffle_paths_agree(ray_session):
         assert len(a) > 0 or anti  # semi side must be non-trivial on the fixture
 
 
+def test_lookup_join_broadcast_and_shuffle_paths_agree(ray_session):
+    """core.joins.lookup_join: forcing the hash-join fallback (cap=1) must
+    enrich identically to the broadcast per-batch Arrow join."""
+    import ray.data as rd
+
+    from product_quality_check_ray.core.joins import lookup_join
+
+    orders = rd.read_parquet(
+        f"{SF_SMALL}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def run(cap):
+        cust = rd.read_parquet(
+            f"{SF_SMALL}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        return (
+            lookup_join(orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"], cap=cap)
+            .to_pandas()
+            .sort_values(["o_orderkey"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(None), run(1)
+    assert list(a.columns) == ["o_orderkey", "o_custkey", "c_mktsegment"]
+    assert len(a) > 0 and a.equals(b[list(a.columns)])
+
+
+def test_grouped_topk_orders_join_fallback_matches(ray_session, monkeypatch):
+    from product_quality_check_ray.core import joins
+    from product_quality_check_ray.pipelines import relational
+
+    a = relational.grouped_topk_orders(SF_SMALL).to_pandas()
+    monkeypatch.setattr(joins, "BROADCAST_KEY_CAP", 1)
+    b = relational.grouped_topk_orders(SF_SMALL).to_pandas()
+    assert len(a) > 0 and a.equals(b)
+
+
 def test_region_revenue_join_fallback_matches_broadcast(ray_session, monkeypatch):
     from product_quality_check_ray.pipelines import relational
 

@@ -300,3 +300,106 @@ def test_cli_prep_subcommand(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     line = _json.loads(r.stdout.strip().splitlines()[-1])
     assert line["rows_packed"] > 0 and line["packs"] > 0
+
+
+def _write_user_corpus(dirpath, n=400):
+    """A NON-fixture corpus in the north-star shape: arbitrary doc_id format
+    (no 12-digit suffix), no _injections.json marker, one planted exact
+    duplicate pair."""
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        toks = rng.integers(0, 32000, size=int(rng.integers(4, 40))).tolist()
+        rows.append((f"user/doc_{i}", toks, len(toks), "web"))
+    rows.append(("user/dup_a", [1, 2, 3, 4, 5, 6, 7, 8], 8, "web"))
+    rows.append(("user/dup_b", [1, 2, 3, 4, 5, 6, 7, 8], 8, "web"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+            "source": pa.array([r[3] for r in rows]),
+        }
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(dirpath, "frag-00000.parquet"))
+    pq.write_table(t.slice(half), os.path.join(dirpath, "frag-00001.parquet"))
+    return t.num_rows
+
+
+def test_resolve_sequences_rejects_nonfixture_dir(tmp_path):
+    """An EXISTING directory without frag-*.parquet must raise, never fall
+    back to generating a synthetic corpus (ADVICE r2, medium)."""
+    from product_quality_check_ray.datagen import resolve_sequences
+
+    d = tmp_path / "not_a_corpus"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError):
+        resolve_sequences(str(d))
+    # a nested layout (shard=0/part.parquet) is equally rejected, not faked
+    (d / "shard=0").mkdir()
+    with pytest.raises(FileNotFoundError):
+        resolve_sequences(str(d))
+
+
+def test_prep_runs_plain_on_user_corpus(ray_session, tmp_path):
+    """Fixture augmentations (canary splice / holdout slice / DECON patch)
+    must NOT touch a user corpus (ADVICE r2, high): every valid row packs
+    with its true n_tok; dedup reports only the planted duplicate pair."""
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = str(tmp_path / "user_corpus")
+    n = _write_user_corpus(d)
+
+    dup = tk.seq_dup_token_arrays(d)
+    assert sorted(dup.column("doc_id").to_pylist()) == ["user/dup_a", "user/dup_b"]
+
+    plan = tk.prepare_training_sequences(d).to_pandas()
+    # exactly one row (the dup loser) removed; nobody holdout-dropped
+    assert len(plan) == n - 1
+    assert "user/dup_b" not in set(plan["doc_id"])
+    # n_tok in the plan is the TRUE array length for every row (no canary)
+    import pandas as pd
+
+    truth = {}
+    import glob as _g
+
+    for f in _g.glob(d + "/frag-*.parquet"):
+        tt = pq.read_table(f)
+        for did, toks in zip(
+            tt.column("doc_id").to_pylist(), tt.column("tokens").to_pylist()
+        ):
+            truth[did] = len(toks)
+    assert all(int(r.n_tok) == truth[r.doc_id] for r in plan.itertuples())
+
+    # decontamination: no synthetic holdout → all rows scanned, none flagged
+    dec = tk.seq_decontaminate(d).to_pandas()
+    assert len(dec) == n and not dec["contaminated"].any()
+
+    # near-dup: no synthetic family planted → only true near-dups (none here
+    # besides the exact pair, which shares its head anchor)
+    nd = tk.seq_neardup_pairs(d)
+    pairs = list(
+        zip(nd.column("doc_id_a").to_pylist(), nd.column("doc_id_b").to_pylist())
+    )
+    assert pairs == [("user/dup_a", "user/dup_b")]
+
+
+def test_fixture_augment_optin_flag(ray_session, tmp_path):
+    """augment=True forces the fixture view even off-provenance; augment=False
+    forces plain even on fixture corpora."""
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    corpus = write_sequences(str(tmp_path / "c"), 1500, seed=11, num_fragments=2)
+    # generator output carries _injections.json → augmented by default
+    plan_aug = tk.prepare_training_sequences(corpus).to_pandas()
+    plan_plain = tk.prepare_training_sequences(corpus, augment=False).to_pandas()
+    # the plain run keeps the holdout slice (suffix % 97 == 0) that the
+    # augmented run excludes
+    assert len(plan_plain) > len(plan_aug)
+    forced = tk.prepare_training_sequences(corpus, augment=True).to_pandas()
+    assert forced.equals(plan_aug)
