@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FUZZY path — token_set_ratio is stricter than char-set Jaccard and
         # produces no sub-1.0 scores on this corpus at 0.8
         "doc_dict_matches_tsr": lambda sf: tn.doc_dict_matches_tsr(sf, threshold=0.7),
+        # RapidFuzz partial_ratio scorer (reference novel_check_utils.py:109-111,
+        # green_claims.py:72-94): best full-window alignment of the shorter
+        # string — recursive-CTE LCS oracle lifted over windows
+        "doc_dict_matches_partial": lambda sf: tn.doc_dict_matches_partial(sf, threshold=0.75),
         "doc_best_dict_match": tn.doc_best_dict_match,
         # --- training-data text ops over documents
         "doc_token_stats": tx.doc_token_stats,
@@ -224,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination → Gopher rules, one fused final pass
         "clean_documents_full": lambda sf: tx.clean_documents_full(sf),
         "part_sku_parse": rel.part_sku_parse,
+        # reference J1 composed: fuzzy top-k catalog join, −20/−15/−10
+        # attribute penalties, over-fetch max(3k,25) → trim k
+        "part_catalog_match": rel.part_catalog_match,
         "lineitem_sample": rel.lineitem_sample,
         "order_value_buckets": rel.order_value_buckets,
         "embedding_near_dups": sim.embedding_near_dups,  # exact block-pair matmul
@@ -1747,6 +1754,73 @@ def oracle_sql() -> dict[str, str]:
                    round(h.score, 6) AS score, h.kind AS match_kind
             FROM words wo JOIN hits h ON h.w = wo.word
         """,
+        # partial_ratio oracle: for each (word, variant) pair the score is
+        # max over all full windows of the LONGER side of
+        # (200·LCS(shorter, window) / (m+m)) / 100 — the same bit-parallel
+        # Allison–Dix CTE as the tsr oracle, with the bitmask over the
+        # SHORTER string and one recursion per window char. Threshold 0.75
+        # matches the query default.
+        "doc_dict_matches_partial": f"""
+            WITH RECURSIVE dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
+            words AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ')[i] AS word
+                FROM documents,
+                     UNNEST(generate_series(1, len(string_split({_NORM_SQL}, ' ')))) AS t(i)
+            ),
+            uw AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+            cand AS (
+              SELECT u.word AS w, d.variant AS v, d.canonical,
+                     CASE WHEN length(u.word) <= length(d.variant)
+                          THEN u.word ELSE d.variant END AS s,
+                     CASE WHEN length(u.word) <= length(d.variant)
+                          THEN d.variant ELSE u.word END AS l
+              FROM uw u CROSS JOIN dict d
+              WHERE u.word <> d.variant
+            ),
+            wins AS (
+              -- la (chars iterated: the window) and lb (bitmask side: the
+              -- shorter string) are SEPARATE columns even though both equal
+              -- length(s): binding one column into range(), the recursion
+              -- guard AND the shift miscompiles in DuckDB 1.0 (verified by
+              -- micro-repro; the split-column form is the tsr oracle's)
+              SELECT DISTINCT w, v, canonical, s,
+                     substr(l, i::INT + 1, length(s)::INT) AS win,
+                     length(s)::BIGINT AS la, length(s)::BIGINT AS lb
+              FROM cand,
+                   UNNEST(range(length(l)::BIGINT - length(s)::BIGINT + 1)) AS t(i)
+            ),
+            rec(w, v, canonical, s, win, la, lb, i, bv) AS (
+              SELECT w, v, canonical, s, win, la, lb, 0::BIGINT,
+                     ((1::UBIGINT << lb) - 1::UBIGINT)
+              FROM wins
+              UNION ALL
+              SELECT w, v, canonical, s, win, la, lb, i + 1,
+                     ((bv + (bv & M)) | (bv - (bv & M))) & ((1::UBIGINT << lb) - 1::UBIGINT)
+              FROM (
+                SELECT w, v, canonical, s, win, la, lb, i, bv,
+                       coalesce(list_sum(list_transform(range(lb), j ->
+                         CASE WHEN substr(s, j::INT + 1, 1) = substr(win, i::INT + 1, 1)
+                              THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)), 0::UBIGINT) AS M
+                FROM rec WHERE i < la
+              )
+            ),
+            scored AS (
+              SELECT w, v, canonical,
+                     max((200.0 * (lb - bit_count(bv)) / (la + lb)) / 100.0) AS sim
+              FROM rec WHERE i = la GROUP BY w, v, canonical
+            ),
+            hits AS (
+              SELECT u.word AS w, d.variant AS v, d.canonical,
+                     1.0::DOUBLE AS score, 'exact' AS kind
+              FROM uw u JOIN dict d ON u.word = d.variant
+              UNION ALL
+              SELECT w, v, canonical, sim AS score, 'fuzzy' FROM scored
+              WHERE sim >= 0.75
+            )
+            SELECT wo.doc_id, wo.word, h.v AS matched_variant, h.canonical,
+                   round(h.score, 6) AS score, h.kind AS match_kind
+            FROM words wo JOIN hits h ON h.w = wo.word
+        """,
         "doc_best_dict_match": f"""
             WITH dict(variant, canonical) AS (VALUES {_DICT_VALUES}),
             words AS (
@@ -2002,6 +2076,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN p_size < 30 THEN 'medium'
                         ELSE 'large' END AS size_class
             FROM part
+        """,
+        # penalty-re-ranked catalog join: over-fetch max(3k,25)=25 by fuzzy
+        # name score, −20/−15/−10 attribute penalties, trim to k=8; ties on
+        # BOTH rankings break by candidate key asc (mirrored in the engine's
+        # lexsort). jaccard() is the proven char-set twin of
+        # textnorm._char_jaccard_matrix; name_score raw (unrounded) feeds
+        # the final-score arithmetic on both sides.
+        "part_catalog_match": """
+            WITH cat AS (
+              SELECT p_partkey, p_name, p_brand,
+                     string_split(p_name, ' ')[1] AS modifier,
+                     CASE WHEN coalesce(p_size, -1) < 10 THEN 'small'
+                          WHEN p_size < 30 THEN 'medium'
+                          ELSE 'large' END AS size_class
+              FROM part
+            ),
+            facts AS (SELECT * FROM cat WHERE p_partkey % 7 = 0),
+            scored AS (
+              SELECT f.p_partkey AS fact_partkey, c.p_partkey AS cand_partkey,
+                     100.0 * jaccard(f.p_name, c.p_name) AS name_score,
+                     (CASE WHEN f.size_class <> c.size_class THEN 20.0 ELSE 0.0 END
+                      + CASE WHEN f.modifier <> c.modifier THEN 15.0 ELSE 0.0 END
+                      + CASE WHEN f.p_brand <> c.p_brand THEN 10.0 ELSE 0.0 END) AS penalty
+              FROM facts f JOIN cat c ON c.p_partkey <> f.p_partkey
+            ),
+            fetched AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY fact_partkey
+                  ORDER BY name_score DESC, cand_partkey) AS rn
+              FROM scored
+            ),
+            reranked AS (
+              SELECT fact_partkey, cand_partkey, name_score, penalty,
+                     row_number() OVER (
+                         PARTITION BY fact_partkey
+                         ORDER BY (name_score - penalty) DESC, cand_partkey) AS rank
+              FROM fetched WHERE rn <= 25
+            )
+            SELECT fact_partkey, cand_partkey,
+                   round(name_score, 6) AS name_score, penalty,
+                   round(name_score - penalty, 6) AS final_score, rank
+            FROM reranked WHERE rank <= 8
         """,
         "lineitem_sample": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -164,3 +164,83 @@ def token_set_ratio_matrix(words: list[str], variants: list[str]) -> np.ndarray:
     a = [w for w in words for _ in variants]
     b = list(variants) * nw
     return token_set_ratio_batch(a, b).reshape(nw, nv)
+
+
+def _partial_ratio_dp(a: str, b: str) -> float:
+    """Per-pair partial_ratio fallback (long strings): classic DP LCS per
+    window — also the differential-test reference for the batch kernel."""
+    s, l = (a, b) if len(a) <= len(b) else (b, a)
+    m, n = len(s), len(l)
+    if m == 0:
+        return 100.0 if n == 0 else 0.0
+    best = 0
+    for i in range(n - m + 1):
+        best = max(best, _lcs_dp(s, l[i : i + m]))
+        if best == m:
+            break
+    return 200.0 * best / (2 * m) / 1.0
+
+
+def partial_ratio_batch(a: list[str], b: list[str]) -> np.ndarray:
+    """partial_ratio (0..100) per aligned pair: the best full-window
+    alignment of the SHORTER string inside the longer —
+    ``max_i ratio(s, l[i:i+len(s)])`` (the published fuzzywuzzy/RapidFuzz
+    "best matching substring" semantics; reference analog
+    ``novel_check_utils.py:109-111``, ``green_claims.py:72-94``). Empty
+    vs non-empty scores 0, empty vs empty 100.
+
+    Vectorized: every (pair, window) alignment becomes one row of a single
+    ``lcs_batch`` call (shorter side ≤ 63 chars rides the bit-parallel
+    kernel), then a per-pair max via ``np.maximum.reduceat``. Pairs whose
+    shorter side exceeds 63 chars fall back to the DP reference.
+    """
+    assert len(a) == len(b)
+    n_pairs = len(a)
+    out = np.zeros(n_pairs, dtype=np.float64)
+    if n_pairs == 0:
+        return out
+    shorts, longs = [], []
+    for x, y in zip(a, b):
+        s, l = (x, y) if len(x) <= len(y) else (y, x)
+        shorts.append(s)
+        longs.append(l)
+    m = np.array([len(s) for s in shorts], dtype=np.int64)
+    n = np.array([len(l) for l in longs], dtype=np.int64)
+    out[(m == 0) & (n == 0)] = 100.0
+    fit = (m > 0) & (m <= _MAX_BITPAR)
+    idx = np.flatnonzero(fit)
+    if idx.size:
+        # explode pairs into (pair, window) rows
+        n_win = (n[idx] - m[idx] + 1).astype(np.int64)
+        win_pair = np.repeat(np.arange(idx.size), n_win)
+        win_start = (
+            np.arange(int(n_win.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(n_win) - n_win, n_win)
+        )
+        win_strs = [
+            longs[idx[p]][st : st + int(m[idx[p]])]
+            for p, st in zip(win_pair, win_start)
+        ]
+        s_strs = [shorts[idx[p]] for p in win_pair]
+        max_m = int(m[idx].max())
+        ac, al = _encode(win_strs, max_m)
+        bc, bl = _encode(s_strs, max_m)
+        lcs = lcs_batch(ac, al, bc, bl)
+        starts = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        best = np.maximum.reduceat(lcs, starts)
+        # mirror the engine/oracle float expression exactly: the window and
+        # the shorter side have equal length m
+        out[idx] = 200.0 * best / (2 * m[idx])
+    for i in np.flatnonzero((m > _MAX_BITPAR)):
+        out[i] = _partial_ratio_dp(shorts[i], longs[i])
+    return out
+
+
+def partial_ratio_matrix(words: list[str], variants: list[str]) -> np.ndarray:
+    """(len(words), len(variants)) partial_ratio matrix (0..100)."""
+    nw, nv = len(words), len(variants)
+    if nw == 0 or nv == 0:
+        return np.zeros((nw, nv))
+    a = [w for w in words for _ in variants]
+    b = list(variants) * nw
+    return partial_ratio_batch(a, b).reshape(nw, nv)

@@ -847,6 +847,127 @@ def part_sku_parse(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Penalty-re-ranked catalog join (reference analog J1,
+# competitor_match.py:159-208: fuzzy top-k, attribute penalties −20/−15/−10,
+# over-fetch max(3k, 25) then trim to k)
+# ---------------------------------------------------------------------------
+
+CATALOG_K = 8
+CATALOG_FACT_MOD = 7
+PEN_SIZE, PEN_MODIFIER, PEN_BRAND = 20.0, 15.0, 10.0
+
+
+def part_catalog_match(
+    sf_dir: str, k: int = CATALOG_K, fact_mod: int = CATALOG_FACT_MOD
+) -> rd.Dataset:
+    """Match FACT parts (p_partkey % fact_mod == 0 — the reference's
+    "uploaded products" slice) against the full part CATALOG:
+
+      1. fuzzy name score = 100·char-set-Jaccard(p_name, candidate p_name)
+         (the proven DuckDB ``jaccard`` twin);
+      2. over-fetch the top max(3k, 25) candidates per fact by NAME score
+         (ties → smaller candidate key), excluding self;
+      3. re-rank with attribute penalties from the parsed SKU struct
+         (``part_sku_parse`` fields): −20 size_class mismatch, −15 modifier
+         mismatch, −10 brand mismatch;
+      4. trim to the top k by final score (ties → smaller candidate key).
+
+    Scale shape: the catalog is a DIMENSION (33k rows in the reference) —
+    parsed once, ``ray.put`` once, scored vectorized per fact batch
+    (char-bitmask Jaccard matrix + numpy penalty re-rank); facts stream, no
+    shuffle. Reference: ``competitor_match.py:159-208`` (over-fetch
+    ``max(3k, 25)``: ``:162``, penalties ``:180-199``, trim ``:208``).
+    """
+    from ..pipelines.textnorm import _char_jaccard_matrix
+
+    overfetch = max(3 * k, 25)
+    cat_tbl = _collect(
+        _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_size"])
+    )
+    cat_keys = np.asarray(cat_tbl.column("p_partkey").to_numpy(zero_copy_only=False))
+    cat_names = cat_tbl.column("p_name").to_pylist()
+    cat_brands = np.asarray(cat_tbl.column("p_brand").to_pylist(), dtype=object)
+    cat_mod = np.asarray([(n or "").split(" ")[0] for n in cat_names], dtype=object)
+    cat_size = np.asarray(
+        pc.fill_null(cat_tbl.column("p_size"), -1).to_numpy(zero_copy_only=False)
+    )
+    classes = np.array(["small", "medium", "large"], dtype=object)
+    cat_cls = classes[np.searchsorted([10, 30], cat_size, side="right")]
+    cat_ref = ray.put((cat_keys, cat_names, cat_brands, cat_mod, cat_cls))
+
+    def fact_slice(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column("p_partkey").to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keys % fact_mod == 0))
+
+    facts = _read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_size"]
+    ).map_batches(fact_slice, batch_format="pyarrow")
+
+    empty = pa.table(
+        {
+            "fact_partkey": pa.array([], type=pa.int64()),
+            "cand_partkey": pa.array([], type=pa.int64()),
+            "name_score": pa.array([], type=pa.float64()),
+            "penalty": pa.array([], type=pa.float64()),
+            "final_score": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def match(t: pa.Table, _cache={}) -> pa.Table:
+        cat = _cache.get("cat")
+        if cat is None:
+            cat = _cache["cat"] = ray.get(cat_ref)
+        keys, names, brands, mods, cls = cat
+        n = t.num_rows
+        if n == 0:
+            return empty
+        f_keys = np.asarray(t.column("p_partkey").to_numpy(zero_copy_only=False))
+        f_names = t.column("p_name").to_pylist()
+        f_brands = np.asarray(t.column("p_brand").to_pylist(), dtype=object)
+        f_mod = np.asarray([(x or "").split(" ")[0] for x in f_names], dtype=object)
+        f_size = np.asarray(
+            pc.fill_null(t.column("p_size"), -1).to_numpy(zero_copy_only=False)
+        )
+        f_cls = classes[np.searchsorted([10, 30], f_size, side="right")]
+        sim = _char_jaccard_matrix([x or "" for x in f_names], names) * 100.0
+        rows = {x: [] for x in empty.column_names}
+        for i in range(n):
+            s = sim[i]
+            valid = keys != f_keys[i]
+            # over-fetch by NAME score (desc), candidate key asc on ties
+            order = np.lexsort((keys, -s))
+            order = order[valid[order]][:overfetch]
+            pen = (
+                PEN_SIZE * (cls[order] != f_cls[i])
+                + PEN_MODIFIER * (mods[order] != f_mod[i])
+                + PEN_BRAND * (brands[order] != f_brands[i])
+            )
+            final = s[order] - pen
+            sel = np.lexsort((keys[order], -final))[:k]
+            take = order[sel]
+            m = len(sel)
+            rows["fact_partkey"].extend([int(f_keys[i])] * m)
+            rows["cand_partkey"].extend(int(x) for x in keys[take])
+            rows["name_score"].extend(_rha(s[take], 6).tolist())
+            rows["penalty"].extend(pen[sel].tolist())
+            rows["final_score"].extend(_rha(final[sel], 6).tolist())
+            rows["rank"].extend(range(1, m + 1))
+        return pa.table(
+            {
+                "fact_partkey": pa.array(rows["fact_partkey"], type=pa.int64()),
+                "cand_partkey": pa.array(rows["cand_partkey"], type=pa.int64()),
+                "name_score": pa.array(rows["name_score"], type=pa.float64()),
+                "penalty": pa.array(rows["penalty"], type=pa.float64()),
+                "final_score": pa.array(rows["final_score"], type=pa.float64()),
+                "rank": pa.array(rows["rank"], type=pa.int64()),
+            }
+        )
+
+    return facts.map_batches(match, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling (SURVEY.md §2.6 sampling gap)
 # ---------------------------------------------------------------------------
 

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Min
 
 from ..core.collect import collect_table as _collect
 from ..core.rounding import round_half_away as _rha
@@ -1098,15 +1098,23 @@ def doc_minhash_dups(
     verification. The groupby ships only (band_id, band_key, doc_id) rows.
     Buckets larger than ``max_bucket`` are truncated (logged via column
     ``bucket_truncated`` absent here — they indicate degenerate content) to
-    bound the pair explosion; verification reads only candidate docs.
+    bound the pair explosion.
+
+    Verification is DISTRIBUTED (``state/pairverify``, VERDICT r2 #2): the
+    driver holds only the candidate pair ids (already bounded by the bucket
+    caps); candidate docs' shingle sets are recomputed in a streaming pass —
+    non-candidates never leave their block — routed to per-range verify
+    tasks, and scored by one vectorized lexsort intersection per range. The
+    threshold applies to the HALF-AWAY-6-rounded Jaccard, matching the
+    DuckDB oracle's ``round(j,6) >= threshold``.
     """
     from ..state.pairreduce import cooccurrence_pairs
+    from ..state.pairverify import verify_jaccard_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     keyed = ds.map_batches(_minhash_band_task, batch_format="pyarrow")
     cand = cooccurrence_pairs(keyed, "key", "doc_id", max_bucket=max_bucket)
-    cand_pairs = list(zip(cand["id_a"].tolist(), cand["id_b"].tolist()))
-    if not cand_pairs:
+    if cand.empty:
         return pa.table(
             {
                 "doc_id_a": pa.array([], type=pa.int64()),
@@ -1115,9 +1123,11 @@ def doc_minhash_dups(
             }
         )
 
-    # verification: fetch shingle sets for candidate docs only (assumed ≪ corpus)
-    need = sorted({d for p in cand_pairs for d in p})
-    need_set = pa.array(need, type=pa.int64())
+    # candidate docs' shingle sets, computed where the data lives
+    need_set = pa.array(
+        np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()])),
+        type=pa.int64(),
+    )
 
     def shingles_of(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t.column("doc_id"), value_set=need_set)
@@ -1129,27 +1139,17 @@ def doc_minhash_dups(
             rows, schema=pa.schema([("doc_id", pa.int64()), ("hashes", pa.list_(pa.uint64()))])
         )
 
-    sh = {
-        r["doc_id"]: np.asarray(r["hashes"], dtype=np.uint64)
-        for r in ds.map_batches(shingles_of, batch_format="pyarrow").take_all()
-    }
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(cand_pairs):
-        # threshold and emit on the HALF-AWAY-rounded value, matching the
-        # DuckDB oracle's `round(j,6) >= threshold` (Python round is
-        # banker's and thresholding raw j diverges on boundary values)
-        j = float(_rha(np.float64(_exact_jaccard(sh[a], sh[b])), 6))
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(j)
-    return pa.table(
-        {
-            "doc_id_a": pa.array(out_a, type=pa.int64()),
-            "doc_id_b": pa.array(out_b, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64()),
-        }
+    payload = ds.map_batches(shingles_of, batch_format="pyarrow").materialize()
+    verified = verify_jaccard_pairs(
+        payload,
+        "doc_id",
+        "hashes",
+        cand["id_a"].to_numpy(),
+        cand["id_b"].to_numpy(),
+        threshold=threshold,
     )
+    out = verified.select(["doc_id_a", "doc_id_b", "jaccard"])
+    return out.sort_by([("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -1332,9 +1332,11 @@ NGRAM_N = 3
 
 
 def _shingle_explode(t: pa.Table) -> pa.Table:
-    """(doc_id, shingle) rows: distinct word 3-grams per doc (docs with
-    fewer than NGRAM_N words emit none — spec shared with the SQL oracle)."""
-    out_doc, out_sh = [], []
+    """(doc_id, shingle, n) rows: distinct word 3-grams per doc (docs with
+    fewer than NGRAM_N words emit none — spec shared with the SQL oracle);
+    ``n`` repeats the doc's TOTAL distinct-shingle count on every row so the
+    Jaccard denominator rides the pair exchange (no driver size dict)."""
+    out_doc, out_sh, out_n = [], [], []
     for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
         words = (text or "").split(" ")
         if len(words) < NGRAM_N:
@@ -1344,10 +1346,12 @@ def _shingle_explode(t: pa.Table) -> pa.Table:
             seen.add(" ".join(words[i : i + NGRAM_N]))
         out_doc.extend([doc_id] * len(seen))
         out_sh.extend(sorted(seen))
+        out_n.extend([len(seen)] * len(seen))
     return pa.table(
         {
             "doc_id": pa.array(out_doc, type=pa.int64()),
             "shingle": pa.array(out_sh, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
         }
     )
 
@@ -1356,34 +1360,24 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_bucket: int
     """EXACT word-3-gram Jaccard similar pairs via a shingle inverted index.
 
     explode → groupby(shingle) emits co-occurring pairs → groupby(pair)
-    counts shared shingles → |A∩B| / (|A|+|B|−|A∩B|) with per-doc shingle
-    counts broadcast from a tiny aggregate. Unlike MinHash this is exact;
-    the cost model assumes no shingle is shared by more than ``max_bucket``
-    docs (hot boilerplate shingles should be stop-listed upstream at real
-    scale — they produce quadratic pairs).
+    counts shared shingles → |A∩B| / (|A|+|B|−|A∩B|). Unlike MinHash this is
+    exact; the cost model assumes no shingle is shared by more than
+    ``max_bucket`` docs (hot boilerplate shingles should be stop-listed
+    upstream at real scale — they produce quadratic pairs).
+
+    Per-doc shingle counts ride each exploded row through the pair reduce
+    (``size_col``) and come back as per-pair size_a/size_b — no driver-side
+    doc→size dict, no second aggregate pass (VERDICT r2 finding #1: the old
+    ``take_all`` dict was O(corpus) driver memory, serialized per task).
     """
     from ..state.pairreduce import cooccurrence_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    # materialized: consumed twice (per-doc sizes + pair reduce)
     shingles = ds.map_batches(_shingle_explode, batch_format="pyarrow").materialize()
 
-    def size_partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(t.column("doc_id").combine_chunks())
-        return pa.table(
-            {"doc_id": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
-        )
-
-    sizes = {
-        int(r["doc_id"]): int(r["n"])
-        for r in shingles.map_batches(size_partial, batch_format="pyarrow")
-        .materialize()  # tiny combiner output; see core/batches.py note
-        .groupby("doc_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    }
-
-    shared_df = cooccurrence_pairs(shingles, "shingle", "doc_id", max_bucket=max_bucket)
+    shared_df = cooccurrence_pairs(
+        shingles, "shingle", "doc_id", max_bucket=max_bucket, size_col="n"
+    )
     shared_df = shared_df.rename(columns={"id_a": "a", "id_b": "b", "n_shared": "shared"})
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -1395,8 +1389,8 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_bucket: int
                     "jaccard": pd.Series([], dtype=np.float64),
                 }
             )
-        na = df["a"].map(sizes).to_numpy(dtype=np.float64)
-        nb = df["b"].map(sizes).to_numpy(dtype=np.float64)
+        na = df["size_a"].to_numpy(dtype=np.float64)
+        nb = df["size_b"].to_numpy(dtype=np.float64)
         c = df["shared"].to_numpy(dtype=np.float64)
         j = _rha(c / (na + nb - c), 6)
         out = pd.DataFrame(

@@ -206,6 +206,14 @@ class DictMatchStage:
             from ..core.fuzzy import token_set_ratio_matrix
 
             sim = token_set_ratio_matrix(uniq, vnames) / 100.0
+        elif self.scorer == "partial":
+            # RapidFuzz partial_ratio: best full-window alignment of the
+            # shorter string inside the longer (reference
+            # novel_check_utils.py:109-111 takes max(token_set, partial);
+            # green_claims.py:72-94 gates on substring-or-partial)
+            from ..core.fuzzy import partial_ratio_matrix
+
+            sim = partial_ratio_matrix(uniq, vnames) / 100.0
         else:
             sim = _char_jaccard_matrix(uniq, vnames)
         uniq_idx = {w: i for i, w in enumerate(uniq)}
@@ -294,6 +302,25 @@ def doc_dict_matches_tsr(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         return st(t)
 
     return doc_words(sf_dir, normalized=True).map_batches(tsr_task, batch_format="pyarrow")
+
+
+def doc_dict_matches_partial(sf_dir: str, threshold: float = 0.75) -> rd.Dataset:
+    """Dictionary matches scored with the RapidFuzz-equivalent partial_ratio
+    (``core.fuzzy.partial_ratio_matrix``) — the reference's sliding-window
+    best-substring scorer ("claim phrase inside a long description",
+    ``novel_check_utils.py:109-111``, ``banningredients.py:346-348``).
+    Oracle: the same bit-parallel LCS recursive CTE as doc_dict_matches_tsr,
+    lifted over all full windows of the longer side."""
+
+    def partial_task(t, _cache={}):
+        st = _cache.get("partial")
+        if st is None:
+            st = _cache["partial"] = DictMatchStage(threshold=threshold, scorer="partial")
+        return st(t)
+
+    return doc_words(sf_dir, normalized=True).map_batches(
+        partial_task, batch_format="pyarrow"
+    )
 
 
 def doc_best_dict_match(sf_dir: str) -> pa.Table:

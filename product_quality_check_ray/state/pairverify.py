@@ -1,0 +1,246 @@
+"""Distributed exact-Jaccard verification of candidate pairs.
+
+The LSH dedup family (MinHash bands, shingle inverted index, piece buckets)
+produces CANDIDATE id pairs that must be verified by exact set Jaccard over
+each doc's hash set. Round 2 verified on the driver: every candidate doc's
+hash set was pulled into a Python dict and pairs were scored in a per-pair
+loop — O(candidates) driver memory and Python-speed verification (VERDICT r2
+finding #2). This module distributes that step with the raw-task
+range-reduce shape shared by ``state/dupfinder`` / ``state/pairreduce``:
+
+- the driver holds only the candidate PAIR ids (the same object the caller
+  already materialized to know what to verify) and a doc→ranges incidence
+  built from them (both bounded by the pair caps, never by the corpus);
+- **map** (one task per payload-block bundle): each candidate doc's hash set
+  is routed — duplicated where needed — to every range that owns one of its
+  pairs; non-candidate rows never leave the block;
+- **reduce** (one task per range): gathers its pairs' two sides locally and
+  computes ALL intersections in one vectorized lexsort pass (sort by
+  (pair, value); adjacent equal values within a pair are intersections —
+  exact because each doc's hash array is a unique set), then per-pair
+  Jaccard.
+
+Partitioning assumption: pairs are assigned to ranges round-robin, so range
+load is uniform in PAIR count; a doc appearing in many pairs is duplicated
+to at most R ranges (R ≈ CPU count), which bounds the fan-out at
+``R × |candidate docs|`` hash-set shipments worst case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+@ray.remote
+def _route_payloads(block_refs: list, id_col: str, hash_col: str, ranges: int, inc):
+    """Split candidate payload rows into the ranges that need them
+    (``num_returns=ranges``): per range (ids, offsets, flat hash values).
+    ``inc`` is the broadcast incidence tuple (top-level ObjectRef args are
+    plasma-resolved zero-copy by Ray before the task body runs)."""
+    docs_sorted, off, rgs_flat = inc
+    blocks = ray.get(list(block_refs))
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in blocks]
+    tables = [t for t in tables if t.num_rows > 0]
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.zeros(1, dtype=np.int64),
+        np.empty(0, dtype=np.uint64),
+    )
+    if not tables:
+        return tuple(empty for _ in range(ranges)) if ranges > 1 else empty
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
+    col = t.column(hash_col).combine_chunks()
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.asarray(
+        col.values.to_numpy(zero_copy_only=False), dtype=np.uint64
+    )[: offs[-1]]
+    base = offs - offs[0]
+    lens = base[1:] - base[:-1]
+    pos = np.searchsorted(docs_sorted, ids)
+    pos = np.minimum(pos, max(docs_sorted.size - 1, 0))
+    present = docs_sorted.size > 0
+    hit = (docs_sorted[pos] == ids) if present else np.zeros(ids.size, dtype=bool)
+    # vectorized routing: explode each hit row to its ranges
+    hit_rows = np.flatnonzero(hit)
+    if hit_rows.size == 0:
+        return tuple(empty for _ in range(ranges)) if ranges > 1 else empty
+    p = pos[hit_rows]
+    counts = off[p + 1] - off[p]
+    total = int(counts.sum())
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    row_rep = np.repeat(hit_rows, counts)
+    rg_rep = rgs_flat[np.repeat(off[p], counts) + intra]
+    order = np.argsort(rg_rep, kind="stable")
+    rg_rep, row_rep = rg_rep[order], row_rep[order]
+    bounds = np.searchsorted(rg_rep, np.arange(1, ranges))
+    parts = []
+    for lo, hi in zip(np.r_[0, bounds], np.r_[bounds, rg_rep.size]):
+        rows = row_rep[lo:hi]
+        if rows.size == 0:
+            parts.append(empty)
+            continue
+        lr = lens[rows]
+        tot = int(lr.sum())
+        gather = np.repeat(base[:-1][rows], lr) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(lr) - lr, lr)
+        )
+        parts.append(
+            (ids[rows], np.concatenate(([0], np.cumsum(lr))), vals[gather])
+        )
+    return tuple(parts) if ranges > 1 else parts[0]
+
+
+@ray.remote
+def _verify_range(pairs, r: int, threshold: float, *parts):
+    """Exact Jaccard for range ``r``'s pairs over its routed payloads;
+    ``pairs`` is the broadcast (id_a, id_b, range) tuple."""
+    from ..core.rounding import round_half_away as _rha
+
+    a_all, b_all, rg = pairs
+    mine = np.flatnonzero(rg == r)
+    out_empty = pa.table(
+        {
+            "doc_id_a": pa.array([], type=pa.int64()),
+            "doc_id_b": pa.array([], type=pa.int64()),
+            "shared": pa.array([], type=pa.int64()),
+            "n_a": pa.array([], type=pa.int64()),
+            "n_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+    if mine.size == 0:
+        return out_empty
+    ids = np.concatenate([p[0] for p in parts])
+    if ids.size == 0:
+        return out_empty
+    lens = np.concatenate([p[1][1:] - p[1][:-1] for p in parts])
+    vals = np.concatenate([p[2] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    ids_s, lens_s = ids[order], lens[order]
+    starts_unordered = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    starts_s = starts_unordered[order]
+    pa_ids, pb_ids = a_all[mine], b_all[mine]
+
+    def locate(q: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(ids_s, q)
+        pos = np.minimum(pos, max(ids_s.size - 1, 0))
+        ok = ids_s[pos] == q
+        if not ok.all():
+            missing = q[~ok][:5]
+            raise ValueError(f"payload rows missing for candidate ids {missing}")
+        return pos
+
+    ia, ib = locate(pa_ids), locate(pb_ids)
+    na, nb = lens_s[ia].astype(np.int64), lens_s[ib].astype(np.int64)
+    npairs = mine.size
+
+    def flat_side(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lr = lens_s[rows]
+        tot = int(lr.sum())
+        gather = np.repeat(starts_s[rows], lr) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(lr) - lr, lr)
+        )
+        pidx = np.repeat(np.arange(npairs, dtype=np.int64), lr)
+        return vals[gather], pidx
+
+    va, pia = flat_side(ia)
+    vb, pib = flat_side(ib)
+    v = np.concatenate([va, vb])
+    p = np.concatenate([pia, pib])
+    o = np.lexsort((v, p))
+    v, p = v[o], p[o]
+    dup = np.zeros(v.size, dtype=bool)
+    if v.size > 1:
+        dup[1:] = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    shared = np.bincount(p[dup], minlength=npairs).astype(np.int64)
+    union = na + nb - shared
+    jac = _rha(
+        np.where(union > 0, shared / np.maximum(union, 1), 1.0), 6
+    )
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "doc_id_a": pa.array(pa_ids[keep]),
+            "doc_id_b": pa.array(pb_ids[keep]),
+            "shared": pa.array(shared[keep]),
+            "n_a": pa.array(na[keep]),
+            "n_b": pa.array(nb[keep]),
+            "jaccard": pa.array(jac[keep]),
+        }
+    )
+
+
+def verify_jaccard_pairs(
+    payload_ds: rd.Dataset,
+    id_col: str,
+    hash_col: str,
+    id_a: np.ndarray,
+    id_b: np.ndarray,
+    *,
+    threshold: float = 0.0,
+    ranges: int | None = None,
+    pairs_per_range: int = 200_000,
+    blocks_per_task: int = 8,
+) -> pa.Table:
+    """Exact set-Jaccard for candidate id pairs, computed in range tasks.
+
+    ``payload_ds`` holds one row per CANDIDATE doc: (id_col:int64,
+    hash_col:list<uint64> of the doc's unique hash set). Returns
+    (doc_id_a, doc_id_b, shared, n_a, n_b, jaccard) for pairs whose
+    half-away-6-rounded Jaccard ≥ ``threshold``, unordered.
+    """
+    n = int(len(id_a))
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], type=pa.int64()),
+                "doc_id_b": pa.array([], type=pa.int64()),
+                "shared": pa.array([], type=pa.int64()),
+                "n_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+    if ranges is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        ranges = max(1, min(cpus, -(-n // pairs_per_range)))
+    id_a = np.asarray(id_a, dtype=np.int64)
+    id_b = np.asarray(id_b, dtype=np.int64)
+    rg = (np.arange(n, dtype=np.int64) % ranges).astype(np.int64)
+    # doc → ranges incidence (CSR over unique (doc, range) pairs)
+    docs = np.concatenate([id_a, id_b])
+    drg = np.concatenate([rg, rg])
+    key = np.stack([docs, drg], axis=1)
+    uniq = np.unique(key, axis=0)
+    docs_sorted, first = np.unique(uniq[:, 0], return_index=True)
+    off = np.concatenate([first, [uniq.shape[0]]]).astype(np.int64)
+    inc_ref = ray.put((docs_sorted, off, uniq[:, 1].astype(np.int64)))
+    pairs_ref = ray.put((id_a, id_b, rg))
+
+    bundles = list(payload_ds.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        raise ValueError("payload dataset produced no blocks for candidate pairs")
+    mapped = [
+        _route_payloads.options(num_returns=ranges).remote(
+            block_refs[i : i + blocks_per_task], id_col, hash_col, ranges, inc_ref
+        )
+        for i in range(0, len(block_refs), blocks_per_task)
+    ]
+    if ranges == 1:
+        mapped = [[m] for m in mapped]
+    verified = ray.get(
+        [
+            _verify_range.remote(pairs_ref, r, threshold, *[m[r] for m in mapped])
+            for r in range(ranges)
+        ]
+    )
+    return pa.concat_tables(verified)

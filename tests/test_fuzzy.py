@@ -104,3 +104,78 @@ def test_dict_match_tsr_stage(ray_session, tmp_path):
     assert len(fuzz) == 1 and abs(fuzz["score"].iloc[0] - 0.8) < 1e-9
     assert "nonsense" not in set(out["word"])
     assert (out["score"] <= 1.0).all() and (out["score"] > 0).all()
+
+
+def _ref_partial_ratio(a: str, b: str) -> float:
+    """Naive DP reference: best full-window InDel ratio of the shorter
+    string inside the longer (independent of core.fuzzy internals)."""
+    s, l = (a, b) if len(a) <= len(b) else (b, a)
+    m = len(s)
+    if m == 0:
+        return 100.0 if len(l) == 0 else 0.0
+
+    def lcs(x, y):
+        prev = [0] * (len(y) + 1)
+        for cx in x:
+            cur = [0]
+            for j, cy in enumerate(y, 1):
+                cur.append(prev[j - 1] + 1 if cx == cy else max(prev[j], cur[-1]))
+            prev = cur
+        return prev[-1]
+
+    best = max(lcs(s, l[i : i + m]) for i in range(len(l) - m + 1))
+    return 200.0 * best / (2 * m)
+
+
+def test_partial_ratio_batch_matches_naive_dp():
+    import numpy as np
+
+    from product_quality_check_ray.core.fuzzy import partial_ratio_batch
+
+    rng = np.random.default_rng(17)
+    alpha = "abcdef"
+    pairs = []
+    for _ in range(400):
+        a = "".join(rng.choice(list(alpha), size=int(rng.integers(0, 14))))
+        b = "".join(rng.choice(list(alpha), size=int(rng.integers(0, 14))))
+        pairs.append((a, b))
+    # edge cases: empties, identical, substring containment, long (DP path)
+    pairs += [
+        ("", ""),
+        ("", "abc"),
+        ("abc", ""),
+        ("abc", "abc"),
+        ("abc", "xxabcxx"),
+        ("a" * 80, "a" * 100),
+        ("ab" * 40, "ba" * 50),
+    ]
+    got = partial_ratio_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    exp = np.array([_ref_partial_ratio(a, b) for a, b in pairs])
+    assert np.allclose(got, exp), (got - exp)
+
+
+def test_dict_match_partial_stage(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.textnorm import doc_dict_matches_partial
+
+    d = tmp_path / "partialfix"
+    d.mkdir()
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": pa.array(["sort sortedness nonsense"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s"]),
+            "n_chars": pa.array([25], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = doc_dict_matches_partial(str(d)).to_pandas()
+    exact = out[(out["word"] == "sort") & (out["match_kind"] == "exact")]
+    assert len(exact) > 0
+    # "sort" is a full window of "sortedness" → partial_ratio 1.0, kind fuzzy
+    fuzz = out[(out["word"] == "sortedness") & (out["matched_variant"] == "sort")]
+    assert len(fuzz) == 1 and fuzz["score"].iloc[0] == 1.0
+    assert fuzz["match_kind"].iloc[0] == "fuzzy"

@@ -1670,3 +1670,95 @@ def test_substring_hashed_key_path_matches_exact(ray_session):
     a = doc_lcs_pairs(SF_SMALL).to_pandas()
     b = doc_lcs_pairs(SF_SMALL, exact_keys=False).to_pandas()
     assert len(a) > 0 and a.equals(b)
+
+
+def test_verify_jaccard_pairs_matches_naive(ray_session):
+    """state/pairverify: the distributed lexsort-intersection verify must
+    equal a per-pair numpy reference on random unique hash sets, across
+    multiple ranges (forced small pairs_per_range)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from product_quality_check_ray.core.rounding import round_half_away
+    from product_quality_check_ray.state.pairverify import verify_jaccard_pairs
+
+    rng = _np.random.default_rng(5)
+    n_docs = 60
+    sets = {
+        i: _np.unique(rng.integers(0, 500, size=int(rng.integers(1, 80))).astype(_np.uint64))
+        for i in range(n_docs)
+    }
+    payload = _pa.table(
+        {
+            "doc_id": _pa.array(list(sets), type=_pa.int64()),
+            "hashes": _pa.array([v.tolist() for v in sets.values()], type=_pa.list_(_pa.uint64())),
+        }
+    )
+    # split payload across several blocks to exercise block routing
+    ds = _rd.from_arrow([payload.slice(0, 20), payload.slice(20, 20), payload.slice(40)])
+    ia, ib = [], []
+    for _ in range(300):
+        a, b = rng.integers(0, n_docs, size=2)
+        if a == b:
+            continue
+        ia.append(min(a, b))
+        ib.append(max(a, b))
+    ia, ib = _np.array(ia, dtype=_np.int64), _np.array(ib, dtype=_np.int64)
+    got = (
+        verify_jaccard_pairs(ds, "doc_id", "hashes", ia, ib, threshold=0.1, pairs_per_range=40)
+        .to_pandas()
+        .sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True)
+        .drop_duplicates()
+    )
+    exp_rows = []
+    seen = set()
+    for a, b in zip(ia, ib):
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        inter = _np.intersect1d(sets[a], sets[b], assume_unique=True).size
+        union = sets[a].size + sets[b].size - inter
+        j = float(round_half_away(_np.float64(inter / union if union else 1.0), 6))
+        if j >= 0.1:
+            exp_rows.append((a, b, inter, sets[a].size, sets[b].size, j))
+    exp_rows.sort()
+    got_rows = sorted(
+        zip(
+            got["doc_id_a"], got["doc_id_b"], got["shared"], got["n_a"], got["n_b"], got["jaccard"]
+        )
+    )
+    # the distributed path verifies each DISTINCT pair once per occurrence in
+    # the input arrays; dedupe both sides for comparison
+    got_rows = sorted(set((int(a), int(b), int(s), int(na), int(nb), float(j)) for a, b, s, na, nb, j in got_rows))
+    assert got_rows == exp_rows
+
+
+def test_cooccurrence_pairs_size_col(ray_session):
+    """pairreduce size_col: per-pair size_a/size_b equal each id's constant
+    per-row attribute, for every emitted pair."""
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from product_quality_check_ray.state.pairreduce import cooccurrence_pairs
+
+    rows = []
+    sizes = {1: 3, 2: 5, 3: 2, 4: 7}
+    shingle_sets = {1: ["x", "y", "z"], 2: ["x", "q", "r", "s", "t"], 3: ["y", "q"], 4: ["z"]}
+    for did, shs in shingle_sets.items():
+        for s in shs:
+            rows.append((did, s, sizes[did]))
+    t = _pa.table(
+        {
+            "doc_id": _pa.array([r[0] for r in rows], type=_pa.int64()),
+            "shingle": _pa.array([r[1] for r in rows]),
+            "n": _pa.array([r[2] for r in rows], type=_pa.int64()),
+        }
+    )
+    df = cooccurrence_pairs(
+        _rd.from_arrow(t), "shingle", "doc_id", size_col="n"
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert set(zip(df["id_a"], df["id_b"])) == {(1, 2), (1, 3), (1, 4), (2, 3)}
+    for r in df.itertuples():
+        assert r.size_a == sizes[r.id_a] and r.size_b == sizes[r.id_b]
