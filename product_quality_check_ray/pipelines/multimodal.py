@@ -221,3 +221,122 @@ def multimodal_features(sf_dir: str) -> rd.Dataset:
         batch_size=256,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode (PNG / BMP, pure stdlib — core/imagecodec.py)
+# ---------------------------------------------------------------------------
+
+# gradient-image fixture parameters — every value below is reproduced
+# verbatim in the SQL oracle (__ray_entry__), so the decoded-pixel means are
+# independently checkable: the engine must actually inflate+unfilter the PNG
+# (or unpad+flip the BMP) to recover them
+PX_W_MOD = 25
+PX_H_MOD = 25
+PX_BASE = 8
+
+
+def _gradient_pixels(doc_id: int) -> "np.ndarray":
+    """Deterministic RGB gradient: R varies along x, G along y, B along
+    x+y — catches column-order, row-order and both-axis decode bugs."""
+    w = PX_BASE + doc_id % PX_W_MOD
+    h = PX_BASE + (doc_id * 7) % PX_H_MOD
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    r = np.broadcast_to((doc_id + x) % 256, (h, w))
+    g = np.broadcast_to(((doc_id * 3 + y) % 256)[:, None], (h, w))
+    b = (doc_id * 5 + x[None, :] + y[:, None]) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def media_pixel_dataset(sf_dir: str) -> rd.Dataset:
+    """Synthesize REAL image payloads from the documents table (no external
+    data): even doc_ids → PNG (per-row filter type cycles 0-4, exercising
+    every unfilter path), odd → 24-bit BMP (padded, bottom-up). Payloads are
+    a pure function of doc_id, so expected features are SQL-computable."""
+    from ..core.imagecodec import encode_bmp, encode_png
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            px = _gradient_pixels(int(i))
+            if i % 2 == 0:
+                filters = (int(i) + np.arange(px.shape[0])) % 5
+                payloads.append(encode_png(px, filters))
+            else:
+                payloads.append(encode_bmp(px))
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "container": pa.array(
+                    np.where(ids % 2 == 0, "png", "bmp"), type=pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+DECODE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("container", pa.string()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("mean_r", pa.float64()),
+        ("mean_g", pa.float64()),
+        ("mean_b", pa.float64()),
+    ]
+)
+
+
+class MediaDecodeStage:
+    """Actor-pool REAL decode stage: payload bytes → pixels → per-channel
+    means. Decoding state (none today; a real model/codec handle would live
+    here) is constructed once per actor; ``__call__`` is per batch. Payloads
+    never pass a shuffle — only the tiny feature rows leave the stage."""
+
+    def __init__(self):
+        from ..core.imagecodec import decode_image
+
+        self._decode = decode_image
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..core.rounding import round_half_away as _rha
+
+        ids = t.column("media_id").to_pylist()
+        containers = t.column("container").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        rows = []
+        for mid, cont, payload in zip(ids, containers, payloads):
+            px = self._decode(payload)
+            means = px.reshape(-1, 3).mean(axis=0)
+            rows.append(
+                {
+                    "media_id": mid,
+                    "container": cont,
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "mean_r": float(_rha(means[0], 6)),
+                    "mean_g": float(_rha(means[1], 6)),
+                    "mean_b": float(_rha(means[2], 6)),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=DECODE_SCHEMA)
+
+
+def multimodal_decode(sf_dir: str) -> rd.Dataset:
+    """Decode real PNG/BMP payloads and emit per-channel pixel means —
+    SQL-oracle-checked against the closed-form gradient expectations
+    (any inflate/unfilter/padding/row-order bug shifts a mean)."""
+    media = media_pixel_dataset(sf_dir)
+    return media.map_batches(
+        MediaDecodeStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )

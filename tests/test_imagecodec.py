@@ -1,0 +1,112 @@
+"""Pure-stdlib PNG/BMP codec: round-trips, exotic variants, decode parity."""
+
+import numpy as np
+import pytest
+
+from product_quality_check_ray.core.imagecodec import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_png,
+)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_round_trip_every_filter(filt):
+    rng = np.random.default_rng(filt)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    out = decode_png(encode_png(px, np.full(17, filt)))
+    assert (out == px).all()
+
+
+def test_png_round_trip_mixed_filters_and_edge_sizes():
+    rng = np.random.default_rng(99)
+    for w, h in [(1, 1), (1, 9), (9, 1), (33, 2)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        filters = np.arange(h) % 5
+        assert (decode_png(encode_png(px, filters)) == px).all(), (w, h)
+
+
+def test_bmp_round_trip_padding_widths():
+    # widths 1-5 cover every row-padding remainder (3w % 4)
+    rng = np.random.default_rng(7)
+    for w in range(1, 6):
+        px = rng.integers(0, 256, (5, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(px)) == px).all(), w
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = bytearray(encode_bmp(px[::-1]))  # encode flipped...
+    buf[22:26] = struct.pack("<i", -2)  # ...then mark top-down
+    assert (decode_bmp(bytes(buf)) == px[::-1][::-1]).all()
+
+
+def test_png_gray_and_rgba_color_types():
+    import struct
+    import zlib
+
+    # hand-build a 2x2 grayscale PNG (color type 0) and an RGBA one (type 6)
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    gray = bytes([0, 10, 20, 0, 30, 40])  # 2 rows, filter 0
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(gray))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert (out[0, 0] == [10, 10, 10]).all() and (out[1, 1] == [40, 40, 40]).all()
+
+    rgba = bytes([0] + [1, 2, 3, 255, 4, 5, 6, 0])  # 1 row of 2 RGBA px
+    png6 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rgba))
+        + chunk(b"IEND", b"")
+    )
+    out6 = decode_png(png6)
+    assert (out6[0, 0] == [1, 2, 3]).all() and (out6[0, 1] == [4, 5, 6]).all()
+
+
+def test_decode_image_dispatch_and_errors():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_image(encode_png(px)).shape == (2, 2, 3)
+    assert decode_image(encode_bmp(px)).shape == (2, 2, 3)
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+
+
+def test_gradient_fixture_means_match_formula():
+    """The engine-side decode means equal the oracle's closed form."""
+    from product_quality_check_ray.pipelines.multimodal import (
+        PX_BASE,
+        PX_H_MOD,
+        PX_W_MOD,
+        _gradient_pixels,
+    )
+    from product_quality_check_ray.core.imagecodec import encode_png
+
+    for doc_id in (0, 7, 101, 4096):
+        px = _gradient_pixels(doc_id)
+        w = PX_BASE + doc_id % PX_W_MOD
+        h = PX_BASE + (doc_id * 7) % PX_H_MOD
+        assert px.shape == (h, w, 3)
+        dec = decode_png(encode_png(px, (doc_id + np.arange(h)) % 5))
+        means = dec.reshape(-1, 3).mean(axis=0)
+        exp_r = np.mean([(doc_id + x) % 256 for x in range(w)])
+        exp_g = np.mean([(doc_id * 3 + y) % 256 for y in range(h)])
+        exp_b = np.mean(
+            [(doc_id * 5 + x + y) % 256 for x in range(w) for y in range(h)]
+        )
+        assert means[0] == exp_r and means[1] == exp_g and means[2] == exp_b

@@ -203,16 +203,21 @@ def test_quality_and_langid_run(ray_session):
 
 
 def test_knn_ivf_high_recall_on_clusters(fixture_dir):
-    from product_quality_check_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+    from product_quality_check_ray.pipelines.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_ivf_kmeans,
+    )
 
     bf = knn_bruteforce(fixture_dir, k=10, num_queries=4).to_pandas()
-    iv = knn_ivf(fixture_dir, k=10, num_queries=4, nprobe=2, n_lists=8).to_pandas()
-    recalls = []
-    for q in bf["query_id"].unique():
-        b = set(bf[bf["query_id"] == q]["neighbor_id"])
-        l = set(iv[iv["query_id"] == q]["neighbor_id"])
-        recalls.append(len(b & l) / len(b))
-    assert np.mean(recalls) >= 0.9
+    for variant in (knn_ivf, knn_ivf_kmeans):
+        iv = variant(fixture_dir, k=10, num_queries=4, nprobe=2, n_lists=8).to_pandas()
+        recalls = []
+        for q in bf["query_id"].unique():
+            b = set(bf[bf["query_id"] == q]["neighbor_id"])
+            l = set(iv[iv["query_id"] == q]["neighbor_id"])
+            recalls.append(len(b & l) / len(b))
+        assert np.mean(recalls) >= 0.9, variant.__name__
 
 
 def test_embedding_near_dups_finds_twins(fixture_dir, tmp_path):
@@ -854,7 +859,7 @@ def test_knn_ivf_full_kmeans_build(fixture_dir, tmp_path, monkeypatch):
     root = sim.ivf_build(fixture_dir, n_lists=8, full_kmeans=True)
     assert (tmp_path / "pqcray_ivf").exists()
     bf = sim.knn_bruteforce(fixture_dir, k=10, num_queries=4).to_pandas()
-    iv = sim.knn_ivf(fixture_dir, k=10, num_queries=4, nprobe=3, n_lists=8).to_pandas()
+    iv = sim.knn_ivf_kmeans(fixture_dir, k=10, num_queries=4, nprobe=3, n_lists=8).to_pandas()
     recalls = []
     for q in bf["query_id"].unique():
         b = set(bf[bf["query_id"] == q]["neighbor_id"])
