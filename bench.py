@@ -2,14 +2,24 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+   "queries": {name: sec, ...}, "isolated_queries": {name: sec, ...},
+   "sf": ..., "num_cpus": N, ...extras}
+
+Suite walls (`queries`) share one Ray session, so later entries inherit
+scheduler/object-store state from earlier ones — BASELINE.md documents up to
+2× in-suite swing on this box. Isolated walls (`isolated_queries`) run each
+pipeline in a FRESH process + Ray session (timer covers only the query, not
+session startup) and are the numbers to use for round-over-round comparison.
 
 Modes:
-  python bench.py                 # full suite at $RAY_GRAFT_CPUS (default 32)
-  python bench.py --scaling       # validation pipeline at 8 and 32 CPUs in
+  python bench.py                 # suite + isolated walls (one JSON line)
+  python bench.py --suite-only    # suite walls only (fast iteration)
+  python bench.py --isolated      # isolated walls only
+  python bench.py --scaling       # validation pipeline at N and 4N CPUs in
                                   # fresh processes; reports throughputs +
-                                  # scaling efficiency (N vs 4N stand-in)
+                                  # scaling efficiency
   python bench.py --one-validate  # internal: single timed validation run
+  python bench.py --one-query X   # internal: single timed query run
 """
 
 from __future__ import annotations
@@ -57,6 +67,25 @@ def _warm_files(paths: list[str]) -> None:
                 pass
 
 
+def _warm_tables() -> None:
+    _warm_files(
+        [
+            os.path.join(SF_DIR, f"{t}.parquet")
+            for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings")
+            if os.path.exists(os.path.join(SF_DIR, f"{t}.parquet"))
+        ]
+    )
+
+
+def _consume(res) -> None:
+    """Drain lazily-returned datasets so the timer covers execution."""
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        for _ in res.iter_batches(batch_format="pyarrow"):
+            pass
+
+
 def _validate_once(sf_dir: str, out_dir: str) -> dict:
     """One timed flagship validation run (fresh out_dir, no resume credit)."""
     from product_quality_check_ray.datagen import ensure_sequences
@@ -77,84 +106,77 @@ def _validate_once(sf_dir: str, out_dir: str) -> dict:
     }
 
 
-def run_suite() -> dict:
-    _init_ray(NUM_CPUS)
+def _bench_query_fns() -> list[tuple[str, object]]:
+    """The benched pipelines (name, callable(sf_dir)) — shared by the suite
+    and the isolated runner so both time the exact same work."""
+    from product_quality_check_ray.pipelines import npm
     from product_quality_check_ray.pipelines import relational as rel
     from product_quality_check_ray.pipelines import similarity as sim
+    from product_quality_check_ray.pipelines import substring as sub
     from product_quality_check_ray.pipelines import text as tx
+    from product_quality_check_ray.pipelines import textprep as tp
+    from product_quality_check_ray.pipelines import tokens as tk
+    from product_quality_check_ray.pipelines import multimodal as mm
 
+    return [
+        ("pricing_summary", rel.pricing_summary),
+        ("events_daily", rel.events_daily),
+        ("grouped_topk_orders", rel.grouped_topk_orders),
+        ("user_sessions", rel.user_sessions),
+        ("events_asof_last_click", rel.events_asof_last_click),
+        ("seq_npm_scores", lambda sf: npm.seq_npm_scores(sf)),
+        ("doc_token_stats", tx.doc_token_stats),
+        ("doc_minhash_dups", tx.doc_minhash_dups),
+        ("doc_simhash_dups", tx.doc_simhash_dups),
+        ("doc_ngram_jaccard_pairs", tx.doc_ngram_jaccard_pairs),
+        ("doc_winnow_fingerprints", tx.doc_winnow_fingerprints),
+        ("doc_overlap_pairs", tx.doc_overlap_pairs),
+        ("doc_segment_dedupe", tx.doc_segment_dedupe),
+        ("clean_documents", lambda sf: tx.clean_documents(sf)),
+        ("clean_documents_full", lambda sf: tx.clean_documents_full(sf)),
+        ("doc_chunks", lambda sf: tp.doc_chunks(sf)),
+        ("doc_pack_examples", lambda sf: tp.doc_pack_examples(sf)),
+        ("seq_pack_plan", lambda sf: tp.seq_pack_plan(sf)),
+        ("seq_decontaminate", lambda sf: tk.seq_decontaminate(sf)),
+        ("seq_dup_token_arrays", lambda sf: tk.seq_dup_token_arrays(sf)),
+        ("seq_chunk_windows", lambda sf: tk.seq_chunk_windows(sf)),
+        ("seq_length_batches", lambda sf: tk.seq_length_batches(sf)),
+        ("seq_detokenize", lambda sf: tk.seq_detokenize(sf)),
+        ("seq_unigram_lm_score", lambda sf: tk.seq_unigram_lm_score(sf)),
+        ("seq_pack_execute", lambda sf: tp.seq_pack_execute(sf)),
+        ("prepare_training_sequences", lambda sf: tk.prepare_training_sequences(sf)),
+        ("seq_neardup_pairs", lambda sf: tk.seq_neardup_pairs(sf)),
+        ("seq_bigram_topk", lambda sf: tk.seq_bigram_topk(sf)),
+        ("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf)),
+        ("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf)),
+        ("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf)),
+        ("doc_lm_score", lambda sf: tp.doc_lm_score(sf)),
+        ("events_range_counts", lambda sf: rel.events_range_counts(sf)),
+        ("prepare_training_corpus", lambda sf: tp.prepare_training_corpus(sf)),
+        ("knn_bruteforce", sim.knn_bruteforce),
+        ("knn_lsh", sim.knn_lsh),
+        ("knn_ivf", sim.knn_ivf),
+        ("embedding_near_dups", lambda sf: sim.embedding_near_dups(sf, threshold=0.4)),
+        ("embedding_semantic_dedup", sim.embedding_semantic_dedup),
+        ("multimodal_decode", mm.multimodal_decode),
+    ]
+
+
+def run_suite() -> dict:
+    _init_ray(NUM_CPUS)
     queries: dict[str, float] = {}
     extras: dict = {}
 
-    _warm_files(
-        [
-            os.path.join(SF_DIR, f"{t}.parquet")
-            for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings")
-            if os.path.exists(os.path.join(SF_DIR, f"{t}.parquet"))
-        ]
-    )
+    _warm_tables()
     r = _validate_once(SF_DIR, "/tmp/pqcray_bench_out")
     queries["validate"] = round(r["wall_s"], 3)
     extras["rows_validated"] = r["rows"]
     extras["seq_per_sec"] = round(r["seq_per_sec"], 1)
 
-    def timed(name, fn):
+    for name, fn in _bench_query_fns():
         t0 = time.time()
-        res = fn(SF_DIR)
-        # consume lazily-returned datasets so the timer covers execution
-        import ray.data as rd
-
-        if isinstance(res, rd.Dataset):
-            n = 0
-            for b in res.iter_batches(batch_format="pyarrow"):
-                n += b.num_rows
+        _consume(fn(SF_DIR))
         queries[name] = round(time.time() - t0, 3)
-
-    from product_quality_check_ray.pipelines import npm
-
-    timed("pricing_summary", rel.pricing_summary)
-    timed("events_daily", rel.events_daily)
-    timed("grouped_topk_orders", rel.grouped_topk_orders)
-    timed("user_sessions", rel.user_sessions)
-    timed("events_asof_last_click", rel.events_asof_last_click)
-    timed("seq_npm_scores", lambda sf: npm.seq_npm_scores(sf))
-    timed("doc_token_stats", tx.doc_token_stats)
-    timed("doc_minhash_dups", tx.doc_minhash_dups)
-    timed("doc_simhash_dups", tx.doc_simhash_dups)
-    timed("doc_ngram_jaccard_pairs", tx.doc_ngram_jaccard_pairs)
-    timed("doc_winnow_fingerprints", tx.doc_winnow_fingerprints)
-    timed("doc_overlap_pairs", tx.doc_overlap_pairs)
-    timed("doc_segment_dedupe", tx.doc_segment_dedupe)
-    timed("clean_documents", lambda sf: tx.clean_documents(sf))
-    timed("clean_documents_full", lambda sf: tx.clean_documents_full(sf))
-    from product_quality_check_ray.pipelines import textprep as tp
-
-    from product_quality_check_ray.pipelines import substring as sub
-
-    timed("doc_chunks", lambda sf: tp.doc_chunks(sf))
-    timed("doc_pack_examples", lambda sf: tp.doc_pack_examples(sf))
-    timed("seq_pack_plan", lambda sf: tp.seq_pack_plan(sf))
-    from product_quality_check_ray.pipelines import tokens as tk
-
-    timed("seq_decontaminate", lambda sf: tk.seq_decontaminate(sf))
-    timed("seq_dup_token_arrays", lambda sf: tk.seq_dup_token_arrays(sf))
-    timed("seq_chunk_windows", lambda sf: tk.seq_chunk_windows(sf))
-    timed("seq_length_batches", lambda sf: tk.seq_length_batches(sf))
-    timed("seq_detokenize", lambda sf: tk.seq_detokenize(sf))
-    timed("seq_unigram_lm_score", lambda sf: tk.seq_unigram_lm_score(sf))
-    timed("seq_pack_execute", lambda sf: tp.seq_pack_execute(sf))
-    timed("prepare_training_sequences", lambda sf: tk.prepare_training_sequences(sf))
-    timed("seq_neardup_pairs", lambda sf: tk.seq_neardup_pairs(sf))
-    timed("seq_bigram_topk", lambda sf: tk.seq_bigram_topk(sf))
-    timed("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf))
-    timed("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf))
-    timed("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf))
-    timed("doc_lm_score", lambda sf: tp.doc_lm_score(sf))
-    timed("events_range_counts", lambda sf: rel.events_range_counts(sf))
-    timed("prepare_training_corpus", lambda sf: tp.prepare_training_corpus(sf))
-    timed("knn_bruteforce", sim.knn_bruteforce)
-    timed("embedding_near_dups", sim.embedding_near_dups)
-    timed("embedding_semantic_dedup", sim.embedding_semantic_dedup)
 
     total = round(sum(queries.values()), 3)
     return {
@@ -166,6 +188,55 @@ def run_suite() -> dict:
         "num_cpus": NUM_CPUS,
         **extras,
     }
+
+
+def _run_child(args: list[str], env: dict) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=3600,
+    )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"bench child {args} failed (rc={out.returncode}); "
+            f"stderr tail: {out.stderr[-2000:]}"
+        )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_isolated() -> dict:
+    """Each pipeline in a FRESH process + Ray session: the walls to compare
+    across rounds (in-suite walls inherit scheduler state and swing up to 2×
+    on this box — measured in BASELINE.md)."""
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(NUM_CPUS)
+    env["GRAFT_SF_DIR"] = SF_DIR
+    queries: dict[str, float] = {}
+    r = _run_child(["--one-validate"], env)
+    queries["validate"] = round(r["wall_s"], 3)
+    for name, _ in _bench_query_fns():
+        res = _run_child(["--one-query", name], env)
+        queries[name] = round(res["wall_s"], 3)
+    return {
+        "metric": "isolated_pipeline_wall",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_one_query(name: str) -> dict:
+    _init_ray(NUM_CPUS)
+    fns = dict(_bench_query_fns())
+    _warm_tables()
+    t0 = time.time()
+    _consume(fns[name](SF_DIR))
+    return {"name": name, "wall_s": time.time() - t0}
 
 
 SCALING_ROWS = int(os.environ.get("PQCRAY_SCALING_ROWS", "12800000"))
@@ -204,21 +275,7 @@ def run_scaling() -> dict:
         env["PQCRAY_SEQ_DIR"] = seq_dir
         best = None
         for _ in range(max(1, trials)):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one-validate"],
-                capture_output=True,
-                text=True,
-                env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                timeout=3600,
-            )
-            if out.returncode != 0 or not out.stdout.strip():
-                raise RuntimeError(
-                    f"--one-validate child failed (cpus={cpus}, rc={out.returncode}); "
-                    f"stderr tail: {out.stderr[-2000:]}"
-                )
-            line = out.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
+            r = _run_child(["--one-validate"], env)
             # best-of-N per size: scheduling noise on a shared box is ±8%,
             # and steady-state throughput is what the N-vs-4N criterion means
             if best is None or r["wall_s"] < best["wall_s"]:
@@ -252,10 +309,25 @@ def main() -> None:
         _init_ray(NUM_CPUS)
         r = _validate_once(SF_DIR, f"/tmp/pqcray_scale_out_{NUM_CPUS}")
         print(json.dumps(r))
+    elif "--one-query" in sys.argv:
+        name = sys.argv[sys.argv.index("--one-query") + 1]
+        print(json.dumps(run_one_query(name)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    else:
+    elif "--isolated" in sys.argv:
+        print(json.dumps(run_isolated()))
+    elif "--suite-only" in sys.argv:
         print(json.dumps(run_suite()))
+    else:
+        suite = run_suite()
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+        iso = run_isolated()
+        suite["isolated_queries"] = iso["queries"]
+        suite["isolated_total"] = iso["value"]
+        print(json.dumps(suite))
     import ray
 
     if ray.is_initialized():
