@@ -268,14 +268,23 @@ class GramIndex:
 
     @classmethod
     def build(cls, keymat: np.ndarray) -> "GramIndex":
+        if len(keymat):
+            h = _key_hash64(keymat)
+            order = np.argsort(h, kind="stable")
+            return cls.from_sorted(np.ascontiguousarray(keymat[order]), h[order])
+        return cls.from_sorted(keymat, np.empty(0, dtype=_U64))
+
+    @classmethod
+    def from_sorted(cls, keymat: np.ndarray, h: np.ndarray) -> "GramIndex":
+        """Assemble from ALREADY hash-sorted keys: the driver's remaining
+        work is O(n) (bitmap scatter + packbits) — the O(n log n) sort and
+        the keymat gather happen upstream (distributed sort in
+        ``holdout_gram_index``). Intra-run order of equal hashes is
+        irrelevant: ``member`` scans collision runs exhaustively."""
         n = max(len(keymat), 1)
         bits = 1 << max(20, min(30, int(np.ceil(np.log2(n * 64)))))
         mask = _U64(bits - 1)
         if len(keymat):
-            h = _key_hash64(keymat)
-            order = np.argsort(h, kind="stable")
-            h = h[order]
-            keymat = np.ascontiguousarray(keymat[order])
             flags = np.zeros(bits, dtype=bool)
             flags[(h & mask).astype(np.int64)] = True
             bitmap = np.packbits(flags, bitorder="little")
@@ -337,11 +346,45 @@ def _fsb_to_mat(col: "pa.ChunkedArray | pa.Array", k: int) -> np.ndarray:
     return flat.reshape(-1, k)
 
 
-def holdout_gram_index(seq: rd.Dataset) -> GramIndex:
+# above this row count the O(n log n) hash sort moves off the driver into a
+# distributed Dataset.sort exchange; below it, driver argsort beats the
+# sort's fixed orchestration cost (fixture corpora stay on the fast path)
+GRAM_INDEX_SORT_ROWS = 200_000
+
+
+def holdout_gram_index(
+    seq: rd.Dataset, *, distributed: bool | None = None
+) -> GramIndex:
     """Benchmark gram index of the holdout slice (broadcast once).
-    Size contract documented in the module docstring."""
-    tbl = _collect(seq.map_batches(_holdout_grams_batch, batch_format="pyarrow", batch_size=None))
-    return GramIndex.build(_fsb_to_mat(tbl.column("g"), DECON_K))
+    Size contract documented in the module docstring.
+
+    Large holdouts build DISTRIBUTED: grams are hashed per batch and
+    range-sorted by ``Dataset.sort`` (an all-to-all exchange over workers);
+    the driver receives already-sorted blocks and does only the O(n) bitmap
+    scatter — removing the single-threaded argsort+gather that cost 21 s at
+    28M grams. ``distributed=None`` decides by the input's (metadata-cheap)
+    row count."""
+    if distributed is None:
+        try:
+            distributed = seq.count() > GRAM_INDEX_SORT_ROWS
+        except Exception:
+            distributed = False
+    grams = seq.map_batches(
+        _holdout_grams_batch, batch_format="pyarrow", batch_size=None
+    )
+    if not distributed:
+        tbl = _collect(grams)
+        return GramIndex.build(_fsb_to_mat(tbl.column("g"), DECON_K))
+
+    def add_h(t: pa.Table) -> pa.Table:
+        mat = _fsb_to_mat(t.column("g"), DECON_K)
+        return t.append_column("h", pa.array(_key_hash64(mat), type=pa.uint64()))
+
+    tbl = _collect(grams.map_batches(add_h, batch_format="pyarrow").sort("h"))
+    return GramIndex.from_sorted(
+        _fsb_to_mat(tbl.column("g"), DECON_K),
+        tbl.column("h").to_numpy().astype(_U64),
+    )
 
 
 _DECON_EMPTY = pa.schema(

@@ -666,3 +666,35 @@ def test_content_hash_properties():
     offs2 = np.array([2, 5], dtype=np.int64)
     vals2 = np.array([9, 9, 1, 2, 3], dtype=np.int32)
     assert tk._content_hash(offs2, vals2)[0] == h[0]
+
+
+def test_gram_index_distributed_build_matches_driver_build(ray_session):
+    """The Dataset.sort-based index build is byte-equivalent to the driver
+    argsort build: same sorted hash array, same bitmap, same membership."""
+    from product_quality_check_ray.pipelines.tokens import (
+        DECON_K,
+        _key_hash64,
+        holdout_gram_index,
+    )
+    import ray.data as rd
+
+    ensure_sequences(SF)
+    import glob as _glob
+
+    files = sorted(_glob.glob(sequences_glob(SF)))
+    ds = rd.read_parquet(files, columns=["doc_id", "tokens"])
+    a = holdout_gram_index(ds, distributed=False)
+    b = holdout_gram_index(
+        rd.read_parquet(files, columns=["doc_id", "tokens"]), distributed=True
+    )
+    assert np.array_equal(a.h, b.h)
+    assert np.array_equal(a.bitmap, b.bitmap)
+    assert int(a.mask) == int(b.mask)
+    # membership parity on present and absent windows
+    probe = a.keymat[:: max(1, len(a.keymat) // 64)]
+    absent = np.full((5, DECON_K), -1234567, dtype=np.int32)
+    win = np.vstack([probe, absent])
+    h = _key_hash64(win)
+    assert np.array_equal(a.member(h, win), b.member(h, win))
+    assert a.member(h, win)[: len(probe)].all()
+    assert not a.member(h, win)[len(probe):].any()
