@@ -140,7 +140,7 @@ QUERY_ORDER: tuple[str, ...] = (
     # normalize → explode → dict-match spine
     "doc_normalized",
     "doc_words",
-    "doc_dict_matches",
+    "doc_dict_matches_lang",
     "doc_dict_matches_partial",
     "doc_best_dict_match",
     "doc_stats_suite",
@@ -165,6 +165,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_drift_verdicts",
     "seq_sketch_report",
     "seq_token_topk",
+    "doc_dict_matches",
     "doc_dict_matches_tsr",
     "doc_token_stats",
     "doc_fingerprints",
@@ -224,6 +225,21 @@ def _dict_values_sql() -> str:
 
 
 _DICT_VALUES = _dict_values_sql()
+
+
+def _lang_dict_values_sql() -> str:
+    from product_quality_check_ray.pipelines.textnorm import LANG_TERM_DICT
+
+    triples = [
+        f"('{lang}', '{v}', '{d['canonical']}')"
+        for d in LANG_TERM_DICT
+        for lang, vs in sorted(d["variants"].items())
+        for v in vs
+    ]
+    return ", ".join(triples)
+
+
+_LANG_DICT_VALUES = _lang_dict_values_sql()
 
 def _norm_sql_expr() -> str:
     """The SQL twin of textnorm.normalize_text_column (same op order:
@@ -358,6 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green_claims.py:72-94): best full-window alignment of the shorter
         # string — recursive-CTE LCS oracle lifted over windows
         "doc_dict_matches_partial": lambda sf: tn.doc_dict_matches_partial(sf, threshold=0.75),
+        # per-language phrase dictionary, language-selected per row
+        # (reference green_claims.py:6-32)
+        "doc_dict_matches_lang": tn.doc_dict_matches_lang,
         "doc_best_dict_match": tn.doc_best_dict_match,
         # --- training-data text ops over documents
         "doc_token_stats": tx.doc_token_stats,
@@ -1879,6 +1898,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, i::BIGINT AS word_idx, string_split(text, ' ')[i] AS word
             FROM documents,
                  UNNEST(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+        """,
+        "doc_dict_matches_lang": f"""
+            WITH dict(lang, variant, canonical) AS (VALUES {_LANG_DICT_VALUES}),
+            langs AS (SELECT DISTINCT lang FROM dict),
+            docs AS (
+                SELECT doc_id,
+                       CASE WHEN lang IN (SELECT lang FROM langs)
+                            THEN lang ELSE 'en' END AS lang_sel,
+                       {_NORM_SQL} AS norm
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, lang_sel, string_split(norm, ' ')[i] AS word
+                FROM docs,
+                     UNNEST(generate_series(1, len(string_split(norm, ' ')))) AS t(i)
+            )
+            SELECT w.doc_id, w.lang_sel AS lang, w.word, d.variant AS matched_variant,
+                   d.canonical,
+                   round(CASE WHEN w.word = d.variant THEN 1.0
+                              ELSE jaccard(w.word, d.variant) END, 6) AS score,
+                   CASE WHEN w.word = d.variant THEN 'exact' ELSE 'fuzzy' END AS match_kind
+            FROM words w JOIN dict d ON d.lang = w.lang_sel
+            WHERE w.word = d.variant OR jaccard(w.word, d.variant) >= 0.8
         """,
         "doc_dict_matches": f"""
             WITH dict(variant, canonical) AS (VALUES {_DICT_VALUES}),

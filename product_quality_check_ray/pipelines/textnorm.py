@@ -53,6 +53,36 @@ TERM_DICT: tuple[dict, ...] = (
 )
 FUZZY_THRESHOLD = 0.8
 
+# per-LANGUAGE phrase dictionary (reference analog: green_claims.py:6-32 —
+# one phrase column per language, selected by the row's language; rows whose
+# language has no column fall back to the default). Variants are drawn from
+# the fixture vocabulary so every language's arm is non-vacuous.
+LANG_TERM_DICT: tuple[dict, ...] = (
+    {"canonical": "sorting", "variants": {
+        "en": ("sort", "order"), "es": ("orden",), "fr": ("tri", "sort"),
+        "de": ("sortier", "sort")}},
+    {"canonical": "hash-join", "variants": {
+        "en": ("hash", "join"), "es": ("hash",), "fr": ("join",),
+        "de": ("hash", "join")}},
+    {"canonical": "streaming", "variants": {
+        "en": ("stream", "batch"), "es": ("stream",), "fr": ("flux", "stream"),
+        "de": ("strom", "stream")}},
+    {"canonical": "scanning", "variants": {
+        "en": ("scan", "scam"), "es": ("scan",), "fr": ("scan",), "de": ("scan",)}},
+)
+DEFAULT_DICT_LANG = "en"
+LANG_DICT_LANGS = tuple(
+    sorted({lang for d in LANG_TERM_DICT for lang in d["variants"]})
+)
+
+
+def lang_dict_variants(lang: str) -> list[tuple[str, str]]:
+    return [
+        (v, d["canonical"])
+        for d in LANG_TERM_DICT
+        for v in d["variants"].get(lang, ())
+    ]
+
 
 def _nfkd_ascii(s: str) -> str:
     return "".join(
@@ -185,12 +215,19 @@ class DictMatchStage:
     matches are scattered back to rows.
     """
 
-    def __init__(self, threshold: float = FUZZY_THRESHOLD, scorer: str = "char_jaccard"):
+    def __init__(
+        self,
+        threshold: float = FUZZY_THRESHOLD,
+        scorer: str = "char_jaccard",
+        variants: "list[tuple[str, str]] | None" = None,
+    ):
         self.threshold = threshold
         self.scorer = scorer
-        self.variants: list[tuple[str, str]] = [
-            (v, d["canonical"]) for d in TERM_DICT for v in d["variants"]
-        ]
+        self.variants: list[tuple[str, str]] = (
+            variants
+            if variants is not None
+            else [(v, d["canonical"]) for d in TERM_DICT for v in d["variants"]]
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         words = t.column("word").to_pylist()
@@ -321,6 +358,68 @@ def doc_dict_matches_partial(sf_dir: str, threshold: float = 0.75) -> rd.Dataset
     return doc_words(sf_dir, normalized=True).map_batches(
         partial_task, batch_format="pyarrow"
     )
+
+
+def doc_dict_matches_lang(sf_dir: str, threshold: float = FUZZY_THRESHOLD) -> rd.Dataset:
+    """Multi-language dictionary matching (reference J3 × green_claims):
+    each document's words are matched against ONLY its language's variant
+    column of ``LANG_TERM_DICT``; languages without a column fall back to
+    ``DEFAULT_DICT_LANG`` (the reference defaults to the English phrase
+    column when a language sheet is missing, green_claims.py:6-32).
+
+    Fused per batch — language selection, normalization, word explosion and
+    per-language scoring happen in one pass, so the per-doc language never
+    needs a shuffle join against the exploded word stream."""
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def task(t: pa.Table, _cache={}) -> pa.Table:
+        stages = _cache.get("st")
+        if stages is None:
+            stages = _cache["st"] = {
+                lang: DictMatchStage(threshold, variants=lang_dict_variants(lang))
+                for lang in LANG_DICT_LANGS
+            }
+        text = normalize_text_column(t.column("text"))
+        words_list = pc.split_pattern(text, " ")
+        arr = (
+            words_list.combine_chunks()
+            if isinstance(words_list, pa.ChunkedArray)
+            else words_list
+        )
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = offsets[1:] - offsets[:-1]
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = np.asarray(
+            pc.fill_null(t.column("lang"), DEFAULT_DICT_LANG).to_pylist(), dtype=object
+        )
+        known = np.isin(langs, np.asarray(LANG_DICT_LANGS, dtype=object))
+        lang_sel = np.where(known, langs, DEFAULT_DICT_LANG)
+        lo = offsets[0]
+        exploded = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, lens), type=pa.int64()),
+                "lang": pa.array(np.repeat(lang_sel, lens), type=pa.string()),
+                "word": arr.values.slice(lo, offsets[-1] - lo),
+            }
+        )
+        parts = []
+        for lang in np.unique(lang_sel):
+            sub = exploded.filter(pc.equal(exploded.column("lang"), str(lang)))
+            if sub.num_rows == 0:
+                continue
+            hits = stages[str(lang)](sub)
+            parts.append(
+                hits.add_column(
+                    1, "lang", pa.array([str(lang)] * hits.num_rows, type=pa.string())
+                )
+            )
+        if not parts:
+            e = _empty_match_table()
+            return e.add_column(1, "lang", pa.array([], type=pa.string()))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(task, batch_format="pyarrow")
 
 
 def doc_best_dict_match(sf_dir: str) -> pa.Table:

@@ -106,6 +106,50 @@ def test_dict_match_tsr_stage(ray_session, tmp_path):
     assert (out["score"] <= 1.0).all() and (out["score"] > 0).all()
 
 
+def test_dict_match_lang_selects_language_column(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.textnorm import doc_dict_matches_lang
+
+    d = tmp_path / "langfix"
+    d.mkdir()
+    # "orden" is an es-only variant of "sorting"; "tri" fr-only; "strom"
+    # de-only. Unknown language ("pt") and null lang must fall back to en.
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": pa.array(
+                ["orden scan", "tri orden", "strom", "orden sort", "orden sort"]
+            ),
+            "lang": pa.array(["es", "fr", "de", "pt", None]),
+            "source": pa.array(["s"] * 5),
+            "n_chars": pa.array([10] * 5, type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = doc_dict_matches_lang(str(d)).to_pandas()
+    hits = {(r.doc_id, r.word, r.canonical) for r in out.itertuples()}
+    assert (1, "orden", "sorting") in hits  # es row uses the es column
+    assert (1, "scan", "scanning") in hits
+    assert (2, "tri", "sorting") in hits  # fr row uses the fr column
+    # "orden" is NOT an fr variant, and no fr variant is within fuzzy
+    # threshold 0.8 of it → the fr row must not match it
+    assert not any(t[0] == 2 and t[1] == "orden" for t in hits)
+    assert (3, "strom", "streaming") in hits  # de row uses the de column
+    # unknown + null languages fall back to en: "sort" is an exact en hit;
+    # "orden" only reaches "sorting" fuzzily via the en variant "order"
+    # (char-jaccard 4/5 = 0.8) — never exactly via the es variant
+    kinds = {
+        (r.doc_id, r.word, r.matched_variant): r.match_kind for r in out.itertuples()
+    }
+    for doc in (4, 5):
+        assert (doc, "sort", "sorting") in hits
+        assert kinds.get((doc, "orden", "order")) == "fuzzy"
+        assert (doc, "orden", "orden") not in kinds
+    assert set(out["lang"]) == {"es", "fr", "de", "en"}
+
+
 def _ref_partial_ratio(a: str, b: str) -> float:
     """Naive DP reference: best full-window InDel ratio of the shorter
     string inside the longer (independent of core.fuzzy internals)."""

@@ -41,7 +41,7 @@ MUST_BE_IN_WINDOW = [
     "seq_npm_scores",
     "seq_adjudicated",
     "doc_words",
-    "doc_dict_matches",
+    "doc_dict_matches_lang",
     "doc_pii_redact",
 ]
 
