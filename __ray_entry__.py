@@ -160,6 +160,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "embedding_label_stats",
     "multimodal_decode",
     # --- end of graded window (position 50) ---
+    "multimodal_audio",
+    "multimodal_video_frames",
     "multimodal_features",
     "seq_ntok_histogram",
     "seq_drift_verdicts",
@@ -453,6 +455,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # REAL pixel decode (pure-stdlib PNG inflate/unfilter + BMP) with a
         # closed-form gradient oracle — reference analog S6
         "multimodal_decode": mm.multimodal_decode,
+        # REAL audio decode (pure-stdlib WAV PCM16) — closed-form sawtooth oracle
+        "multimodal_audio": mm.multimodal_audio,
+        # frame sampling over multi-frame BMP containers — per-frame oracle
+        "multimodal_video_frames": mm.multimodal_video_frames,
     }
     for sname, specs in SUITE_SPECS.items():
         base[sname] = lambda sf, _s=specs, _b=base: run_suite(sf, _s, _b)
@@ -2393,6 +2399,56 @@ def oracle_sql() -> dict[str, str]:
                    round((SELECT avg((doc_id * 3 + u.y) % 256)
                           FROM UNNEST(range(0, height)) u(y)), 6) AS mean_g,
                    round((SELECT avg((doc_id * 5 + t.x + u.y) % 256)
+                          FROM UNNEST(range(0, width)) t(x), UNNEST(range(0, height)) u(y)), 6) AS mean_b
+            FROM dims
+        """,
+        # closed-form expectations for the REAL WAV decode: the sawtooth
+        # fixture (pipelines/multimodal.py AU_* constants) makes per-clip
+        # sample statistics exact values both engines compute identically —
+        # integer sums are exact in float64 at these lengths, so the
+        # round(…, 6) is deterministic on both sides
+        "multimodal_audio": f"""
+            WITH params AS (
+                SELECT doc_id,
+                       ({mm_px.AU_RATE_BASE} + (doc_id % {mm_px.AU_RATE_MOD}) * {mm_px.AU_RATE_STEP})::BIGINT AS sample_rate,
+                       ({mm_px.AU_N_BASE} + (doc_id * 3) % {mm_px.AU_N_MOD})::BIGINT AS n_samples,
+                       (doc_id * {mm_px.AU_A_MULT}) % 65536 AS a,
+                       1 + doc_id % {mm_px.AU_STEP_MOD} AS step
+                FROM documents
+            )
+            SELECT doc_id AS media_id, sample_rate, n_samples,
+                   round(n_samples * 1000.0 / sample_rate, 6) AS duration_ms,
+                   (SELECT round(avg((a + t.i * step) % 65536 - 32768), 6)
+                    FROM UNNEST(range(0, n_samples)) t(i)) AS mean_amp,
+                   (SELECT round(sqrt(avg(pow((a + t.i * step) % 65536 - 32768, 2))), 6)
+                    FROM UNNEST(range(0, n_samples)) t(i)) AS rms,
+                   (SELECT max(abs((a + t.i * step) % 65536 - 32768))
+                    FROM UNNEST(range(0, n_samples)) t(i)) AS peak
+            FROM params
+        """,
+        # per-sampled-frame expectations for the multi-frame container walk:
+        # frame f's gradient is seeded with doc_id + VF_SEED_MULT*(f+1); only
+        # frames with f % VF_SAMPLE_EVERY = 0 are decoded
+        "multimodal_video_frames": f"""
+            WITH frames AS (
+                SELECT doc_id, t.f AS frame_idx,
+                       ({mm_px.VF_COUNT_BASE} + doc_id % {mm_px.VF_COUNT_MOD})::BIGINT AS n_frames,
+                       doc_id + {mm_px.VF_SEED_MULT} * (t.f + 1) AS d
+                FROM documents,
+                     UNNEST(range(0, ({mm_px.VF_COUNT_BASE} + doc_id % {mm_px.VF_COUNT_MOD})::BIGINT)) t(f)
+                WHERE t.f % {mm_px.VF_SAMPLE_EVERY} = 0
+            ), dims AS (
+                SELECT *,
+                       ({mm_px.PX_BASE} + d % {mm_px.PX_W_MOD})::BIGINT AS width,
+                       ({mm_px.PX_BASE} + (d * 7) % {mm_px.PX_H_MOD})::BIGINT AS height
+                FROM frames
+            )
+            SELECT doc_id AS media_id, frame_idx, n_frames, width, height,
+                   round((SELECT avg((d + t.x) % 256)
+                          FROM UNNEST(range(0, width)) t(x)), 6) AS mean_r,
+                   round((SELECT avg((d * 3 + u.y) % 256)
+                          FROM UNNEST(range(0, height)) u(y)), 6) AS mean_g,
+                   round((SELECT avg((d * 5 + t.x + u.y) % 256)
                           FROM UNNEST(range(0, width)) t(x), UNNEST(range(0, height)) u(y)), 6) AS mean_b
             FROM dims
         """,

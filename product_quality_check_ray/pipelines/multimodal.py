@@ -340,3 +340,242 @@ def multimodal_decode(sf_dir: str) -> rd.Dataset:
         batch_size=256,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode (WAV PCM16, pure stdlib — core/audiocodec.py)
+# ---------------------------------------------------------------------------
+
+# sawtooth fixture parameters — reproduced verbatim in the SQL oracle
+# (__ray_entry__), so the decoded-sample statistics are independently
+# checkable: the engine's values come from decoded WAV frames, the oracle's
+# from the closed-form formula — any RIFF-walk/endianness/dtype bug shifts
+# a mean or the RMS
+AU_RATE_BASE = 8000
+AU_RATE_STEP = 2000
+AU_RATE_MOD = 5
+AU_N_BASE = 200
+AU_N_MOD = 301
+AU_A_MULT = 131
+AU_STEP_MOD = 7
+
+
+def _sawtooth_samples(doc_id: int) -> tuple["np.ndarray", int]:
+    """Deterministic int16 sawtooth: s[i] = ((a + i*step) % 65536) - 32768.
+    Phase, slope, length and sample rate all vary with doc_id so a decoder
+    bug on any field is caught."""
+    a = (doc_id * AU_A_MULT) % 65536
+    step = 1 + doc_id % AU_STEP_MOD
+    n = AU_N_BASE + (doc_id * 3) % AU_N_MOD
+    rate = AU_RATE_BASE + (doc_id % AU_RATE_MOD) * AU_RATE_STEP
+    i = np.arange(n, dtype=np.int64)
+    return ((a + i * step) % 65536 - 32768).astype(np.int16), rate
+
+
+def media_audio_dataset(sf_dir: str) -> rd.Dataset:
+    """Synthesize REAL WAV payloads from the documents table (no external
+    data): every row is a PCM16 mono WAV whose samples are a pure function
+    of doc_id, so expected features are SQL-computable."""
+    from ..core.audiocodec import encode_wav
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            samples, rate = _sawtooth_samples(int(i))
+            payloads.append(encode_wav(samples, rate))
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("sample_rate", pa.int64()),
+        ("n_samples", pa.int64()),
+        ("duration_ms", pa.float64()),
+        ("mean_amp", pa.float64()),
+        ("rms", pa.float64()),
+        ("peak", pa.int64()),
+    ]
+)
+
+
+class AudioFeatureStage:
+    """Actor-pool REAL audio decode stage: WAV bytes → int16 frames →
+    per-clip statistics. Same contract as MediaDecodeStage: construct-once
+    per actor, per-batch __call__, payloads never pass a shuffle."""
+
+    def __init__(self):
+        from ..core.audiocodec import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..core.rounding import round_half_away as _rha
+
+        ids = t.column("media_id").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        rows = []
+        for mid, payload in zip(ids, payloads):
+            frames, rate = self._decode(payload)
+            s = frames[:, 0].astype(np.int64)
+            n = s.shape[0]
+            rows.append(
+                {
+                    "media_id": mid,
+                    "sample_rate": rate,
+                    "n_samples": n,
+                    "duration_ms": float(_rha(n * 1000.0 / rate, 6)),
+                    "mean_amp": float(_rha(s.mean(), 6)),
+                    "rms": float(_rha(float(np.sqrt((s * s).mean())), 6)),
+                    "peak": int(np.abs(s).max()),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=AUDIO_SCHEMA)
+
+
+def multimodal_audio(sf_dir: str) -> rd.Dataset:
+    """Decode real WAV payloads and emit per-clip sample statistics —
+    SQL-oracle-checked against the closed-form sawtooth expectations."""
+    media = media_audio_dataset(sf_dir)
+    return media.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (multi-frame container of real BMP frames)
+# ---------------------------------------------------------------------------
+
+# container fixture parameters — mirrored in the SQL oracle: a "video" is
+# F concatenated BMP frames; the stage must walk the container by each
+# frame's declared file size, sample every k-th frame, and REALLY decode it
+VF_COUNT_BASE = 2
+VF_COUNT_MOD = 4
+VF_SAMPLE_EVERY = 2
+VF_SEED_MULT = 997
+
+
+def split_bmp_frames(payload: bytes) -> list[bytes]:
+    """Walk a concatenated-BMP container using each frame's declared file
+    size (BMP header bytes 2:6)."""
+    import struct as _struct
+
+    frames, i, n = [], 0, len(payload)
+    while i + 6 <= n:
+        if payload[i : i + 2] != b"BM":
+            raise ValueError("container desync: frame does not start with BM")
+        (size,) = _struct.unpack("<I", payload[i + 2 : i + 6])
+        frames.append(payload[i : i + size])
+        i += size
+    if i != n:
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
+def media_video_dataset(sf_dir: str) -> rd.Dataset:
+    """Synthesize multi-frame video containers from the documents table:
+    frame f's pixels are the gradient fixture seeded with
+    doc_id + VF_SEED_MULT*(f+1), so sampled-frame means are SQL-computable."""
+    from ..core.imagecodec import encode_bmp
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads, counts = [], []
+        for i in ids:
+            f_count = VF_COUNT_BASE + int(i) % VF_COUNT_MOD
+            frames = [
+                encode_bmp(_gradient_pixels(int(i) + VF_SEED_MULT * (f + 1)))
+                for f in range(f_count)
+            ]
+            payloads.append(b"".join(frames))
+            counts.append(f_count)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "n_frames": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int64()),
+        ("n_frames", pa.int64()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("mean_r", pa.float64()),
+        ("mean_g", pa.float64()),
+        ("mean_b", pa.float64()),
+    ]
+)
+
+
+class VideoFrameStage:
+    """Actor-pool frame-sampling stage: container bytes → frame list →
+    every k-th frame decoded (real BMP decode) → per-frame channel means.
+    One output row per SAMPLED frame (row-backref via media_id/frame_idx)."""
+
+    def __init__(self, sample_every: int = VF_SAMPLE_EVERY):
+        from ..core.imagecodec import decode_bmp
+
+        self._decode = decode_bmp
+        self.sample_every = sample_every
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..core.rounding import round_half_away as _rha
+
+        ids = t.column("media_id").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        declared = t.column("n_frames").to_pylist()
+        rows = []
+        for mid, payload, n_frames in zip(ids, payloads, declared):
+            frames = split_bmp_frames(payload)
+            if len(frames) != n_frames:
+                raise ValueError(f"media {mid}: declared {n_frames} frames, found {len(frames)}")
+            for f in range(0, len(frames), self.sample_every):
+                px = self._decode(frames[f])
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "frame_idx": f,
+                        "n_frames": n_frames,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_r": float(_rha(means[0], 6)),
+                        "mean_g": float(_rha(means[1], 6)),
+                        "mean_b": float(_rha(means[2], 6)),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
+
+
+def multimodal_video_frames(sf_dir: str) -> rd.Dataset:
+    """Sample + decode every k-th frame of multi-frame containers —
+    SQL-oracle-checked per sampled frame against the gradient closed form."""
+    media = media_video_dataset(sf_dir)
+    return media.map_batches(
+        VideoFrameStage,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 4),
+    )
