@@ -76,6 +76,9 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
         MemberSpec("parts_matching_terms", ("p_partkey", "matched_term"),
                    (("p_type", "str"), ("p_retailprice", "num"))),
         MemberSpec("brand_canonical", ("p_partkey",), (("canonical_brand", "str"),)),
+        MemberSpec("part_measurements", ("p_partkey",),
+                   (("label", "str"), ("value_raw", "num"), ("unit_raw", "str"),
+                    ("unit_canon", "str"), ("dimension", "str"), ("value_base", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
     "doc_stats_suite": (
@@ -89,6 +92,8 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
         MemberSpec("doc_segment_dedupe", ("statement",),
                    (("n_occurrences", "num"), ("keeper_doc_id", "num"))),
         MemberSpec("doc_statements", ("doc_id", "seg_idx"), (("statement", "str"),)),
+        MemberSpec("doc_safety_hints", ("doc_id", "seg_idx", "pattern"),
+                   (("statement", "str"),)),
         MemberSpec("doc_gopher_filter", ("doc_id",),
                    (("n_words", "num"), ("wc_ok", "num"), ("mwl_ok", "num"),
                     ("stopword_ok", "num"), ("rep_ok", "num"), ("top_ok", "num"),
@@ -177,6 +182,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_gopher_filter",
     "doc_decontaminate",
     "doc_statements",
+    "doc_safety_hints",
     "doc_segment_dedupe",
     "doc_lm_score",
     "doc_chunks",
@@ -199,6 +205,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "events_asof_last_click",
     "events_json_k",
     "brand_canonical",
+    "part_measurements",
     "party_names",
     "lineitem_sample",
     "order_value_buckets",
@@ -363,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_click": rel.events_asof_last_click,
         "events_json_k": rel.events_json_k,
         "brand_canonical": rel.brand_canonical,
+        "part_measurements": rel.part_measurements,  # M11 unit-normalization layer
+
         "party_names": rel.party_names,
         # --- normalize → explode → dictionary-match spine (reference §3.3)
         "doc_normalized": tn.doc_normalized,
@@ -389,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_filter": tx.doc_gopher_filter,  # composed quality filter (fused pass)
         "doc_decontaminate": tx.doc_decontaminate,  # benchmark n-gram contamination flags
         "doc_statements": lambda sf: tx.doc_statements(sf),  # M8 statement splitter (window mode)
+        "doc_safety_hints": lambda sf: tx.doc_safety_hints(sf),  # M9 pattern-bank hinter
+
         "doc_segment_dedupe": tx.doc_segment_dedupe,  # M8 cross-row statement dedupe
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
         # --- training-data preparation (pipelines/textprep.py)
@@ -562,6 +573,9 @@ def oracle_sql() -> dict[str, str]:
 
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
     W = SEGMENT_WIDTH
+    from product_quality_check_ray.pipelines.text import SAFETY_PATTERNS
+
+    pat_values = ", ".join(f"('{n}', '{p}')" for n, p in SAFETY_PATTERNS)
     from product_quality_check_ray.pipelines.substring import (
         LCS_GRAM,
         LCS_HOT_CAP,
@@ -1701,6 +1715,26 @@ def oracle_sql() -> dict[str, str]:
             FROM w, UNNEST(range((len(ws) + {W - 1}) // {W})) AS t(i)
             WHERE array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') <> ''
         """,
+        # M9 pattern-bank hinter: same statement CTE x a VALUES list of the
+        # engine's SAFETY_PATTERNS (interpolated from the module constant —
+        # both sides are RE2, so \b / anchors / alternation agree)
+        "doc_safety_hints": rf"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents
+            ),
+            seg AS (
+              SELECT doc_id, i::BIGINT AS seg_idx,
+                     array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') AS statement
+              FROM w, UNNEST(range((len(ws) + {W - 1}) // {W})) AS t(i)
+              WHERE array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') <> ''
+            ),
+            pats(pattern, rex) AS (VALUES {pat_values})
+            SELECT doc_id, seg_idx, pattern, statement
+            FROM seg, pats WHERE regexp_matches(statement, rex)
+        """,
+        # M11 unit-normalization layer: closed-form generated oracle
+        "part_measurements": rel.part_measurements_oracle_sql(),
         "doc_segment_dedupe": rf"""
             WITH w AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

@@ -1084,6 +1084,107 @@ def customer_name_numbers(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# M11 unit-normalization layer (reference analogs: nutrient unit
+# canonicalization ``artwork_processing.py:281-289`` — µg/ug/mcg → mcg,
+# kJ/kcal — and the comma-decimal numeric fix ``_num``,
+# ``artwork_processing.py:277-279``). Constants are interpolated into the
+# SQL oracle so the synonym dict and factors can never drift.
+UNIT_VARIANTS: tuple[str, ...] = ("mcg", "ug", "µg", "mg", "g", "kg", "kj", "kcal")
+# variant → (canonical unit, dimension, factor to the dimension's base:
+# mass → mg, energy → kJ)
+UNIT_CANON: dict[str, tuple[str, str, float]] = {
+    "mcg": ("mcg", "mass", 0.001),
+    "ug": ("mcg", "mass", 0.001),
+    "µg": ("mcg", "mass", 0.001),
+    "mg": ("mg", "mass", 1.0),
+    "g": ("g", "mass", 1000.0),
+    "kg": ("kg", "mass", 1000000.0),
+    "kj": ("kj", "energy", 1.0),
+    "kcal": ("kcal", "energy", 4.184),
+}
+MEAS_VALUE_MOD = 997
+MEAS_COMMA_MOD = 3  # every 3rd label uses a comma decimal (the _num case)
+
+
+def part_measurements(sf_dir: str) -> rd.Dataset:
+    """Parse + unit-normalize measurement labels.
+
+    The label text is a deterministic function of ``p_partkey`` constructed
+    identically on both sides (the multimodal-fixture pattern), so the
+    TESTED transform is the engine's real work: regex value/unit extraction,
+    comma-decimal repair, synonym-dict canonicalization, and base-unit
+    conversion. The oracle computes the expectations in closed form — any
+    parse/normalize bug shifts a value or a unit."""
+    ds = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        value = (k % MEAS_VALUE_MOD) / 10.0
+        labels = []
+        for ki, v in zip(k, value):
+            txt = f"{v:.1f}"
+            if ki % MEAS_COMMA_MOD == 0:
+                txt = txt.replace(".", ",")
+            labels.append(f"contains {txt} {UNIT_VARIANTS[ki % len(UNIT_VARIANTS)]} per serving")
+        lab = pa.array(labels, type=pa.string())
+        # --- the tested transform starts here: parse the label back out
+        ex = pc.extract_regex(lab, r"(?P<val>\d+[.,]\d+)\s*(?P<unit>\S+)\b")
+        val_s = pc.replace_substring(pc.struct_field(ex, "val"), ",", ".")
+        val = pc.cast(val_s, pa.float64())
+        unit_raw = pc.struct_field(ex, "unit")
+        ur = unit_raw.to_pylist()
+        canon = [UNIT_CANON[u] for u in ur]
+        factor = np.array([c[2] for c in canon], dtype=np.float64)
+        val_np = val.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "label": lab,
+                "value_raw": val,
+                "unit_raw": unit_raw,
+                "unit_canon": pa.array([c[0] for c in canon], type=pa.string()),
+                "dimension": pa.array([c[1] for c in canon], type=pa.string()),
+                "value_base": pa.array(_rha(val_np * factor, 6), type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def part_measurements_oracle_sql() -> str:
+    """Closed-form oracle for ``part_measurements`` (generated from the same
+    module constants the engine uses)."""
+    variants = ", ".join(f"'{u}'" for u in UNIT_VARIANTS)
+    factor_arms = " ".join(
+        f"WHEN '{u}' THEN {UNIT_CANON[u][2]!r}" for u in UNIT_VARIANTS
+    )
+    canon_arms = " ".join(
+        f"WHEN '{u}' THEN '{UNIT_CANON[u][0]}'" for u in UNIT_VARIANTS
+    )
+    dim_arms = " ".join(
+        f"WHEN '{u}' THEN '{UNIT_CANON[u][1]}'" for u in UNIT_VARIANTS
+    )
+    return f"""
+        WITH m AS (
+          SELECT p_partkey,
+                 (p_partkey % {MEAS_VALUE_MOD}) / 10.0 AS value,
+                 [{variants}][(p_partkey % {len(UNIT_VARIANTS)})::INT + 1] AS unit_raw,
+                 p_partkey % {MEAS_COMMA_MOD} = 0 AS comma
+          FROM part
+        )
+        SELECT p_partkey,
+               'contains ' ||
+               CASE WHEN comma THEN replace(printf('%.1f', value), '.', ',')
+                    ELSE printf('%.1f', value) END ||
+               ' ' || unit_raw || ' per serving' AS label,
+               value AS value_raw, unit_raw,
+               CASE unit_raw {canon_arms} END AS unit_canon,
+               CASE unit_raw {dim_arms} END AS dimension,
+               round(value * CASE unit_raw {factor_arms} END, 6) AS value_base
+        FROM m
+    """
+
+
 # ---------------------------------------------------------------------------
 # Dataset union (UNION ALL semantics)
 # ---------------------------------------------------------------------------

@@ -657,6 +657,65 @@ def doc_statements(
     raise ValueError(f"unknown statement mode {mode!r}")
 
 
+# M9 safety-pattern hinter (reference analog: the compiled regex bank run
+# over split statements to flag ones the main pass may have missed,
+# ``artwork_processing_warnings_advisory.py:65-77,251-262``). The bank is a
+# module constant interpolated verbatim into the SQL oracle so engine and
+# oracle can never drift; patterns are RE2-compatible on both sides (Arrow
+# match_substring_regex and DuckDB regexp_matches are both partial-match
+# RE2). The vocabulary-specific pattern TEXT differs from the reference's
+# safety phrases (our fixture corpus has no food-safety language); the
+# SHAPES — word-boundary alternation, gap wildcard, bigram, start/end
+# anchor, plus a never-matching recall control — mirror its bank.
+SAFETY_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("ends_query", r"\bquery$"),
+    ("starts_window", r"^window\b"),
+    ("hash_join_bigram", r"\bhash join\b"),
+    ("sort_then_group", r"\bsort\b.*\bgroup\b"),
+    ("sized_table", r"\b(big|small) table\b"),
+    ("slow_gap_scan", r"\bslow \w+ scan\b"),
+    ("dup_flag", r"\bdup\b"),
+    ("control_never", r"\bxyzzy\b"),  # recall control: must emit 0 rows
+)
+
+
+def doc_safety_hints(
+    sf_dir: str,
+    patterns: tuple[tuple[str, str], ...] = SAFETY_PATTERNS,
+    width: int = SEGMENT_WIDTH,
+) -> rd.Dataset:
+    """Pattern-bank hinter: one row per (statement, matching pattern).
+
+    Vectorized: each pattern is one ``match_substring_regex`` kernel pass
+    over the statement column (N patterns → N passes, no row loop); the
+    regex is compiled inside Arrow per batch — state-free tasks on the
+    shared worker pool, no actor pool needed.
+    """
+    segs = doc_statements(sf_dir, mode="window", width=width)
+
+    def hint(t: pa.Table) -> pa.Table:
+        stmt = t.column("statement").combine_chunks()
+        parts = []
+        for name, pat in patterns:
+            mask = pc.fill_null(pc.match_substring_regex(stmt, pat), False)
+            sel = t.filter(mask)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sel.column("doc_id"),
+                        "seg_idx": sel.column("seg_idx"),
+                        "pattern": pa.array(
+                            [name] * sel.num_rows, type=pa.string()
+                        ),
+                        "statement": sel.column("statement"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return segs.map_batches(hint, batch_format="pyarrow")
+
+
 def doc_segment_dedupe(
     sf_dir: str, width: int = SEGMENT_WIDTH
 ) -> pa.Table:

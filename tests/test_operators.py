@@ -1767,3 +1767,67 @@ def test_cooccurrence_pairs_size_col(ray_session):
     assert set(zip(df["id_a"], df["id_b"])) == {(1, 2), (1, 3), (1, 4), (2, 3)}
     for r in df.itertuples():
         assert r.size_a == sizes[r.id_a] and r.size_b == sizes[r.id_b]
+
+
+def test_doc_safety_hints_patterns(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.text import doc_safety_hints
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the hash join beats a big table scan for this query",
+                    "window functions need a sort before group by",
+                    "slow nested scan with dup rows",
+                    "nothing matches here at all",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    rows = doc_safety_hints(str(tmp_path)).take_all()
+    hits = {(r["doc_id"], r["pattern"]) for r in rows}
+    assert (1, "hash_join_bigram") in hits
+    assert (1, "sized_table") in hits
+    assert (1, "ends_query") in hits
+    assert (2, "starts_window") in hits
+    assert (2, "sort_then_group") in hits
+    assert (3, "slow_gap_scan") in hits
+    assert (3, "dup_flag") in hits
+    assert not any(p == "control_never" for _, p in hits)
+    assert not any(d == 4 for d, _ in hits)
+
+
+def test_part_measurements_parse_and_normalize(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.relational import (
+        UNIT_CANON,
+        UNIT_VARIANTS,
+        part_measurements,
+    )
+
+    keys = list(range(16))  # two full passes over the 8 unit variants
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(keys, type=pa.int64())}),
+        tmp_path / "part.parquet",
+    )
+    rows = {r["p_partkey"]: r for r in part_measurements(str(tmp_path)).take_all()}
+    assert len(rows) == 16
+    for k in keys:
+        r = rows[k]
+        unit = UNIT_VARIANTS[k % len(UNIT_VARIANTS)]
+        canon, dim, factor = UNIT_CANON[unit]
+        assert r["unit_raw"] == unit
+        assert r["unit_canon"] == canon and r["dimension"] == dim
+        expect_val = (k % 997) / 10.0
+        assert r["value_raw"] == expect_val
+        assert abs(r["value_base"] - expect_val * factor) < 1e-9
+        # comma-decimal labels must round-trip through the _num repair
+        if k % 3 == 0:
+            assert "," in r["label"]
