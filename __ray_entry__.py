@@ -79,6 +79,10 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
         MemberSpec("part_measurements", ("p_partkey",),
                    (("label", "str"), ("value_raw", "num"), ("unit_raw", "str"),
                     ("unit_canon", "str"), ("dimension", "str"), ("value_base", "num"))),
+        MemberSpec("part_packsize", ("p_partkey",),
+                   (("label", "str"), ("pack_kind", "str"), ("n_units", "num"),
+                    ("unit_qty", "num"), ("unit_raw", "str"), ("dimension", "str"),
+                    ("qty_base", "num"), ("e_mark", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
     "doc_stats_suite": (
@@ -206,6 +210,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "events_json_k",
     "brand_canonical",
     "part_measurements",
+    "part_packsize",
     "party_names",
     "lineitem_sample",
     "order_value_buckets",
@@ -371,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_k": rel.events_json_k,
         "brand_canonical": rel.brand_canonical,
         "part_measurements": rel.part_measurements,  # M11 unit-normalization layer
+        "part_packsize": rel.part_packsize,  # M12 pack-size multi-format parser
 
         "party_names": rel.party_names,
         # --- normalize → explode → dictionary-match spine (reference §3.3)
@@ -1735,6 +1741,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # M11 unit-normalization layer: closed-form generated oracle
         "part_measurements": rel.part_measurements_oracle_sql(),
+        # M12 pack-size multi-format parser: closed-form generated oracle
+        "part_packsize": rel.part_packsize_oracle_sql(),
         "doc_segment_dedupe": rf"""
             WITH w AS (
               SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

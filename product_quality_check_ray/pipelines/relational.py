@@ -846,6 +846,163 @@ def part_sku_parse(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# M12 pack-size deterministic parser (reference analog
+# ``_regex_parse_packsize``, ``artwork_processing.py:1757-1827``: multipack
+# "N×Q U", count units, single qty, labeled/compact net weights, ℮-mark).
+# Labels are constructed deterministically from p_partkey (the fixture
+# pattern: construction mirrored in the generated oracle, so the TESTED
+# transform is the engine's real multi-format regex parse + unit fold).
+PACK_UNITS: tuple[str, ...] = ("ml", "l", "g", "kg")
+PACK_UNIT_BASE: dict[str, tuple[str, float]] = {
+    "ml": ("volume", 1.0),
+    "l": ("volume", 1000.0),
+    "g": ("mass", 1.0),
+    "kg": ("mass", 1000.0),
+}
+PACK_QTY_MOD = 89
+PACK_N_MOD = 11
+PACK_KINDS: tuple[str, ...] = (
+    "multipack", "single", "count", "net_labeled", "net_compact", "e_marked",
+)
+
+
+def part_packsize(sf_dir: str) -> rd.Dataset:
+    """Parse pack-size labels into a typed struct: (pack_kind, n_units,
+    unit_qty, unit_raw, dimension, qty_base, e_mark).
+
+    Six label formats, parsed with one ``extract_regex`` kernel pass per
+    format (priority order: multipack > count > labeled net > compact net >
+    ℮-marked > plain single) and folded per row with ``if_else`` chains —
+    fully vectorized, no Python row loop."""
+    ds = _read(sf_dir, "part", columns=["p_partkey"])
+    u_alt = "|".join(PACK_UNITS)
+    fmt_regex = (
+        ("multipack", rf"^(?P<n>\d+) x (?P<q>\d+) (?P<u>{u_alt})$"),
+        ("count", r"^(?P<n>\d+) pack$"),
+        ("net_labeled", rf"^net weight: (?P<q>\d+) (?P<u>{u_alt})$"),
+        ("net_compact", rf"^nw (?P<q>\d+) (?P<u>{u_alt})$"),
+        ("e_marked", rf"^(?P<q>\d+) (?P<u>{u_alt}) ℮$"),
+        ("single", rf"^(?P<q>\d+) (?P<u>{u_alt})$"),
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = (k % PACK_QTY_MOD) + 1
+        n = 2 + k % PACK_N_MOD
+        unit = [PACK_UNITS[i % len(PACK_UNITS)] for i in k]
+        fmt = k % len(PACK_KINDS)
+        labels = []
+        for ki, qi, ni, ui, fi in zip(k, qty, n, unit, fmt):
+            kind = PACK_KINDS[fi]
+            if kind == "multipack":
+                labels.append(f"{ni} x {qi} {ui}")
+            elif kind == "single":
+                labels.append(f"{qi} {ui}")
+            elif kind == "count":
+                labels.append(f"{ni} pack")
+            elif kind == "net_labeled":
+                labels.append(f"net weight: {qi} {ui}")
+            elif kind == "net_compact":
+                labels.append(f"nw {qi} {ui}")
+            else:
+                labels.append(f"{qi} {ui} ℮")
+        lab = pa.array(labels, type=pa.string())
+        # --- the tested transform: multi-format parse back out
+        kind_col = pa.array([None] * len(k), type=pa.string())
+        n_col = pa.array([None] * len(k), type=pa.int64())
+        q_col = pa.array([None] * len(k), type=pa.int64())
+        u_col = pa.array([None] * len(k), type=pa.string())
+        for kind, rex in fmt_regex:
+            ex = pc.extract_regex(lab, rex)
+            hit = pc.and_kleene(pc.is_valid(ex), pc.is_null(kind_col))
+            hit = pc.fill_null(hit, False)
+            kind_col = pc.if_else(hit, pa.scalar(kind, pa.string()), kind_col)
+            names = ex.type.field_names if hasattr(ex.type, "field_names") else [
+                fld.name for fld in ex.type
+            ]
+            if "n" in names:
+                n_col = pc.if_else(
+                    hit, pc.cast(pc.struct_field(ex, "n"), pa.int64()), n_col
+                )
+            if "q" in names:
+                q_col = pc.if_else(
+                    hit, pc.cast(pc.struct_field(ex, "q"), pa.int64()), q_col
+                )
+            if "u" in names:
+                u_col = pc.if_else(hit, pc.struct_field(ex, "u"), u_col)
+        # multipack implies n from regex; single/net/℮ formats imply 1 unit
+        one = pc.fill_null(pc.not_equal(kind_col, "count"), False)
+        n_col = pc.if_else(pc.and_(pc.is_null(n_col), one), pa.scalar(1, pa.int64()), n_col)
+        dim = [None if u is None else PACK_UNIT_BASE[u][0] for u in u_col.to_pylist()]
+        factor = np.array(
+            [np.nan if u is None else PACK_UNIT_BASE[u][1] for u in u_col.to_pylist()],
+            dtype=np.float64,
+        )
+        n_np = pc.fill_null(n_col, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        q_np = pc.fill_null(q_col, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        qty_base = n_np * q_np * factor
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "label": lab,
+                "pack_kind": kind_col,
+                "n_units": n_col,
+                "unit_qty": q_col,
+                "unit_raw": u_col,
+                "dimension": pa.array(dim, type=pa.string()),
+                "qty_base": pa.array(
+                    np.where(np.isnan(qty_base), None, qty_base), type=pa.float64()
+                ),
+                "e_mark": pc.fill_null(pc.equal(kind_col, "e_marked"), False),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def part_packsize_oracle_sql() -> str:
+    """Closed-form generated oracle for ``part_packsize``."""
+    units = ", ".join(f"'{u}'" for u in PACK_UNITS)
+    kinds = ", ".join(f"'{x}'" for x in PACK_KINDS)
+    dim_arms = " ".join(
+        f"WHEN '{u}' THEN '{PACK_UNIT_BASE[u][0]}'" for u in PACK_UNITS
+    )
+    factor_arms = " ".join(
+        f"WHEN '{u}' THEN {PACK_UNIT_BASE[u][1]!r}" for u in PACK_UNITS
+    )
+    return f"""
+        WITH m AS (
+          SELECT p_partkey,
+                 (p_partkey % {PACK_QTY_MOD}) + 1 AS qty,
+                 2 + p_partkey % {PACK_N_MOD} AS n,
+                 [{units}][(p_partkey % {len(PACK_UNITS)})::INT + 1] AS u,
+                 [{kinds}][(p_partkey % {len(PACK_KINDS)})::INT + 1] AS kind
+          FROM part
+        )
+        SELECT p_partkey,
+               CASE kind
+                 WHEN 'multipack' THEN n || ' x ' || qty || ' ' || u
+                 WHEN 'single' THEN qty || ' ' || u
+                 WHEN 'count' THEN n || ' pack'
+                 WHEN 'net_labeled' THEN 'net weight: ' || qty || ' ' || u
+                 WHEN 'net_compact' THEN 'nw ' || qty || ' ' || u
+                 ELSE qty || ' ' || u || ' ℮' END AS label,
+               kind AS pack_kind,
+               (CASE WHEN kind = 'multipack' THEN n
+                     WHEN kind = 'count' THEN n
+                     ELSE 1 END)::BIGINT AS n_units,
+               (CASE WHEN kind = 'count' THEN NULL ELSE qty END)::BIGINT AS unit_qty,
+               CASE WHEN kind = 'count' THEN NULL ELSE u END AS unit_raw,
+               CASE WHEN kind = 'count' THEN NULL
+                    ELSE CASE u {dim_arms} END END AS dimension,
+               CASE WHEN kind = 'count' THEN NULL
+                    ELSE (CASE WHEN kind = 'multipack' THEN n ELSE 1 END)
+                         * qty * CASE u {factor_arms} END END AS qty_base,
+               kind = 'e_marked' AS e_mark
+        FROM m
+    """
+
+
 # ---------------------------------------------------------------------------
 # Penalty-re-ranked catalog join (reference analog J1,
 # competitor_match.py:159-208: fuzzy top-k, attribute penalties −20/−15/−10,

@@ -1831,3 +1831,40 @@ def test_part_measurements_parse_and_normalize(ray_session, tmp_path):
         # comma-decimal labels must round-trip through the _num repair
         if k % 3 == 0:
             assert "," in r["label"]
+
+
+def test_part_packsize_all_formats(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.relational import (
+        PACK_KINDS,
+        PACK_UNIT_BASE,
+        PACK_UNITS,
+        part_packsize,
+    )
+
+    keys = list(range(24))  # full kind x unit coverage (lcm(6,4)=12, twice)
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(keys, type=pa.int64())}),
+        tmp_path / "part.parquet",
+    )
+    rows = {r["p_partkey"]: r for r in part_packsize(str(tmp_path)).take_all()}
+    assert {r["pack_kind"] for r in rows.values()} == set(PACK_KINDS)
+    for k in keys:
+        r = rows[k]
+        kind = PACK_KINDS[k % len(PACK_KINDS)]
+        assert r["pack_kind"] == kind
+        qty, n = (k % 89) + 1, 2 + k % 11
+        if kind == "count":
+            assert r["n_units"] == n
+            assert r["unit_qty"] is None and r["qty_base"] is None
+            assert r["unit_raw"] is None and r["dimension"] is None
+        else:
+            u = PACK_UNITS[k % len(PACK_UNITS)]
+            dim, factor = PACK_UNIT_BASE[u]
+            expect_n = n if kind == "multipack" else 1
+            assert r["n_units"] == expect_n and r["unit_qty"] == qty
+            assert r["unit_raw"] == u and r["dimension"] == dim
+            assert r["qty_base"] == expect_n * qty * factor
+        assert r["e_mark"] == (kind == "e_marked")
