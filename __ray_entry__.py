@@ -171,6 +171,7 @@ QUERY_ORDER: tuple[str, ...] = (
     # --- end of graded window (position 50) ---
     "multimodal_audio",
     "multimodal_video_frames",
+    "multimodal_resize",
     "multimodal_features",
     "seq_ntok_histogram",
     "seq_drift_verdicts",
@@ -476,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": mm.multimodal_audio,
         # frame sampling over multi-frame BMP containers — per-frame oracle
         "multimodal_video_frames": mm.multimodal_video_frames,
+        # REAL nearest-neighbor pixel resample — closed-form resized-mean oracle
+        "multimodal_resize": mm.multimodal_resize,
     }
     for sname, specs in SUITE_SPECS.items():
         base[sname] = lambda sf, _s=specs, _b=base: run_suite(sf, _s, _b)
@@ -2442,6 +2445,33 @@ def oracle_sql() -> dict[str, str]:
                           FROM UNNEST(range(0, height)) u(y)), 6) AS mean_g,
                    round((SELECT avg((doc_id * 5 + t.x + u.y) % 256)
                           FROM UNNEST(range(0, width)) t(x), UNNEST(range(0, height)) u(y)), 6) AS mean_b
+            FROM dims
+        """,
+        # closed-form expectations for the REAL resize: nearest-neighbor
+        # source index floor(dst·src/target) is exact integer arithmetic, so
+        # the oracle replays the resample over the gradient formula — an
+        # off-by-one (round vs floor) or axis swap in the resampler shifts a
+        # mean. R varies only along x and G only along y, so their resized
+        # means collapse to 1-D averages; B needs the full 2-D grid
+        "multimodal_resize": f"""
+            WITH dims AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS container,
+                       ({mm_px.PX_BASE} + doc_id % {mm_px.PX_W_MOD})::BIGINT AS width,
+                       ({mm_px.PX_BASE} + (doc_id * 7) % {mm_px.PX_H_MOD})::BIGINT AS height
+                FROM documents
+            )
+            SELECT doc_id AS media_id, container,
+                   width AS src_width, height AS src_height,
+                   {mm_px.RZ_W}::BIGINT AS rz_width, {mm_px.RZ_H}::BIGINT AS rz_height,
+                   round((SELECT avg((doc_id + (t.x * width) // {mm_px.RZ_W}) % 256)
+                          FROM UNNEST(range(0, {mm_px.RZ_W})) t(x)), 6) AS rz_mean_r,
+                   round((SELECT avg((doc_id * 3 + (u.y * height) // {mm_px.RZ_H}) % 256)
+                          FROM UNNEST(range(0, {mm_px.RZ_H})) u(y)), 6) AS rz_mean_g,
+                   round((SELECT avg((doc_id * 5 + (t.x * width) // {mm_px.RZ_W}
+                                      + (u.y * height) // {mm_px.RZ_H}) % 256)
+                          FROM UNNEST(range(0, {mm_px.RZ_W})) t(x),
+                               UNNEST(range(0, {mm_px.RZ_H})) u(y)), 6) AS rz_mean_b
             FROM dims
         """,
         # closed-form expectations for the REAL WAV decode: the sawtooth

@@ -342,6 +342,87 @@ def multimodal_decode(sf_dir: str) -> rd.Dataset:
     )
 
 
+# resize targets — reproduced verbatim in the SQL oracle: nearest-neighbor
+# source index is floor(dst * src_dim / target), pure integer arithmetic,
+# so the resized-pixel means are closed-form per doc_id
+RZ_W = 16
+RZ_H = 12
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("container", pa.string()),
+        ("src_width", pa.int64()),
+        ("src_height", pa.int64()),
+        ("rz_width", pa.int64()),
+        ("rz_height", pa.int64()),
+        ("rz_mean_r", pa.float64()),
+        ("rz_mean_g", pa.float64()),
+        ("rz_mean_b", pa.float64()),
+    ]
+)
+
+
+class MediaResizeStage:
+    """Actor-pool decode → REAL pixel resample stage (reference analog S6,
+    `artwork_processing_common.py:280-301` bbox crops/resamples). Decodes
+    the payload, nearest-neighbor-resizes to a fixed RZ_W×RZ_H thumbnail
+    (one vectorized fancy-index gather — src row/col index vectors are
+    computed once per image, no per-pixel Python), and emits per-channel
+    means of the RESIZED image. Only feature rows leave the stage; pixels
+    and payloads never shuffle."""
+
+    def __init__(self, width: int = RZ_W, height: int = RZ_H):
+        from ..core.imagecodec import decode_image
+
+        self._decode = decode_image
+        self.tw = int(width)
+        self.th = int(height)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..core.rounding import round_half_away as _rha
+
+        ids = t.column("media_id").to_pylist()
+        containers = t.column("container").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        rows = []
+        for mid, cont, payload in zip(ids, containers, payloads):
+            px = self._decode(payload)
+            h, w = px.shape[0], px.shape[1]
+            src_y = (np.arange(self.th, dtype=np.int64) * h) // self.th
+            src_x = (np.arange(self.tw, dtype=np.int64) * w) // self.tw
+            rz = px[src_y[:, None], src_x[None, :]]
+            means = rz.reshape(-1, 3).astype(np.float64).mean(axis=0)
+            rows.append(
+                {
+                    "media_id": mid,
+                    "container": cont,
+                    "src_width": w,
+                    "src_height": h,
+                    "rz_width": self.tw,
+                    "rz_height": self.th,
+                    "rz_mean_r": float(_rha(means[0], 6)),
+                    "rz_mean_g": float(_rha(means[1], 6)),
+                    "rz_mean_b": float(_rha(means[2], 6)),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=RESIZE_SCHEMA)
+
+
+def multimodal_resize(sf_dir: str) -> rd.Dataset:
+    """Decode + nearest-neighbor thumbnail resize over the real PNG/BMP
+    payloads — resized-pixel means are SQL-oracle-checked (the NN source
+    index floor(dst·src/target) is integer arithmetic the oracle replays,
+    so a resampler off-by-one or axis swap shifts a mean)."""
+    media = media_pixel_dataset(sf_dir)
+    return media.map_batches(
+        MediaResizeStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # REAL audio decode (WAV PCM16, pure stdlib — core/audiocodec.py)
 # ---------------------------------------------------------------------------

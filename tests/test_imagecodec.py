@@ -110,3 +110,56 @@ def test_gradient_fixture_means_match_formula():
             [(doc_id * 5 + x + y) % 256 for x in range(w) for y in range(h)]
         )
         assert means[0] == exp_r and means[1] == exp_g and means[2] == exp_b
+
+
+def test_resize_stage_matches_naive_nn():
+    """MediaResizeStage's vectorized fancy-index resample must equal a
+    per-pixel nearest-neighbor loop (src = floor(dst*src_dim/target)) and
+    the oracle's closed-form resized means."""
+    import pyarrow as pa
+
+    from product_quality_check_ray.core.imagecodec import encode_bmp, encode_png
+    from product_quality_check_ray.core.rounding import round_half_away
+    from product_quality_check_ray.pipelines.multimodal import (
+        RZ_H,
+        RZ_W,
+        MediaResizeStage,
+        _gradient_pixels,
+    )
+
+    ids = [0, 7, 101, 4096, 13]
+    payloads = []
+    for doc_id in ids:
+        px = _gradient_pixels(doc_id)
+        if doc_id % 2 == 0:
+            payloads.append(encode_png(px, (doc_id + np.arange(px.shape[0])) % 5))
+        else:
+            payloads.append(encode_bmp(px))
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "container": pa.array(
+                ["png" if i % 2 == 0 else "bmp" for i in ids], type=pa.string()
+            ),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    out = MediaResizeStage()(t).to_pylist()
+    for row, doc_id in zip(out, ids):
+        px = _gradient_pixels(doc_id)
+        h, w = px.shape[0], px.shape[1]
+        naive = np.zeros((RZ_H, RZ_W, 3), dtype=np.float64)
+        for y in range(RZ_H):
+            for x in range(RZ_W):
+                naive[y, x] = px[(y * h) // RZ_H, (x * w) // RZ_W]
+        means = naive.reshape(-1, 3).mean(axis=0)
+        assert row["src_width"] == w and row["src_height"] == h
+        assert row["rz_width"] == RZ_W and row["rz_height"] == RZ_H
+        assert row["rz_mean_r"] == round_half_away(means[0], 6)
+        assert row["rz_mean_g"] == round_half_away(means[1], 6)
+        assert row["rz_mean_b"] == round_half_away(means[2], 6)
+        # closed-form oracle twin: R varies only along x, G only along y
+        exp_r = np.mean([(doc_id + (x * w) // RZ_W) % 256 for x in range(RZ_W)])
+        exp_g = np.mean([(doc_id * 3 + (y * h) // RZ_H) % 256 for y in range(RZ_H)])
+        assert row["rz_mean_r"] == round_half_away(exp_r, 6)
+        assert row["rz_mean_g"] == round_half_away(exp_g, 6)
