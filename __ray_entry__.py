@@ -141,6 +141,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_lcs_pairs",
     "doc_strip_dup_spans",
     "doc_near_dup_clusters",
+    "doc_simhash_recall",
     "doc_exact_dup_groups",
     "doc_tfidf_topk",
     "doc_quality_scores",
@@ -150,7 +151,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_normalized",
     "doc_words",
     "doc_dict_matches_lang",
-    "doc_dict_matches_partial",
     "doc_best_dict_match",
     "doc_stats_suite",
     # relational / catalog-join family (suites fold the micro-queries)
@@ -173,6 +173,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_features",
+    "doc_dict_matches_partial",
     "seq_ntok_histogram",
     "seq_drift_verdicts",
     "seq_sketch_report",
@@ -437,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": tx.doc_lang_id,  # heuristic, but SQL-expressible — oracle-checked
         "doc_minhash_dups": tx.doc_minhash_dups,  # LSH candidates + exact verify — oracle = exact pairs
         "doc_simhash_dups": tx.doc_simhash_dups,  # non-SQL — rows-only
+        # pigeonhole recall contract over SQL-expressible bag-dup ground truth
+        "doc_simhash_recall": tx.doc_simhash_recall,
         "doc_ngram_jaccard_pairs": tx.doc_ngram_jaccard_pairs,
         "doc_lcs_pairs": sub.doc_lcs_pairs,  # exact shared-substring (Lee et al.) dedup
         "doc_strip_dup_spans": sub.doc_strip_dup_spans,  # cut duplicated spans, keep-first
@@ -560,6 +563,7 @@ def _winnow_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from product_quality_check_ray.pipelines import multimodal as mm_px
     from product_quality_check_ray.pipelines import similarity as sim
+    from product_quality_check_ray.pipelines import text as tx
 
     seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
     from product_quality_check_ray.pipelines.text import (
@@ -2162,6 +2166,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.b
             WHERE round(p.shared * 1.0 / (sa.n + sb.n - p.shared), 6) >= 0.8
             ORDER BY 1, 2
+        """,
+        # SimHash recall contract: docs with identical word MULTISETS have
+        # identical simhashes (hamming 0), so the 4-piece pigeonhole index is
+        # GUARANTEED to emit every bag-duplicate pair — recall is exactly 1.0
+        # and the truth-pair count is plain SQL (group by sorted word bag);
+        # the engine MEASURES its recall against distributed-mined truth and
+        # must land on the oracle's literal. An engine that dropped a bucket
+        # (cap bug), broke signature determinism, or mis-joined pairs misses
+        # a truth pair and hash-mismatches here.
+        # The permuted-twin plant (every TWIN_MODth doc gains a twin whose
+        # text is its own sorted word bag — same multiset, reordered) keeps
+        # the truth set non-vacuous at every scale; sorting is idempotent, so
+        # the twin's bag equals the original's by construction.
+        "doc_simhash_recall": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+                UNION ALL
+                SELECT doc_id + {tx.SIMHASH_TWIN_OFF} AS doc_id,
+                       array_to_string(
+                           list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '
+                       ) AS text
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id % {tx.SIMHASH_TWIN_MOD} = 0
+            ),
+            norm AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_sort(string_split_regex(trim(lower(text)), '\\s+')), ' '
+                       ) AS bag
+                FROM aug
+            ),
+            grp AS (
+                SELECT bag, count(*)::BIGINT AS c FROM norm
+                GROUP BY bag HAVING count(*) > 1
+            )
+            SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS n_truth_pairs,
+                   coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS n_truth_found,
+                   1.0 AS recall
+            FROM grp
         """,
         # Connected components of the exact ≥0.8-jaccard pair graph via
         # 4-hop min-label propagation — exact for components of diameter ≤ 4

@@ -1316,9 +1316,16 @@ class SimHashStage:
 
 def doc_simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) -> pa.Table:
     """SimHash near-duplicate pairs with hamming distance ≤ ``max_hamming``."""
+    return _simhash_pairs(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def _simhash_pairs(ds: rd.Dataset, max_hamming: int = 3, max_bucket: int = 64) -> pa.Table:
     from ..state.pairreduce import cooccurrence_pairs
 
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
     # materialized: consumed twice (bucket pairs + candidate verification);
     # task fn, not actor pool — the stage is stateless (gotcha #4)
     pieces = ds.map_batches(SimHashStage(), batch_format="pyarrow").materialize()
@@ -1381,6 +1388,152 @@ def doc_simhash_dups(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) ->
             "hamming": pa.array(h[order].astype(np.int64)),
         }
     )
+
+
+_SIMHASH_RECALL_SCHEMA = pa.schema(
+    [
+        ("n_truth_pairs", pa.int64()),
+        ("n_truth_found", pa.int64()),
+        ("recall", pa.float64()),
+    ]
+)
+
+
+def _sorted_bags(texts: pa.Array) -> pa.Array:
+    """Sorted word-multiset string per text: lower().split() words sorted and
+    joined by ' ' — space-join is unambiguous because words cannot contain
+    whitespace. One ``np.lexsort`` over (word, doc_index) sorts every doc's
+    slice in place; no per-row loop."""
+    words, off, flat, lens = _split_words(texts)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    order = np.lexsort((flat_np, doc_idx))
+    # large_list offsets: a block's flat word count can exceed int32 at scale
+    sorted_list = pa.LargeListArray.from_arrays(
+        pa.array(off, type=pa.int64()), pa.array(flat_np[order], type=pa.string())
+    )
+    return pc.binary_join(sorted_list, " ")
+
+
+# permuted-twin plant for the simhash recall contract: every TWIN_MOD-th doc
+# gains a twin whose text is its own sorted word bag — a REORDERING of the
+# same multiset, so the twin's simhash is IDENTICAL (simhash is order-free)
+# and the pigeonhole index must pair them. Both constants are reproduced
+# verbatim in the SQL oracle.
+SIMHASH_TWIN_MOD = 50
+SIMHASH_TWIN_OFF = 1 << 40
+
+
+def _with_permuted_twins(t: pa.Table) -> pa.Table:
+    sel = t.filter(pc.is_valid(t.column("text")))
+    base = pa.table({"doc_id": sel.column("doc_id"), "text": sel.column("text")})
+    ids = sel.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pick = sel.filter(pa.array(ids % SIMHASH_TWIN_MOD == 0))
+    if pick.num_rows == 0:
+        return base
+    twins = pa.table(
+        {
+            "doc_id": pc.add(
+                pc.cast(pick.column("doc_id"), pa.int64()),
+                pa.scalar(SIMHASH_TWIN_OFF, pa.int64()),
+            ),
+            "text": pc.cast(
+                _sorted_bags(pick.column("text").combine_chunks()), pa.string()
+            ),
+        }
+    )
+    return pa.concat_tables([base, twins])
+
+
+def _bag_key_rows(t: pa.Table) -> pa.Table:
+    """(bag_hash, doc_id, bag) per non-null-text row."""
+    from ..core.hashing import hash_strings
+
+    sel = t.filter(pc.is_valid(t.column("text")))
+    if sel.num_rows == 0:
+        return pa.table(
+            {
+                "bag_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "bag": pa.array([], type=pa.string()),
+            }
+        )
+    bags = _sorted_bags(sel.column("text").combine_chunks())
+    hashes = hash_strings(bags).view(np.int64)
+    return pa.table(
+        {
+            "bag_hash": pa.array(hashes),
+            "doc_id": sel.column("doc_id"),
+            "bag": bags,
+        }
+    )
+
+
+def doc_simhash_recall(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) -> pa.Table:
+    """Driver-checkable recall contract for the SimHash index: every pair of
+    docs with IDENTICAL word multisets (lower().split() bags) has identical
+    simhashes (hamming 0), so the 4-piece pigeonhole index MUST emit it —
+    recall over bag-duplicate ground truth is exactly 1.0, and the truth-pair
+    count is plain SQL (group docs by sorted word bag). Turns the
+    probabilistic ``doc_simhash_dups`` family into an oracle-graded query the
+    same way `knn_lsh`/`knn_ivf` recall rows did for approximate ANN.
+
+    Ground truth is kept non-vacuous at every scale by a deterministic
+    permuted-twin plant (every ``SIMHASH_TWIN_MOD``-th doc gains a twin whose
+    text is its own sorted word bag — same multiset, different order, same
+    simhash), mirrored verbatim in the SQL oracle like the planted family in
+    ``seq_neardup_pairs``.
+
+    Truth mining is distributed: 8 B/row bag hashes through the
+    ``state/dupfinder`` hash-range tree reduce; bags (strings) are recovered
+    and exact-verified for CANDIDATE docs only (64-bit collision contract),
+    so the driver never holds corpus-sized state."""
+    aug = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(_with_permuted_twins, batch_format="pyarrow")
+        .materialize()
+    )
+    keyed = aug.map_batches(_bag_key_rows, batch_format="pyarrow").materialize()
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    dup_hashes = find_dup_hash_values(keyed, "bag_hash")
+    truth: set[tuple[int, int]] = set()
+    if dup_hashes.size:
+        cand_set = pa.array(np.sort(dup_hashes))
+
+        def pick(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.is_in(t.column("bag_hash"), value_set=cand_set), False)
+            sel = t.filter(mask)
+            return pa.table({"doc_id": sel.column("doc_id"), "bag": sel.column("bag")})
+
+        cand = _collect(keyed.map_batches(pick, batch_format="pyarrow"))
+        by_bag: dict[str, list[int]] = {}
+        for doc_id, bag in zip(
+            cand.column("doc_id").to_pylist(), cand.column("bag").to_pylist()
+        ):
+            by_bag.setdefault(bag, []).append(doc_id)
+        for ids in by_bag.values():
+            if len(ids) > 1:
+                ids.sort()
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        truth.add((ids[i], ids[j]))
+
+    pairs = _simhash_pairs(aug, max_hamming=max_hamming, max_bucket=max_bucket)
+    found = set(
+        zip(pairs.column("doc_id_a").to_pylist(), pairs.column("doc_id_b").to_pylist())
+    )
+    n_truth = len(truth)
+    n_found = len(truth & found)
+    recall = _rha(n_found / n_truth, 6) if n_truth else 1.0
+    return pa.table(
+        {
+            "n_truth_pairs": pa.array([n_truth], type=pa.int64()),
+            "n_truth_found": pa.array([n_found], type=pa.int64()),
+            "recall": pa.array([float(recall)], type=pa.float64()),
+        }
+    ).cast(_SIMHASH_RECALL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

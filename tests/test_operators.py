@@ -107,6 +107,30 @@ def test_simhash_finds_exact_dup(fixture_dir):
     assert (t["hamming"] <= 3).all()
 
 
+def test_sorted_bags_matches_python():
+    from product_quality_check_ray.pipelines.text import _sorted_bags
+
+    texts = ["b a  c b", "  Hello WORLD  ", "one", "", "   "]
+    got = _sorted_bags(pa.array(texts)).to_pylist()
+    for t, g in zip(texts, got):
+        words = t.lower().split()
+        # _split_words maps empty/whitespace-only to the single token ""
+        assert g == " ".join(sorted(words)) if words else g == ""
+
+
+def test_simhash_recall_contract(fixture_dir):
+    """The pigeonhole index must find EVERY bag-duplicate pair: the fixture
+    plants an exact dup (3,100), a case/whitespace variant (7,102), and the
+    permuted twins of ids 0 and 100 — group {3,100,twin100} contributes 3
+    pairs, {0,twin0} and {7,102} one each → 5 truth pairs, recall 1.0."""
+    from product_quality_check_ray.pipelines.text import doc_simhash_recall
+
+    row = doc_simhash_recall(fixture_dir).to_pydict()
+    assert row["n_truth_pairs"] == [5]
+    assert row["n_truth_found"] == [5]
+    assert row["recall"] == [1.0]
+
+
 def test_knn_bruteforce_matches_numpy(fixture_dir):
     from product_quality_check_ray.pipelines.similarity import knn_bruteforce
 
