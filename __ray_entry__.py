@@ -2251,7 +2251,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e4 GROUP BY u
             ORDER BY 1, 2
         """,
-        "doc_ngram_jaccard_pairs": """
+        "doc_ngram_jaccard_pairs": f"""
             WITH w AS (
                 SELECT doc_id, string_split(text, ' ') AS ws FROM documents
             ),
@@ -2262,9 +2262,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(ws) >= 3
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            -- hot-shingle stop-list mirrors the engine's drop_hot cap:
+            -- shingles shared by more than NGRAM_HOT_CAP docs emit no pairs
+            -- (fixture max df is 7/25, so this clause is inert here — it
+            -- exists so oracle and engine state the SAME semantics)
+            hot AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) > {tx.NGRAM_HOT_CAP}
+            ),
             pairs AS (
                 SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                WHERE a.shingle NOT IN (SELECT shingle FROM hot)
                 GROUP BY 1, 2
             )
             SELECT p.a AS doc_id_a, p.b AS doc_id_b,

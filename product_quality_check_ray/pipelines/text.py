@@ -1445,26 +1445,24 @@ def _with_permuted_twins(t: pa.Table) -> pa.Table:
     return pa.concat_tables([base, twins])
 
 
-def _bag_key_rows(t: pa.Table) -> pa.Table:
-    """(bag_hash, doc_id, bag) per non-null-text row."""
-    from ..core.hashing import hash_strings
-
+def _bag_fp_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, bag_fp) per non-null-text row: md5 hex of the sorted word
+    bag — the repo's exact-identity convention (``_fingerprint_col``), so
+    equal fingerprints ARE equal bags; only 32 B/doc ever shuffles."""
     sel = t.filter(pc.is_valid(t.column("text")))
     if sel.num_rows == 0:
         return pa.table(
             {
-                "bag_hash": pa.array([], type=pa.int64()),
                 "doc_id": pa.array([], type=pa.int64()),
-                "bag": pa.array([], type=pa.string()),
+                "bag_fp": pa.array([], type=pa.string()),
             }
         )
     bags = _sorted_bags(sel.column("text").combine_chunks())
-    hashes = hash_strings(bags).view(np.int64)
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in bags.to_pylist()]
     return pa.table(
         {
-            "bag_hash": pa.array(hashes),
             "doc_id": sel.column("doc_id"),
-            "bag": bags,
+            "bag_fp": pa.array(fps, type=pa.string()),
         }
     )
 
@@ -1484,48 +1482,57 @@ def doc_simhash_recall(sf_dir: str, max_hamming: int = 3, max_bucket: int = 64) 
     simhash), mirrored verbatim in the SQL oracle like the planted family in
     ``seq_neardup_pairs``.
 
-    Truth mining is distributed: 8 B/row bag hashes through the
-    ``state/dupfinder`` hash-range tree reduce; bags (strings) are recovered
-    and exact-verified for CANDIDATE docs only (64-bit collision contract),
-    so the driver never holds corpus-sized state."""
+    Scale shape: truth pairs are COUNTED distributed, never materialized —
+    per-doc bag fingerprints (md5 of the sorted bag, 32 B/row, the
+    ``doc_exact_dup_groups`` convention) through a hash-partitioned groupby,
+    then per-block Σ C(n,2) partials; a boilerplate corpus with 25M truth
+    pairs costs the driver a handful of int64 partials. The found∩truth
+    check recovers fingerprints for docs IN FOUND PAIRS only (broadcast
+    id-set filter) and compares factorized codes vectorized. On such corpora
+    ``max_bucket`` deliberately trades recall (every LSH cap does) and the
+    reported recall honestly drops below 1.0 — the ==1.0 contract is for
+    corpora whose dup-group piece-buckets stay under the cap (the fixture
+    guarantee, like ``seq_neardup_pairs``' blocking assumption)."""
     aug = (
         _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(_with_permuted_twins, batch_format="pyarrow")
         .materialize()
     )
-    keyed = aug.map_batches(_bag_key_rows, batch_format="pyarrow").materialize()
+    fps = aug.map_batches(_bag_fp_rows, batch_format="pyarrow").materialize()
 
-    from ..state.dupfinder import find_dup_hash_values
+    # n_truth_pairs = Σ_groups C(n,2), reduced distributed: groupby on the
+    # 32 B fingerprint → per-block partial sums → tiny driver add
+    agg = fps.groupby("bag_fp").aggregate(Count(alias_name="n"))
 
-    dup_hashes = find_dup_hash_values(keyed, "bag_hash")
-    truth: set[tuple[int, int]] = set()
-    if dup_hashes.size:
-        cand_set = pa.array(np.sort(dup_hashes))
+    def pair_partials(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"partial": pa.array([int((n * (n - 1) // 2).sum())])})
 
-        def pick(t: pa.Table) -> pa.Table:
-            mask = pc.fill_null(pc.is_in(t.column("bag_hash"), value_set=cand_set), False)
-            sel = t.filter(mask)
-            return pa.table({"doc_id": sel.column("doc_id"), "bag": sel.column("bag")})
-
-        cand = _collect(keyed.map_batches(pick, batch_format="pyarrow"))
-        by_bag: dict[str, list[int]] = {}
-        for doc_id, bag in zip(
-            cand.column("doc_id").to_pylist(), cand.column("bag").to_pylist()
-        ):
-            by_bag.setdefault(bag, []).append(doc_id)
-        for ids in by_bag.values():
-            if len(ids) > 1:
-                ids.sort()
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        truth.add((ids[i], ids[j]))
+    parts = _collect(agg.map_batches(pair_partials, batch_format="pyarrow"))
+    n_truth = int(pc.sum(parts.column("partial")).as_py() or 0)
 
     pairs = _simhash_pairs(aug, max_hamming=max_hamming, max_bucket=max_bucket)
-    found = set(
-        zip(pairs.column("doc_id_a").to_pylist(), pairs.column("doc_id_b").to_pylist())
-    )
-    n_truth = len(truth)
-    n_found = len(truth & found)
+    a = pairs.column("doc_id_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("doc_id_b").to_numpy(zero_copy_only=False)
+    n_found = 0
+    if len(a):
+        need_arr = pa.array(np.unique(np.concatenate([a, b])))
+
+        def pick(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.is_in(t.column("doc_id"), value_set=need_arr), False)
+            return t.filter(mask)
+
+        cand = _collect(fps.map_batches(pick, batch_format="pyarrow"))
+        cid = cand.column("doc_id").to_numpy(zero_copy_only=False)
+        # factorize fingerprints → int codes; equal codes ⇔ equal bags
+        _, codes = np.unique(
+            cand.column("bag_fp").to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        order = np.argsort(cid)
+        cid, codes = cid[order], codes[order]
+        n_found = int(
+            (codes[np.searchsorted(cid, a)] == codes[np.searchsorted(cid, b)]).sum()
+        )
     recall = _rha(n_found / n_truth, 6) if n_truth else 1.0
     return pa.table(
         {
@@ -1568,14 +1575,24 @@ def _shingle_explode(t: pa.Table) -> pa.Table:
     )
 
 
-def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_bucket: int = 1024) -> pa.Table:
+NGRAM_HOT_CAP = 64
+
+
+def doc_ngram_jaccard_pairs(
+    sf_dir: str, threshold: float = 0.6, hot_cap: int = NGRAM_HOT_CAP
+) -> pa.Table:
     """EXACT word-3-gram Jaccard similar pairs via a shingle inverted index.
 
     explode → groupby(shingle) emits co-occurring pairs → groupby(pair)
-    counts shared shingles → |A∩B| / (|A|+|B|−|A∩B|). Unlike MinHash this is
-    exact; the cost model assumes no shingle is shared by more than
-    ``max_bucket`` docs (hot boilerplate shingles should be stop-listed
-    upstream at real scale — they produce quadratic pairs).
+    counts shared shingles → |A∩B| / (|A|+|B|−|A∩B|). Shingles shared by
+    more than ``hot_cap`` docs are stop-listed (DROPPED, not truncated —
+    deterministic and SQL-reproducible, same contract as
+    ``doc_overlap_pairs``): a boilerplate shingle with df=1000 alone yields
+    500k pairs, and a 500k-doc small-vocab stress corpus measured 11.7
+    BILLION under-1024-cap pairs vs 973k under this cap. Where no shingle is
+    hot (the fixtures: max df 7 at sf0.01, 25 at sf0.1) the result is the
+    exact Jaccard; on boilerplate corpora shared counts become a documented
+    lower bound (union stays full), so pairs can be missed, never invented.
 
     Per-doc shingle counts ride each exploded row through the pair reduce
     (``size_col``) and come back as per-pair size_a/size_b — no driver-side
@@ -1588,7 +1605,7 @@ def doc_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.6, max_bucket: int
     shingles = ds.map_batches(_shingle_explode, batch_format="pyarrow").materialize()
 
     shared_df = cooccurrence_pairs(
-        shingles, "shingle", "doc_id", max_bucket=max_bucket, size_col="n"
+        shingles, "shingle", "doc_id", max_bucket=hot_cap, drop_hot=True, size_col="n"
     )
     shared_df = shared_df.rename(columns={"id_a": "a", "id_b": "b", "n_shared": "shared"})
 
