@@ -346,10 +346,12 @@ def _fsb_to_mat(col: "pa.ChunkedArray | pa.Array", k: int) -> np.ndarray:
     return flat.reshape(-1, k)
 
 
-# above this row count the O(n log n) hash sort moves off the driver into a
+# above this GRAM count the O(n log n) hash sort moves off the driver into a
 # distributed Dataset.sort exchange; below it, driver argsort beats the
-# sort's fixed orchestration cost (fixture corpora stay on the fast path)
-GRAM_INDEX_SORT_ROWS = 200_000
+# sort's fixed multi-second orchestration cost. Crossover sized from
+# measurement: driver argsort+gather ≈ 0.75 s per M grams (21 s at 28M),
+# the sort exchange ≈ 3–5 s flat — so ~8M grams is the break-even.
+GRAM_INDEX_SORT_GRAMS = 8_000_000
 
 
 def holdout_gram_index(
@@ -362,16 +364,19 @@ def holdout_gram_index(
     range-sorted by ``Dataset.sort`` (an all-to-all exchange over workers);
     the driver receives already-sorted blocks and does only the O(n) bitmap
     scatter — removing the single-threaded argsort+gather that cost 21 s at
-    28M grams. ``distributed=None`` decides by the input's (metadata-cheap)
-    row count."""
-    if distributed is None:
-        try:
-            distributed = seq.count() > GRAM_INDEX_SORT_ROWS
-        except Exception:
-            distributed = False
+    28M grams. ``distributed=None`` decides by the ACTUAL gram count (the
+    gram extraction is materialized once and reused — deciding by corpus
+    row count sent sf0.1's ~1M-gram index through the exchange and cost
+    seq_decontaminate a needless ~3 s, r3 bench)."""
     grams = seq.map_batches(
         _holdout_grams_batch, batch_format="pyarrow", batch_size=None
     )
+    if distributed is None:
+        # the holdout gram subset is small relative to the corpus (a
+        # 1/DECON_HOLD_MOD row sample); materializing it makes count() free
+        # and lets the chosen branch reuse the extraction pass
+        grams = grams.materialize()
+        distributed = grams.count() > GRAM_INDEX_SORT_GRAMS
     if not distributed:
         tbl = _collect(grams)
         return GramIndex.build(_fsb_to_mat(tbl.column("g"), DECON_K))
