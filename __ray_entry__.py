@@ -170,6 +170,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "multimodal_decode",
     # --- end of graded window (position 50) ---
     "multimodal_audio",
+    "seq_split_assign",
+    "seq_repetition_scores",
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_features",
@@ -424,6 +426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
         "seq_unigram_lm_score": lambda sf: tk.seq_unigram_lm_score(sf),  # token-level perplexity proxy
+        "seq_split_assign": lambda sf: tk.seq_split_assign(sf),  # deterministic train/val/test split
+        "seq_repetition_scores": lambda sf: tk.seq_repetition_scores(sf),  # token-level Gopher repetition
         # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
         "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
         "seq_neardup_pairs": lambda sf: tk.seq_neardup_pairs(sf),  # head-anchor near-dup, exact verify
@@ -1409,6 +1413,56 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY count(*) OVER (PARTITION BY ptok) > 1
         """,
         # token sliding-window chunking: chunk boundaries are integer
+        # deterministic train/val/test split: pure int64 modular arithmetic
+        # on the numeric doc_id suffix, mirrored verbatim (SPLIT_* constants)
+        "seq_split_assign": f"""
+            SELECT doc_id, source,
+              CASE WHEN (try_cast(right(doc_id, 12) AS BIGINT) * {tk.SPLIT_MULT})
+                        % {tk.SPLIT_PRIME} % 100 < {tk.SPLIT_TEST_PCT} THEN 'test'
+                   WHEN (try_cast(right(doc_id, 12) AS BIGINT) * {tk.SPLIT_MULT})
+                        % {tk.SPLIT_PRIME} % 100 < {tk.SPLIT_VAL_PCT} THEN 'val'
+                   ELSE 'train' END AS split
+            FROM {seq}
+            WHERE doc_id IS NOT NULL
+              AND regexp_matches(right(doc_id, 12), '^[0-9]{{12}}$')
+        """,
+        # token-level repetition metrics: all-integer columns; the sorted
+        # list's change positions (chg) give distinct count and max run
+        # length without a join (a row_number-CTE join is NOT deterministic
+        # under duplicate doc_ids — the CTE re-evaluates per use)
+        "seq_repetition_scores": f"""
+            WITH raw AS (
+              SELECT doc_id, source,
+                     list_transform(tokens, x -> coalesce(x, -1)) AS ptok,
+                     len(tokens) AS n
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+            ),
+            s AS (
+              SELECT doc_id, source, n,
+                     CAST(coalesce(len(list_filter(range(2, n + 1),
+                                     i -> ptok[i] = ptok[i-1])), 0) AS BIGINT)
+                       AS n_adj_dup,
+                     list_concat(list_concat([CAST(1 AS BIGINT)],
+                       list_filter(range(2, n + 1),
+                                   i -> list_sort(ptok)[i] != list_sort(ptok)[i-1])),
+                       [CAST(n + 1 AS BIGINT)]) AS chg
+              FROM raw
+            )
+            SELECT doc_id, source, CAST(n AS BIGINT) AS n_tok_actual, n_adj_dup,
+                   CAST(CASE WHEN n = 0 THEN 0 ELSE len(chg) - 1 END AS BIGINT)
+                     AS n_distinct,
+                   CAST(CASE WHEN n = 0 THEN 0 ELSE
+                     list_max(list_transform(range(2, len(chg) + 1),
+                                             j -> chg[j] - chg[j-1]))
+                   END AS BIGINT) AS top_tok_n,
+                   ((n > 1 AND n_adj_dup * 10 > (n - 1) * 3)
+                    OR (n > 0 AND (CASE WHEN n = 0 THEN 0 ELSE
+                          list_max(list_transform(range(2, len(chg) + 1),
+                                                  j -> chg[j] - chg[j-1]))
+                        END) * 5 > n)) AS repetitive
+            FROM s
+        """,
         # arithmetic mirrored verbatim; null list ELEMENTS take the engine's
         # -1 sentinel via list_transform
         "seq_chunk_windows": f"""

@@ -1901,3 +1901,129 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
             "cnt": pa.array(total[order]),
         }
     )
+
+
+# --- split-assignment constants (mirrored verbatim into the SQL oracle) ----
+SPLIT_MULT = 127        # bucket = (suffix * MULT) % PRIME % 100
+SPLIT_PRIME = 999_983   # large prime decorrelates the bucket from the
+#                         fixture's small augmentation moduli (97/13/257)
+SPLIT_TEST_PCT = 5      # bucket < 5            → test
+SPLIT_VAL_PCT = 10      # 5 <= bucket < 10      → val; else train
+
+
+def seq_split_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic stratified train/val/test split assignment over the
+    north-star sequences table (~90/5/5).
+
+    The bucket is pure int64 modular arithmetic on the numeric doc_id
+    suffix — vectorized in the engine, exactly expressible in SQL (no
+    engine-specific hash), reproducible across engines, cluster sizes and
+    reruns, and independent of row order, so a re-shard of the corpus
+    never migrates a row between splits. Stratification needs no shuffle:
+    the suffix is uniform within every source, so per-source proportions
+    hold statistically (the multiplicative step decorrelates the bucket
+    from the fixture's augmentation moduli 97/13/257, which are also
+    suffix-derived). Rows whose doc_id is NULL or does not end in 12
+    digits are excluded (no stable key to split on — the SQL analog's
+    ``right(doc_id, 12) ~ '^[0-9]{12}$'``)."""
+    seq = _seq_ds(sf_dir, columns=["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        sfx = _suffix_i64(t.column("doc_id"))
+        keep = sfx >= 0
+        sel = t.filter(pa.array(keep))
+        bucket = (sfx[keep] * SPLIT_MULT) % SPLIT_PRIME % 100
+        split = np.where(
+            bucket < SPLIT_TEST_PCT,
+            "test",
+            np.where(bucket < SPLIT_VAL_PCT, "val", "train"),
+        )
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id"),
+                "source": sel.column("source"),
+                "split": pa.array(split.astype(object), type=pa.string()),
+            }
+        )
+
+    return seq.map_batches(assign, batch_format="pyarrow")
+
+
+_REPSCORE_EMPTY = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("source", pa.string()),
+        ("n_tok_actual", pa.int64()),
+        ("n_adj_dup", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("top_tok_n", pa.int64()),
+        ("repetitive", pa.bool_()),
+    ]
+)
+
+
+def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
+    """Within-sequence token repetition metrics (the token-level analog of
+    the Gopher repetition signals in ``text.doc_repetition_scores``): per
+    row, the adjacent-duplicate count, distinct-token count and max
+    single-token frequency, plus a composed ``repetitive`` flag.
+
+    All metrics are INTEGER (numerator/denominator, never a float ratio)
+    so the SQL oracle compares exactly. One vectorized pass per batch over
+    the flat values buffer: adjacent duplicates via a shifted compare +
+    cumsum window sum; distinct and top-frequency via one lexsort of
+    (row, value) — segment starts give distinct counts (bincount) and
+    segment lengths reduce to per-row maxima (``np.maximum.reduceat`` at
+    the first segment of each row). Null list ELEMENTS take the engine's
+    -1 sentinel (SQL: ``list_transform(tokens, x -> coalesce(x, -1))``);
+    rows with NULL doc_id or NULL tokens are excluded.
+
+    ``repetitive`` = (n>1 AND adj_dup/(n-1) > 0.3) OR (n>0 AND top/n >
+    0.2), evaluated as integer cross-multiplication on both sides."""
+    seq = _seq_ds(sf_dir, columns=["doc_id", "source", "tokens"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("tokens")))
+        sel = t.filter(ok)
+        if sel.num_rows == 0:
+            return _REPSCORE_EMPTY.empty_table()
+        offs, vals = _tokens_parts(sel.column("tokens"))
+        v = vals[offs[0] : offs[-1]]
+        ro = offs - offs[0]
+        n = np.diff(ro)
+        lo, hi = ro[:-1], ro[1:]
+        # adjacent duplicates: window sum of the shifted compare
+        if v.size > 1:
+            c = np.concatenate(([0], np.cumsum(v[1:] == v[:-1], dtype=np.int64)))
+            nd = c[np.maximum(hi - 1, lo)] - c[lo]
+        else:
+            nd = np.zeros(n.size, dtype=np.int64)
+        # distinct + top frequency: one lexsort groups (row, value) segments
+        row_ids = np.repeat(np.arange(n.size), n)
+        order = np.lexsort((v, row_ids))
+        sv, sr = v[order], row_ids[order]
+        new_seg = np.ones(sv.size, dtype=bool)
+        if sv.size:
+            new_seg[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+        seg_starts = np.flatnonzero(new_seg)
+        n_distinct = np.bincount(sr[seg_starts], minlength=n.size).astype(np.int64)
+        seg_lens = np.diff(np.append(seg_starts, sv.size))
+        top = np.zeros(n.size, dtype=np.int64)
+        nonempty = n > 0
+        if seg_starts.size:
+            first_seg = np.searchsorted(sr[seg_starts], np.flatnonzero(nonempty))
+            top[nonempty] = np.maximum.reduceat(seg_lens, first_seg)
+        repetitive = ((n > 1) & (nd * 10 > (n - 1) * 3)) | (nonempty & (top * 5 > n))
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id"),
+                "source": sel.column("source"),
+                "n_tok_actual": pa.array(n.astype(np.int64)),
+                "n_adj_dup": pa.array(nd.astype(np.int64)),
+                "n_distinct": pa.array(n_distinct),
+                "top_tok_n": pa.array(top),
+                "repetitive": pa.array(repetitive),
+            }
+        )
+
+    return seq.map_batches(score, batch_format="pyarrow")

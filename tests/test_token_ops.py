@@ -698,3 +698,99 @@ def test_gram_index_distributed_build_matches_driver_build(ray_session):
     assert np.array_equal(a.member(h, win), b.member(h, win))
     assert a.member(h, win)[: len(probe)].all()
     assert not a.member(h, win)[len(probe):].any()
+
+
+def test_seq_split_assign_differential(ray_session, rows):
+    out = tk.seq_split_assign(SF).to_pandas()
+    expected = {}
+    for r in rows:
+        sfx = _sfx(r["doc_id"])
+        if sfx < 0:
+            continue
+        b = (sfx * tk.SPLIT_MULT) % tk.SPLIT_PRIME % 100
+        s = (
+            "test"
+            if b < tk.SPLIT_TEST_PCT
+            else ("val" if b < tk.SPLIT_VAL_PCT else "train")
+        )
+        key = (r["doc_id"], r["source"], s)
+        expected[key] = expected.get(key, 0) + 1
+    got = {}
+    for t in out.itertuples(index=False):
+        key = (t.doc_id, t.source, t.split)
+        got[key] = got.get(key, 0) + 1
+    assert got == expected
+    # non-vacuous + stratified: every split present, and per-source test+val
+    # fractions land near the 10% target (suffixes are uniform per source)
+    assert set(out["split"]) == {"train", "val", "test"}
+    frac = (
+        out.assign(held=out["split"] != "train")
+        .groupby("source")["held"]
+        .mean()
+    )
+    big = out["source"].value_counts()
+    assert ((frac[big[big > 500].index] - 0.10).abs() < 0.04).all()
+
+
+def _naive_repetition(tokens):
+    toks = [-1 if x is None else x for x in tokens]
+    n = len(toks)
+    nd = sum(1 for i in range(1, n) if toks[i] == toks[i - 1])
+    dist = len(set(toks))if n else 0
+    top = max((toks.count(x) for x in set(toks)), default=0)
+    rep = (n > 1 and nd * 10 > (n - 1) * 3) or (n > 0 and top * 5 > n)
+    return (n, nd, dist, top, rep)
+
+
+def test_seq_repetition_scores_differential(ray_session, rows):
+    out = tk.seq_repetition_scores(SF).to_pandas()
+    expected = sorted(
+        (r["doc_id"], r["source"]) + _naive_repetition(r["tokens"])
+        for r in rows
+        if r["doc_id"] is not None and r["tokens"] is not None
+    )
+    got = sorted(
+        (t.doc_id, t.source, t.n_tok_actual, t.n_adj_dup, t.n_distinct, t.top_tok_n, t.repetitive)
+        for t in out.itertuples(index=False)
+    )
+    assert got == expected
+    # the fixture's random tokens produce adjacent dups but no flagged rows
+    assert (out["n_adj_dup"] > 0).any()
+    assert (out["n_distinct"] < out["n_tok_actual"]).any()
+
+
+def test_seq_repetition_scores_planted(ray_session, tmp_path, monkeypatch):
+    """The repetitive flag and every metric on hand-built pathological rows
+    (all-same, alternating, heavy-tail, empty, null elements) routed through
+    the real op via a direct-path corpus."""
+    import pyarrow as pa
+
+    rows = [
+        ("doc-a-000000000001", "web", [7] * 100),            # all same
+        ("doc-b-000000000002", "web", [1, 2] * 50),          # alternating, no adj dups
+        ("doc-c-000000000003", "web", [5] * 30 + list(range(70))),  # heavy tail
+        ("doc-d-000000000004", "web", []),                   # empty
+        ("doc-e-000000000005", "web", [None, None, 3]),      # null elements -> -1
+        ("doc-f-000000000006", "web", list(range(100))),     # all distinct
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[2] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    pq.write_table(t, str(d / "frag-000.parquet"))
+    out = tk.seq_repetition_scores(str(d)).to_pandas().set_index("doc_id")
+    for doc_id, _, toks in rows:
+        n, nd, dist, top, rep = _naive_repetition(toks)
+        row = out.loc[doc_id]
+        assert (row.n_tok_actual, row.n_adj_dup, row.n_distinct, row.top_tok_n, bool(row.repetitive)) == (n, nd, dist, top, rep), doc_id
+    assert bool(out.loc["doc-a-000000000001", "repetitive"])
+    # two-token alternation: no adjacent dups, but top-frequency 0.5 flags it
+    assert bool(out.loc["doc-b-000000000002", "repetitive"])
+    assert bool(out.loc["doc-c-000000000003", "repetitive"])
+    assert not bool(out.loc["doc-f-000000000006", "repetitive"])
