@@ -172,6 +172,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "multimodal_audio",
     "seq_split_assign",
     "seq_repetition_scores",
+    "seq_cross_source_dups",
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_features",
@@ -428,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_unigram_lm_score": lambda sf: tk.seq_unigram_lm_score(sf),  # token-level perplexity proxy
         "seq_split_assign": lambda sf: tk.seq_split_assign(sf),  # deterministic train/val/test split
         "seq_repetition_scores": lambda sf: tk.seq_repetition_scores(sf),  # token-level Gopher repetition
+        "seq_cross_source_dups": lambda sf: tk.seq_cross_source_dups(sf),  # inter-source contamination audit
         # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
         "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
         "seq_neardup_pairs": lambda sf: tk.seq_neardup_pairs(sf),  # head-anchor near-dup, exact verify
@@ -1413,6 +1415,30 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY count(*) OVER (PARTITION BY ptok) > 1
         """,
         # token sliding-window chunking: chunk boundaries are integer
+        # inter-source contamination: distinct shared CONTENTS per source
+        # pair; content definition shared with seq_dup_token_arrays (null
+        # list -> [], null elements -> -1, DUPSEQ canary replacement)
+        "seq_cross_source_dups": f"""
+            WITH raw AS (
+              SELECT source, tokens,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq} WHERE source IS NOT NULL
+            ),
+            pat AS (
+              SELECT source,
+                     CASE WHEN sfx IS NOT NULL
+                               AND sfx % {tk.DUPSEQ_MOD} = {tk.DUPSEQ_RES}
+                          THEN {_canary_sql()}[1:{tk.DUPSEQ_LEN_BASE} + sfx % {tk.DUPSEQ_LEN_CHOICES}]
+                          ELSE list_transform(coalesce(tokens, []),
+                                              x -> coalesce(x, -1)) END AS ptok
+              FROM raw
+            ),
+            g AS (SELECT DISTINCT ptok, source FROM pat),
+            p AS (SELECT a.source AS source_a, b.source AS source_b
+                  FROM g a JOIN g b ON a.ptok = b.ptok AND a.source < b.source)
+            SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM p GROUP BY 1, 2
+        """,
         # deterministic train/val/test split: pure int64 modular arithmetic
         # on the numeric doc_id suffix, mirrored verbatim (SPLIT_* constants)
         "seq_split_assign": f"""

@@ -2027,3 +2027,119 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
         )
 
     return seq.map_batches(score, batch_format="pyarrow")
+
+
+_XSRC_SCHEMA = pa.schema(
+    [
+        ("source_a", pa.string()),
+        ("source_b", pa.string()),
+        ("n_shared", pa.int64()),
+    ]
+)
+
+
+def seq_cross_source_dups(sf_dir: str, augment: bool | None = None) -> pa.Table:
+    """Inter-source contamination audit: for every unordered source pair,
+    the number of DISTINCT (augmented-view) token-array contents that
+    appear in BOTH sources. The same content leaking across supposedly
+    independent sources (web scrape vs books vs code) is a classic
+    training-mix defect this surfaces corpus-wide.
+
+    Same candidate→recover shape as ``seq_dup_token_arrays`` (the content
+    definition is shared via ``_row_hashes``): pass 1 streams distinct
+    (content-hash, source) pairs per batch into the ``dupfinder``
+    hash-range reduce — a hash seen twice in that stream is a candidate
+    (two batches of the same source can re-emit a pair, so candidacy
+    over-triggers but never under-triggers); pass 2 recovers the actual
+    arrays of candidate rows only; exact grouping + the distinct-source
+    check happen on the (tiny) candidate set, so 64-bit collisions and
+    same-source repeats are filtered exactly."""
+    aug = _aug(sf_dir, augment)
+    seq = _seq_ds(sf_dir, columns=["doc_id", "source", "tokens"])
+
+    def add_hs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("source")))
+        if t.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], type=pa.int64()), "source": pa.array([], type=pa.string())}
+            )
+        _, _, _, h = _row_hashes(t, aug)
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        codes, inv = np.unique(src, return_inverse=True)
+        order = np.lexsort((h, inv))
+        hs, cs = h[order], inv[order]
+        first = np.ones(hs.size, dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (cs[1:] != cs[:-1])
+        return pa.table(
+            {
+                "h": pa.array(hs[first].view(np.int64)),
+                "source": pa.array(codes[cs[first]], type=pa.string()),
+            }
+        )
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    hashed = seq.map_batches(add_hs, batch_format="pyarrow", batch_size=None).materialize()
+    dup_h = find_dup_hash_values(hashed, "h")
+    if dup_h.size == 0:
+        return _XSRC_SCHEMA.empty_table()
+    dup_sorted = np.sort(dup_h.view(_U64))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("source")))
+        empty = pa.table(
+            {
+                "source": pa.array([], type=pa.string()),
+                "ptok": pa.array([], type=pa.list_(pa.int32())),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sfx, offs, vals, h = _row_hashes(t, aug)
+        pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
+        mask = dup_sorted[pos] == h
+        if not mask.any():
+            return empty
+        idx = np.flatnonzero(mask)
+        sel = t.take(pa.array(idx))
+        rep = aug & (sfx[idx] >= 0) & (sfx[idx] % DUPSEQ_MOD == DUPSEQ_RES)
+        ptok = []
+        for j, i in enumerate(idx):
+            if rep[j]:
+                L = DUPSEQ_LEN_BASE + int(sfx[i] % DUPSEQ_LEN_CHOICES)
+                ptok.append(_CANARY_NP[:L].tolist())
+            else:
+                ptok.append(vals[offs[i] : offs[i + 1]].tolist())
+        return pa.table(
+            {
+                "source": sel.column("source"),
+                "ptok": pa.array(ptok, type=pa.list_(pa.int32())),
+            }
+        )
+
+    cand = _collect(seq.map_batches(candidates, batch_format="pyarrow", batch_size=None))
+    if cand.num_rows == 0:
+        return _XSRC_SCHEMA.empty_table()
+    sources = cand.column("source").to_pylist()
+    groups: dict[bytes, set] = {}
+    for i, x in enumerate(cand.column("ptok").to_pylist()):
+        kb = np.asarray(x, dtype=np.int32).tobytes()
+        groups.setdefault(kb, set()).add(sources[i])
+    pair_counts: dict[tuple, int] = {}
+    for srcs in groups.values():
+        if len(srcs) < 2:
+            continue  # same-source repeat or 64-bit collision: filtered exactly
+        ss = sorted(srcs)
+        for ai in range(len(ss)):
+            for bi in range(ai + 1, len(ss)):
+                pair_counts[(ss[ai], ss[bi])] = pair_counts.get((ss[ai], ss[bi]), 0) + 1
+    if not pair_counts:
+        return _XSRC_SCHEMA.empty_table()
+    keys = sorted(pair_counts)
+    return pa.table(
+        {
+            "source_a": pa.array([k[0] for k in keys], type=pa.string()),
+            "source_b": pa.array([k[1] for k in keys], type=pa.string()),
+            "n_shared": pa.array([pair_counts[k] for k in keys], type=pa.int64()),
+        }
+    )

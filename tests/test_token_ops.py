@@ -794,3 +794,28 @@ def test_seq_repetition_scores_planted(ray_session, tmp_path, monkeypatch):
     assert bool(out.loc["doc-b-000000000002", "repetitive"])
     assert bool(out.loc["doc-c-000000000003", "repetitive"])
     assert not bool(out.loc["doc-f-000000000006", "repetitive"])
+
+
+def test_seq_cross_source_dups_differential(ray_session, rows):
+    groups = {}
+    for r in rows:
+        if r["source"] is None:
+            continue
+        sfx = _sfx(r["doc_id"])
+        if sfx >= 0 and sfx % tk.DUPSEQ_MOD == tk.DUPSEQ_RES:
+            content = tuple(tk.CANARY[: tk.DUPSEQ_LEN_BASE + sfx % tk.DUPSEQ_LEN_CHOICES])
+        else:
+            toks = r["tokens"] if r["tokens"] is not None else []
+            content = tuple(-1 if x is None else x for x in toks)
+        groups.setdefault(content, set()).add(r["source"])
+    expected = {}
+    for srcs in groups.values():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                expected[(ss[i], ss[j])] = expected.get((ss[i], ss[j]), 0) + 1
+    out = tk.seq_cross_source_dups(SF).to_pandas()
+    got = {(t.source_a, t.source_b): t.n_shared for t in out.itertuples(index=False)}
+    assert got == expected
+    # non-vacuous: the planted DUPSEQ canary groups span sources
+    assert len(got) >= 3 and sum(got.values()) >= 5
