@@ -173,6 +173,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_split_assign",
     "seq_repetition_scores",
     "seq_cross_source_dups",
+    "seq_vocab_coverage",
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_features",
@@ -430,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_split_assign": lambda sf: tk.seq_split_assign(sf),  # deterministic train/val/test split
         "seq_repetition_scores": lambda sf: tk.seq_repetition_scores(sf),  # token-level Gopher repetition
         "seq_cross_source_dups": lambda sf: tk.seq_cross_source_dups(sf),  # inter-source contamination audit
+        "seq_vocab_coverage": lambda sf: tk.seq_vocab_coverage(sf),  # per-source exact vocabulary audit
         # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
         "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
         "seq_neardup_pairs": lambda sf: tk.seq_neardup_pairs(sf),  # head-anchor near-dup, exact verify
@@ -1415,6 +1417,36 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY count(*) OVER (PARTITION BY ptok) > 1
         """,
         # token sliding-window chunking: chunk boundaries are integer
+        # per-source vocabulary audit: dense-bitset tree reduce in the
+        # engine, unnest + filtered aggregates in SQL (null element -> -1
+        # counts invalid; null tokens list -> 0 elements)
+        "seq_vocab_coverage": f"""
+            WITH r AS (
+              SELECT source, coalesce(tokens, []) AS tk
+              FROM {seq} WHERE source IS NOT NULL
+            ),
+            base AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(coalesce(sum(len(tk)), 0) AS BIGINT) AS n_tokens
+              FROM r GROUP BY 1
+            ),
+            u AS (
+              SELECT source, coalesce(v, -1) AS v
+              FROM (SELECT source, unnest(tk) AS v FROM r)
+            ),
+            agg AS (
+              SELECT source,
+                CAST(count(*) FILTER (WHERE v < 0 OR v >= {VOCAB}) AS BIGINT)
+                  AS n_invalid_tokens,
+                CAST(count(DISTINCT v) FILTER (WHERE v >= 0 AND v < {VOCAB}) AS BIGINT)
+                  AS n_distinct_valid
+              FROM u GROUP BY 1
+            )
+            SELECT base.source, n_rows, n_tokens,
+                   coalesce(n_invalid_tokens, 0) AS n_invalid_tokens,
+                   coalesce(n_distinct_valid, 0) AS n_distinct_valid
+            FROM base LEFT JOIN agg USING (source)
+        """,
         # inter-source contamination: distinct shared CONTENTS per source
         # pair; content definition shared with seq_dup_token_arrays (null
         # list -> [], null elements -> -1, DUPSEQ canary replacement)

@@ -2143,3 +2143,88 @@ def seq_cross_source_dups(sf_dir: str, augment: bool | None = None) -> pa.Table:
             "n_shared": pa.array([pair_counts[k] for k in keys], type=pa.int64()),
         }
     )
+
+
+def seq_vocab_coverage(sf_dir: str) -> pa.Table:
+    """Per-source EXACT vocabulary audit: row count, token count, invalid
+    token count (null element / negative / >= VOCAB), and the exact number
+    of distinct valid token ids the source uses.
+
+    Distinct-count is a FIXED-WIDTH dense aggregation (one 4 KB packed
+    bitset per source — VOCAB/8 bytes), so the scalable shape is the
+    ``seq_token_topk`` raw-task tree: one pass per fragment pair builds
+    {source: (counts, bitset)} dicts, pairwise-group merges OR the bitsets
+    until one dict — #fragments × sources × ~4 KB through the object
+    store, log-depth, no row shuffle, and the driver unpacks bits once. A
+    (source, token)-keyed groupby would shuffle up to sources × VOCAB rows
+    per block instead."""
+    import glob as _glob
+
+    import ray
+
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    nb = VOCAB >> 3  # packed bitset bytes
+
+    @ray.remote
+    def scan_frag(paths: list[str]) -> dict:
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for p in paths:
+            t = pq.read_table(p, columns=["source", "tokens"])
+            t = t.filter(pc.is_valid(t.column("source")))
+            if t.num_rows == 0:
+                continue
+            offs, vals = _tokens_parts(t.column("tokens").combine_chunks().fill_null([]))
+            v = vals[offs[0] : offs[-1]]
+            n = np.diff(offs - offs[0])
+            src = np.asarray(t.column("source").to_pylist(), dtype=object)
+            names, inv = np.unique(src, return_inverse=True)
+            flat_src = np.repeat(inv, n)
+            bad = (v < 0) | (v >= VOCAB)
+            for ci, name in enumerate(names):
+                rows_m = inv == ci
+                el = flat_src == ci
+                stats, bits = out.get(name, (np.zeros(3, dtype=np.int64), np.zeros(nb, dtype=np.uint8)))
+                stats = stats + np.array(
+                    [int(rows_m.sum()), int(el.sum()), int((bad & el).sum())], dtype=np.int64
+                )
+                good = v[el & ~bad]
+                seen = np.zeros(VOCAB, dtype=bool)
+                seen[good] = True
+                out[name] = (stats, bits | np.packbits(seen, bitorder="little"))
+        return out
+
+    @ray.remote
+    def merge(*dicts) -> dict:
+        out: dict = {}
+        for d in dicts:
+            for k, (stats, bits) in d.items():
+                if k in out:
+                    s0, b0 = out[k]
+                    out[k] = (s0 + stats, b0 | bits)
+                else:
+                    out[k] = (stats, bits)
+        return out
+
+    refs = [scan_frag.remote(files[i : i + 2]) for i in range(0, len(files), 2)]
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i : i + 16]) for i in range(0, len(refs), 16)]
+    final = ray.get(refs[0]) if refs else {}
+    keys = sorted(final)
+    return pa.table(
+        {
+            "source": pa.array(keys, type=pa.string()),
+            "n_rows": pa.array([int(final[k][0][0]) for k in keys], type=pa.int64()),
+            "n_tokens": pa.array([int(final[k][0][1]) for k in keys], type=pa.int64()),
+            "n_invalid_tokens": pa.array(
+                [int(final[k][0][2]) for k in keys], type=pa.int64()
+            ),
+            "n_distinct_valid": pa.array(
+                [int(np.unpackbits(final[k][1], bitorder="little").sum()) for k in keys],
+                type=pa.int64(),
+            ),
+        }
+    )

@@ -819,3 +819,33 @@ def test_seq_cross_source_dups_differential(ray_session, rows):
     assert got == expected
     # non-vacuous: the planted DUPSEQ canary groups span sources
     assert len(got) >= 3 and sum(got.values()) >= 5
+
+
+def test_seq_vocab_coverage_differential(ray_session, rows):
+    from product_quality_check_ray.core.schema import VOCAB
+
+    expected = {}
+    for r in rows:
+        if r["source"] is None:
+            continue
+        toks = r["tokens"] if r["tokens"] is not None else []
+        st = expected.setdefault(r["source"], [0, 0, 0, set()])
+        st[0] += 1
+        st[1] += len(toks)
+        for x in toks:
+            v = -1 if x is None else x
+            if v < 0 or v >= VOCAB:
+                st[2] += 1
+            else:
+                st[3].add(v)
+    out = tk.seq_vocab_coverage(SF).to_pandas()
+    got = {
+        t.source: (t.n_rows, t.n_tokens, t.n_invalid_tokens, t.n_distinct_valid)
+        for t in out.itertuples(index=False)
+    }
+    assert got == {k: (v[0], v[1], v[2], len(v[3])) for k, v in expected.items()}
+    # non-vacuous: invalid tokens exist (oov/neg injections) and the big
+    # sources cover most of the vocab while small ones do not
+    assert (out["n_invalid_tokens"] > 0).any()
+    assert out["n_distinct_valid"].max() == VOCAB
+    assert out["n_distinct_valid"].min() < VOCAB
