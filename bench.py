@@ -147,6 +147,10 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("prepare_training_sequences", lambda sf: tk.prepare_training_sequences(sf)),
         ("seq_neardup_pairs", lambda sf: tk.seq_neardup_pairs(sf)),
         ("seq_bigram_topk", lambda sf: tk.seq_bigram_topk(sf)),
+        ("seq_split_assign", lambda sf: tk.seq_split_assign(sf)),
+        ("seq_repetition_scores", lambda sf: tk.seq_repetition_scores(sf)),
+        ("seq_cross_source_dups", lambda sf: tk.seq_cross_source_dups(sf)),
+        ("seq_vocab_coverage", lambda sf: tk.seq_vocab_coverage(sf)),
         ("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf)),
         ("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf)),
         ("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf)),

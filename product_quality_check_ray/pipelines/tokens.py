@@ -1971,12 +1971,18 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
     All metrics are INTEGER (numerator/denominator, never a float ratio)
     so the SQL oracle compares exactly. One vectorized pass per batch over
     the flat values buffer: adjacent duplicates via a shifted compare +
-    cumsum window sum; distinct and top-frequency via one lexsort of
-    (row, value) — segment starts give distinct counts (bincount) and
-    segment lengths reduce to per-row maxima (``np.maximum.reduceat`` at
-    the first segment of each row). Null list ELEMENTS take the engine's
-    -1 sentinel (SQL: ``list_transform(tokens, x -> coalesce(x, -1))``);
-    rows with NULL doc_id or NULL tokens are excluded.
+    cumsum window sum; distinct and top-frequency via ONE single-key sort
+    of the combined ``row * 2^32 + (value - INT32_MIN)`` int64 (rows per
+    batch < 2^31, values span the full int32 range, so the key is exact
+    and a plain ``np.sort`` replaces a 2-key lexsort) — key changes give
+    distinct counts (bincount of segment rows) and segment lengths reduce
+    to per-row maxima (``np.maximum.reduceat`` at the first segment of
+    each row). Null list ELEMENTS take the engine's -1 sentinel (SQL:
+    ``list_transform(tokens, x -> coalesce(x, -1))``); rows with NULL
+    doc_id or NULL tokens are excluded. ``batch_size`` is bounded: whole
+    100k-row read blocks carry ~44M flat tokens, and 32 concurrent
+    lexsorts of that working set thrash a 128 GB node — 473 s for the
+    12.8M corpus; with the single-key sort + 16384-row batches, 61 s.
 
     ``repetitive`` = (n>1 AND adj_dup/(n-1) > 0.3) OR (n>0 AND top/n >
     0.2), evaluated as integer cross-multiplication on both sides."""
@@ -1992,26 +1998,32 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
         ro = offs - offs[0]
         n = np.diff(ro)
         lo, hi = ro[:-1], ro[1:]
-        # adjacent duplicates: window sum of the shifted compare
+        # adjacent duplicates: window sum of the shifted compare. Indices
+        # clamp to c.size-1: a TRAILING empty row has lo == hi == v.size
+        # (one past c's end); clamped, its two indices coincide → 0.
         if v.size > 1:
             c = np.concatenate(([0], np.cumsum(v[1:] == v[:-1], dtype=np.int64)))
-            nd = c[np.maximum(hi - 1, lo)] - c[lo]
+            nd = c[np.minimum(np.maximum(hi - 1, lo), c.size - 1)] - c[
+                np.minimum(lo, c.size - 1)
+            ]
         else:
             nd = np.zeros(n.size, dtype=np.int64)
-        # distinct + top frequency: one lexsort groups (row, value) segments
-        row_ids = np.repeat(np.arange(n.size), n)
-        order = np.lexsort((v, row_ids))
-        sv, sr = v[order], row_ids[order]
-        new_seg = np.ones(sv.size, dtype=bool)
-        if sv.size:
-            new_seg[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+        # distinct + top frequency: sort ONE combined int64 key whose high
+        # bits are the row and low bits the (shifted) int32 value — exact,
+        # and cheaper than a 2-key lexsort
+        row_ids = np.repeat(np.arange(n.size, dtype=np.int64), n)
+        combined = np.sort((row_ids << 32) | (v.astype(np.int64) + (1 << 31)))
+        new_seg = np.ones(combined.size, dtype=bool)
+        if combined.size:
+            new_seg[1:] = combined[1:] != combined[:-1]
         seg_starts = np.flatnonzero(new_seg)
-        n_distinct = np.bincount(sr[seg_starts], minlength=n.size).astype(np.int64)
-        seg_lens = np.diff(np.append(seg_starts, sv.size))
+        seg_rows = (combined[seg_starts] >> 32).astype(np.int64)
+        n_distinct = np.bincount(seg_rows, minlength=n.size).astype(np.int64)
+        seg_lens = np.diff(np.append(seg_starts, combined.size))
         top = np.zeros(n.size, dtype=np.int64)
         nonempty = n > 0
         if seg_starts.size:
-            first_seg = np.searchsorted(sr[seg_starts], np.flatnonzero(nonempty))
+            first_seg = np.searchsorted(seg_rows, np.flatnonzero(nonempty))
             top[nonempty] = np.maximum.reduceat(seg_lens, first_seg)
         repetitive = ((n > 1) & (nd * 10 > (n - 1) * 3)) | (nonempty & (top * 5 > n))
         return pa.table(
@@ -2026,7 +2038,7 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return seq.map_batches(score, batch_format="pyarrow")
+    return seq.map_batches(score, batch_format="pyarrow", batch_size=16384)
 
 
 _XSRC_SCHEMA = pa.schema(

@@ -772,6 +772,9 @@ def test_seq_repetition_scores_planted(ray_session, tmp_path, monkeypatch):
         ("doc-d-000000000004", "web", []),                   # empty
         ("doc-e-000000000005", "web", [None, None, 3]),      # null elements -> -1
         ("doc-f-000000000006", "web", list(range(100))),     # all distinct
+        # TRAILING empty row: lo == hi == v.size regression (12.8M corpus
+        # batches ended on empty arrays and the cumsum index ran past c)
+        ("doc-g-000000000007", "web", []),
     ]
     t = pa.table(
         {
