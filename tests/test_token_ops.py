@@ -538,6 +538,10 @@ def test_token_ops_block_structure_invariance(ray_session, tmp_path, monkeypatch
         tk.seq_neardup_pairs,
         tk.prepare_training_sequences,
         tp.seq_pack_execute,
+        tk.seq_split_assign,
+        tk.seq_repetition_scores,
+        tk.seq_cross_source_dups,
+        tk.seq_vocab_coverage,
     ]
     for fn in ops:
         ra = fn(str(da))
