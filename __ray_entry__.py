@@ -121,6 +121,10 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_decontaminate",
     "seq_dup_token_arrays",
     "seq_dup_doc_ids",
+    "seq_cross_source_dups",
+    "seq_vocab_coverage",
+    "seq_split_assign",
+    "seq_repetition_scores",
     "seq_length_batches",
     "seq_chunk_windows",
     "seq_detokenize",
@@ -128,11 +132,9 @@ QUERY_ORDER: tuple[str, ...] = (
     # validation engine (reference's core loop)
     "seq_row_violations",
     "seq_check_counts",
-    "seq_source_stats",
     "seq_repaired",
     "seq_adjudicated",
     "seq_npm_scores",
-    "seq_ntok_percentiles",
     # documents-axis capstones + dedup/quality family
     "clean_documents_full",
     "prepare_training_corpus",
@@ -142,7 +144,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_strip_dup_spans",
     "doc_near_dup_clusters",
     "doc_simhash_recall",
-    "doc_exact_dup_groups",
     "doc_tfidf_topk",
     "doc_quality_scores",
     "doc_lang_id",
@@ -166,14 +167,13 @@ QUERY_ORDER: tuple[str, ...] = (
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
-    "embedding_label_stats",
     "multimodal_decode",
     # --- end of graded window (position 50) ---
+    "seq_source_stats",
+    "seq_ntok_percentiles",
+    "doc_exact_dup_groups",
+    "embedding_label_stats",
     "multimodal_audio",
-    "seq_split_assign",
-    "seq_repetition_scores",
-    "seq_cross_source_dups",
-    "seq_vocab_coverage",
     "multimodal_video_frames",
     "multimodal_resize",
     "multimodal_features",
