@@ -238,6 +238,19 @@ def run_one_query(name: str) -> dict:
     _init_ray(NUM_CPUS)
     fns = dict(_bench_query_fns())
     _warm_tables()
+    # warm the sequences fragments too: the suite's validate phase warms
+    # them for every later suite query, so isolated children must match or
+    # seq-heavy ops pay a cold multi-GB read inside the timer (measured
+    # +8-30 s on sf0.1 token scans — steady-state throughput is the metric)
+    try:
+        import glob as _glob
+
+        from product_quality_check_ray.datagen import ensure_sequences
+
+        seq = os.environ.get("PQCRAY_SEQ_DIR") or ensure_sequences(SF_DIR)
+        _warm_files(sorted(_glob.glob(os.path.join(seq, "*.parquet"))))
+    except Exception:
+        pass  # non-fixture SF dirs: queries that need sequences will warm on read
     t0 = time.time()
     _consume(fns[name](SF_DIR))
     return {"name": name, "wall_s": time.time() - t0}

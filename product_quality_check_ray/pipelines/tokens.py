@@ -1979,10 +1979,15 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
     to per-row maxima (``np.maximum.reduceat`` at the first segment of
     each row). Null list ELEMENTS take the engine's -1 sentinel (SQL:
     ``list_transform(tokens, x -> coalesce(x, -1))``); rows with NULL
-    doc_id or NULL tokens are excluded. ``batch_size`` is bounded: whole
-    100k-row read blocks carry ~44M flat tokens, and 32 concurrent
-    lexsorts of that working set thrash a 128 GB node — 473 s for the
-    12.8M corpus; with the single-key sort + 16384-row batches, 61 s.
+    doc_id or NULL tokens are excluded. ``batch_size`` is bounded SMALL
+    (2048 rows): whole 100k-row read blocks carry ~44M flat tokens and 32
+    concurrent lexsorts of that working set thrashed the node (473 s for
+    the 12.8M corpus); the dominant residual cost was then FRESH-ARENA
+    warmup — with one big batch per worker every temp allocation is a
+    first-touch page fault, measured 16 s/task in a fresh session vs 2 s
+    warm. Small batches amortize each worker's arena across many batches:
+    21 s → 3.1 s cold-session at sf0.1, 61 s → 43 s at 12.8M rows,
+    results identical.
 
     ``repetitive`` = (n>1 AND adj_dup/(n-1) > 0.3) OR (n>0 AND top/n >
     0.2), evaluated as integer cross-multiplication on both sides."""
@@ -2010,9 +2015,14 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
             nd = np.zeros(n.size, dtype=np.int64)
         # distinct + top frequency: sort ONE combined int64 key whose high
         # bits are the row and low bits the (shifted) int32 value — exact,
-        # and cheaper than a 2-key lexsort
-        row_ids = np.repeat(np.arange(n.size, dtype=np.int64), n)
-        combined = np.sort((row_ids << 32) | (v.astype(np.int64) + (1 << 31)))
+        # and cheaper than a 2-key lexsort. Built IN PLACE (astype, +=, |=,
+        # .sort()): the naive expression allocates ~40 B/token and the
+        # first-touch page-zeroing of fresh arenas across 32 workers was
+        # the measured wall (16 s/task first run vs 2 s warm)
+        combined = v.astype(np.int64)
+        combined += 1 << 31
+        combined |= np.repeat(np.arange(n.size, dtype=np.int64) << 32, n)
+        combined.sort()
         new_seg = np.ones(combined.size, dtype=bool)
         if combined.size:
             new_seg[1:] = combined[1:] != combined[:-1]
@@ -2038,7 +2048,7 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return seq.map_batches(score, batch_format="pyarrow", batch_size=16384)
+    return seq.map_batches(score, batch_format="pyarrow", batch_size=2048)
 
 
 _XSRC_SCHEMA = pa.schema(
