@@ -1991,64 +1991,69 @@ def seq_repetition_scores(sf_dir: str) -> rd.Dataset:
 
     ``repetitive`` = (n>1 AND adj_dup/(n-1) > 0.3) OR (n>0 AND top/n >
     0.2), evaluated as integer cross-multiplication on both sides."""
-    seq = _seq_ds(sf_dir, columns=["doc_id", "source", "tokens"])
+    return _seq_ds(sf_dir, columns=["doc_id", "source", "tokens"]).map_batches(
+        _repetition_batch, batch_format="pyarrow", batch_size=2048
+    )
 
-    def score(t: pa.Table) -> pa.Table:
-        ok = pc.and_(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("tokens")))
-        sel = t.filter(ok)
-        if sel.num_rows == 0:
-            return _REPSCORE_EMPTY.empty_table()
-        offs, vals = _tokens_parts(sel.column("tokens"))
-        v = vals[offs[0] : offs[-1]]
-        ro = offs - offs[0]
-        n = np.diff(ro)
-        lo, hi = ro[:-1], ro[1:]
-        # adjacent duplicates: window sum of the shifted compare. Indices
-        # clamp to c.size-1: a TRAILING empty row has lo == hi == v.size
-        # (one past c's end); clamped, its two indices coincide → 0.
-        if v.size > 1:
-            c = np.concatenate(([0], np.cumsum(v[1:] == v[:-1], dtype=np.int64)))
-            nd = c[np.minimum(np.maximum(hi - 1, lo), c.size - 1)] - c[
-                np.minimum(lo, c.size - 1)
-            ]
-        else:
-            nd = np.zeros(n.size, dtype=np.int64)
-        # distinct + top frequency: sort ONE combined int64 key whose high
-        # bits are the row and low bits the (shifted) int32 value — exact,
-        # and cheaper than a 2-key lexsort. Built IN PLACE (astype, +=, |=,
-        # .sort()): the naive expression allocates ~40 B/token and the
-        # first-touch page-zeroing of fresh arenas across 32 workers was
-        # the measured wall (16 s/task first run vs 2 s warm)
-        combined = v.astype(np.int64)
-        combined += 1 << 31
-        combined |= np.repeat(np.arange(n.size, dtype=np.int64) << 32, n)
-        combined.sort()
-        new_seg = np.ones(combined.size, dtype=bool)
-        if combined.size:
-            new_seg[1:] = combined[1:] != combined[:-1]
-        seg_starts = np.flatnonzero(new_seg)
-        seg_rows = (combined[seg_starts] >> 32).astype(np.int64)
-        n_distinct = np.bincount(seg_rows, minlength=n.size).astype(np.int64)
-        seg_lens = np.diff(np.append(seg_starts, combined.size))
-        top = np.zeros(n.size, dtype=np.int64)
-        nonempty = n > 0
-        if seg_starts.size:
-            first_seg = np.searchsorted(seg_rows, np.flatnonzero(nonempty))
-            top[nonempty] = np.maximum.reduceat(seg_lens, first_seg)
-        repetitive = ((n > 1) & (nd * 10 > (n - 1) * 3)) | (nonempty & (top * 5 > n))
-        return pa.table(
-            {
-                "doc_id": sel.column("doc_id"),
-                "source": sel.column("source"),
-                "n_tok_actual": pa.array(n.astype(np.int64)),
-                "n_adj_dup": pa.array(nd.astype(np.int64)),
-                "n_distinct": pa.array(n_distinct),
-                "top_tok_n": pa.array(top),
-                "repetitive": pa.array(repetitive),
-            }
-        )
 
-    return seq.map_batches(score, batch_format="pyarrow", batch_size=2048)
+def _repetition_batch(t: pa.Table) -> pa.Table:
+    """Per-batch repetition kernel (module-level so the hypothesis
+    differential test drives it on crafted/sliced Arrow tables directly).
+    Math documented on ``seq_repetition_scores``."""
+    ok = pc.and_(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("tokens")))
+    sel = t.filter(ok)
+    if sel.num_rows == 0:
+        return _REPSCORE_EMPTY.empty_table()
+    offs, vals = _tokens_parts(sel.column("tokens"))
+    v = vals[offs[0] : offs[-1]]
+    ro = offs - offs[0]
+    n = np.diff(ro)
+    lo, hi = ro[:-1], ro[1:]
+    # adjacent duplicates: window sum of the shifted compare. Indices
+    # clamp to c.size-1: a TRAILING empty row has lo == hi == v.size
+    # (one past c's end); clamped, its two indices coincide → 0.
+    if v.size > 1:
+        c = np.concatenate(([0], np.cumsum(v[1:] == v[:-1], dtype=np.int64)))
+        nd = c[np.minimum(np.maximum(hi - 1, lo), c.size - 1)] - c[
+            np.minimum(lo, c.size - 1)
+        ]
+    else:
+        nd = np.zeros(n.size, dtype=np.int64)
+    # distinct + top frequency: sort ONE combined int64 key whose high
+    # bits are the row and low bits the (shifted) int32 value — exact,
+    # and cheaper than a 2-key lexsort. Built IN PLACE (astype, +=, |=,
+    # .sort()): the naive expression allocates ~40 B/token and the
+    # first-touch page-zeroing of fresh arenas across 32 workers was
+    # the measured wall (16 s/task first run vs 2 s warm)
+    combined = v.astype(np.int64)
+    combined += 1 << 31
+    combined |= np.repeat(np.arange(n.size, dtype=np.int64) << 32, n)
+    combined.sort()
+    new_seg = np.ones(combined.size, dtype=bool)
+    if combined.size:
+        new_seg[1:] = combined[1:] != combined[:-1]
+    seg_starts = np.flatnonzero(new_seg)
+    seg_rows = (combined[seg_starts] >> 32).astype(np.int64)
+    n_distinct = np.bincount(seg_rows, minlength=n.size).astype(np.int64)
+    seg_lens = np.diff(np.append(seg_starts, combined.size))
+    top = np.zeros(n.size, dtype=np.int64)
+    nonempty = n > 0
+    if seg_starts.size:
+        first_seg = np.searchsorted(seg_rows, np.flatnonzero(nonempty))
+        top[nonempty] = np.maximum.reduceat(seg_lens, first_seg)
+    repetitive = ((n > 1) & (nd * 10 > (n - 1) * 3)) | (nonempty & (top * 5 > n))
+    return pa.table(
+        {
+            "doc_id": sel.column("doc_id"),
+            "source": sel.column("source"),
+            "n_tok_actual": pa.array(n.astype(np.int64)),
+            "n_adj_dup": pa.array(nd.astype(np.int64)),
+            "n_distinct": pa.array(n_distinct),
+            "top_tok_n": pa.array(top),
+            "repetitive": pa.array(repetitive),
+        }
+    )
+
 
 
 _XSRC_SCHEMA = pa.schema(

@@ -218,3 +218,65 @@ def test_seqnd_view_matches_naive(t):
     for i, (d, toks) in enumerate(naive):
         assert ids[i] == d
         assert vals[offs[i] : offs[i + 1]].tolist() == toks
+
+
+# --- seq_repetition_scores kernel vs naive (incl. sliced-offset arrays) ----
+
+rep_tokens = st.one_of(
+    st.none(),
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.integers(min_value=0, max_value=3),  # bias toward collisions
+        ),
+        max_size=10,
+    ),
+)
+rep_row = st.fixed_dictionaries(
+    {
+        "doc_id": st.one_of(st.none(), st.text(min_size=0, max_size=6)),
+        "source": st.sampled_from(["web", "books"]),
+        "tokens": rep_tokens,
+    }
+)
+
+
+def _naive_rep(tokens):
+    toks = [-1 if x is None else x for x in tokens]
+    n = len(toks)
+    nd = sum(1 for i in range(1, n) if toks[i] == toks[i - 1])
+    dist = len(set(toks)) if n else 0
+    top = max((toks.count(x) for x in set(toks)), default=0)
+    rep = (n > 1 and nd * 10 > (n - 1) * 3) or (n > 0 and top * 5 > n)
+    return (n, nd, dist, top, rep)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(rep_row, min_size=0, max_size=12), st.integers(min_value=0, max_value=5))
+def test_repetition_kernel_matches_naive(rows, cut):
+    from product_quality_check_ray.pipelines.tokens import _repetition_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            "source": pa.array([r["source"] for r in rows], type=pa.string()),
+            "tokens": pa.array([r["tokens"] for r in rows], type=pa.list_(pa.int32())),
+        }
+    )
+    # exercise nonzero-offset (sliced) arrays too — Ray hands the kernel
+    # slices of bigger blocks
+    t = t.slice(min(cut, len(rows)))
+    out = _repetition_batch(t).to_pydict()
+    got = list(
+        zip(
+            out["doc_id"], out["source"], out["n_tok_actual"], out["n_adj_dup"],
+            out["n_distinct"], out["top_tok_n"], out["repetitive"],
+        )
+    )
+    expected = [
+        (r["doc_id"], r["source"]) + _naive_rep(r["tokens"])
+        for r in rows[min(cut, len(rows)):]
+        if r["doc_id"] is not None and r["tokens"] is not None
+    ]
+    assert got == expected
