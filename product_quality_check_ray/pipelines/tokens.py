@@ -1923,16 +1923,26 @@ def seq_split_assign(sf_dir: str) -> rd.Dataset:
     the suffix is uniform within every source, so per-source proportions
     hold statistically (the multiplicative step decorrelates the bucket
     from the fixture's augmentation moduli 97/13/257, which are also
-    suffix-derived). Rows whose doc_id is NULL or does not end in 12
-    digits are excluded (no stable key to split on — the SQL analog's
-    ``right(doc_id, 12) ~ '^[0-9]{12}$'``)."""
+    suffix-derived). NULL doc_ids are excluded (no stable key to split
+    on); ids WITHOUT a 12-digit suffix — user corpora via
+    ``resolve_sequences`` — take the ``_doc_num`` deterministic string
+    hash instead of being dropped (the same user-corpus fallback as the
+    shard/order keys; the SQL oracle mirrors the fixture arm, where every
+    non-null id has the suffix)."""
     seq = _seq_ds(sf_dir, columns=["doc_id", "source"])
 
     def assign(t: pa.Table) -> pa.Table:
-        sfx = _suffix_i64(t.column("doc_id"))
-        keep = sfx >= 0
-        sel = t.filter(pa.array(keep))
-        bucket = (sfx[keep] * SPLIT_MULT) % SPLIT_PRIME % 100
+        sel = t.filter(pc.is_valid(t.column("doc_id")))
+        if sel.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.string()),
+                    "source": pa.array([], type=pa.string()),
+                    "split": pa.array([], type=pa.string()),
+                }
+            )
+        num = _doc_num(sel.column("doc_id"))
+        bucket = (num * SPLIT_MULT) % SPLIT_PRIME % 100
         split = np.where(
             bucket < SPLIT_TEST_PCT,
             "test",

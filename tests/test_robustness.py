@@ -403,3 +403,33 @@ def test_fixture_augment_optin_flag(ray_session, tmp_path):
     assert len(plan_plain) > len(plan_aug)
     forced = tk.prepare_training_sequences(corpus, augment=True).to_pandas()
     assert forced.equals(plan_aug)
+
+
+def test_new_token_ops_on_user_corpus(ray_session, tmp_path):
+    """The round-3 ops must run PLAIN on a user corpus (arbitrary doc_id
+    shapes, no fixture markers): split covers every row via the _doc_num
+    hash fallback, repetition/vocab need no id at all, and cross-source
+    dups finds only genuine duplicates (no canary phantom groups)."""
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = str(tmp_path / "user_corpus2")
+    n = _write_user_corpus(d)
+
+    split = tk.seq_split_assign(d).to_pandas()
+    assert len(split) == n  # nothing dropped despite non-12-digit ids
+    assert set(split["split"]) <= {"train", "val", "test"}
+    # deterministic under re-run
+    split2 = tk.seq_split_assign(d).to_pandas()
+    assert split.sort_values("doc_id").reset_index(drop=True).equals(
+        split2.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    rep = tk.seq_repetition_scores(d).to_pandas()
+    assert len(rep) == n and (rep["n_tok_actual"] > 0).all()
+
+    vocab = tk.seq_vocab_coverage(d).to_pandas()
+    assert vocab["n_rows"].sum() == n and (vocab["n_invalid_tokens"] == 0).all()
+
+    # both planted duplicates share source 'web' -> NO cross-source pair
+    x = tk.seq_cross_source_dups(d)
+    assert x.num_rows == 0
