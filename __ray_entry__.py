@@ -171,6 +171,7 @@ QUERY_ORDER: tuple[str, ...] = (
     # --- end of graded window (position 50) ---
     "seq_source_stats",
     "seq_ntok_percentiles",
+    "seq_prefix_dups",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
@@ -424,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-LEVEL ops on the north-star table (pipelines/tokens.py)
         "seq_decontaminate": lambda sf: tk.seq_decontaminate(sf),  # benchmark k-gram decontamination
         "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
+        "seq_prefix_dups": lambda sf: tk.seq_prefix_dups(sf),  # truncation-dup pairs (strict prefix)
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1415,6 +1417,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY ptok) AS group_size
             FROM pat
             QUALIFY count(*) OVER (PARTITION BY ptok) > 1
+        """,
+        # truncation-dup pairs: one row's (augmented-view) token array is a
+        # STRICT prefix of another's; anchors = first-PREFIX_K tokens,
+        # anchor groups over PREFIX_HOT_CAP rows dropped (hot-key contract)
+        "seq_prefix_dups": f"""
+            WITH raw AS (
+              SELECT doc_id, source,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx,
+                     list_transform(coalesce(tokens, []), x -> coalesce(x, -1)) AS tk
+              FROM {seq}
+            ),
+            pat AS (
+              SELECT doc_id, source,
+                     CASE WHEN sfx IS NOT NULL
+                               AND sfx % {tk.DUPSEQ_MOD} = {tk.DUPSEQ_RES}
+                          THEN {_canary_sql()}[1:{tk.DUPSEQ_LEN_BASE} + sfx % {tk.DUPSEQ_LEN_CHOICES}]
+                          ELSE tk END AS ptok
+              FROM raw
+            ),
+            p AS (
+              SELECT doc_id, source, ptok,
+                     CAST(len(ptok) AS BIGINT) AS tlen,
+                     ptok[1:{tk.PREFIX_K}] AS anch
+              FROM pat WHERE len(ptok) >= {tk.PREFIX_K}
+            ),
+            keep AS (
+              SELECT anch FROM p GROUP BY anch
+              HAVING count(*) >= 2 AND count(*) <= {tk.PREFIX_HOT_CAP}
+            ),
+            q AS (SELECT p.* FROM p JOIN keep USING (anch))
+            SELECT s.doc_id AS short_id, l.doc_id AS long_id,
+                   s.source AS short_source, l.source AS long_source,
+                   s.tlen AS short_len, l.tlen AS long_len
+            FROM q s JOIN q l
+              ON s.anch = l.anch AND s.tlen < l.tlen
+             AND l.ptok[1:CAST(s.tlen AS INT)] = s.ptok
         """,
         # token sliding-window chunking: chunk boundaries are integer
         # per-source vocabulary audit: dense-bitset tree reduce in the

@@ -2265,3 +2265,244 @@ def seq_vocab_coverage(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix / truncation dedup
+# ---------------------------------------------------------------------------
+
+PREFIX_K = DUPSEQ_LEN_BASE  # anchor = first-K tokens; shorter rows are out of contract
+PREFIX_HOT_CAP = 1024       # anchors shared by more rows are dropped entirely
+
+_PREFIXDUP_SCHEMA = pa.schema(
+    [
+        ("short_id", pa.string()),
+        ("long_id", pa.string()),
+        ("short_source", pa.string()),
+        ("long_source", pa.string()),
+        ("short_len", pa.int64()),
+        ("long_len", pa.int64()),
+    ]
+)
+
+
+def _anchor_hashes(
+    sfx: np.ndarray, offs: np.ndarray, vals: np.ndarray, aug: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """(augmented-view tlen int64, first-PREFIX_K-token anchor hash uint64)
+    per row; anchor is undefined (0) where tlen < PREFIX_K.
+
+    The anchor uses the ``_content_hash`` formula evaluated at L=PREFIX_K,
+    so a length-K row's anchor IS its content hash — the verification pass
+    exploits that identity (a short row's full hash equals any superset
+    row's K-prefix hash only when the prefixes match)."""
+    tlen = (offs[1:] - offs[:-1]).astype(np.int64)
+    rep = np.zeros(tlen.size, dtype=bool)
+    if aug:
+        rep = (sfx >= 0) & (sfx % DUPSEQ_MOD == DUPSEQ_RES)
+        if rep.any():
+            tlen = tlen.copy()
+            tlen[rep] = DUPSEQ_LEN_BASE + (sfx[rep] % DUPSEQ_LEN_CHOICES)
+    ok = tlen >= PREFIX_K
+    h = np.zeros(tlen.size, dtype=_U64)
+    plain = ok & ~rep
+    if plain.any():
+        with np.errstate(over="ignore"):
+            idx = offs[:-1][plain, None] + np.arange(PREFIX_K, dtype=np.int64)
+            mat = vals[idx].astype(_U64)
+            hv = splitmix64(mat + np.arange(PREFIX_K, dtype=_U64)[None, :] * _GOLD)
+            h[plain] = splitmix64(
+                hv.sum(axis=1, dtype=_U64) + splitmix64(np.full(1, PREFIX_K, _U64))
+            )
+    if (ok & rep).any():
+        h[ok & rep] = _PREFIX_CANARY_ANCHOR
+    return tlen, h
+
+
+def _canary_anchor() -> np.uint64:
+    with np.errstate(over="ignore"):
+        seg = _CANARY_NP[:PREFIX_K].astype(_U64)
+        hv = splitmix64(seg + np.arange(PREFIX_K, dtype=_U64) * _GOLD)
+        return splitmix64(
+            hv.sum(dtype=_U64) + splitmix64(np.full(1, PREFIX_K, _U64))
+        )[0]
+
+
+_PREFIX_CANARY_ANCHOR = _canary_anchor()
+
+
+def seq_prefix_dups(sf_dir: str, augment: bool | None = None) -> pa.Table:
+    """Truncation-duplicate pairs: rows whose (augmented-view) token array
+    is a STRICT prefix of another row's array — the classic re-crawl /
+    re-tokenize-with-shorter-max-len duplicate class that exact-content
+    dedup (equality only) and near-dup (whole-array similarity) both miss.
+
+    Contract (mirrored verbatim by the SQL oracle):
+    - only prefixes of length >= PREFIX_K count (shorter shared prefixes
+      are noise, and the anchor needs K tokens);
+    - anchors (first-K token groups) shared by more than PREFIX_HOT_CAP
+      rows are dropped entirely — pair enumeration is quadratic per anchor,
+      so boilerplate prefixes (a fixed BOS template) must be capped, the
+      ``doc_overlap_pairs`` / NGRAM_HOT_CAP precedent. The cap count is
+      exact (computed in the dupfinder reduce); the 64-bit anchor-collision
+      caveat of every candidate op applies to the cap as well.
+
+    Shape: pass 1 streams one (anchor-hash) row per eligible sequence into
+    the ``dupfinder`` hash-range reduce (``max_count`` applies the hot cap
+    exactly); pass 2 recovers candidate rows only; verification groups
+    candidates by anchor and, per distinct short length L, compares the
+    cumsum-derived L-prefix hash of every longer row against the full
+    content hash of the length-L rows — matched pairs get an exact
+    vectorized token-slice comparison, so 64-bit collisions are filtered
+    exactly. Output per verified pair: (short_id, long_id, short_source,
+    long_source, short_len, long_len).
+
+    Non-vacuity: the DUPSEQ canary families (lengths 4..8 of the same
+    canary) are truncation duplicates of each other by construction, so the
+    fixture always exercises the pair path across length groups.
+
+    Reference analog: duplicate grouping (SURVEY G4/D1) extended to the
+    containment case; Lee et al. substring dedup is the TEXT-side analog
+    (``substring.py``), this is the token-side whole-prefix case.
+    """
+    aug = _aug(sf_dir, augment)
+    seq = _seq_ds(sf_dir, columns=["doc_id", "source", "tokens"])
+
+    def add_anchor(t: pa.Table) -> pa.Table:
+        sfx = _suffix_i64(t.column("doc_id"))
+        offs, vals = _tokens_parts(t.column("tokens"))
+        tlen, h = _anchor_hashes(sfx, offs, vals, aug)
+        keep = tlen >= PREFIX_K
+        return pa.table({"h": pa.array(h[keep].view(np.int64))})
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    hashed = seq.map_batches(
+        add_anchor, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    dup_h = find_dup_hash_values(hashed, "h", max_count=PREFIX_HOT_CAP)
+    if dup_h.size == 0:
+        return _PREFIXDUP_SCHEMA.empty_table()
+    dup_sorted = np.sort(dup_h.view(_U64))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "h": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "ptok": pa.array([], type=pa.list_(pa.int32())),
+            }
+        )
+        sfx = _suffix_i64(t.column("doc_id"))
+        offs, vals = _tokens_parts(t.column("tokens"))
+        tlen, h = _anchor_hashes(sfx, offs, vals, aug)
+        pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
+        mask = (tlen >= PREFIX_K) & (dup_sorted[pos] == h)
+        if not mask.any():
+            return empty
+        idx = np.flatnonzero(mask)
+        sel = t.take(pa.array(idx))
+        rep = aug & (sfx[idx] >= 0) & (sfx[idx] % DUPSEQ_MOD == DUPSEQ_RES)
+        ptok = []
+        for j, i in enumerate(idx):
+            if rep[j]:
+                L = DUPSEQ_LEN_BASE + int(sfx[i] % DUPSEQ_LEN_CHOICES)
+                ptok.append(_CANARY_NP[:L].tolist())
+            else:
+                ptok.append(vals[offs[i] : offs[i + 1]].tolist())
+        return pa.table(
+            {
+                "h": pa.array(h[idx].view(np.int64)),
+                "doc_id": sel.column("doc_id"),
+                "source": sel.column("source"),
+                "ptok": pa.array(ptok, type=pa.list_(pa.int32())),
+            }
+        )
+
+    cand = _collect(seq.map_batches(candidates, batch_format="pyarrow", batch_size=None))
+    if cand.num_rows == 0:
+        return _PREFIXDUP_SCHEMA.empty_table()
+
+    arr = cand.column("ptok").combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.asarray(arr.values.to_numpy(zero_copy_only=False), dtype=np.int32)[
+        : offs[-1]
+    ]
+    tlen = offs[1:] - offs[:-1]
+    anch = np.ascontiguousarray(
+        cand.column("h").combine_chunks().to_numpy(zero_copy_only=False)
+    ).view(_U64)
+    # cumsum prefix-hash infrastructure over the candidate set (same formula
+    # as _content_hash, so phash(row, tlen[row]) == the row's content hash)
+    with np.errstate(over="ignore"):
+        seg = vals.astype(_U64)
+        intra = (
+            np.arange(seg.size, dtype=np.int64) - np.repeat(offs[:-1], tlen)
+        ).astype(_U64)
+        hv = splitmix64(seg + intra * _GOLD)
+        csum = np.zeros(seg.size + 1, dtype=_U64)
+        np.cumsum(hv, out=csum[1:])
+
+    def phash(rows: np.ndarray, L: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            s = csum[offs[rows] + L] - csum[offs[rows]]
+            return splitmix64(s + splitmix64(np.full(1, L, _U64)))
+
+    order = np.lexsort((tlen, anch))
+    a_sorted = anch[order]
+    run_starts = np.r_[0, np.flatnonzero(a_sorted[1:] != a_sorted[:-1]) + 1]
+    run_ends = np.r_[run_starts[1:], order.size]
+    out_s: list[np.ndarray] = []
+    out_l: list[np.ndarray] = []
+    for lo, hi in zip(run_starts, run_ends):
+        rows = order[lo:hi]  # sorted by tlen ascending within the anchor
+        ls = tlen[rows]
+        for L in np.unique(ls)[:-1]:
+            Li = int(L)
+            shorts = rows[ls == L]
+            longs = rows[ls > L]
+            hs = phash(shorts, Li)
+            hl = phash(longs, Li)
+            so = np.argsort(hs, kind="stable")
+            hss = hs[so]
+            left = np.searchsorted(hss, hl, side="left")
+            right = np.searchsorted(hss, hl, side="right")
+            cnt = right - left
+            lj = np.flatnonzero(cnt > 0)
+            if lj.size == 0:
+                continue
+            cnt = cnt[lj]
+            cs = np.cumsum(cnt)
+            flat = (
+                np.arange(cs[-1], dtype=np.int64)
+                - np.repeat(cs - cnt, cnt)
+                + np.repeat(left[lj], cnt)
+            )
+            short_rep = shorts[so[flat]]
+            long_rep = np.repeat(longs[lj], cnt)
+            # exact verify (64-bit collision filter), vectorized
+            cols = np.arange(Li, dtype=np.int64)
+            okm = (
+                vals[offs[short_rep][:, None] + cols]
+                == vals[offs[long_rep][:, None] + cols]
+            ).all(axis=1)
+            if okm.any():
+                out_s.append(short_rep[okm])
+                out_l.append(long_rep[okm])
+    if not out_s:
+        return _PREFIXDUP_SCHEMA.empty_table()
+    si = pa.array(np.concatenate(out_s))
+    li = pa.array(np.concatenate(out_l))
+    doc = cand.column("doc_id")
+    src = cand.column("source")
+    return pa.table(
+        {
+            "short_id": doc.take(si),
+            "long_id": doc.take(li),
+            "short_source": src.take(si),
+            "long_source": src.take(li),
+            "short_len": pa.array(tlen[si.to_numpy(zero_copy_only=False)]),
+            "long_len": pa.array(tlen[li.to_numpy(zero_copy_only=False)]),
+        }
+    ).sort_by([(c, "ascending") for c in _PREFIXDUP_SCHEMA.names])

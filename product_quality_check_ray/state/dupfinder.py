@@ -64,7 +64,7 @@ def _map_fragment(paths: list[str], ranges: int) -> tuple:
 
 
 @ray.remote
-def _reduce_range(*parts) -> np.ndarray:
+def _reduce_range(*parts, max_count: "int | None" = None) -> np.ndarray:
     vs = np.concatenate([p[0] for p in parts])
     if vs.size == 0:
         return vs
@@ -76,7 +76,12 @@ def _reduce_range(*parts) -> np.ndarray:
     np.not_equal(vs[1:], vs[:-1], out=change[1:])
     starts = np.flatnonzero(change)
     totals = np.add.reduceat(cs, starts)
-    return vs[starts][totals > 1]
+    keep = totals > 1
+    if max_count is not None:
+        # hot-key drop: values over the cap are excluded ENTIRELY (the
+        # caller's SQL oracle mirrors the same HAVING count(*) <= cap)
+        keep &= totals <= max_count
+    return vs[starts][keep]
 
 
 @ray.remote
@@ -157,11 +162,20 @@ def _map_hash_blocks(block_refs: list, col: str, ranges: int) -> tuple:
 
 
 def find_dup_hash_values(
-    ds, col: str, *, ranges: int | None = None, blocks_per_task: int = 8
+    ds,
+    col: str,
+    *,
+    ranges: int | None = None,
+    blocks_per_task: int = 8,
+    max_count: int | None = None,
 ) -> np.ndarray:
     """int64 hash values occurring ≥ 2 times in ``ds[col]`` via the
     hash-range tree reduce (values are assumed uniform 64-bit hashes, so
     value ranges ARE uniform partitions — no extra hashing pass).
+
+    ``max_count`` additionally DROPS values occurring more than that many
+    times (exact total, computed in the reduce) — the hot-key contract used
+    by callers whose per-value work is quadratic (pair enumeration).
 
     The Dataset-groupby equivalent (`groupby(col).count().filter(n>1)`)
     costs ~7 s at 500k mostly-unique keys; this reduce moves only
@@ -185,7 +199,10 @@ def find_dup_hash_values(
         for i in range(0, len(block_refs), blocks_per_task)
     ]
     reduced = ray.get(
-        [_reduce_range.remote(*[m[r] for m in mapped]) for r in range(ranges)]
+        [
+            _reduce_range.remote(*[m[r] for m in mapped], max_count=max_count)
+            for r in range(ranges)
+        ]
     )
     out = np.concatenate([r for r in reduced]) if reduced else np.empty(0, dtype=np.uint64)
     return np.ascontiguousarray(out).view(np.int64)

@@ -146,6 +146,7 @@ def test_seq_chunk_windows_empty(ray_session, tmp_path, monkeypatch):
     assert t.num_rows == 0 and t.schema == tk._LENBATCH_SCHEMA
     assert tk.seq_neardup_pairs(str(d)).num_rows == 0
     assert tk.seq_bigram_topk(str(d)).num_rows == 0
+    assert tk.seq_prefix_dups(str(d)).num_rows == 0
     assert tk.seq_detokenize(str(d)).count() == 0
     assert tk.seq_unigram_lm_score(str(d)).count() == 0
     assert tk.prepare_training_sequences(str(d)).count() == 0
@@ -856,3 +857,84 @@ def test_seq_vocab_coverage_differential(ray_session, rows):
     assert (out["n_invalid_tokens"] > 0).any()
     assert out["n_distinct_valid"].max() == VOCAB
     assert out["n_distinct_valid"].min() < VOCAB
+
+
+def test_seq_prefix_dups_differential(ray_session, rows):
+    """Naive per-row reconstruction of the truncation-dup contract: augmented
+    view, first-PREFIX_K anchor groups, hot-cap drop, strict-prefix pairs."""
+    K, CAP = tk.PREFIX_K, tk.PREFIX_HOT_CAP
+    recs = []
+    for r in rows:
+        s = _sfx(r["doc_id"])
+        if s >= 0 and s % tk.DUPSEQ_MOD == tk.DUPSEQ_RES:
+            p = tuple(tk.CANARY[: tk.DUPSEQ_LEN_BASE + s % tk.DUPSEQ_LEN_CHOICES])
+        else:
+            toks = r["tokens"] or []
+            p = tuple(-1 if x is None else x for x in toks)
+        if len(p) >= K:
+            recs.append((r["doc_id"], r["source"], p))
+    by_anchor = {}
+    for rec in recs:
+        by_anchor.setdefault(rec[2][:K], []).append(rec)
+    expected = []
+    for group in by_anchor.values():
+        if not (2 <= len(group) <= CAP):
+            continue
+        for a in group:
+            for b in group:
+                if len(a[2]) < len(b[2]) and b[2][: len(a[2])] == a[2]:
+                    expected.append((a[0], b[0], a[1], b[1], len(a[2]), len(b[2])))
+
+    out = tk.seq_prefix_dups(SF).to_pandas()
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    key = lambda t: tuple("" if x is None else str(x) for x in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)
+    # non-vacuous: canary length families pair across groups
+    assert len(expected) > 0
+
+
+def test_seq_prefix_dups_planted(ray_session, tmp_path):
+    """Direct-path (non-fixture → plain view) corpus covering: a true prefix
+    family, anchor-equal-but-diverging rows (candidates that must verify
+    false), null token elements (-1 sentinel), strictness (equal arrays are
+    NOT pairs), and the PREFIX_HOT_CAP drop."""
+    import pyarrow as pa
+
+    rows = [
+        ("a-short", "web", [10, 11, 12, 13]),
+        ("a-long1", "web", [10, 11, 12, 13, 99]),
+        ("a-long2", "web", [10, 11, 12, 13, 20, 21, 22]),
+        ("b-x", "web", [1, 2, 3, 4, 5]),
+        ("b-y", "web", [1, 2, 3, 4, 6, 7]),   # same anchor, diverges at 5th
+        ("n-short", "web", [None, 2, 3, 4]),
+        ("n-long", "web", [None, 2, 3, 4, 5]),
+        ("e-1", "web", [8, 8, 8, 8]),
+        ("e-2", "web", [8, 8, 8, 8]),          # equal arrays: exact dup, no pair
+    ]
+    # hot anchor: CAP+1 rows sharing [9,9,9,9] with mixed lengths — every
+    # pair would qualify, the cap must drop them all
+    for i in range(tk.PREFIX_HOT_CAP + 1):
+        rows.append((f"hot-{i:05d}", "web", [9, 9, 9, 9] + [7] * (i % 3)))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[2] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    pq.write_table(t, str(d / "frag-000.parquet"))
+    out = tk.seq_prefix_dups(str(d)).to_pandas()
+    got = {(r.short_id, r.long_id) for r in out.itertuples(index=False)}
+    assert got == {
+        ("a-short", "a-long1"),
+        ("a-short", "a-long2"),
+        ("n-short", "n-long"),
+    }
+    lens = {
+        (r.short_id, r.long_id): (r.short_len, r.long_len)
+        for r in out.itertuples(index=False)
+    }
+    assert lens[("a-short", "a-long2")] == (4, 7)
