@@ -2433,6 +2433,34 @@ def seq_prefix_dups(sf_dir: str, augment: bool | None = None) -> pa.Table:
     anch = np.ascontiguousarray(
         cand.column("h").combine_chunks().to_numpy(zero_copy_only=False)
     ).view(_U64)
+    si_np, li_np = _verify_prefix_pairs(offs, vals, tlen, anch)
+    if si_np.size == 0:
+        return _PREFIXDUP_SCHEMA.empty_table()
+    si = pa.array(si_np)
+    li = pa.array(li_np)
+    doc = cand.column("doc_id")
+    src = cand.column("source")
+    return pa.table(
+        {
+            "short_id": doc.take(si),
+            "long_id": doc.take(li),
+            "short_source": src.take(si),
+            "long_source": src.take(li),
+            "short_len": pa.array(tlen[si_np]),
+            "long_len": pa.array(tlen[li_np]),
+        }
+    ).sort_by([(c, "ascending") for c in _PREFIXDUP_SCHEMA.names])
+
+
+def _verify_prefix_pairs(
+    offs: np.ndarray, vals: np.ndarray, tlen: np.ndarray, anch: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(short_idx, long_idx) for every candidate pair where row short's
+    tokens are a STRICT prefix of row long's and their anchors are equal.
+
+    Exact regardless of hash collisions: prefix hashes only nominate pairs,
+    each nominated pair gets a vectorized token-slice comparison.
+    """
     # cumsum prefix-hash infrastructure over the candidate set (same formula
     # as _content_hash, so phash(row, tlen[row]) == the row's content hash)
     with np.errstate(over="ignore"):
@@ -2491,18 +2519,6 @@ def seq_prefix_dups(sf_dir: str, augment: bool | None = None) -> pa.Table:
                 out_s.append(short_rep[okm])
                 out_l.append(long_rep[okm])
     if not out_s:
-        return _PREFIXDUP_SCHEMA.empty_table()
-    si = pa.array(np.concatenate(out_s))
-    li = pa.array(np.concatenate(out_l))
-    doc = cand.column("doc_id")
-    src = cand.column("source")
-    return pa.table(
-        {
-            "short_id": doc.take(si),
-            "long_id": doc.take(li),
-            "short_source": src.take(si),
-            "long_source": src.take(li),
-            "short_len": pa.array(tlen[si.to_numpy(zero_copy_only=False)]),
-            "long_len": pa.array(tlen[li.to_numpy(zero_copy_only=False)]),
-        }
-    ).sort_by([(c, "ascending") for c in _PREFIXDUP_SCHEMA.names])
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(out_s), np.concatenate(out_l)

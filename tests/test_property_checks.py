@@ -280,3 +280,45 @@ def test_repetition_kernel_matches_naive(rows, cut):
         if r["doc_id"] is not None and r["tokens"] is not None
     ]
     assert got == expected
+
+
+# --- seq_prefix_dups verification kernel --------------------------------
+
+prefix_list = st.lists(
+    st.integers(min_value=0, max_value=1), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(prefix_list, min_size=0, max_size=25), st.data())
+def test_prefix_pair_kernel_matches_naive(lists, data):
+    """_verify_prefix_pairs must emit exactly the strict-prefix pairs a
+    naive O(n^2) scan finds. Vocab {0,1} at lengths <= 8 makes anchor
+    collisions and genuine prefix relations frequent; extra rows drawn as
+    literal truncations of earlier rows guarantee positives."""
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    K = tk.PREFIX_K
+    # derive some rows as truncations of existing ones (the positive class)
+    base = [l for l in lists if len(l) > K]
+    for l in base[:5]:
+        cut = data.draw(st.integers(min_value=K, max_value=len(l) - 1))
+        lists = lists + [l[:cut]]
+    rows = [l for l in lists if len(l) >= K]
+    n = len(rows)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([len(r) for r in rows])
+    vals = np.asarray([x for r in rows for x in r], dtype=np.int32)
+    tlen = offs[1:] - offs[:-1]
+    sfx = np.full(n, -1, dtype=np.int64)
+    _, anch = tk._anchor_hashes(sfx, offs, vals, aug=False)
+
+    si, li = tk._verify_prefix_pairs(offs, vals, tlen, anch)
+    got = sorted(zip(si.tolist(), li.tolist()))
+    expected = sorted(
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if len(rows[i]) < len(rows[j]) and rows[j][: len(rows[i])] == rows[i]
+    )
+    assert got == expected
