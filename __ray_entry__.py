@@ -172,6 +172,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_source_stats",
     "seq_ntok_percentiles",
     "seq_prefix_dups",
+    "seq_shard_schema_audit",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
@@ -426,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_decontaminate": lambda sf: tk.seq_decontaminate(sf),  # benchmark k-gram decontamination
         "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
         "seq_prefix_dups": lambda sf: tk.seq_prefix_dups(sf),  # truncation-dup pairs (strict prefix)
+        "seq_shard_schema_audit": lambda sf: tk.seq_shard_schema_audit(sf),  # per-shard footer/schema audit
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -575,7 +577,8 @@ def oracle_sql() -> dict[str, str]:
     from product_quality_check_ray.pipelines import similarity as sim
     from product_quality_check_ray.pipelines import text as tx
 
-    seq = f"read_parquet('{_seq_glob_sql(SF01)}')"
+    seq_glob = _seq_glob_sql(SF01)
+    seq = f"read_parquet('{seq_glob}')"
     from product_quality_check_ray.pipelines.text import (
         GOPHER_MAX_DUP_BIGRAM,
         GOPHER_MAX_TOP_BIGRAM,
@@ -1453,6 +1456,33 @@ def oracle_sql() -> dict[str, str]:
             FROM q s JOIN q l
               ON s.anch = l.anch AND s.tlen < l.tlen
              AND l.ptok[1:CAST(s.tlen AS INT)] = s.ptok
+        """,
+        # per-shard footer audit: DuckDB's parquet metadata table functions
+        # see the same footers pyarrow reads (leaf rows = num_children IS
+        # NULL; physical type names match pyarrow's)
+        "seq_shard_schema_audit": f"""
+            WITH leaves AS (
+              SELECT file_name, name, type
+              FROM parquet_schema('{seq_glob}')
+              WHERE num_children IS NULL
+            ),
+            sig AS (
+              SELECT file_name,
+                     CAST(count(*) AS BIGINT) AS n_leaf_columns,
+                     string_agg(name || ':' || type, ';' ORDER BY name, type)
+                       AS schema_sig
+              FROM leaves GROUP BY file_name
+            ),
+            meta AS (
+              SELECT file_name,
+                     CAST(num_rows AS BIGINT) AS num_rows,
+                     CAST(num_row_groups AS BIGINT) AS n_row_groups
+              FROM parquet_file_metadata('{seq_glob}')
+            )
+            SELECT regexp_extract(m.file_name, '[^/]+$') AS fragment,
+                   m.num_rows, m.n_row_groups, s.n_leaf_columns, s.schema_sig,
+                   count(*) OVER (PARTITION BY s.schema_sig) AS n_sig_fragments
+            FROM meta m JOIN sig s USING (file_name)
         """,
         # token sliding-window chunking: chunk boundaries are integer
         # per-source vocabulary audit: dense-bitset tree reduce in the

@@ -2522,3 +2522,93 @@ def _verify_prefix_pairs(
         e = np.empty(0, dtype=np.int64)
         return e, e
     return np.concatenate(out_s), np.concatenate(out_l)
+
+
+# ---------------------------------------------------------------------------
+# Shard-level schema audit (footer metadata only)
+# ---------------------------------------------------------------------------
+
+_SCHEMA_AUDIT_SCHEMA = pa.schema(
+    [
+        ("fragment", pa.string()),
+        ("num_rows", pa.int64()),
+        ("n_row_groups", pa.int64()),
+        ("n_leaf_columns", pa.int64()),
+        ("schema_sig", pa.string()),
+        ("n_sig_fragments", pa.int64()),
+    ]
+)
+
+
+@ray.remote
+def _scan_shard_footers(paths: list) -> list:
+    """Footer-only metadata per fragment: (basename, num_rows, n_row_groups,
+    n_leaf_columns, schema signature). Reads a few KB per file regardless of
+    shard size — the whole audit touches no data pages."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        f = pq.ParquetFile(p)
+        md = f.metadata
+        sch = f.schema
+        leaves = sorted(
+            (sch.column(i).name, sch.column(i).physical_type) for i in range(len(sch))
+        )
+        sig = ";".join(f"{n}:{t}" for n, t in leaves)
+        out.append(
+            (os.path.basename(p), md.num_rows, md.num_row_groups, len(leaves), sig)
+        )
+    return out
+
+
+def seq_shard_schema_audit(sf_dir: str, files_per_task: int = 64) -> pa.Table:
+    """Per-shard PHYSICAL schema audit: every fragment's footer metadata
+    (row count, row-group count, leaf-column count, and a deterministic
+    schema signature = sorted ``leaf_name:physical_type`` pairs), plus how
+    many fragments share each signature — the instant "this shard was
+    written by a different job" tripwire every multi-writer 100 TB corpus
+    needs before any row-level validation is worth running.
+
+    Shape: one Ray task per ``files_per_task`` fragments, each reading ONLY
+    parquet footers (a few KB per file); results are #fragments tiny tuples
+    — no data pages are ever read, so the audit costs seconds at any corpus
+    size. The signature counting happens on the collected (fragment-count-
+    sized) table.
+
+    SQL oracle: DuckDB ``parquet_schema`` / ``parquet_file_metadata`` table
+    functions over the same glob — leaf rows are ``num_children IS NULL``
+    and DuckDB prints the same parquet physical type names pyarrow exposes
+    (BYTE_ARRAY / INT32 / ...), so the signature is engine-independent.
+
+    Reference analog: the input-column validation gate (`app.py` required-
+    column check, SURVEY S2) lifted to per-shard physical schemas.
+    """
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _SCHEMA_AUDIT_SCHEMA.empty_table()
+    refs = [
+        _scan_shard_footers.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    rows = [r for part in ray.get(refs) for r in part]
+    sig_counts: dict[str, int] = {}
+    for r in rows:
+        sig_counts[r[4]] = sig_counts.get(r[4], 0) + 1
+    rows.sort(key=lambda r: r[0])
+    return pa.table(
+        {
+            "fragment": pa.array([r[0] for r in rows], type=pa.string()),
+            "num_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_row_groups": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_leaf_columns": pa.array([r[3] for r in rows], type=pa.int64()),
+            "schema_sig": pa.array([r[4] for r in rows], type=pa.string()),
+            "n_sig_fragments": pa.array(
+                [sig_counts[r[4]] for r in rows], type=pa.int64()
+            ),
+        }
+    )

@@ -938,3 +938,41 @@ def test_seq_prefix_dups_planted(ray_session, tmp_path):
         for r in out.itertuples(index=False)
     }
     assert lens[("a-short", "a-long2")] == (4, 7)
+
+
+def test_seq_shard_schema_audit_planted(ray_session, tmp_path):
+    """A direct-path corpus where one shard was 'written by a different
+    job': extra column + int64 tokens. The audit must fingerprint it apart
+    and count signature populations correctly."""
+    import pyarrow as pa
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    good = pa.table(
+        {
+            "doc_id": pa.array(["a-1", "a-2"]),
+            "tokens": pa.array([[1, 2], [3]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1], type=pa.int32()),
+            "source": pa.array(["web", "web"]),
+        }
+    )
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["b-1"]),
+            "tokens": pa.array([[1]], type=pa.list_(pa.int64())),  # widened
+            "n_tok": pa.array([1], type=pa.int32()),
+            "source": pa.array(["web"]),
+            "extra": pa.array([0.5], type=pa.float64()),           # stray col
+        }
+    )
+    pq.write_table(good, str(d / "frag-000.parquet"))
+    pq.write_table(good, str(d / "frag-001.parquet"))
+    pq.write_table(bad, str(d / "frag-002.parquet"))
+    out = tk.seq_shard_schema_audit(str(d)).to_pandas().set_index("fragment")
+    assert out.loc["frag-000.parquet", "schema_sig"] == out.loc["frag-001.parquet", "schema_sig"]
+    assert out.loc["frag-002.parquet", "schema_sig"] != out.loc["frag-000.parquet", "schema_sig"]
+    assert out.loc["frag-000.parquet", "n_sig_fragments"] == 2
+    assert out.loc["frag-002.parquet", "n_sig_fragments"] == 1
+    assert out.loc["frag-002.parquet", "n_leaf_columns"] == 5
+    assert out.loc["frag-000.parquet", "num_rows"] == 2
+    assert "element:INT64" in out.loc["frag-002.parquet", "schema_sig"]
