@@ -173,6 +173,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_ntok_percentiles",
     "seq_prefix_dups",
     "seq_shard_schema_audit",
+    "seq_shard_stats",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
@@ -428,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
         "seq_prefix_dups": lambda sf: tk.seq_prefix_dups(sf),  # truncation-dup pairs (strict prefix)
         "seq_shard_schema_audit": lambda sf: tk.seq_shard_schema_audit(sf),  # per-shard footer/schema audit
+        "seq_shard_stats": lambda sf: tk.seq_shard_stats(sf),  # per-shard length stats + exact outlier flag
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1483,6 +1485,34 @@ def oracle_sql() -> dict[str, str]:
                    m.num_rows, m.n_row_groups, s.n_leaf_columns, s.schema_sig,
                    count(*) OVER (PARTITION BY s.schema_sig) AS n_sig_fragments
             FROM meta m JOIN sig s USING (file_name)
+        """,
+        # per-shard length audit: filename=true replays the fragment key;
+        # the outlier flag is integer cross-multiplication (HUGEINT casts —
+        # sums at design scale overflow int64 when crossed)
+        "seq_shard_stats": f"""
+            WITH base AS (
+              SELECT regexp_extract(filename, '[^/]+$') AS fragment, source,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(n_tok) AS BIGINT) AS n_ntok,
+                     CAST(sum(n_tok) AS BIGINT) AS sum_ntok,
+                     CAST(min(n_tok) AS BIGINT) AS min_ntok,
+                     CAST(max(n_tok) AS BIGINT) AS max_ntok
+              FROM read_parquet('{seq_glob}', filename=true)
+              GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT source, sum(n_ntok) AS n_s, sum(sum_ntok) AS s_s
+              FROM base GROUP BY source
+            )
+            SELECT b.fragment, b.source, b.n_rows, b.n_ntok, b.sum_ntok,
+                   b.min_ntok, b.max_ntok,
+                   coalesce(
+                     b.n_ntok > 0 AND t.n_s > 0 AND
+                     abs(CAST(b.sum_ntok AS HUGEINT) * t.n_s
+                         - CAST(t.s_s AS HUGEINT) * b.n_ntok) * 100
+                       > {tk.SHARD_NTOK_DRIFT_PCT} * CAST(t.s_s AS HUGEINT) * b.n_ntok,
+                     FALSE) AS length_outlier
+            FROM base b JOIN tot t ON b.source IS NOT DISTINCT FROM t.source
         """,
         # token sliding-window chunking: chunk boundaries are integer
         # per-source vocabulary audit: dense-bitset tree reduce in the

@@ -141,6 +141,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_dup_token_arrays", lambda sf: tk.seq_dup_token_arrays(sf)),
         ("seq_prefix_dups", lambda sf: tk.seq_prefix_dups(sf)),
         ("seq_shard_schema_audit", lambda sf: tk.seq_shard_schema_audit(sf)),
+        ("seq_shard_stats", lambda sf: tk.seq_shard_stats(sf)),
         ("seq_chunk_windows", lambda sf: tk.seq_chunk_windows(sf)),
         ("seq_length_batches", lambda sf: tk.seq_length_batches(sf)),
         ("seq_detokenize", lambda sf: tk.seq_detokenize(sf)),

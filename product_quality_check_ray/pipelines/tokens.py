@@ -2612,3 +2612,126 @@ def seq_shard_schema_audit(sf_dir: str, files_per_task: int = 64) -> pa.Table:
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-level length-distribution audit
+# ---------------------------------------------------------------------------
+
+SHARD_NTOK_DRIFT_PCT = 10  # flag a (fragment, source) whose mean n_tok
+                           # deviates >10% from the source's corpus mean
+
+_SHARD_STATS_SCHEMA = pa.schema(
+    [
+        ("fragment", pa.string()),
+        ("source", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_ntok", pa.int64()),
+        ("sum_ntok", pa.int64()),
+        ("min_ntok", pa.int64()),
+        ("max_ntok", pa.int64()),
+        ("length_outlier", pa.bool_()),
+    ]
+)
+
+
+@ray.remote
+def _scan_shard_stats(paths: list) -> list:
+    """Per-(fragment, source) integer n_tok partials; reads ONLY the two
+    needed columns per fragment (column pruning at the source)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        t = pq.read_table(p, columns=["source", "n_tok"])
+        nt = t.column("n_tok").combine_chunks()
+        valid = np.asarray(pc.is_valid(nt).to_numpy(zero_copy_only=False), dtype=bool)
+        ntv = np.asarray(
+            pc.fill_null(nt, 0).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        keys = np.asarray(
+            ["\0" if s is None else s for s in t.column("source").to_pylist()],
+            dtype=object,
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
+        base = os.path.basename(p)
+        for gi, k in enumerate(uk):
+            m = inv == gi
+            vm = m & valid
+            has = bool(vm.any())
+            vals = ntv[vm] if has else None
+            out.append(
+                (
+                    base,
+                    None if k == "\0" else str(k),
+                    int(m.sum()),
+                    int(vm.sum()),
+                    int(vals.sum()) if has else None,
+                    int(vals.min()) if has else None,
+                    int(vals.max()) if has else None,
+                )
+            )
+    return out
+
+
+def seq_shard_stats(sf_dir: str, files_per_task: int = 16) -> pa.Table:
+    """Per-(fragment, source) length-distribution audit: exact integer
+    n_tok stats per shard plus a ``length_outlier`` flag — TRUE when the
+    shard's mean n_tok for that source deviates more than
+    SHARD_NTOK_DRIFT_PCT percent from the source's corpus-wide mean. The
+    shard-granular complement to the corpus-level drift verdicts: a
+    re-crawled / wrongly-tokenized SHARD shows up here even when the
+    corpus-level KS test still passes.
+
+    Exactness contract: the flag is evaluated by integer cross-
+    multiplication — |sum_f·N_s − S_s·n_f|·100 > PCT·S_s·n_f — so there is
+    no float threshold to disagree across engines (Python arbitrary-
+    precision ints here, HUGEINT casts in the DuckDB oracle; sums at
+    10^12-sequence scale overflow int64 when crossed, not before).
+
+    Shape: one Ray task per ``files_per_task`` fragments, each reading ONLY
+    (source, n_tok) — two thin columns per shard; partials are
+    (fragment × source) tiny tuples, the global per-source totals and the
+    flag evaluate on the collected partials table. No row ever shuffles.
+
+    Reference analog: per-batch progress/counter reporting (SURVEY G6/A7)
+    lifted to per-shard distribution checks.
+    """
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _SHARD_STATS_SCHEMA.empty_table()
+    refs = [
+        _scan_shard_stats.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    rows = [r for part in ray.get(refs) for r in part]
+    totals: dict = {}
+    for r in rows:
+        n_s, s_s = totals.get(r[1], (0, 0))
+        totals[r[1]] = (n_s + r[3], s_s + (r[4] or 0))
+    flags = []
+    for r in rows:
+        n_f, sum_f = r[3], r[4]
+        n_s, s_s = totals[r[1]]
+        flags.append(
+            n_f > 0
+            and n_s > 0
+            and abs(sum_f * n_s - s_s * n_f) * 100 > SHARD_NTOK_DRIFT_PCT * s_s * n_f
+        )
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][0], rows[i][1] or ""))
+    return pa.table(
+        {
+            "fragment": pa.array([rows[i][0] for i in order], type=pa.string()),
+            "source": pa.array([rows[i][1] for i in order], type=pa.string()),
+            "n_rows": pa.array([rows[i][2] for i in order], type=pa.int64()),
+            "n_ntok": pa.array([rows[i][3] for i in order], type=pa.int64()),
+            "sum_ntok": pa.array([rows[i][4] for i in order], type=pa.int64()),
+            "min_ntok": pa.array([rows[i][5] for i in order], type=pa.int64()),
+            "max_ntok": pa.array([rows[i][6] for i in order], type=pa.int64()),
+            "length_outlier": pa.array([flags[i] for i in order], type=pa.bool_()),
+        }
+    )

@@ -976,3 +976,46 @@ def test_seq_shard_schema_audit_planted(ray_session, tmp_path):
     assert out.loc["frag-002.parquet", "n_leaf_columns"] == 5
     assert out.loc["frag-000.parquet", "num_rows"] == 2
     assert "element:INT64" in out.loc["frag-002.parquet", "schema_sig"]
+
+
+def test_seq_shard_stats_planted(ray_session, tmp_path):
+    """A shard whose source-mean deviates >10% must flag; null n_tok and
+    null source groups follow SQL aggregate semantics (ignored in sums,
+    NULL min/max when all-null)."""
+    import pyarrow as pa
+
+    d = tmp_path / "seq"
+    d.mkdir()
+
+    def frag(name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows]),
+                "tokens": pa.array([[1]] * len(rows), type=pa.list_(pa.int32())),
+                "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+                "source": pa.array([r[1] for r in rows]),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    # web corpus mean = 100; frag-001's web mean = 150 (+50% -> flag);
+    # books identical across frags (no flag); one all-null-n_tok source
+    frag("frag-000.parquet", [("a", "web", 100)] * 8 + [("b", "books", 50)] * 2 + [("x", None, 10)])
+    frag("frag-001.parquet", [("c", "web", 150)] * 2 + [("d", "books", 50)] * 2 + [("e", "nulls", None)])
+    out = tk.seq_shard_stats(str(d)).to_pandas()
+    out["source"] = out["source"].astype(object)
+    key = out.set_index(["fragment", out["source"].map(lambda s: s if isinstance(s, str) else "~null~")])
+    w0 = key.loc[("frag-000.parquet", "web")]
+    w1 = key.loc[("frag-001.parquet", "web")]
+    assert (w0.n_rows, w0.sum_ntok, bool(w0.length_outlier)) == (8, 800, False)
+    # global web mean = (800+300)/10 = 110; frag-001 mean 150 -> +36% -> flag
+    assert (w1.n_rows, w1.sum_ntok, bool(w1.length_outlier)) == (2, 300, True)
+    # frag-000 web mean 100 vs 110 is -9.1% -> under the 10% bar -> no flag
+    b0 = key.loc[("frag-000.parquet", "books")]
+    assert not b0.length_outlier
+    nl = key.loc[("frag-001.parquet", "nulls")]
+    assert nl.n_ntok == 0 and not nl.length_outlier
+    import pandas as pd
+    assert pd.isna(nl.sum_ntok) and pd.isna(nl.min_ntok)
+    ns = key.loc[("frag-000.parquet", "~null~")]
+    assert ns.n_rows == 1 and ns.sum_ntok == 10
