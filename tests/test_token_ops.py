@@ -147,6 +147,11 @@ def test_seq_chunk_windows_empty(ray_session, tmp_path, monkeypatch):
     assert tk.seq_neardup_pairs(str(d)).num_rows == 0
     assert tk.seq_bigram_topk(str(d)).num_rows == 0
     assert tk.seq_prefix_dups(str(d)).num_rows == 0
+    # zero-row corpora still have fragments: the footer audit reports them
+    # (num_rows=0, one shared signature), the per-group stats have no groups
+    audit = tk.seq_shard_schema_audit(str(d))
+    assert audit.num_rows > 0 and set(audit.column("num_rows").to_pylist()) == {0}
+    assert tk.seq_shard_stats(str(d)).num_rows == 0
     assert tk.seq_detokenize(str(d)).count() == 0
     assert tk.seq_unigram_lm_score(str(d)).count() == 0
     assert tk.prepare_training_sequences(str(d)).count() == 0
