@@ -106,6 +106,49 @@ def cmd_prep(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Shard-level pre-validation audit over a sequences corpus dir: footer
+    schema fingerprints + per-(fragment, source) length stats. Seconds at
+    any corpus size (footers + two thin columns); exit 2 when any shard
+    deviates — run this BEFORE paying for row-level validation."""
+    _init_ray(args.num_cpus)
+    from .pipelines.tokens import seq_shard_schema_audit, seq_shard_stats
+
+    schema = seq_shard_schema_audit(args.input)
+    stats = seq_shard_stats(args.input)
+    sigs = schema.column("schema_sig").to_pylist()
+    sig_counts: dict[str, int] = {}
+    for s in sigs:
+        sig_counts[s] = sig_counts.get(s, 0) + 1
+    majority = max(sig_counts, key=lambda k: (sig_counts[k], k)) if sig_counts else None
+    deviant = sorted(
+        f
+        for f, s in zip(schema.column("fragment").to_pylist(), sigs)
+        if s != majority
+    )
+    outliers = sorted(
+        {
+            (f, s or "")
+            for f, s, o in zip(
+                stats.column("fragment").to_pylist(),
+                stats.column("source").to_pylist(),
+                stats.column("length_outlier").to_pylist(),
+            )
+            if o
+        }
+    )
+    summary = {
+        "fragments": schema.num_rows,
+        "total_rows": sum(schema.column("num_rows").to_pylist()),
+        "distinct_schemas": len(sig_counts),
+        "schema_deviant_fragments": deviant[:20],
+        "length_outlier_groups": [list(t) for t in outliers[:20]],
+        "n_length_outliers": len(outliers),
+    }
+    print(json.dumps(summary))
+    return 0 if not deviant and not outliers else 2
+
+
 def cmd_gen(args: argparse.Namespace) -> int:
     from .datagen import write_sequences
 
@@ -152,6 +195,14 @@ def main(argv: list[str] | None = None) -> int:
         "run plain unless 'on' is forced",
     )
     pr.set_defaults(fn=cmd_prep)
+
+    a = sub.add_parser(
+        "audit",
+        help="shard-level pre-validation audit (schema fingerprints + length stats)",
+    )
+    a.add_argument("--input", required=True, help="directory of frag-*.parquet shards")
+    a.add_argument("--num-cpus", type=int, default=None)
+    a.set_defaults(fn=cmd_audit)
 
     g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     g.add_argument("--out", required=True)

@@ -433,3 +433,46 @@ def test_new_token_ops_on_user_corpus(ray_session, tmp_path):
     # both planted duplicates share source 'web' -> NO cross-source pair
     x = tk.seq_cross_source_dups(d)
     assert x.num_rows == 0
+
+
+def test_cli_audit_subcommand(tmp_path):
+    """Clean uniform corpus → exit 0; add a schema-deviant shard → exit 2
+    with the shard named."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(64)]),
+            "tokens": pa.array([[1, 2]] * 64, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 64, type=pa.int32()),
+            "source": pa.array(["web"] * 64),
+        }
+    )
+    pq.write_table(t.slice(0, 32), os.path.join(d, "frag-00000.parquet"))
+    pq.write_table(t.slice(32), os.path.join(d, "frag-00001.parquet"))
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "audit",
+             "--input", d, "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    r = run()
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["fragments"] == 2 and line["distinct_schemas"] == 1
+    assert line["total_rows"] == 64 and line["n_length_outliers"] == 0
+
+    bad = t.slice(0, 4).append_column("extra", pa.array([1.0] * 4))
+    pq.write_table(bad, os.path.join(d, "frag-00002.parquet"))
+    r2 = run()
+    assert r2.returncode == 2, r2.stderr[-2000:]
+    line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line2["distinct_schemas"] == 2
+    assert line2["schema_deviant_fragments"] == ["frag-00002.parquet"]
