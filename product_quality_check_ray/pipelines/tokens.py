@@ -2651,21 +2651,24 @@ def _scan_shard_stats(paths: list) -> list:
         ntv = np.asarray(
             pc.fill_null(nt, 0).to_numpy(zero_copy_only=False), dtype=np.int64
         )
-        keys = np.asarray(
-            ["\0" if s is None else s for s in t.column("source").to_pylist()],
-            dtype=object,
+        # dictionary-encode the source column (vectorized; no per-row
+        # Python) — null sources take code -1, the dictionary is tiny
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        codes = np.asarray(
+            pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
         )
-        uk, inv = np.unique(keys, return_inverse=True)
+        dictionary = enc.dictionary.to_pylist()
         base = os.path.basename(p)
-        for gi, k in enumerate(uk):
-            m = inv == gi
+        for gi in np.unique(codes):
+            m = codes == gi
             vm = m & valid
             has = bool(vm.any())
             vals = ntv[vm] if has else None
             out.append(
                 (
                     base,
-                    None if k == "\0" else str(k),
+                    None if gi < 0 else str(dictionary[gi]),
                     int(m.sum()),
                     int(vm.sum()),
                     int(vals.sum()) if has else None,
