@@ -37,6 +37,34 @@ def cmd_validate(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.validate import run_validation
 
+    if args.preaudit:
+        # fail fast on shard-level schema deviance BEFORE paying for the
+        # row-level pass — footers only, seconds at any corpus size
+        from .pipelines.tokens import seq_shard_schema_audit
+
+        schema = seq_shard_schema_audit(args.input)
+        sigs = schema.column("schema_sig").to_pylist()
+        counts: dict[str, int] = {}
+        for s in sigs:
+            counts[s] = counts.get(s, 0) + 1
+        majority = max(counts, key=lambda k: (counts[k], k)) if counts else None
+        deviant = sorted(
+            f
+            for f, s in zip(schema.column("fragment").to_pylist(), sigs)
+            if s != majority
+        )
+        if deviant:
+            print(
+                json.dumps(
+                    {
+                        "preaudit_failed": True,
+                        "distinct_schemas": len(counts),
+                        "schema_deviant_fragments": deviant[:20],
+                    }
+                )
+            )
+            return 2
+
     rep = run_validation(
         args.input,
         args.out,
@@ -174,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
         "--write-clean",
         action="store_true",
         help="also write the validated (all-checks-passing) corpus under out/clean/",
+    )
+    v.add_argument(
+        "--preaudit",
+        action="store_true",
+        help="fail fast (exit 2) on shard-level schema deviance before the row-level pass",
     )
     v.set_defaults(fn=cmd_validate)
 

@@ -1892,3 +1892,46 @@ def test_part_packsize_all_formats(ray_session, tmp_path):
             assert r["unit_raw"] == u and r["dimension"] == dim
             assert r["qty_base"] == expect_n * qty * factor
         assert r["e_mark"] == (kind == "e_marked")
+
+
+def test_cli_validate_preaudit(ray_session, tmp_path):
+    """--preaudit fails fast (exit 2, preaudit_failed JSON) on a schema-
+    deviant shard without running the row-level pass; on a uniform corpus
+    it proceeds to the normal validation summary."""
+    import json as _json
+    import os
+    import subprocess
+    import sys as _sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.datagen import write_sequences
+
+    seq = write_sequences(str(tmp_path / "seqp"), 1000, seed=8, num_fragments=2)
+
+    def run(inp, out):
+        return subprocess.run(
+            [_sys.executable, "-m", "product_quality_check_ray", "validate",
+             "--input", inp, "--out", out, "--preaudit", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=180,
+        )
+
+    r = run(seq, str(tmp_path / "outp"))
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert "preaudit_failed" not in summary and summary["rows"] == 1000
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["x"]),
+            "tokens": pa.array([[1]], type=pa.list_(pa.int64())),
+            "n_tok": pa.array([1], type=pa.int32()),
+            "source": pa.array(["web"]),
+        }
+    )
+    pq.write_table(bad, os.path.join(seq, "frag-zz.parquet"))
+    r2 = run(seq, str(tmp_path / "outp2"))
+    assert r2.returncode == 2, r2.stderr[-2000:]
+    s2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert s2["preaudit_failed"] and s2["schema_deviant_fragments"] == ["frag-zz.parquet"]
+    assert not os.path.exists(os.path.join(str(tmp_path / "outp2"), "_RUN_SUCCESS.json"))
