@@ -371,14 +371,27 @@ def holdout_gram_index(
     grams = seq.map_batches(
         _holdout_grams_batch, batch_format="pyarrow", batch_size=None
     )
+    return gram_index_from_ds(grams, distributed=distributed)
+
+
+def gram_index_from_ds(
+    grams: rd.Dataset, *, distributed: bool | None = None
+) -> GramIndex:
+    """GramIndex from any Dataset carrying a ``g`` fixed-size-binary gram
+    column (the ``holdout_gram_index`` decision logic, shared with the
+    capstone's scout-pass gram stream): below GRAM_INDEX_SORT_GRAMS the
+    driver argsort wins; above it the hash sort runs as a distributed
+    ``Dataset.sort`` exchange and the driver only does the O(n) assembly."""
     if distributed is None:
-        # the holdout gram subset is small relative to the corpus (a
+        # the gram stream is small relative to the corpus (a
         # 1/DECON_HOLD_MOD row sample); materializing it makes count() free
         # and lets the chosen branch reuse the extraction pass
         grams = grams.materialize()
         distributed = grams.count() > GRAM_INDEX_SORT_GRAMS
     if not distributed:
         tbl = _collect(grams)
+        if "g" not in tbl.column_names:  # 0-row corpus: no blocks survive
+            tbl = pa.table({"g": pa.array([], type=_GRAM_TYPE)})
         return GramIndex.build(_fsb_to_mat(tbl.column("g"), DECON_K))
 
     def add_h(t: pa.Table) -> pa.Table:
@@ -469,7 +482,13 @@ def seq_decontaminate(sf_dir: str, augment: bool | None = None) -> rd.Dataset:
             }
         )
 
-    return seq.map_batches(scan, batch_format="pyarrow", batch_size=None)
+    # bounded batches: with whole read blocks (batch_size=None) every task
+    # first-touches ~400 MB of numpy temps (window hashes + candidate
+    # gathers) in a fresh malloc arena — the seq_repetition_scores lesson —
+    # which cost 3-4x over the kernel's ideal wall at 12.8M rows (measured
+    # 135 s scan vs 22 s single-thread-extrapolated); 8k rows ≈ 14 MB of
+    # temps per batch lets each worker amortize its arena across ~50 batches
+    return seq.map_batches(scan, batch_format="pyarrow", batch_size=8192)
 
 
 # ---------------------------------------------------------------------------
@@ -1298,21 +1317,27 @@ def prepare_training_sequences(
 
     from ..state.dupfinder import find_dup_hash_values
 
+    # bounded batches on every big-temp pass (scout / candidates / final):
+    # whole read blocks first-touch hundreds of MB of numpy temps per task
+    # in fresh malloc arenas (window hashes, gram matrices, content-hash
+    # buffers) — the seq_repetition_scores lesson; 8k rows keeps each batch
+    # ~15 MB so workers amortize their arenas across ~dozens of batches
+    # (12.8M-row A/B: seq_decontaminate's identical scan went 156 s → 63 s)
     scouted = (
         _seq_ds(sf_dir, columns=["doc_id", "tokens", "source"])
-        .map_batches(scout, batch_format="pyarrow", batch_size=None)
+        .map_batches(scout, batch_format="pyarrow", batch_size=8192)
         .materialize()
     )
-    gram_tbl = _collect(
+    # gram index: driver argsort below the crossover, distributed Dataset
+    # sort above it (the benchmark-index decision logic, shared) — 28M-gram
+    # fixtures previously went through the single-threaded GramIndex.build
+    idx = gram_index_from_ds(
         scouted.map_batches(
             lambda t: t.filter(pc.is_valid(t.column("g"))).select(["g"]),
             batch_format="pyarrow",
             batch_size=None,
         )
     )
-    if "g" not in gram_tbl.column_names:  # 0-row corpus: no blocks reach scout
-        gram_tbl = pa.table({"g": pa.array([], type=_GRAM_TYPE)})
-    idx = GramIndex.build(_fsb_to_mat(gram_tbl.column("g"), DECON_K))
     gram_ref = ray.put(idx.parts())
     hashed = scouted.map_batches(
         lambda t: t.filter(pc.is_valid(t.column("h"))).select(["h"]),
@@ -1351,7 +1376,7 @@ def prepare_training_sequences(
 
         cand = _collect(
             _seq_ds(sf_dir, columns=["doc_id", "tokens", "source"]).map_batches(
-                candidates, batch_format="pyarrow", batch_size=None
+                candidates, batch_format="pyarrow", batch_size=8192
             )
         )
         groups: dict[bytes, list[tuple[str, int]]] = {}
@@ -1435,7 +1460,7 @@ def prepare_training_sequences(
         )
 
     meta_ds = _seq_ds(sf_dir, columns=["doc_id", "tokens", "source"]).map_batches(
-        final, batch_format="pyarrow", batch_size=None
+        final, batch_format="pyarrow", batch_size=8192
     )
     bundles = list(meta_ds.iter_internal_ref_bundles())
     block_refs = [ref for b in bundles for ref in b.block_refs]
