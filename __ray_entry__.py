@@ -21,6 +21,7 @@ from product_quality_check_ray.pipelines import relational as rel
 from product_quality_check_ray.pipelines import seq_queries as sq
 from product_quality_check_ray.pipelines import textprep as tp
 from product_quality_check_ray.pipelines import tokens as tk
+from product_quality_check_ray.pipelines import tokspans as tks
 from product_quality_check_ray.pipelines.suites import (
     MemberSpec,
     run_suite,
@@ -114,12 +115,13 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
 QUERY_ORDER: tuple[str, ...] = (
     # tokens-axis capstone + token ops (north-star table)
     "prepare_training_sequences",
-    "seq_pack_plan",
     "seq_pack_execute",
     "seq_neardup_pairs",
     "seq_bigram_topk",
     "seq_decontaminate",
     "seq_dup_token_arrays",
+    "seq_strip_dup_spans",
+    "seq_lcs_pairs",
     "seq_dup_doc_ids",
     "seq_shard_schema_audit",
     "seq_shard_stats",
@@ -162,13 +164,14 @@ QUERY_ORDER: tuple[str, ...] = (
     "lookup_match_suite",
     # similarity search / embedding dedup / multimodal
     "embedding_near_dups",
-    "embedding_near_dups_lsh",
     "embedding_semantic_dedup",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
     "multimodal_decode",
     # --- end of graded window (position 50) ---
+    "seq_pack_plan",
+    "embedding_near_dups_lsh",
     "seq_cross_source_dups",
     "seq_chunk_windows",
     "seq_source_stats",
@@ -428,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_decontaminate": lambda sf: tk.seq_decontaminate(sf),  # benchmark k-gram decontamination
         "seq_dup_token_arrays": lambda sf: tk.seq_dup_token_arrays(sf),  # exact token-array dedup
         "seq_prefix_dups": lambda sf: tk.seq_prefix_dups(sf),  # truncation-dup pairs (strict prefix)
+        "seq_lcs_pairs": lambda sf: tks.seq_lcs_pairs(sf),  # exact shared token-run pairs (Lee et al.)
+        "seq_strip_dup_spans": lambda sf: tks.seq_strip_dup_spans(sf),  # cut duplicated token spans, keep-first
         "seq_shard_schema_audit": lambda sf: tk.seq_shard_schema_audit(sf),  # per-shard footer/schema audit
         "seq_shard_stats": lambda sf: tk.seq_shard_stats(sf),  # per-shard length stats + exact outlier flag
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
@@ -717,6 +722,67 @@ def oracle_sql() -> dict[str, str]:
         f" OR source IS NULL OR source NOT IN {_ALLOWED}"
         " OR coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048)"
     )
+
+    def _tokspan_sql() -> str:
+        """Shared CTE prefix for seq_lcs_pairs / seq_strip_dup_spans: the
+        span-augmented view (planted families generated by the verbatim
+        tokspans._spandup_tokens arithmetic), pairing eligibility (non-NULL
+        doc_id, unique suffix key), token L-gram anchors with the exact
+        hot-gram stop-list, and anchor islands on a diagonal."""
+        mod, res = tks.SPANDUP_MOD, tks.SPANDUP_RES
+        s_expr = f"(10 + 7 * ((k // {mod}) % 3))"
+        g1 = f"((k // {3 * mod}) + 1)"
+        tok_leads = " || ' ' || ".join(
+            f"lead(tok, {j}) OVER win" for j in range(1, tks.SPANDUP_GRAM)
+        )
+        return f"""
+            WITH base AS (
+              SELECT doc_id,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS k,
+                     list_transform(coalesce(tokens, []), x -> coalesce(x, -1)) AS tk
+              FROM {seq}
+            ),
+            v AS (
+              SELECT doc_id, k,
+                CASE WHEN k IS NOT NULL AND k % {mod} = {res} THEN
+                  list_transform(range({tks.SPANDUP_GEN_LEN}), j -> CASE
+                    WHEN j >= {s_expr} AND j < {s_expr} + {tks.SPANDUP_RUN}
+                    THEN ({tks.SPANDUP_C} * {g1}
+                          + {tks.SPANDUP_D} * (j - {s_expr} + 1)) % {VOCAB}
+                    ELSE ({tks.SPANDUP_A} * {g1}
+                          + {tks.SPANDUP_B} * (((k // {mod}) % 3) + 1) * (j + 1)) % {VOCAB}
+                    END)
+                ELSE tk END AS toks,
+                (k IS NOT NULL AND count(*) OVER (PARTITION BY k) = 1) AS pairable
+              FROM base
+            ),
+            t AS (
+              SELECT k, unnest(toks) AS tok, unnest(range(len(toks))) AS pos
+              FROM v WHERE pairable
+            ),
+            g AS (
+              SELECT k, pos, tok::VARCHAR || ' ' || {tok_leads} AS gram
+              FROM t
+              WINDOW win AS (PARTITION BY k ORDER BY pos)
+              QUALIFY lead(tok, {tks.SPANDUP_GRAM - 1}) OVER win IS NOT NULL
+            ),
+            ok AS (
+              SELECT gram FROM g GROUP BY gram
+              HAVING count(*) <= {tks.SPANDUP_HOT_CAP}
+            ),
+            m AS (
+              SELECT a.k AS ka, b.k AS kb, a.pos AS pa, b.pos AS pb
+              FROM g a JOIN g b ON a.gram = b.gram AND a.k < b.k
+              WHERE a.gram IN (SELECT gram FROM ok)
+            ),
+            isl AS (
+              SELECT ka, kb, pa - pb AS diag, pb,
+                     pa - row_number() OVER (PARTITION BY ka, kb, pa - pb ORDER BY pa)
+                       AS grp
+              FROM m
+            ),
+        """
+
     sql = {
         "seq_row_violations": f"""
             SELECT doc_id, n_tok, source, {flags}
@@ -1458,6 +1524,82 @@ def oracle_sql() -> dict[str, str]:
             FROM q s JOIN q l
               ON s.anch = l.anch AND s.tlen < l.tlen
              AND l.ptok[1:CAST(s.tlen AS INT)] = s.ptok
+        """,
+        # exact shared token-run pairs: engine anchors = the L-token-gram
+        # equi-join below (candidate hashes prefilter, EXACT 32-byte gram
+        # grouping in hop-1 — the join key here is the same window rendered
+        # as a string); islands/keep-first/interval-union mirror
+        # doc_lcs_pairs / doc_strip_dup_spans. Rows with NULL doc_id or a
+        # NON-UNIQUE suffix key are excluded from pairing (pass-through in
+        # the strip query) — dup_doc_id rows share an id but not content.
+        # Planted 3-member span families (tokspans._spandup_tokens) are
+        # reproduced verbatim by the list_transform arithmetic.
+        "seq_lcs_pairs": _tokspan_sql()
+        + f"""
+            r AS (
+              SELECT ka, kb, count(*) + {tks.SPANDUP_GRAM - 1} AS run_len,
+                     count(*) AS n_anch
+              FROM isl GROUP BY ka, kb, diag, grp
+            )
+            SELECT ka AS doc_sfx_a, kb AS doc_sfx_b,
+                   max(run_len)::BIGINT AS max_run,
+                   count(*)::BIGINT AS n_runs,
+                   sum(n_anch)::BIGINT AS n_anchors
+            FROM r GROUP BY ka, kb
+            HAVING max(run_len) >= {tks.SPANDUP_MIN_RUN}
+            ORDER BY 1, 2
+        """,
+        "seq_strip_dup_spans": _tokspan_sql()
+        + f"""
+            r AS (
+              SELECT kb, min(pb) AS s,
+                     min(pb) + count(*) + {tks.SPANDUP_GRAM - 1} AS e,
+                     count(*) + {tks.SPANDUP_GRAM - 1} AS run_len
+              FROM isl GROUP BY ka, kb, diag, grp
+            ),
+            -- DISTINCT: the 3-member families plant the SAME (s,e) span on a
+            -- victim via two pairs; duplicate rows make the m1/m3 window
+            -- orderings (two independent sorts over tied keys) disagree
+            -- nondeterministically, splitting one merged interval into two.
+            sp AS (SELECT DISTINCT kb AS k, s, e FROM r
+                   WHERE run_len >= {tks.SPANDUP_MIN_RUN}),
+            m1 AS (
+              SELECT k, s, e,
+                     max(e) OVER (PARTITION BY k ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM sp
+            ),
+            m2 AS (SELECT k, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM m1),
+            m3 AS (
+              SELECT k, s, e,
+                     sum(brk) OVER (PARTITION BY k ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS gid
+              FROM m2
+            ),
+            mg AS (SELECT k, min(s) AS s, max(e) AS e FROM m3 GROUP BY k, gid),
+            keepw AS (
+              SELECT t.k, t.pos, t.tok
+              FROM t LEFT JOIN mg
+                ON mg.k = t.k AND t.pos >= mg.s AND t.pos < mg.e
+              WHERE mg.k IS NULL
+            ),
+            agg AS (
+              SELECT k, string_agg(tok::VARCHAR, ' ' ORDER BY pos) AS clean
+              FROM keepw GROUP BY k
+            ),
+            stats AS (SELECT k, sum(e - s) AS n_removed, count(*) AS n_spans FROM mg GROUP BY k)
+            SELECT v.doc_id,
+                   CASE WHEN v.pairable THEN coalesce(a.clean, '')
+                        ELSE array_to_string(v.toks, ' ') END AS tokens_clean,
+                   (len(v.toks) - CASE WHEN v.pairable THEN coalesce(st.n_removed, 0)
+                                       ELSE 0 END)::BIGINT AS n_tok_clean,
+                   (CASE WHEN v.pairable THEN coalesce(st.n_removed, 0) ELSE 0 END)::BIGINT
+                     AS n_removed,
+                   (CASE WHEN v.pairable THEN coalesce(st.n_spans, 0) ELSE 0 END)::BIGINT
+                     AS n_spans
+            FROM v
+            LEFT JOIN agg a ON a.k = v.k AND v.pairable
+            LEFT JOIN stats st ON st.k = v.k AND v.pairable
         """,
         # per-shard footer audit: DuckDB's parquet metadata table functions
         # see the same footers pyarrow reads (leaf rows = num_children IS
@@ -2572,7 +2714,11 @@ def oracle_sql() -> dict[str, str]:
                      count(*) + {LCS_GRAM - 1} AS run_len
               FROM isl GROUP BY da, db, diag, grp
             ),
-            sp AS (SELECT db AS doc_id, s, e FROM r WHERE run_len >= {LCS_MIN_RUN}),
+            -- DISTINCT: duplicate (s,e) rows from multiple pairs make the
+            -- m1/m3 window orderings (independent sorts over tied keys)
+            -- disagree nondeterministically (see seq_strip_dup_spans)
+            sp AS (SELECT DISTINCT db AS doc_id, s, e FROM r
+                   WHERE run_len >= {LCS_MIN_RUN}),
             m1 AS (
               SELECT doc_id, s, e,
                      max(e) OVER (PARTITION BY doc_id ORDER BY s, e

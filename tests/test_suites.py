@@ -20,6 +20,8 @@ MUST_BE_IN_WINDOW = [
     "seq_pack_execute",
     "seq_neardup_pairs",
     "seq_bigram_topk",
+    "seq_lcs_pairs",
+    "seq_strip_dup_spans",
     "doc_lcs_pairs",
     "doc_strip_dup_spans",
     "clean_documents_full",
