@@ -176,6 +176,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_chunk_windows",
     "seq_source_stats",
     "seq_ntok_percentiles",
+    "seq_length_outliers",
     "seq_prefix_dups",
     "doc_exact_dup_groups",
     "embedding_label_stats",
@@ -369,6 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_repaired": lambda sf: sq.seq_repaired(sf),
         "seq_token_topk": lambda sf: sq.seq_token_topk(sf),
         "seq_ntok_percentiles": lambda sf: sq.seq_ntok_percentiles(sf),
+        "seq_length_outliers": lambda sf: sq.seq_length_outliers(sf),  # per-source quantile-band tail flags
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing
         "seq_npm_scores": lambda sf: npm.seq_npm_scores(sf),  # 4-pass HFSS-style flow
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
@@ -867,6 +869,26 @@ def oracle_sql() -> dict[str, str]:
                    round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tok), 6) AS p90,
                    round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_tok), 6) AS p99
             FROM {seq} GROUP BY source ORDER BY source
+        """,
+        # engine mirrors quantile_disc exactly (rank ceil(q·n), integer
+        # thresholds from the per-(source, n_tok) count merge); NULL n_tok
+        # rows are the null check's finding, never a length outlier; NULL
+        # source is its own quantile group (IS NOT DISTINCT FROM join)
+        "seq_length_outliers": f"""
+            WITH t AS (
+              SELECT doc_id, source, n_tok FROM {seq} WHERE n_tok IS NOT NULL
+            ),
+            q AS (
+              SELECT source,
+                     quantile_disc(n_tok, {sq.OUTLIER_Q_LO}) AS lo,
+                     quantile_disc(n_tok, {sq.OUTLIER_Q_HI}) AS hi
+              FROM t GROUP BY source
+            )
+            SELECT t.doc_id, t.source, t.n_tok::BIGINT AS n_tok,
+                   q.lo::BIGINT AS lo, q.hi::BIGINT AS hi,
+                   CASE WHEN t.n_tok < q.lo THEN 'low' ELSE 'high' END AS side
+            FROM t JOIN q ON t.source IS NOT DISTINCT FROM q.source
+            WHERE t.n_tok < q.lo OR t.n_tok > q.hi
         """,
         "seq_dup_doc_ids": f"""
             SELECT doc_id, count(*) AS n FROM {seq}

@@ -116,6 +116,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
     from product_quality_check_ray.pipelines import text as tx
     from product_quality_check_ray.pipelines import textprep as tp
     from product_quality_check_ray.pipelines import tokens as tk
+    from product_quality_check_ray.pipelines import tokspans as tks
     from product_quality_check_ray.pipelines import multimodal as mm
 
     return [
@@ -149,6 +150,8 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_pack_execute", lambda sf: tp.seq_pack_execute(sf)),
         ("prepare_training_sequences", lambda sf: tk.prepare_training_sequences(sf)),
         ("seq_neardup_pairs", lambda sf: tk.seq_neardup_pairs(sf)),
+        ("seq_lcs_pairs", lambda sf: tks.seq_lcs_pairs(sf)),
+        ("seq_strip_dup_spans", lambda sf: tks.seq_strip_dup_spans(sf)),
         ("seq_bigram_topk", lambda sf: tk.seq_bigram_topk(sf)),
         ("seq_split_assign", lambda sf: tk.seq_split_assign(sf)),
         ("seq_repetition_scores", lambda sf: tk.seq_repetition_scores(sf)),

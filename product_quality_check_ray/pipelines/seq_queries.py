@@ -428,3 +428,106 @@ def seq_ntok_percentiles(sf_dir: str) -> pa.Table:
 
     out = ds.groupby("source").map_groups(_ao(pct), batch_format="pandas")
     return _collect(out.sort("source"))
+
+
+# quantile-band tails for seq_length_outliers (0.5% each side)
+OUTLIER_Q_LO = 0.005
+OUTLIER_Q_HI = 0.995
+
+
+def seq_ntok_value_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact per-(source, n_tok) value counts, merged on the driver.
+
+    The scale path for EXACT order statistics over an integer column:
+    per-batch ``groupby(source, n_tok).size`` partials are at most
+    |sources| × |distinct n_tok| rows (≤ a few thousand for any real
+    max-sequence-length), so the merged table is tiny at any corpus size —
+    no row ever shuffles and no group is ever shipped whole (contrast
+    ``seq_ntok_percentiles``'s map_groups, which needs a source's values in
+    one task). NULL n_tok rows are excluded (they are the null check's
+    finding, not a length datum); NULL source is its own group (SQL
+    ``GROUP BY`` NULL-group semantics).
+    """
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.dropna(subset=["n_tok"])
+        g = d.groupby(["source", "n_tok"], as_index=False, dropna=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n_tok"] = g["n_tok"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = ds.map_batches(_aout(partial), batch_format="pandas").take_all()
+    merged = pd.DataFrame(parts)
+    if merged.empty:
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "n_tok": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    out = merged.groupby(["source", "n_tok"], as_index=False, dropna=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def _disc_quantiles(counts: pd.DataFrame, qs: "tuple[float, ...]") -> dict:
+    """Per-source discrete quantiles from (source, n_tok, n) counts —
+    DuckDB ``quantile_disc`` semantics exactly: the value at (1-indexed)
+    position ``ceil(q·n_rows)`` of the sorted column, i.e. the first value
+    whose cumulative count reaches that rank. Both sides compute
+    ``q·n_rows`` in IEEE double, so no float boundary can disagree."""
+    th: dict = {}
+    for src, g in counts.groupby("source", dropna=False, sort=False):
+        g = g.sort_values("n_tok")
+        vals = g["n_tok"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(g["n"].to_numpy(dtype=np.int64))
+        total = int(cum[-1])
+        key = None if (isinstance(src, float) and np.isnan(src)) or src is None else src
+        th[key] = tuple(
+            int(vals[int(np.searchsorted(cum, max(1, int(np.ceil(q * total)))))])
+            for q in qs
+        )
+    return th
+
+
+def seq_length_outliers(
+    sf_dir: str, q_lo: float = OUTLIER_Q_LO, q_hi: float = OUTLIER_Q_HI
+) -> rd.Dataset:
+    """Rows whose n_tok falls outside the per-source exact
+    [quantile_disc(q_lo), quantile_disc(q_hi)] band — the distribution-tail
+    constraint of the validation engine (a fixed [1, MAX] range check
+    misses a shard whose lengths are legal but wildly atypical for its
+    source).
+
+    Two streaming passes, zero shuffle: (1) the tiny per-(source, n_tok)
+    count merge above → per-source thresholds on the driver; (2) one
+    broadcast flag pass that emits only the offending rows. Exactness is
+    the point — both thresholds and flags are integer comparisons, so the
+    SQL oracle (``quantile_disc`` + join) must agree bit-for-bit. At
+    10^12 rows pass 1's partials stay bounded by |sources| × |distinct
+    lengths|; the t-digest sketch path (`seq_sketch_report`) remains the
+    answer for real-valued columns.
+
+    Output: (doc_id, source, n_tok, lo, hi, side) — side is 'low'/'high'.
+    NULL-n_tok rows are never flagged (the null check owns those).
+    """
+    counts = seq_ntok_value_counts(sf_dir)
+    th = _disc_quantiles(counts, (q_lo, q_hi)) if len(counts) else {}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["n_tok"].to_numpy(dtype=np.float64, na_value=np.nan)
+        src = df["source"]
+        lo = np.full(len(df), np.inf)
+        hi = np.full(len(df), -np.inf)
+        for key, (tlo, thi) in th.items():
+            m = src.isna().to_numpy() if key is None else (src == key).to_numpy()
+            lo[m], hi[m] = tlo, thi
+        bad = ~np.isnan(nt) & ((nt < lo) | (nt > hi))
+        out = df.loc[bad, ["doc_id", "source", "n_tok"]].copy()
+        out["n_tok"] = out["n_tok"].astype(np.int64)
+        out["lo"] = lo[bad].astype(np.int64)
+        out["hi"] = hi[bad].astype(np.int64)
+        out["side"] = np.where(nt[bad] < lo[bad], "low", "high")
+        return out
+
+    ds = _seq_ds(sf_dir, columns=["doc_id", "source", "n_tok"])
+    return ds.map_batches(_aout(flag), batch_format="pandas")
