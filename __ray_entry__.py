@@ -177,6 +177,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_source_stats",
     "seq_ntok_percentiles",
     "seq_length_outliers",
+    "seq_source_entropy",
     "seq_prefix_dups",
     "doc_exact_dup_groups",
     "embedding_label_stats",
@@ -371,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_token_topk": lambda sf: sq.seq_token_topk(sf),
         "seq_ntok_percentiles": lambda sf: sq.seq_ntok_percentiles(sf),
         "seq_length_outliers": lambda sf: sq.seq_length_outliers(sf),  # per-source quantile-band tail flags
+        "seq_source_entropy": lambda sf: tk.seq_source_entropy(sf),  # per-source unigram entropy audit
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing
         "seq_npm_scores": lambda sf: npm.seq_npm_scores(sf),  # 4-pass HFSS-style flow
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
@@ -869,6 +871,55 @@ def oracle_sql() -> dict[str, str]:
                    round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tok), 6) AS p90,
                    round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_tok), 6) AS p99
             FROM {seq} GROUP BY source ORDER BY source
+        """,
+        # millibit-quantized entropy (the doc_lm_score float-parity
+        # contract): per-distinct-token -log2(c/N) rounds to integer
+        # millibits, totals are exact integer sums, the single final
+        # division rounds to 6 — bit-for-bit across engines. Top-token
+        # ties break to the smallest id on both sides.
+        "seq_source_entropy": f"""
+            WITH base AS (SELECT DISTINCT source FROM {seq}),
+            tok AS (
+              SELECT source, coalesce(v, -1) AS v
+              FROM (SELECT source, unnest(tokens) AS v FROM {seq})
+            ),
+            c AS (
+              SELECT source, v, count(*)::BIGINT AS c
+              FROM tok WHERE v >= 0 AND v < {VOCAB} GROUP BY source, v
+            ),
+            n AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY source),
+            ov AS (
+              SELECT source, count(*)::BIGINT AS n_oov
+              FROM tok WHERE v < 0 OR v >= {VOCAB} GROUP BY source
+            ),
+            m AS (
+              SELECT c.source, c.c,
+                     CAST(round(-log2(c.c::DOUBLE / n.n) * 1000, 0) AS BIGINT) AS mb
+              FROM c JOIN n ON c.source IS NOT DISTINCT FROM n.source
+            ),
+            agg AS (
+              SELECT source, sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS distinct_tokens,
+                     CAST(sum(c * mb) AS BIGINT) AS total_millibits
+              FROM m GROUP BY source
+            ),
+            top AS (
+              SELECT source, min(v)::BIGINT AS top_token, max(c)::BIGINT AS top_count
+              FROM (SELECT source, v, c, max(c) OVER (PARTITION BY source) AS mx FROM c)
+              WHERE c = mx GROUP BY source
+            )
+            SELECT b.source,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(ov.n_oov, 0)::BIGINT AS n_oov,
+                   coalesce(a.distinct_tokens, 0)::BIGINT AS distinct_tokens,
+                   t.top_token, t.top_count,
+                   coalesce(a.total_millibits, 0)::BIGINT AS total_millibits,
+                   round(a.total_millibits::DOUBLE / (1000.0 * a.n_tokens), 6) AS bits_per_tok
+            FROM base b
+            LEFT JOIN agg a ON b.source IS NOT DISTINCT FROM a.source
+            LEFT JOIN ov ON b.source IS NOT DISTINCT FROM ov.source
+            LEFT JOIN top t ON b.source IS NOT DISTINCT FROM t.source
+            ORDER BY (b.source IS NOT NULL), b.source
         """,
         # engine mirrors quantile_disc exactly (rank ceil(q·n), integer
         # thresholds from the per-(source, n_tok) count merge); NULL n_tok

@@ -42,6 +42,7 @@ content dedup.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1084,6 +1085,125 @@ def seq_unigram_lm_score(sf_dir: str, ref_mod: int = SEQLM_REF_MOD) -> rd.Datase
         )
 
     return _seq_ds(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def seq_source_entropy(sf_dir: str) -> pa.Table:
+    """Per-source unigram entropy and vocabulary-concentration audit — the
+    token-level corpus-quality fingerprint (a source whose entropy collapses
+    or whose top token dominates is boilerplate/mis-tokenized; the LM-score
+    op ranks ROWS, this ranks SOURCES).
+
+    Aggregation is the dense-count-vector pattern (``_seqlm_counts``): each
+    batch emits one (VOCAB+2)-slot int64 row PER SOURCE PRESENT (256 KB at
+    VOCAB=32k; the two extra slots carry the oov count and ride-along
+    total), and the driver group-sums the handful of source-keyed vectors —
+    no string-keyed token groupby ever happens. At 10^12 rows the partial
+    count is batches × |sources|; interpose one combine ``map_batches``
+    (sum vectors per source within a task) to keep the driver's share at
+    |sources| × tasks.
+
+    Float parity is the proven ``doc_lm_score``/``seq_unigram_lm_score``
+    contract: each distinct token's -log2(c/N) is quantized to integer
+    MILLIBITS (half-away = DuckDB ``round``), totals are exact integer sums
+    of c·mb, and the single final division is rounded to 6 — so the SQL
+    oracle agrees bit-for-bit. Null token ELEMENTS take the -1 sentinel
+    (oov), null token LISTS contribute nothing, NULL source is its own
+    group. Ties for the top token break to the smallest id on both sides.
+
+    Output: (source, n_tokens, n_oov, distinct_tokens, top_token,
+    top_count, total_millibits, bits_per_tok).
+    """
+    from ..core.rounding import round_half_away as _rha_
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("source")
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offs, vals = _tokens_parts(toks.fill_null([]))
+        seg = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        lens = offs[1:] - offs[:-1]
+        src = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=object)
+        # group batch rows by source (few distinct values; factorize once)
+        codes, uniq = pd.factorize(pd.Series(src), use_na_sentinel=False)
+        out_src: list = []
+        out_vec: list = []
+        tok_code = np.repeat(codes, lens)
+        inv = (seg >= 0) & (seg < VOCAB)
+        for ci, sname in enumerate(uniq):
+            m = tok_code == ci
+            sv = seg[m & inv]
+            c = np.bincount(sv, minlength=VOCAB).astype(np.int64)
+            n_oov = int(m.sum() - sv.size)
+            out_src.append(None if (isinstance(sname, float)) or sname is None else sname)
+            out_vec.append(np.r_[c, n_oov, int(m.sum())])
+        if not out_src:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        return pa.table(
+            {
+                "source": pa.array(out_src, type=pa.string()),
+                "c": pa.array([v for v in out_vec], type=pa.list_(pa.int64())),
+            }
+        )
+
+    tbl = _collect(
+        _seq_ds(sf_dir, columns=["source", "tokens"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
+    )
+    schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("n_oov", pa.int64()),
+            ("distinct_tokens", pa.int64()),
+            ("top_token", pa.int64()),
+            ("top_count", pa.int64()),
+            ("total_millibits", pa.int64()),
+            ("bits_per_tok", pa.float64()),
+        ]
+    )
+    if tbl.num_rows == 0:
+        return schema.empty_table()
+    srcs = np.asarray(tbl.column("source").to_numpy(zero_copy_only=False), dtype=object)
+    mat = np.stack(tbl.column("c").to_numpy(zero_copy_only=False))
+    order = pd.Series(srcs).astype("string")
+    codes, uniq = pd.factorize(order, use_na_sentinel=False)
+    rows = []
+    for ci in range(len(uniq)):
+        v = mat[codes == ci].sum(axis=0)
+        c, n_oov = v[:VOCAB], int(v[VOCAB])
+        n = int(c.sum())
+        sname = uniq[ci]
+        sname = None if pd.isna(sname) else str(sname)
+        if n == 0:
+            rows.append((sname, 0, n_oov, 0, None, None, 0, None))
+            continue
+        nz = np.flatnonzero(c)
+        mb = _rha_(-np.log2(c[nz] / n) * 1000, 0).astype(np.int64)
+        total_mb = int((c[nz] * mb).sum())
+        top = int(nz[np.argmax(c[nz])])
+        rows.append(
+            (
+                sname,
+                n,
+                n_oov,
+                int(nz.size),
+                top,
+                int(c[top]),
+                total_mb,
+                float(_rha_(np.array([total_mb / (1000.0 * n)]), 6)[0]),
+            )
+        )
+    rows.sort(key=lambda r: (r[0] is not None, r[0]))
+    return pa.table(
+        {f.name: pa.array([r[i] for r in rows], type=f.type) for i, f in enumerate(schema)}
+    )
 
 
 # ---------------------------------------------------------------------------
