@@ -1927,19 +1927,33 @@ BIGRAM_CAND_MIN = 3  # pass-1 per-block threshold (see guarantee below)
 _BIGRAM_SCHEMA = pa.schema(
     [("tok_a", pa.int64()), ("tok_b", pa.int64()), ("cnt", pa.int64())]
 )
-_BIGRAM_PAD = VOCAB + 4  # -1 sentinels shift keys by +2: keys stay ≥ 0
+_BIGRAM_BIAS = np.uint64(1 << 31)  # int32 → unsigned 32-bit, order-preserving
+_BIGRAM_SIGN = np.uint64(1 << 63)  # offset-binary ↔ two's-complement flip
 
 
 def _bigram_keys(offs: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """Within-row adjacent-token bigram keys ((a+2)·PAD + (b+2), int64;
-    monotone in (a, b) so key order IS (tok_a, tok_b) order) — one shifted
-    add over the flat buffer, row boundaries masked out."""
+    """Within-row adjacent-token bigram keys, int64: the uint64 pack
+    ``(a+2³¹) << 32 | (b+2³¹)`` with the sign bit flipped (offset-binary →
+    two's-complement), so the key is INJECTIVE and order-isomorphic to
+    (tok_a, tok_b) over ALL int32 pairs — planted OOV tokens land at
+    VOCAB+0..99 (datagen), so a vocab-sized modulus packing would alias an
+    OOV right-token onto a different canonical bigram and silently inflate
+    its exact recount. One shifted add over the flat buffer, row
+    boundaries masked out."""
     starts, _gdoc, _m = _window_starts(offs, 2)
     if starts.size == 0:
         return np.empty(0, dtype=np.int64)
-    a = vals[starts].astype(np.int64)
-    b = vals[starts + 1].astype(np.int64)
-    return (a + 2) * _BIGRAM_PAD + (b + 2)
+    a = (vals[starts].astype(np.int64) + (1 << 31)).astype(np.uint64)
+    b = (vals[starts + 1].astype(np.int64) + (1 << 31)).astype(np.uint64)
+    return (((a << np.uint64(32)) | b) ^ _BIGRAM_SIGN).view(np.int64)
+
+
+def _bigram_unpack(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``_bigram_keys``: int64 keys → (tok_a, tok_b) int64."""
+    u = key.astype(np.int64).view(np.uint64) ^ _BIGRAM_SIGN
+    a = (u >> np.uint64(32)).astype(np.int64) - (1 << 31)
+    b = (u & np.uint64(0xFFFFFFFF)).astype(np.int64) - (1 << 31)
+    return a, b
 
 
 def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
@@ -1985,8 +1999,14 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
         else:
             u, c = np.unique(keys, return_counts=True)
             rep = u[c >= BIGRAM_CAND_MIN]
-        # a -1 sentinel row per BATCH lets the driver count n_blocks exactly
-        return pa.table({"key": pa.array(np.r_[np.int64(-1), rep])})
+        # a flagged sentinel row per BATCH lets the driver count n_blocks
+        # exactly (out-of-band: every int64 is now a valid key)
+        return pa.table(
+            {
+                "key": pa.array(np.r_[np.int64(0), rep]),
+                "sent": pa.array(np.r_[True, np.zeros(rep.size, dtype=bool)]),
+            }
+        )
 
     cols = ["doc_id", "tokens"]
     cand_tbl = _collect(
@@ -1997,8 +2017,9 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
     if cand_tbl.num_rows == 0 or "key" not in cand_tbl.column_names:
         return _BIGRAM_SCHEMA.empty_table()  # 0-row corpus: no blocks reach the map
     raw = cand_tbl.column("key").to_numpy(zero_copy_only=False)
-    n_blocks = int((raw == -1).sum())
-    cand = np.unique(raw[raw >= 0])
+    sent = cand_tbl.column("sent").to_numpy(zero_copy_only=False)
+    n_blocks = int(sent.sum())
+    cand = np.unique(raw[~sent])
     if cand.size == 0:
         return _BIGRAM_SCHEMA.empty_table()
     cand_ref = ray.put(cand)
@@ -2038,11 +2059,11 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
             f"<= miss bound {bound} ((threshold-1) x {n_blocks} blocks); "
             "lower k or raise BIGRAM_CAND_MIN with block size"
         )
-    key = cand[order]
+    tok_a, tok_b = _bigram_unpack(cand[order])
     return pa.table(
         {
-            "tok_a": pa.array(key // _BIGRAM_PAD - 2),
-            "tok_b": pa.array(key % _BIGRAM_PAD - 2),
+            "tok_a": pa.array(tok_a),
+            "tok_b": pa.array(tok_b),
             "cnt": pa.array(total[order]),
         }
     )

@@ -495,6 +495,36 @@ def test_seq_bigram_topk_differential(ray_session, rows):
     assert all(pair in canary_bigrams for pair, _c in got)
 
 
+def test_seq_bigram_topk_oov_no_alias(ray_session, tmp_path):
+    """Planted OOV right-tokens (datagen places them at VOCAB..VOCAB+99)
+    must count as their OWN bigram, not alias onto a canonical one — the
+    old (a+2)·(VOCAB+4)+(b+2) packing folded (4, VOCAB+48) onto (5, 44)."""
+    import pyarrow as pa
+
+    from product_quality_check_ray.core.schema import VOCAB
+
+    rows = []
+    # within-row repeats: the tiny file may split into 1-row blocks, and the
+    # pass-1 candidate threshold is per block; 13 repeats also clears the
+    # (CAND_MIN-1)*n_blocks exactness bound at any split of 2 rows
+    for i, toks in enumerate([[5, 44] * 13, [4, VOCAB + 48] * 13]):
+        rows.append((f"doc-{i}-{i + 1:012d}", "web", toks))  # sfx%13 != 5
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[2] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    pq.write_table(t, str(d / "frag-000.parquet"))
+    out = tk.seq_bigram_topk(str(d), k=2).to_pandas()
+    got = [((r.tok_a, r.tok_b), r.cnt) for r in out.itertuples(index=False)]
+    assert got == [((4, VOCAB + 48), 13), ((5, 44), 13)]
+
+
 def test_token_ops_block_structure_invariance(ray_session, tmp_path, monkeypatch):
     """Identical outputs whether the SAME rows arrive as 8 parquet fragments
     or 1 merged file (different Ray block structures — the single-node
