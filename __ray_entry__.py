@@ -178,6 +178,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_ntok_percentiles",
     "seq_length_outliers",
     "seq_source_entropy",
+    "seq_boundary_audit",
     "seq_prefix_dups",
     "doc_exact_dup_groups",
     "embedding_label_stats",
@@ -373,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_ntok_percentiles": lambda sf: sq.seq_ntok_percentiles(sf),
         "seq_length_outliers": lambda sf: sq.seq_length_outliers(sf),  # per-source quantile-band tail flags
         "seq_source_entropy": lambda sf: tk.seq_source_entropy(sf),  # per-source unigram entropy audit
+        "seq_boundary_audit": lambda sf: tk.seq_boundary_audit(sf),  # BOS/EOS boundary-token drift audit
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing
         "seq_npm_scores": lambda sf: npm.seq_npm_scores(sf),  # 4-pass HFSS-style flow
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
@@ -920,6 +922,57 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ov ON b.source IS NOT DISTINCT FROM ov.source
             LEFT JOIN top t ON b.source IS NOT DISTINCT FROM t.source
             ORDER BY (b.source IS NOT NULL), b.source
+        """,
+        # boundary-token audit: canary prefix patch mirrored, boundary
+        # tokens outside [0, VOCAB) audit under the -1 invalid sentinel,
+        # anchored flag by integer cross-multiplication, NULL source its
+        # own group (IS NOT DISTINCT FROM join)
+        "seq_boundary_audit": f"""
+            WITH raw AS (
+              SELECT source, tokens, len(tokens) AS tlen,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+              WHERE tokens IS NOT NULL AND len(tokens) >= 1
+            ),
+            pat AS (
+              SELECT source, tlen,
+                     CASE WHEN sfx % {tk.DECON_PATCH_MOD} = {tk.DECON_PATCH_RES}
+                          THEN list_cat(
+                                 {_canary_sql()}[1:least({tk.CANARY_LEN}, tlen)],
+                                 tokens[least({tk.CANARY_LEN}, tlen) + 1:])
+                          ELSE tokens END AS ptok
+              FROM raw
+            ),
+            b AS (
+              SELECT source, 'first' AS position,
+                     CASE WHEN coalesce(ptok[1], -1) BETWEEN 0 AND {VOCAB - 1}
+                          THEN coalesce(ptok[1], -1) ELSE -1 END AS token
+              FROM pat
+              UNION ALL
+              SELECT source, 'last',
+                     CASE WHEN coalesce(ptok[tlen], -1) BETWEEN 0 AND {VOCAB - 1}
+                          THEN coalesce(ptok[tlen], -1) ELSE -1 END
+              FROM pat
+            ),
+            cnts AS (
+              SELECT source, position, token, count(*)::BIGINT AS cnt
+              FROM b GROUP BY source, position, token
+            ),
+            nr AS (SELECT source, count(*)::BIGINT AS n_rows FROM pat GROUP BY source),
+            ranked AS (
+              SELECT source, position, token, cnt,
+                     row_number() OVER (
+                       PARTITION BY source, position ORDER BY cnt DESC, token
+                     ) AS rnk,
+                     max(cnt) OVER (PARTITION BY source, position) AS top1
+              FROM cnts
+            )
+            SELECT r.source, r.position, r.rnk::BIGINT AS rnk,
+                   CAST(r.token AS BIGINT) AS token, r.cnt, nr.n_rows,
+                   CAST(r.top1 * 100 >= nr.n_rows * {tk.BOUNDARY_PCT} AS BIGINT)
+                     AS anchored
+            FROM ranked r JOIN nr ON r.source IS NOT DISTINCT FROM nr.source
+            WHERE r.rnk <= {tk.BOUNDARY_TOP_N}
         """,
         # engine mirrors quantile_disc exactly (rank ceil(q·n), integer
         # thresholds from the per-(source, n_tok) count merge); NULL n_tok

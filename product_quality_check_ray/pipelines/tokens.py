@@ -1087,6 +1087,27 @@ def seq_unigram_lm_score(sf_dir: str, ref_mod: int = SEQLM_REF_MOD) -> rd.Datase
     return _seq_ds(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def _dense_group_sum(tbl: pa.Table, width: int) -> tuple[list, np.ndarray]:
+    """Sum the fixed-width int64 list column ``c`` of a partials table per
+    distinct ``source`` — via the ListArray's contiguous values buffer
+    reshaped to (rows, width), NOT ``np.stack`` over per-row objects (which
+    materializes thousands of small ndarrays and copies ~1 GB at sf0.1).
+    Returns (sources in first-seen order with None for NULL, summed
+    (n_sources, width) matrix)."""
+    col = tbl.column("c")
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    flat = flat[offs[0] : offs[-1]].reshape(len(tbl), width)
+    srcs = np.asarray(tbl.column("source").to_numpy(zero_copy_only=False), dtype=object)
+    codes, uniq = pd.factorize(pd.Series(srcs).astype("string"), use_na_sentinel=False)
+    out = np.zeros((len(uniq), width), dtype=np.int64)
+    for ci in range(len(uniq)):  # |sources| iterations, vectorized inside
+        out[ci] = flat[codes == ci].sum(axis=0)
+    names = [None if pd.isna(u) else str(u) for u in uniq]
+    return names, out
+
+
 def seq_source_entropy(sf_dir: str) -> pa.Table:
     """Per-source unigram entropy and vocabulary-concentration audit — the
     token-level corpus-quality fingerprint (a source whose entropy collapses
@@ -1170,17 +1191,12 @@ def seq_source_entropy(sf_dir: str) -> pa.Table:
     )
     if tbl.num_rows == 0:
         return schema.empty_table()
-    srcs = np.asarray(tbl.column("source").to_numpy(zero_copy_only=False), dtype=object)
-    mat = np.stack(tbl.column("c").to_numpy(zero_copy_only=False))
-    order = pd.Series(srcs).astype("string")
-    codes, uniq = pd.factorize(order, use_na_sentinel=False)
+    names, summed = _dense_group_sum(tbl, VOCAB + 2)
     rows = []
-    for ci in range(len(uniq)):
-        v = mat[codes == ci].sum(axis=0)
+    for ci, sname in enumerate(names):
+        v = summed[ci]
         c, n_oov = v[:VOCAB], int(v[VOCAB])
         n = int(c.sum())
-        sname = uniq[ci]
-        sname = None if pd.isna(sname) else str(sname)
         if n == 0:
             rows.append((sname, 0, n_oov, 0, None, None, 0, None))
             continue
@@ -1203,6 +1219,138 @@ def seq_source_entropy(sf_dir: str) -> pa.Table:
     rows.sort(key=lambda r: (r[0] is not None, r[0]))
     return pa.table(
         {f.name: pa.array([r[i] for r in rows], type=f.type) for i, f in enumerate(schema)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source boundary-token audit (BOS/EOS placement drift validation)
+# ---------------------------------------------------------------------------
+
+BOUNDARY_TOP_N = 3  # ranks reported per (source, position)
+BOUNDARY_PCT = 5    # anchored ⇔ modal boundary token covers ≥ this % of rows
+
+_BOUNDARY_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("position", pa.string()),
+        ("rnk", pa.int64()),
+        ("token", pa.int64()),
+        ("cnt", pa.int64()),
+        ("n_rows", pa.int64()),
+        ("anchored", pa.int64()),
+    ]
+)
+
+
+def seq_boundary_audit(
+    sf_dir: str,
+    top_n: int = BOUNDARY_TOP_N,
+    pct: int = BOUNDARY_PCT,
+    augment: bool | None = None,
+) -> pa.Table:
+    """Per-(source, boundary-position) top-``top_n`` tokens with an
+    ``anchored`` flag — the BOS/EOS placement audit. A pre-tokenized corpus
+    whose tokenizer job prepends BOS / appends EOS has a single dominant
+    first/last token per source; a source where that anchor disappears (or
+    a new one appears) was tokenized by a drifted job. The flag is exact
+    integer cross-multiplication (modal count · 100 ≥ n_rows · pct), so no
+    float threshold can disagree with the SQL oracle.
+
+    Aggregation is the dense-count-vector pattern (``seq_source_entropy``):
+    each batch emits one (2·(VOCAB+1)+1)-slot int64 row per source present
+    (~½ MB at VOCAB=32k — first-token counts, last-token counts, row
+    count), and the driver group-sums the handful of source-keyed vectors;
+    no (source, token) row ever shuffles and driver state is bounded by
+    |sources| × VOCAB, independent of corpus size. Boundary tokens outside
+    [0, VOCAB) — planted OOV/negative values, null elements — audit under
+    the -1 invalid sentinel (mirrored in SQL via CASE). On fixture corpora
+    the canary prefix patch (``DECON_PATCH_MOD``) provides the non-vacuous
+    anchor: every source's first position is anchored (~1/13 ≥ 5%), no
+    last position is (random tails) — both flag branches are exercised.
+
+    Reference analog: per-column allowed-value prescreen over a broadcast
+    dictionary (``prompts/banningredients.py:146-197``) re-expressed as a
+    distribution audit; SURVEY §2.5 G5/G6.
+    """
+    aug = _aug(sf_dir, augment)
+    V1 = VOCAB + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        keep = pc.and_(pc.is_valid(toks), pc.greater(pc.list_value_length(toks), 0))
+        cols = {"source": t.column("source"), "tokens": toks}
+        if aug:
+            cols["doc_id"] = t.column("doc_id")
+        sel = pa.table(cols).filter(keep)
+        if sel.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        offs, vals = _tokens_parts(sel.column("tokens"))
+        if aug:
+            sfx = _suffix_i64(sel.column("doc_id"))
+            prows = np.flatnonzero(
+                (sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES)
+            )
+            vals = _patch_prefix(offs, vals, prows)
+        f = vals[offs[:-1]].astype(np.int64)
+        last = vals[offs[1:] - 1].astype(np.int64)
+        f = np.where((f >= 0) & (f < VOCAB), f, -1)
+        last = np.where((last >= 0) & (last < VOCAB), last, -1)
+        src = np.asarray(
+            sel.column("source").to_numpy(zero_copy_only=False), dtype=object
+        )
+        codes, uniq = pd.factorize(pd.Series(src), use_na_sentinel=False)
+        out_src: list = []
+        out_vec: list = []
+        for ci, sname in enumerate(uniq):
+            m = codes == ci
+            cf = np.bincount(f[m] + 1, minlength=V1).astype(np.int64)
+            cl = np.bincount(last[m] + 1, minlength=V1).astype(np.int64)
+            out_src.append(
+                None if sname is None or isinstance(sname, float) else sname
+            )
+            out_vec.append(np.r_[cf, cl, int(m.sum())])
+        return pa.table(
+            {
+                "source": pa.array(out_src, type=pa.string()),
+                "c": pa.array(out_vec, type=pa.list_(pa.int64())),
+            }
+        )
+
+    cols = ["doc_id", "source", "tokens"] if aug else ["source", "tokens"]
+    tbl = _collect(
+        _seq_ds(sf_dir, columns=cols).map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
+    )
+    if tbl.num_rows == 0:
+        return _BOUNDARY_SCHEMA.empty_table()
+    names, summed = _dense_group_sum(tbl, 2 * V1 + 1)
+    rows = []
+    for ci, sname in enumerate(names):
+        v = summed[ci]
+        n_rows = int(v[-1])
+        for pos, c in (("first", v[:V1]), ("last", v[V1 : 2 * V1])):
+            nz = np.flatnonzero(c)
+            if nz.size == 0:
+                continue
+            order = nz[np.lexsort((nz, -c[nz]))][: int(top_n)]
+            anchored = int(int(c[order[0]]) * 100 >= n_rows * int(pct))
+            for r, slot in enumerate(order, 1):
+                rows.append(
+                    (sname, pos, r, int(slot) - 1, int(c[slot]), n_rows, anchored)
+                )
+    rows.sort(key=lambda r: (r[0] is not None, r[0], r[1], r[2]))
+    return pa.table(
+        {
+            f.name: pa.array([r[i] for r in rows], type=f.type)
+            for i, f in enumerate(_BOUNDARY_SCHEMA)
+        }
     )
 
 

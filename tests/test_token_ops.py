@@ -525,6 +525,76 @@ def test_seq_bigram_topk_oov_no_alias(ray_session, tmp_path):
     assert got == [((4, VOCAB + 48), 13), ((5, 44), 13)]
 
 
+def test_seq_boundary_audit_planted(ray_session, tmp_path):
+    """Planted corpus: modal ranking with (cnt DESC, token ASC) tie-break,
+    out-of-vocab/negative/null boundary clamping to -1, the exact
+    cross-multiplication anchored boundary (100 vs 105), NULL-source
+    grouping, and no canary patch on a user (non-fixture) corpus."""
+    import pyarrow as pa
+
+    from product_quality_check_ray.core.schema import VOCAB
+
+    rows = []
+    # web: first anchored (21/21), last NOT (top1=1, 1*100 < 21*5)
+    for i in range(21):
+        rows.append((f"w{i}", "web", [7, 100 + i]))
+    # tie: three last-tokens at cnt=2, one at cnt=1 -> top3 = 40,50,60
+    for i, lt in enumerate([50, 50, 40, 40, 60, 60, 30]):
+        rows.append((f"t{i}", "tie", [8, lt]))
+    # clamp: oov first, negative last, null element first
+    for i in range(3):
+        rows.append((f"o{i}", "oov", [VOCAB + 3, -7]))
+    rows.append(("o3", "oov", [None, 4]))
+    # null source, single-token rows (first == last)
+    rows.append(("n0", None, [5]))
+    rows.append(("n1", None, [5]))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([r[2] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(r[2]) for r in rows], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    pq.write_table(t, str(d / "frag-000.parquet"))
+    out = tk.seq_boundary_audit(str(d)).to_pandas()
+
+    def grp(src, pos):
+        m = (out["source"].astype(object).where(out["source"].notna(), None) == src) \
+            if src is not None else out["source"].isna()
+        g = out[m & (out["position"] == pos)].sort_values("rnk")
+        return [(r.rnk, r.token, r.cnt, r.n_rows, r.anchored) for r in g.itertuples(index=False)]
+
+    assert grp("web", "first") == [(1, 7, 21, 21, 1)]
+    # cnt tie -> smallest token wins
+    assert grp("web", "last") == [(1, 100, 1, 21, 0), (2, 101, 1, 21, 0), (3, 102, 1, 21, 0)]
+    assert grp("tie", "last") == [(1, 40, 2, 7, 1), (2, 50, 2, 7, 1), (3, 60, 2, 7, 1)]
+    assert grp("oov", "first") == [(1, -1, 4, 4, 1)]
+    assert grp("oov", "last") == [(1, -1, 3, 4, 1), (2, 4, 1, 4, 1)]
+    assert grp(None, "first") == [(1, 5, 2, 2, 1)]
+    assert grp(None, "last") == [(1, 5, 2, 2, 1)]
+    # user corpus: fixture canary patch must NOT apply even to a row whose
+    # id shape matches the fixture patch residue
+    rows2 = [(f"doc-p-{5 + 13 * i:012d}", "web", [9, 9]) for i in range(2)]
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows2]),
+            "tokens": pa.array([r[2] for r in rows2], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 2], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows2]),
+        }
+    )
+    d2 = tmp_path / "seq2"
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / "frag-000.parquet"))
+    plain = tk.seq_boundary_audit(str(d2)).to_pandas()
+    assert set(plain[plain["position"] == "first"]["token"]) == {9}
+    patched = tk.seq_boundary_audit(str(d2), augment=True).to_pandas()
+    assert set(patched[patched["position"] == "first"]["token"]) == {tk.CANARY[0]}
+
+
 def test_token_ops_block_structure_invariance(ray_session, tmp_path, monkeypatch):
     """Identical outputs whether the SAME rows arrive as 8 parquet fragments
     or 1 merged file (different Ray block structures — the single-node
