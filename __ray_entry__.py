@@ -179,6 +179,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_length_outliers",
     "seq_source_entropy",
     "seq_boundary_audit",
+    "seq_mixture_sample",
     "seq_prefix_dups",
     "doc_exact_dup_groups",
     "embedding_label_stats",
@@ -375,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_length_outliers": lambda sf: sq.seq_length_outliers(sf),  # per-source quantile-band tail flags
         "seq_source_entropy": lambda sf: tk.seq_source_entropy(sf),  # per-source unigram entropy audit
         "seq_boundary_audit": lambda sf: tk.seq_boundary_audit(sf),  # BOS/EOS boundary-token drift audit
+        "seq_mixture_sample": lambda sf: tk.seq_mixture_sample(sf),  # token-budget domain-mixture sampling
         "seq_adjudicated": _seq_adjudicated,  # two-phase routing
         "seq_npm_scores": lambda sf: npm.seq_npm_scores(sf),  # 4-pass HFSS-style flow
         # --- relational operator suite (joins / aggregates / top-k / anti-join)
@@ -522,6 +524,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _canary_sql() -> str:
     """The tokens.py canary as a DuckDB int32-list literal."""
     return "[" + ", ".join(str(v) for v in tk.CANARY) + "]"
+
+
+def _mixseq_weights_sql() -> str:
+    """The engine's mixture weights as DuckDB VALUES rows."""
+    return ", ".join(f"('{s}', {p})" for s, p in tk.MIXSEQ_WEIGHTS_PPM.items())
 
 
 def _seq_glob_sql(sf_dir: str) -> str:
@@ -973,6 +980,36 @@ def oracle_sql() -> dict[str, str]:
                      AS anchored
             FROM ranked r JOIN nr ON r.source IS NOT DISTINCT FROM nr.source
             WHERE r.rnk <= {tk.BOUNDARY_TOP_N}
+        """,
+        # token-budget domain-mixture sampling: the rate derivation is
+        # replayed in HUGEINT (T_s*PPM exceeds int64 at corpus scale), the
+        # keep filter is the split-assign modular-bucket recipe; weights
+        # interpolated from the engine's MIXSEQ_WEIGHTS_PPM so both sides
+        # share one spec
+        "seq_mixture_sample": f"""
+            WITH valid AS (
+              SELECT doc_id, source, n_tok FROM {seq}
+              WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                AND n_tok IS NOT NULL AND n_tok > 0
+            ),
+            w(source, w_ppm) AS (VALUES {_mixseq_weights_sql()}),
+            tot AS (
+              SELECT v.source, CAST(sum(v.n_tok) AS HUGEINT) AS t,
+                     any_value(w.w_ppm) AS w_ppm
+              FROM valid v JOIN w ON v.source = w.source
+              GROUP BY v.source
+            ),
+            c AS (SELECT min((t * {tk.MIXSEQ_PPM}) // w_ppm) AS c FROM tot),
+            rates AS (
+              SELECT source,
+                     (((c.c * w_ppm) // {tk.MIXSEQ_PPM}) * {tk.MIXSEQ_PPM}) // t
+                       AS r_ppm
+              FROM tot, c
+            )
+            SELECT v.doc_id, v.source, v.n_tok
+            FROM valid v JOIN rates r ON v.source = r.source
+            WHERE (try_cast(right(v.doc_id, 12) AS BIGINT) * {tk.MIXSEQ_MULT})
+                  % {tk.MIXSEQ_PRIME} % {tk.MIXSEQ_PPM} < r.r_ppm
         """,
         # engine mirrors quantile_disc exactly (rank ceil(q·n), integer
         # thresholds from the per-(source, n_tok) count merge); NULL n_tok

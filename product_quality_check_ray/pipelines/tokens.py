@@ -3052,3 +3052,136 @@ def seq_shard_stats(sf_dir: str, files_per_task: int = 16) -> pa.Table:
             "length_outlier": pa.array([flags[i] for i in order], type=pa.bool_()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget domain-mixture sampling (corpus reweighting on the
+# north-star table)
+# --------------------------------------------------------------------------
+#
+# The doc-axis ``corpus_mixture_sample`` (textprep.py) applies FIXED
+# per-source keep-rates. The training-data op a mixture actually needs is
+# the inverse: given target token SHARES per domain (a DoReMi/Pile-style
+# mixture spec), derive the keep-rates from the corpus's own per-source
+# token totals so the sampled corpus hits the target mixture at the largest
+# achievable size (the binding domain keeps ~100%). Reference analog: the
+# prescreen→threshold shape (SURVEY M10/G8 bucketed scoring); the rate
+# arithmetic is all-integer (ppm) so the SQL oracle reproduces it exactly
+# with HUGEINT — no float thresholds that could disagree across engines.
+#
+# Scale shape: phase 1 is a per-batch groupby combiner on two thin columns
+# (never more than n_sources rows per block) merged by a 12-key groupby;
+# phase 2 is O(n_sources) driver arithmetic on Python bigints; phase 3 is
+# one streaming filtered scan with the tiny rate dict in the closure. No
+# all-to-all ever touches the token payload.
+
+MIXSEQ_WEIGHTS_PPM: dict[str, int] = {
+    "web": 400_000,
+    "books": 200_000,
+    "code": 200_000,
+    "wiki": 150_000,
+    "forums": 50_000,
+}  # sources not listed (the fixture's spam-*) have weight 0 → dropped
+MIXSEQ_MULT = 131          # bucket = (suffix * MULT) % PRIME % PPM
+MIXSEQ_PRIME = 1_000_003   # prime > PPM keeps the ppm bucket near-uniform
+MIXSEQ_PPM = 1_000_000
+
+
+def seq_mixture_rates(
+    sf_dir: str, weights_ppm: "dict[str, int] | None" = None
+) -> "tuple[dict[str, int], dict[str, int]]":
+    """Phase 1+2: per-source token totals (exact) and keep-rates (ppm).
+
+    Returns ``(totals, rates_ppm)``. The achievable corpus size is
+    ``C = min_s floor(T_s * PPM / W_s)`` over weighted sources PRESENT in
+    the corpus; each source keeps ``r_s = floor(floor(C*W_s/PPM) * PPM /
+    T_s)`` ppm of its rows. All arithmetic on Python ints (T_s*PPM exceeds
+    int64 at 10^12-sequence scale; DuckDB mirrors with HUGEINT).
+    """
+    from ray.data.aggregate import Sum
+
+    w = MIXSEQ_WEIGHTS_PPM if weights_ppm is None else weights_ppm
+    ds = _seq_ds(sf_dir, columns=["doc_id", "source", "n_tok"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("source"))),
+            pc.and_kleene(pc.is_valid(t.column("n_tok")), pc.greater(t.column("n_tok"), 0)),
+        )
+        sel = t.filter(pc.fill_null(m, False)).select(["source", "n_tok"])
+        g = sel.group_by("source").aggregate([("n_tok", "sum")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "tok": pc.cast(g.column("n_tok_sum"), pa.int64()),
+            }
+        ).cast(pa.schema([("source", pa.string()), ("tok", pa.int64())]))
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .materialize()  # tiny combiner output (≤ n_sources rows per block)
+        .groupby("source")
+        .aggregate(Sum("tok", alias_name="tok"))
+    )
+    totals = {r["source"]: int(r["tok"]) for r in agg.take_all()}
+
+    bind = [
+        (int(totals[s]) * MIXSEQ_PPM) // int(wp)
+        for s, wp in w.items()
+        if wp > 0 and totals.get(s, 0) > 0
+    ]
+    if not bind:
+        return totals, {}
+    c = min(bind)
+    rates = {
+        s: ((c * int(wp)) // MIXSEQ_PPM) * MIXSEQ_PPM // int(totals[s])
+        for s, wp in w.items()
+        if wp > 0 and totals.get(s, 0) > 0
+    }
+    return totals, rates
+
+
+def seq_mixture_sample(
+    sf_dir: str, weights_ppm: "dict[str, int] | None" = None
+) -> rd.Dataset:
+    """Token-budget domain-mixture sampling over the sequences table:
+    derive exact integer keep-rates from the corpus's per-source token
+    totals (``seq_mixture_rates``), then keep a row iff its deterministic
+    ppm bucket — pure int64 modular arithmetic on the doc_id key, the
+    ``seq_split_assign`` re-shard-stable recipe — falls under its source's
+    rate. Weighted-source rows only; the sample is reproducible across
+    engines, cluster sizes and reruns, and the SQL oracle replays both the
+    rate derivation (HUGEINT CTE) and the filter."""
+    _, rates = seq_mixture_rates(sf_dir, weights_ppm)
+    ds = _seq_ds(sf_dir, columns=["doc_id", "source", "n_tok"])
+    out_schema = pa.schema(
+        [("doc_id", pa.string()), ("source", pa.string()), ("n_tok", pa.int32())]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("doc_id")), pc.is_valid(t.column("source"))),
+            pc.and_kleene(pc.is_valid(t.column("n_tok")), pc.greater(t.column("n_tok"), 0)),
+        )
+        sel = t.filter(pc.fill_null(m, False))
+        if sel.num_rows == 0:
+            return out_schema.empty_table()
+        num = _doc_num(sel.column("doc_id"))
+        bucket = (num * MIXSEQ_MULT) % MIXSEQ_PRIME % MIXSEQ_PPM
+        # dictionary-encode source → rate lookup touches each DISTINCT
+        # value once, not each row (the seq_shard_stats vectorization)
+        enc = pc.dictionary_encode(sel.column("source").combine_chunks())
+        per_code = np.array(
+            [rates.get(s, 0) for s in enc.dictionary.to_pylist()], dtype=np.int64
+        )
+        thr = per_code[enc.indices.to_numpy(zero_copy_only=False)]
+        keep = sel.filter(pa.array(bucket < thr))
+        return pa.table(
+            {
+                "doc_id": keep.column("doc_id"),
+                "source": keep.column("source"),
+                "n_tok": pc.cast(keep.column("n_tok"), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")

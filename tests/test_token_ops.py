@@ -1124,3 +1124,100 @@ def test_seq_shard_stats_planted(ray_session, tmp_path):
     assert pd.isna(nl.sum_ntok) and pd.isna(nl.min_ntok)
     ns = key.loc[("frag-000.parquet", "~null~")]
     assert ns.n_rows == 1 and ns.sum_ntok == 10
+
+
+# --------------------------------------------------------------------------
+# seq_mixture_sample — token-budget domain-mixture sampling
+# --------------------------------------------------------------------------
+
+
+def _naive_mixture_rates(totals, weights_ppm, ppm):
+    """Independent reimplementation of the rate spec (test oracle)."""
+    bind = [
+        (totals[s] * ppm) // w for s, w in weights_ppm.items() if w > 0 and totals.get(s, 0) > 0
+    ]
+    if not bind:
+        return {}
+    c = min(bind)
+    return {
+        s: ((c * w) // ppm) * ppm // totals[s]
+        for s, w in weights_ppm.items()
+        if w > 0 and totals.get(s, 0) > 0
+    }
+
+
+def test_seq_mixture_sample_planted(ray_session, tmp_path):
+    """Direct-path corpus: rates match the naive integer spec, the binding
+    source is (near-)fully kept, zero-weight / unknown sources and invalid
+    rows are dropped, and the keep set matches a per-row recomputation."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # web: big pool so its rate is fractional; wiki: tiny pool -> binding
+    for i in range(400):
+        rows.append((f"w{i:04d}", "web", int(rng.integers(50, 150))))
+    for i in range(20):
+        rows.append((f"k{i:04d}", "wiki", int(rng.integers(50, 150))))
+    for i in range(30):
+        rows.append((f"s{i:04d}", "spam-0", 100))  # unweighted -> dropped
+    rows.append((None, "web", 100))                # null doc_id -> dropped
+    rows.append(("bad1", None, 100))               # null source -> dropped
+    rows.append(("bad2", "web", None))             # null n_tok -> dropped
+    rows.append(("bad3", "web", 0))                # non-positive -> dropped
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([[1, 2]] * len(rows), type=pa.list_(pa.int32())),
+            "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    d = tmp_path / "seq"
+    d.mkdir()
+    pq.write_table(t, str(d / "frag-000.parquet"))
+
+    weights = {"web": 400_000, "wiki": 150_000, "forums": 50_000}  # forums absent
+    totals, rates = tk.seq_mixture_rates(str(d), weights)
+    valid = [r for r in rows if r[0] is not None and r[1] is not None and r[2]]
+    exp_totals = {}
+    for _, s, n in valid:
+        exp_totals[s] = exp_totals.get(s, 0) + n
+    assert totals == exp_totals
+    assert rates == _naive_mixture_rates(exp_totals, weights, tk.MIXSEQ_PPM)
+    # wiki binds (smallest T_s/W_s) -> floor rounding keeps it at ~100%
+    assert rates["wiki"] >= tk.MIXSEQ_PPM - tk.MIXSEQ_PPM // exp_totals["wiki"] - 1
+    assert 0 < rates["web"] < rates["wiki"]
+
+    out = tk.seq_mixture_sample(str(d), weights).to_pandas()
+    assert set(out["source"]) <= {"web", "wiki"}
+    assert out["doc_id"].notna().all()
+    # per-row recomputation with the engine's deterministic bucket
+    ids = pa.array([r[0] for r in valid], type=pa.string())
+    num = tk._doc_num(ids)
+    bucket = (num * tk.MIXSEQ_MULT) % tk.MIXSEQ_PRIME % tk.MIXSEQ_PPM
+    expect = {
+        r[0]
+        for r, b in zip(valid, bucket)
+        if rates.get(r[1], 0) > b
+    }
+    assert set(out["doc_id"]) == expect
+    # determinism across runs
+    out2 = tk.seq_mixture_sample(str(d), weights).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_seq_mixture_sample_fixture_shares(ray_session):
+    """On the deterministic fixture, the achieved token mixture tracks the
+    target shares (hash sampling is row-granular, so allow a loose band)
+    and every weighted source present lands in the output."""
+    sf = "/root/testdata/sf0.001"
+    out = tk.seq_mixture_sample(sf).to_pandas()
+    got = out.groupby("source")["n_tok"].sum()
+    total = got.sum()
+    w = tk.MIXSEQ_WEIGHTS_PPM
+    wsum = sum(w[s] for s in got.index)
+    for s in got.index:
+        target = w[s] / wsum
+        achieved = got[s] / total
+        assert abs(achieved - target) < 0.05, (s, target, achieved)
