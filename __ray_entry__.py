@@ -181,6 +181,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_boundary_audit",
     "seq_mixture_sample",
     "seq_prefix_dups",
+    "seq_corpus_manifest",
+    "seq_dup_id_conflicts",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
@@ -443,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_strip_dup_spans": lambda sf: tks.seq_strip_dup_spans(sf),  # cut duplicated token spans, keep-first
         "seq_shard_schema_audit": lambda sf: tk.seq_shard_schema_audit(sf),  # per-shard footer/schema audit
         "seq_shard_stats": lambda sf: tk.seq_shard_stats(sf),  # per-shard length stats + exact outlier flag
+        "seq_corpus_manifest": lambda sf: tk.seq_corpus_manifest(sf),  # per-fragment order-insensitive checksum
+        "seq_dup_id_conflicts": lambda sf: tk.seq_dup_id_conflicts(sf),  # dup ids: exact-copy vs conflicting content
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1818,6 +1822,57 @@ def oracle_sql() -> dict[str, str]:
                        > {tk.SHARD_NTOK_DRIFT_PCT} * CAST(t.s_s AS HUGEINT) * b.n_ntok,
                      FALSE) AS length_outlier
             FROM base b JOIN tot t ON b.source IS NOT DISTINCT FROM t.source
+        """,
+        # per-fragment order-insensitive content checksum: md5-derived
+        # 60-bit row hashes summed in HUGEINT, reduced mod 2^61-1 at the
+        # end; 0-row fragments appear via the footer-metadata union branch
+        "seq_corpus_manifest": f"""
+            WITH r AS (
+              SELECT regexp_extract(filename, '[^/]+$') AS fragment,
+                     coalesce(doc_id, '~N~') || '|' ||
+                     CASE WHEN tokens IS NULL THEN '~N~'
+                          ELSE coalesce(array_to_string(list_transform(
+                                 tokens, x -> coalesce(CAST(x AS VARCHAR), '-1')
+                               ), ','), '') END AS canon,
+                     coalesce(len(tokens), 0) AS ntk
+              FROM read_parquet('{seq_glob}', filename=true)
+            ),
+            base AS (
+              SELECT fragment,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(ntk) AS BIGINT) AS n_tokens,
+                     CAST(sum(CAST(CAST(('0x' || substr(md5(canon), 1, 15))
+                                        AS BIGINT) AS HUGEINT))
+                          % {tk.MANIFEST_MOD} AS BIGINT) AS content_sum
+              FROM r GROUP BY 1
+            ),
+            withempty AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT regexp_extract(file_name, '[^/]+$') AS fragment,
+                     CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              FROM parquet_file_metadata('{seq_glob}') WHERE num_rows = 0
+            )
+            SELECT fragment, n_rows, n_tokens, content_sum,
+                   count(*) OVER (PARTITION BY n_rows, n_tokens, content_sum)
+                     AS n_twin_fragments
+            FROM withempty
+        """,
+        # duplicate-id consistency: same canonical token string as the
+        # manifest; conflicting = >1 distinct content under one doc_id
+        "seq_dup_id_conflicts": f"""
+            WITH r AS (
+              SELECT doc_id,
+                     CASE WHEN tokens IS NULL THEN '~N~'
+                          ELSE coalesce(array_to_string(list_transform(
+                                 tokens, x -> coalesce(CAST(x AS VARCHAR), '-1')
+                               ), ','), '') END AS canon
+              FROM {seq} WHERE doc_id IS NOT NULL
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_contents,
+                   count(DISTINCT md5(canon)) > 1 AS conflicting
+            FROM r GROUP BY doc_id HAVING count(*) > 1
         """,
         # token sliding-window chunking: chunk boundaries are integer
         # per-source vocabulary audit: dense-bitset tree reduce in the

@@ -3185,3 +3185,197 @@ def seq_mixture_sample(
         )
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus content manifest + doc_id content-consistency audit
+# ---------------------------------------------------------------------------
+#
+# Two validation ops the north rule's "per-partition lineage + metrics"
+# language asks for but nothing above covers:
+#
+# * ``seq_corpus_manifest`` — a per-fragment ORDER-INSENSITIVE content
+#   checksum (md5-derived 60-bit row hashes summed mod 2^61-1) plus exact
+#   row/token counts. Two runs over byte-equal corpora produce identical
+#   manifests even if shards were rewritten with different row order, so a
+#   copy / re-shard / migration job can be audited by diffing two tiny
+#   manifest tables instead of re-validating 10^12 rows; fragments sharing
+#   a checksum triple are flagged (``n_twin_fragments`` > 1 = a duplicated
+#   shard, the double-submitted-writer failure).
+# * ``seq_dup_id_conflicts`` — splits duplicate doc_ids (seq_dup_doc_ids)
+#   into benign exact-copy duplicates vs CONFLICTING-content collisions
+#   (same primary key, different token payload — the failure mode where a
+#   re-crawl silently overwrote half a shard). Reference analog: the
+#   cross-row "seen" consistency checks (SURVEY D1/G4) lifted to
+#   primary-key semantics.
+#
+# Exactness contract: the per-row hash is md5 over a canonical string both
+# engines build identically — coalesce(doc_id,'~N~') || '|' || (tokens NULL
+# -> '~N~'; else comma-joined elements with null elements -> -1, empty list
+# -> '') — so the DuckDB oracle replays the checksum bit-for-bit. The
+# manifest sum runs in HUGEINT / Python bigints and is reduced mod 2^61-1
+# (fits BIGINT) only at the end.
+#
+# Scale shape: manifest = one task per fragment group reading only
+# (doc_id, tokens); output is 4 tiny values per fragment, no row ever
+# shuffles. Conflict audit = dupfinder hash-range reduce for the candidate
+# ids (8+8 bytes/row), then a recover pass that hashes ONLY candidate rows'
+# payloads; |duplicates| << |corpus| per the dupfinder module contract.
+
+MANIFEST_MOD = 2305843009213693951  # 2^61 - 1; BIGINT-safe after the mod
+
+
+def _tokens_canon(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Canonical comma-joined token string per row (see contract above).
+
+    Vectorized: element cast + list rebuild + ``binary_join`` are Arrow
+    kernels; no per-row Python until the md5 loop."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    vstr = pc.cast(pc.fill_null(arr.values, -1), pa.string())
+    cls = pa.LargeListArray if isinstance(arr, pa.LargeListArray) else pa.ListArray
+    if arr.null_count:
+        lst = cls.from_arrays(arr.offsets, vstr, mask=pc.is_null(arr))
+    else:
+        lst = cls.from_arrays(arr.offsets, vstr)
+    return pc.fill_null(pc.binary_join(lst, ","), "~N~")
+
+
+def _md5_60(strings: "list[str]") -> "list[int]":
+    """First 15 hex digits of md5 as an int — SQL analog
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``."""
+    import hashlib
+
+    return [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in strings]
+
+
+@ray.remote
+def _scan_manifest(paths: list) -> list:
+    """Per-fragment (name, n_rows, n_tokens, content_sum) — projected read
+    of the two content columns only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id", "tokens"])
+        if t.num_rows == 0:
+            out.append((os.path.basename(p), 0, 0, 0))
+            continue
+        canon = pc.binary_join_element_wise(
+            pc.fill_null(t.column("doc_id").combine_chunks(), "~N~"),
+            _tokens_canon(t.column("tokens")),
+            "|",
+        )
+        ntk = pc.sum(
+            pc.fill_null(
+                pc.cast(pc.list_value_length(t.column("tokens")), pa.int64()), 0
+            )
+        ).as_py()
+        total = sum(_md5_60(canon.to_pylist()))
+        out.append((os.path.basename(p), t.num_rows, int(ntk or 0), total % MANIFEST_MOD))
+    return out
+
+
+_MANIFEST_SCHEMA = pa.schema(
+    [
+        ("fragment", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("content_sum", pa.int64()),
+        ("n_twin_fragments", pa.int64()),
+    ]
+)
+
+
+def seq_corpus_manifest(sf_dir: str, files_per_task: int = 8) -> pa.Table:
+    """Per-fragment order-insensitive content checksum manifest (contract
+    in the section comment above)."""
+    from collections import Counter
+
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _MANIFEST_SCHEMA.empty_table()
+    refs = [
+        _scan_manifest.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    rows = sorted(r for part in ray.get(refs) for r in part)
+    twins = Counter((r[1], r[2], r[3]) for r in rows)
+    return pa.table(
+        {
+            "fragment": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_tokens": pa.array([r[2] for r in rows], type=pa.int64()),
+            "content_sum": pa.array([r[3] for r in rows], type=pa.int64()),
+            "n_twin_fragments": pa.array(
+                [twins[(r[1], r[2], r[3])] for r in rows], type=pa.int64()
+            ),
+        }
+    )
+
+
+@ray.remote
+def _scan_dup_contents(paths: list, ids: pa.Array) -> list:
+    """(doc_id, full md5 hex of the canonical token string) for rows whose
+    doc_id is a duplicate candidate; everything else never leaves the task."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id", "tokens"])
+        mask = pc.is_in(t.column("doc_id"), value_set=ids)
+        if not pc.any(mask).as_py():
+            continue
+        sel = t.filter(mask)
+        canon = _tokens_canon(sel.column("tokens")).to_pylist()
+        for d, s in zip(sel.column("doc_id").to_pylist(), canon):
+            out.append((d, hashlib.md5(s.encode("utf-8")).hexdigest()))
+    return out
+
+
+_DUPCONFLICT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_contents", pa.int64()),
+        ("conflicting", pa.bool_()),
+    ]
+)
+
+
+def seq_dup_id_conflicts(sf_dir: str, files_per_task: int = 16) -> pa.Table:
+    """Primary-key consistency audit: duplicate doc_ids split into exact-copy
+    duplicates (n_contents == 1) vs conflicting-content collisions
+    (contract in the section comment above)."""
+    from ..datagen import resolve_sequences
+    from ..state.dupfinder import find_duplicates
+
+    files = resolve_sequences(sf_dir)
+    dups = find_duplicates(files)
+    if not dups:
+        return _DUPCONFLICT_SCHEMA.empty_table()
+    ids_ref = ray.put(pa.array(sorted(dups), type=pa.string()))
+    refs = [
+        _scan_dup_contents.remote(files[i : i + files_per_task], ids_ref)
+        for i in range(0, len(files), files_per_task)
+    ]
+    agg: dict = {}
+    for part in ray.get(refs):
+        for d, h in part:
+            n, hs = agg.setdefault(d, [0, set()])
+            agg[d][0] = n + 1
+            hs.add(h)
+    ids = sorted(d for d, (n, _) in agg.items() if n > 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "n_rows": pa.array([agg[d][0] for d in ids], type=pa.int64()),
+            "n_contents": pa.array([len(agg[d][1]) for d in ids], type=pa.int64()),
+            "conflicting": pa.array([len(agg[d][1]) > 1 for d in ids], type=pa.bool_()),
+        }
+    )

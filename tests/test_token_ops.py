@@ -1221,3 +1221,103 @@ def test_seq_mixture_sample_fixture_shares(ray_session):
         target = w[s] / wsum
         achieved = got[s] / total
         assert abs(achieved - target) < 0.05, (s, target, achieved)
+
+
+def _write_frag(d, name, rows):
+    """rows: list of (doc_id, tokens) — n_tok derived, source fixed."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows], type=pa.int32()
+            ),
+            "source": pa.array(["web"] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(d / name))
+
+
+def test_seq_corpus_manifest_planted(ray_session, tmp_path):
+    """Row-order permutation keeps the checksum (order-insensitive sum),
+    a single-token mutation changes it, content-identical fragments are
+    flagged as twins, and null-list / null-element / empty-list / null-id
+    rows all checksum deterministically. 0-row fragments appear as
+    (0, 0, 0)."""
+    import pyarrow as pa
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    content = [
+        ("a-000000000001", [1, 2, 3]),
+        ("b-000000000002", []),
+        (None, None),
+        ("d-000000000004", [5, None, 7]),
+    ]
+    _write_frag(d, "frag-000.parquet", content)
+    _write_frag(d, "frag-001.parquet", content[::-1])  # permuted copy → twin
+    mutated = [(content[0][0], [1, 2, 4])] + content[1:]
+    _write_frag(d, "frag-002.parquet", mutated)
+    _write_frag(d, "frag-003.parquet", [])  # 0-row fragment
+
+    out = tk.seq_corpus_manifest(str(d)).to_pandas().set_index("fragment")
+    assert len(out) == 4
+    f0, f1, f2, f3 = (out.loc[f"frag-00{i}.parquet"] for i in range(4))
+    assert f0.content_sum == f1.content_sum and f0.n_tokens == f1.n_tokens == 6
+    assert f0.n_rows == 4
+    assert f0.n_twin_fragments == 2 and f1.n_twin_fragments == 2
+    assert f2.content_sum != f0.content_sum and f2.n_twin_fragments == 1
+    assert (f3.n_rows, f3.n_tokens, f3.content_sum, f3.n_twin_fragments) == (0, 0, 0, 1)
+    assert 0 <= f0.content_sum < tk.MANIFEST_MOD
+
+
+def test_seq_dup_id_conflicts_planted(ray_session, tmp_path):
+    """Exact-copy duplicates are benign (n_contents=1); differing payloads
+    conflict; tokens NULL vs [] count as DIFFERENT contents; unique ids and
+    null ids never appear."""
+    d = tmp_path / "seq"
+    d.mkdir()
+    _write_frag(
+        d,
+        "frag-000.parquet",
+        [
+            ("a-000000000001", [1, 2]),
+            ("b-000000000002", [3, 4]),
+            ("b-000000000002", [3, 5]),
+            ("c-000000000003", [9]),
+            (None, [7]),
+            ("e-000000000005", None),
+        ],
+    )
+    _write_frag(
+        d,
+        "frag-001.parquet",
+        [
+            ("a-000000000001", [1, 2]),
+            ("b-000000000002", [3, 4]),
+            (None, [8]),
+            ("e-000000000005", []),
+        ],
+    )
+    out = tk.seq_dup_id_conflicts(str(d)).to_pandas().set_index("doc_id")
+    assert list(out.index) == ["a-000000000001", "b-000000000002", "e-000000000005"]
+    a, b, e = out.loc["a-000000000001"], out.loc["b-000000000002"], out.loc["e-000000000005"]
+    assert (a.n_rows, a.n_contents, a.conflicting) == (2, 1, False)
+    assert (b.n_rows, b.n_contents, b.conflicting) == (3, 2, True)
+    assert (e.n_rows, e.n_contents, e.conflicting) == (2, 2, True)  # NULL vs []
+
+
+def test_seq_dup_id_conflicts_fixture(ray_session):
+    """Fixture dups take a donor's id but keep their own tokens, so every
+    duplicate id group must contain ≥2 distinct contents — and the id set
+    must equal seq_dup_doc_ids' exactly."""
+    from product_quality_check_ray.pipelines import seq_queries as sq
+
+    sf = "sf0.001"
+    out = tk.seq_dup_id_conflicts(sf).to_pandas()
+    dup = sq.seq_dup_doc_ids(sf).to_pandas()
+    assert sorted(out.doc_id) == sorted(dup.doc_id)
+    assert (out.n_rows.to_numpy() == dup.sort_values("doc_id").n.to_numpy()).all()
+    assert out.conflicting.all()
