@@ -15,7 +15,12 @@ from collections.abc import Callable
 from typing import Any
 
 from product_quality_check_ray.core.schema import HIST_BIN_WIDTH, MAX_N_TOK_DEFAULT, VOCAB
-from product_quality_check_ray.datagen import ensure_sequences, sequences_glob
+from product_quality_check_ray.datagen import (
+    ensure_sequences,
+    ensure_sequences_v2,
+    sequences_glob,
+    sequences_v2_glob,
+)
 from product_quality_check_ray.pipelines import npm
 from product_quality_check_ray.pipelines import relational as rel
 from product_quality_check_ray.pipelines import seq_queries as sq
@@ -183,6 +188,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_prefix_dups",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
+    "seq_corpus_diff",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
@@ -447,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_shard_stats": lambda sf: tk.seq_shard_stats(sf),  # per-shard length stats + exact outlier flag
         "seq_corpus_manifest": lambda sf: tk.seq_corpus_manifest(sf),  # per-fragment order-insensitive checksum
         "seq_dup_id_conflicts": lambda sf: tk.seq_dup_id_conflicts(sf),  # dup ids: exact-copy vs conflicting content
+        "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),  # migration diff: added/removed/changed doc_ids
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -542,6 +549,12 @@ def _seq_glob_sql(sf_dir: str) -> str:
     return sequences_glob(sf_dir)
 
 
+def _seq_v2_glob_sql(sf_dir: str) -> str:
+    # derived "migrated" corpus for seq_corpus_diff (datagen v2 contract)
+    ensure_sequences_v2(sf_dir)
+    return sequences_v2_glob(sf_dir)
+
+
 def _winnow_oracle_sql() -> str:
     from product_quality_check_ray.pipelines.text import (
         WINNOW_B,
@@ -602,6 +615,7 @@ def oracle_sql() -> dict[str, str]:
     from product_quality_check_ray.pipelines import text as tx
 
     seq_glob = _seq_glob_sql(SF01)
+    seq_v2_glob = _seq_v2_glob_sql(SF01)
     seq = f"read_parquet('{seq_glob}')"
     from product_quality_check_ray.pipelines.text import (
         GOPHER_MAX_DUP_BIGRAM,
@@ -1873,6 +1887,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_contents,
                    count(DISTINCT md5(canon)) > 1 AS conflicting
             FROM r GROUP BY doc_id HAVING count(*) > 1
+        """,
+        # migration diff: per-id MULTISET of content md5s compared across
+        # the v1 and derived-v2 corpora (duplicate ids compare as bags)
+        "seq_corpus_diff": f"""
+            WITH a AS (
+              SELECT doc_id, list_sort(list(md5(
+                CASE WHEN tokens IS NULL THEN '~N~'
+                     ELSE coalesce(array_to_string(list_transform(
+                            tokens, x -> coalesce(CAST(x AS VARCHAR), '-1')
+                          ), ','), '') END))) AS contents
+              FROM read_parquet('{seq_glob}')
+              WHERE doc_id IS NOT NULL GROUP BY doc_id
+            ),
+            b AS (
+              SELECT doc_id, list_sort(list(md5(
+                CASE WHEN tokens IS NULL THEN '~N~'
+                     ELSE coalesce(array_to_string(list_transform(
+                            tokens, x -> coalesce(CAST(x AS VARCHAR), '-1')
+                          ), ','), '') END))) AS contents
+              FROM read_parquet('{seq_v2_glob}')
+              WHERE doc_id IS NOT NULL GROUP BY doc_id
+            )
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN b.doc_id IS NULL THEN 'removed'
+                        WHEN a.doc_id IS NULL THEN 'added'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+               OR a.contents <> b.contents
         """,
         # token sliding-window chunking: chunk boundaries are integer
         # per-source vocabulary audit: dense-bitset tree reduce in the

@@ -177,6 +177,45 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 0 if not deviant and not outliers else 2
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Migration diff between two corpus dirs: which doc_ids were added,
+    removed, or changed (content compared as per-id bags of md5s). Equal
+    corpora read only 24 B/row through the reduce and recover nothing;
+    exit 2 when the corpora differ."""
+    import glob as g
+    import os
+
+    _init_ray(args.num_cpus)
+    from .pipelines.tokens import seq_corpus_diff_files
+
+    fa = sorted(g.glob(os.path.join(args.a, "frag-*.parquet")))
+    fb = sorted(g.glob(os.path.join(args.b, "frag-*.parquet")))
+    if not fa or not fb:
+        print(json.dumps({"error": "no frag-*.parquet in --a or --b"}))
+        return 1
+    diff = seq_corpus_diff_files(fa, fb)
+    counts = {"added": 0, "removed": 0, "changed": 0}
+    for s in diff.column("status").to_pylist():
+        counts[s] += 1
+    if args.out:
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        pq.write_table(diff, args.out)
+    print(
+        json.dumps(
+            {
+                "identical": diff.num_rows == 0,
+                "n_diff_ids": diff.num_rows,
+                **counts,
+                "sample": diff.slice(0, 10).to_pylist(),
+                "out": args.out,
+            }
+        )
+    )
+    return 0 if diff.num_rows == 0 else 2
+
+
 def cmd_gen(args: argparse.Namespace) -> int:
     from .datagen import write_sequences
 
@@ -236,6 +275,16 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--input", required=True, help="directory of frag-*.parquet shards")
     a.add_argument("--num-cpus", type=int, default=None)
     a.set_defaults(fn=cmd_audit)
+
+    d = sub.add_parser(
+        "diff",
+        help="migration diff of two corpus dirs (added/removed/changed doc_ids)",
+    )
+    d.add_argument("--a", required=True, help="baseline corpus dir (frag-*.parquet)")
+    d.add_argument("--b", required=True, help="candidate corpus dir (frag-*.parquet)")
+    d.add_argument("--out", default=None, help="optional parquet path for the full diff")
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_diff)
 
     g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     g.add_argument("--out", required=True)

@@ -352,3 +352,99 @@ def is_fixture_corpus(sf_dir: str) -> bool:
     if _g.glob(os.path.join(sf_dir, "frag-*.parquet")):
         return os.path.exists(os.path.join(sf_dir, "_injections.json"))
     return _is_fixture_tag(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic "migrated" corpus variant for the corpus-diff op
+# ---------------------------------------------------------------------------
+#
+# ``seq_corpus_diff`` validates a copy / re-shard / migration by diffing two
+# corpora. Its fixture needs a deterministic second corpus with KNOWN
+# added / removed / changed rows; this derives one from the v1 fragments:
+# rows whose 12-digit doc_id suffix hits suffix % 101 == 7 are dropped
+# (removed), rows hitting suffix % 103 == 11 get token 17 appended
+# (changed — skipped when the tokens list is NULL, appending to nothing is
+# undefined), and each fragment gains one fresh ``addv2-*`` row (added).
+
+DIFF_V2_REMOVE_MOD, DIFF_V2_REMOVE_RES = 101, 7
+DIFF_V2_CHANGE_MOD, DIFF_V2_CHANGE_RES = 103, 11
+DIFF_V2_TOKEN = 17
+
+
+def sequences_v2_dir_for(sf_dir: str) -> str:
+    return os.path.join(DATA_ROOT, sf_tag(sf_dir), "sequences_v2")
+
+
+def sequences_v2_glob(sf_dir: str) -> str:
+    return os.path.join(sequences_v2_dir_for(sf_dir), "frag-*.parquet")
+
+
+def ensure_sequences_v2(sf_dir: str) -> str:
+    """Idempotently derive the v2 corpus from the v1 fixture fragments."""
+    import glob as _g
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_dir = sequences_v2_dir_for(sf_dir)
+    marker = os.path.join(out_dir, "_COMPLETE.json")
+    spec = {"gen_version": GEN_VERSION, "kind": "diff_v2"}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if json.load(f) == spec:
+                    return out_dir
+        except (json.JSONDecodeError, OSError):
+            pass
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    ensure_sequences(sf_dir)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for fi, p in enumerate(sorted(_g.glob(sequences_glob(sf_dir)))):
+        t = pq.read_table(p)
+        sl = pc.utf8_slice_codeunits(t.column("doc_id"), start=-12, stop=2**31 - 1)
+        ok = pc.fill_null(pc.match_substring_regex(sl, r"^\d{12}$"), False)
+        sfx = pc.fill_null(
+            pc.cast(pc.if_else(ok, sl, pa.scalar(None, pa.string())), pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        keep = ~((sfx >= 0) & (sfx % DIFF_V2_REMOVE_MOD == DIFF_V2_REMOVE_RES))
+        t = t.filter(pa.array(keep))
+        sfx = sfx[keep]
+        change = (sfx >= 0) & (sfx % DIFF_V2_CHANGE_MOD == DIFF_V2_CHANGE_RES)
+        toks = t.column("tokens").combine_chunks()
+        change &= pc.is_valid(toks).to_numpy(zero_copy_only=False)
+        if change.any():
+            py = toks.to_pylist()
+            for i in np.flatnonzero(change):
+                py[i] = py[i] + [DIFF_V2_TOKEN]
+            toks = pa.array(py, type=toks.type)
+            n_tok = pc.cast(
+                pc.if_else(
+                    pa.array(change),
+                    pc.add(pc.cast(t.column("n_tok"), pa.int64()), 1),
+                    pc.cast(t.column("n_tok"), pa.int64()),
+                ),
+                pa.int32(),
+            )
+            t = t.set_column(t.schema.get_field_index("tokens"), "tokens", toks)
+            t = t.set_column(t.schema.get_field_index("n_tok"), "n_tok", n_tok)
+        added = pa.table(
+            {
+                "doc_id": pa.array([f"addv2-{fi:012d}"], type=pa.string()),
+                "tokens": pa.array([[fi % 100, 7, 42]], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([3], type=pa.int32()),
+                "source": pa.array(["web"], type=pa.string()),
+            }
+        )
+        t = pa.concat_tables([t.select(added.column_names), added])
+        pq.write_table(t, os.path.join(tmp, os.path.basename(p)))
+    with open(os.path.join(tmp, "_COMPLETE.json"), "w") as f:
+        json.dump(spec, f)
+    if os.path.exists(out_dir):  # pragma: no cover - concurrent creator won
+        shutil.rmtree(tmp, ignore_errors=True)
+        return out_dir
+    os.rename(tmp, out_dir)
+    return out_dir

@@ -3379,3 +3379,202 @@ def seq_dup_id_conflicts(sf_dir: str, files_per_task: int = 16) -> pa.Table:
             "conflicting": pa.array([len(agg[d][1]) > 1 for d in ids], type=pa.bool_()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-corpus migration diff
+# ---------------------------------------------------------------------------
+#
+# ``seq_corpus_diff`` answers the migration-validation question the manifest
+# can only answer fragment-wise: after a copy / re-shard / re-tokenization,
+# WHICH doc_ids were added, removed, or changed? Per-id semantics compare
+# the MULTISET of content md5s under each doc_id (duplicate ids compare as
+# bags, so a dropped duplicate counts as a change).
+#
+# Scale shape (the dupfinder candidate→recover contract, two-sided):
+#   map     one task per fragment group per side, projected (doc_id, tokens)
+#           read → (id_hash u64, md5_hi u64, md5_lo u64) = 24 B/row, split
+#           into hash ranges worker-side (num_returns plumbing — partials
+#           never touch the driver).
+#   reduce  per range: signed multiset sum (+1 for A, −1 for B) over the
+#           exact (id_hash, md5) triples; any nonzero group marks its
+#           id_hash as a candidate. Equal corpora produce ZERO candidates,
+#           so the recover pass reads nothing.
+#   recover candidate rows only are re-read for exact doc_id strings + full
+#           md5s; per-id bag compare on the driver (|diff| << |corpus|).
+# The screen is exact-by-md5 (full 128 bits through the reduce), so the
+# only approximation anywhere is md5 itself. Null doc_ids are excluded on
+# both sides (they fail validation upstream).
+
+DIFF_SEED = 23
+
+
+def _diff_row_keys(
+    t: pa.Table,
+) -> "tuple[pa.Table, pa.Array, np.ndarray, np.ndarray, np.ndarray]":
+    """(null-id-filtered table, doc_id array, id_hash u64, md5_hi, md5_lo).
+
+    The FILTERED table is returned so callers index tokens row-aligned with
+    the hashes — indexing the unfiltered input would mis-align every row
+    after a null doc_id."""
+    from ..core.hashing import hash_strings
+
+    mask = pc.is_valid(t.column("doc_id"))
+    if not pc.all(mask).as_py():
+        t = t.filter(mask)
+    ids = t.column("doc_id").combine_chunks()
+    idh = hash_strings(ids, seed=DIFF_SEED)
+    import hashlib
+
+    canon = _tokens_canon(t.column("tokens")).to_pylist()
+    hi = np.empty(len(canon), dtype=np.uint64)
+    lo = np.empty(len(canon), dtype=np.uint64)
+    for i, s in enumerate(canon):
+        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+        hi[i] = int(d[:16], 16)
+        lo[i] = int(d[16:], 16)
+    return t, ids, idh, hi, lo
+
+
+@ray.remote
+def _diff_map(paths: list, ranges: int) -> tuple:
+    """Per hash range: (id_hash, md5_hi, md5_lo) arrays for this fragment
+    group (one ObjectRef per range via num_returns)."""
+    import pyarrow.parquet as pq
+
+    from ..core.hashing import range_edges
+
+    parts = [[] for _ in range(ranges)]
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id", "tokens"])
+        _, _, idh, hi, lo = _diff_row_keys(t)
+        order = np.argsort(idh, kind="stable")
+        idh, hi, lo = idh[order], hi[order], lo[order]
+        cuts = np.searchsorted(idh, range_edges(ranges))
+        for r, (a, b) in enumerate(zip(np.r_[0, cuts], np.r_[cuts, idh.size])):
+            parts[r].append((idh[a:b], hi[a:b], lo[a:b]))
+    return tuple(
+        tuple(np.concatenate(c) for c in zip(*part))
+        if part
+        else (np.empty(0, np.uint64),) * 3
+        for part in parts
+    )
+
+
+@ray.remote
+def _diff_reduce(n_a: int, *parts) -> np.ndarray:
+    """Candidate id_hashes for one range: signed multiset sum over exact
+    (id_hash, md5) triples; nonzero → the id differs between sides."""
+    idh = np.concatenate([p[0] for p in parts])
+    hi = np.concatenate([p[1] for p in parts])
+    lo = np.concatenate([p[2] for p in parts])
+    w = np.concatenate(
+        [np.full(p[0].size, 1 if i < n_a else -1, dtype=np.int64) for i, p in enumerate(parts)]
+    )
+    if idh.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    order = np.lexsort((lo, hi, idh))
+    idh, hi, lo, w = idh[order], hi[order], lo[order], w[order]
+    new = np.r_[True, (idh[1:] != idh[:-1]) | (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    starts = np.flatnonzero(new)
+    sums = np.add.reduceat(w, starts)
+    return np.unique(idh[starts[sums != 0]])
+
+
+@ray.remote
+def _diff_recover(paths: list, cand: np.ndarray) -> list:
+    """(doc_id, full md5 hex) for rows whose id_hash is a candidate."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id", "tokens"])
+        ft, ids, idh, _, _ = _diff_row_keys(t)
+        m = cand[np.searchsorted(cand, idh, side="left").clip(max=cand.size - 1)] == idh
+        if not m.any():
+            continue
+        sel = np.flatnonzero(m)
+        canon = _tokens_canon(ft.column("tokens"))
+        for i in sel:
+            s = canon[int(i)].as_py()
+            out.append((ids[int(i)].as_py(), hashlib.md5(s.encode("utf-8")).hexdigest()))
+    return out
+
+
+_DIFF_SCHEMA = pa.schema([("doc_id", pa.string()), ("status", pa.string())])
+
+
+def seq_corpus_diff_files(
+    files_a: list, files_b: list, *, ranges: "int | None" = None, files_per_task: int = 8
+) -> pa.Table:
+    """Diff two corpora: (doc_id, status ∈ added|removed|changed), sorted.
+
+    Contract and scale shape in the section comment above."""
+    from collections import Counter
+
+    if ranges is None:
+        try:
+            ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:  # pragma: no cover - no cluster
+            ranges = 8
+    ranges = max(2, ranges)
+    groups_a = [files_a[i : i + files_per_task] for i in range(0, len(files_a), files_per_task)]
+    groups_b = [files_b[i : i + files_per_task] for i in range(0, len(files_b), files_per_task)]
+    maps_a = [_diff_map.options(num_returns=ranges).remote(g, ranges) for g in groups_a]
+    maps_b = [_diff_map.options(num_returns=ranges).remote(g, ranges) for g in groups_b]
+    cand_refs = [
+        _diff_reduce.remote(len(maps_a), *[m[r] for m in maps_a], *[m[r] for m in maps_b])
+        for r in range(ranges)
+    ]
+    cand = np.unique(np.concatenate(ray.get(cand_refs)))
+    if cand.size == 0:
+        return _DIFF_SCHEMA.empty_table()
+    cand_ref = ray.put(cand)
+    rec_a = ray.get([_diff_recover.remote(g, cand_ref) for g in groups_a])
+    rec_b = ray.get([_diff_recover.remote(g, cand_ref) for g in groups_b])
+    bag_a: dict = {}
+    bag_b: dict = {}
+    for parts, bag in ((rec_a, bag_a), (rec_b, bag_b)):
+        for part in parts:
+            for d, h in part:
+                bag.setdefault(d, Counter())[h] += 1
+    rows = []
+    for d in sorted(set(bag_a) | set(bag_b)):
+        a, b = bag_a.get(d), bag_b.get(d)
+        if a is None:
+            rows.append((d, "added"))
+        elif b is None:
+            rows.append((d, "removed"))
+        elif a != b:
+            rows.append((d, "changed"))
+        # equal bags = an id_hash collision neighbor swept in by the
+        # candidate screen — correctly reported as unchanged (dropped)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "status": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+
+
+def seq_corpus_diff(sf_dir: str) -> pa.Table:
+    """Fixture entry: v1 corpus vs the deterministically derived v2
+    (``datagen.ensure_sequences_v2``). For real two-corpus diffs call
+    ``seq_corpus_diff_files`` (or the ``diff`` CLI) with both directories."""
+    import glob as _g
+    import os as _os
+
+    from ..datagen import _is_fixture_tag, ensure_sequences_v2, resolve_sequences
+
+    if not _is_fixture_tag(sf_dir):
+        raise ValueError(
+            "seq_corpus_diff(sf_dir) derives its second corpus only for "
+            "fixture tags; diff real corpora with "
+            "seq_corpus_diff_files(files_a, files_b)"
+        )
+    files_a = resolve_sequences(sf_dir)
+    v2 = ensure_sequences_v2(sf_dir)
+    files_b = sorted(_g.glob(_os.path.join(v2, "frag-*.parquet")))
+    return seq_corpus_diff_files(files_a, files_b)

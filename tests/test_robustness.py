@@ -476,3 +476,53 @@ def test_cli_audit_subcommand(tmp_path):
     line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert line2["distinct_schemas"] == 2
     assert line2["schema_deviant_fragments"] == ["frag-00002.parquet"]
+
+
+def test_cli_diff_subcommand(tmp_path):
+    """Identical corpora → exit 0 / identical true; a mutated shard → exit 2
+    with the changed id reported and the full diff written to --out."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(da), os.makedirs(db)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(64)]),
+            "tokens": pa.array([[1, i] for i in range(64)], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 64, type=pa.int32()),
+            "source": pa.array(["web"] * 64),
+        }
+    )
+    pq.write_table(t, os.path.join(da, "frag-00000.parquet"))
+    pq.write_table(t, os.path.join(db, "frag-00000.parquet"))
+
+    def run(out=None):
+        cmd = [sys.executable, "-m", "product_quality_check_ray", "diff",
+               "--a", da, "--b", db, "--num-cpus", "4"]
+        if out:
+            cmd += ["--out", out]
+        return subprocess.run(
+            cmd, capture_output=True, text=True, cwd="/root/repo", timeout=300
+        )
+
+    r = run()
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _json.loads(r.stdout.strip().splitlines()[-1])["identical"] is True
+
+    mut = t.set_column(
+        t.schema.get_field_index("tokens"),
+        "tokens",
+        pa.array([[9, i] if i == 7 else [1, i] for i in range(64)], type=pa.list_(pa.int32())),
+    )
+    pq.write_table(mut, os.path.join(db, "frag-00000.parquet"))
+    outp = str(tmp_path / "diff.parquet")
+    r2 = run(out=outp)
+    assert r2.returncode == 2, r2.stderr[-2000:]
+    line = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line["changed"] == 1 and line["added"] == 0 and line["removed"] == 0
+    assert line["sample"] == [{"doc_id": "d-000000000007", "status": "changed"}]
+    got = pq.read_table(outp)
+    assert got.to_pylist() == [{"doc_id": "d-000000000007", "status": "changed"}]

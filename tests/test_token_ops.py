@@ -1321,3 +1321,79 @@ def test_seq_dup_id_conflicts_fixture(ray_session):
     assert sorted(out.doc_id) == sorted(dup.doc_id)
     assert (out.n_rows.to_numpy() == dup.sort_values("doc_id").n.to_numpy()).all()
     assert out.conflicting.all()
+
+
+def test_seq_corpus_diff_files_planted(ray_session, tmp_path):
+    """Added / removed / changed classes; duplicate ids compare as BAGS of
+    content md5s (a dropped duplicate is 'changed'); rows AFTER a null
+    doc_id stay row-aligned (regression: the recover pass once hashed the
+    unfiltered table, mis-classifying every post-null changed row as
+    unchanged); NULL tokens vs [] is a change; equal corpora diff empty."""
+    da, db = tmp_path / "A", tmp_path / "B"
+    da.mkdir(), db.mkdir()
+    _write_frag(
+        da,
+        "frag-000.parquet",
+        [
+            (None, [99]),  # null id first → misalignment trap
+            ("chg-000000000001", [1, 2]),
+            ("dup-000000000002", [3]),
+            ("dup-000000000002", [3]),
+            ("rem-000000000003", [4]),
+            ("nul-000000000004", None),
+            ("sam-000000000005", [6, 7]),
+        ],
+    )
+    _write_frag(
+        db,
+        "frag-000.parquet",
+        [
+            (None, [98]),  # different content under null id must NOT count
+            ("chg-000000000001", [1, 2, 17]),
+            ("dup-000000000002", [3]),  # one duplicate dropped → changed
+            ("nul-000000000004", []),  # NULL -> [] is a change
+            ("add-000000000006", [8]),
+            ("sam-000000000005", [6, 7]),
+        ],
+    )
+    import glob as g
+
+    fa = sorted(g.glob(str(da / "*.parquet")))
+    fb = sorted(g.glob(str(db / "*.parquet")))
+    out = tk.seq_corpus_diff_files(fa, fb).to_pandas()
+    got = dict(zip(out.doc_id, out.status))
+    assert got == {
+        "add-000000000006": "added",
+        "chg-000000000001": "changed",
+        "dup-000000000002": "changed",
+        "nul-000000000004": "changed",
+        "rem-000000000003": "removed",
+    }
+    assert tk.seq_corpus_diff_files(fa, fa).num_rows == 0
+
+
+def test_seq_corpus_diff_fixture_classes(ray_session):
+    """Fixture v2 derivation: every addv2-* id is 'added'; removed ids hit
+    the remove residue; changed ids hit the change residue (and not the
+    remove residue); direct-path dirs are rejected."""
+    from product_quality_check_ray.datagen import (
+        DIFF_V2_CHANGE_MOD,
+        DIFF_V2_CHANGE_RES,
+        DIFF_V2_REMOVE_MOD,
+        DIFF_V2_REMOVE_RES,
+    )
+
+    out = tk.seq_corpus_diff("sf0.001").to_pandas()
+    assert set(out.status) == {"added", "removed", "changed"}
+    for r in out.itertuples(index=False):
+        if r.status == "added":
+            assert r.doc_id.startswith("addv2-")
+        else:
+            sfx = int(r.doc_id[-12:])
+            if r.status == "removed":
+                assert sfx % DIFF_V2_REMOVE_MOD == DIFF_V2_REMOVE_RES
+            else:
+                assert sfx % DIFF_V2_CHANGE_MOD == DIFF_V2_CHANGE_RES
+                assert sfx % DIFF_V2_REMOVE_MOD != DIFF_V2_REMOVE_RES
+    with pytest.raises(ValueError, match="fixture tags"):
+        tk.seq_corpus_diff("/tmp")
