@@ -3240,12 +3240,25 @@ def _tokens_canon(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
     return pc.fill_null(pc.binary_join(lst, ","), "~N~")
 
 
-def _md5_60(strings: "list[str]") -> "list[int]":
-    """First 15 hex digits of md5 as an int — SQL analog
-    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``."""
+def _md5_hexes(canon: "pa.Array | pa.ChunkedArray") -> "list[str]":
+    """md5 hexdigest per row, hashing the utf-8 value buffer SLICES directly
+    (a string array's data buffer IS each row's utf-8 bytes) — no Python
+    string materialization or re-encode in the hot loop."""
     import hashlib
 
-    return [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in strings]
+    v = canon.combine_chunks() if isinstance(canon, pa.ChunkedArray) else canon
+    bufs = v.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(v.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[v.offset : v.offset + len(v) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return [md5(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(v))]
+
+
+def _md5_60(canon: "pa.Array | pa.ChunkedArray") -> "list[int]":
+    """First 15 hex digits of md5 as an int — SQL analog
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``."""
+    return [int(d[:15], 16) for d in _md5_hexes(canon)]
 
 
 @ray.remote
@@ -3272,7 +3285,7 @@ def _scan_manifest(paths: list) -> list:
                 pc.cast(pc.list_value_length(t.column("tokens")), pa.int64()), 0
             )
         ).as_py()
-        total = sum(_md5_60(canon.to_pylist()))
+        total = sum(_md5_60(canon))
         out.append((os.path.basename(p), t.num_rows, int(ntk or 0), total % MANIFEST_MOD))
     return out
 
@@ -3288,7 +3301,17 @@ _MANIFEST_SCHEMA = pa.schema(
 )
 
 
-def seq_corpus_manifest(sf_dir: str, files_per_task: int = 8) -> pa.Table:
+def _cpu_files_per_task(n_files: int) -> int:
+    """Group size that keeps ~2 tasks per core in flight (md5 per-row work
+    dominates these scans, so idle cores are pure wall-time loss)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no cluster
+        cpus = 8
+    return max(1, n_files // max(1, cpus * 2))
+
+
+def seq_corpus_manifest(sf_dir: str, files_per_task: "int | None" = None) -> pa.Table:
     """Per-fragment order-insensitive content checksum manifest (contract
     in the section comment above)."""
     from collections import Counter
@@ -3298,6 +3321,8 @@ def seq_corpus_manifest(sf_dir: str, files_per_task: int = 8) -> pa.Table:
     files = resolve_sequences(sf_dir)
     if not files:
         return _MANIFEST_SCHEMA.empty_table()
+    if files_per_task is None:
+        files_per_task = _cpu_files_per_task(len(files))
     refs = [
         _scan_manifest.remote(files[i : i + files_per_task])
         for i in range(0, len(files), files_per_task)
@@ -3321,8 +3346,6 @@ def seq_corpus_manifest(sf_dir: str, files_per_task: int = 8) -> pa.Table:
 def _scan_dup_contents(paths: list, ids: pa.Array) -> list:
     """(doc_id, full md5 hex of the canonical token string) for rows whose
     doc_id is a duplicate candidate; everything else never leaves the task."""
-    import hashlib
-
     import pyarrow.parquet as pq
 
     out = []
@@ -3332,9 +3355,8 @@ def _scan_dup_contents(paths: list, ids: pa.Array) -> list:
         if not pc.any(mask).as_py():
             continue
         sel = t.filter(mask)
-        canon = _tokens_canon(sel.column("tokens")).to_pylist()
-        for d, s in zip(sel.column("doc_id").to_pylist(), canon):
-            out.append((d, hashlib.md5(s.encode("utf-8")).hexdigest()))
+        hexes = _md5_hexes(_tokens_canon(sel.column("tokens")))
+        out.extend(zip(sel.column("doc_id").to_pylist(), hexes))
     return out
 
 
@@ -3424,13 +3446,10 @@ def _diff_row_keys(
         t = t.filter(mask)
     ids = t.column("doc_id").combine_chunks()
     idh = hash_strings(ids, seed=DIFF_SEED)
-    import hashlib
-
-    canon = _tokens_canon(t.column("tokens")).to_pylist()
-    hi = np.empty(len(canon), dtype=np.uint64)
-    lo = np.empty(len(canon), dtype=np.uint64)
-    for i, s in enumerate(canon):
-        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+    hexes = _md5_hexes(_tokens_canon(t.column("tokens")))
+    hi = np.empty(len(hexes), dtype=np.uint64)
+    lo = np.empty(len(hexes), dtype=np.uint64)
+    for i, d in enumerate(hexes):
         hi[i] = int(d[:16], 16)
         lo[i] = int(d[16:], 16)
     return t, ids, idh, hi, lo
@@ -3484,22 +3503,21 @@ def _diff_reduce(n_a: int, *parts) -> np.ndarray:
 @ray.remote
 def _diff_recover(paths: list, cand: np.ndarray) -> list:
     """(doc_id, full md5 hex) for rows whose id_hash is a candidate."""
-    import hashlib
-
     import pyarrow.parquet as pq
+
+    from ..core.hashing import hash_strings
 
     out = []
     for p in paths:
         t = pq.read_table(p, columns=["doc_id", "tokens"])
-        ft, ids, idh, _, _ = _diff_row_keys(t)
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        idh = hash_strings(t.column("doc_id").combine_chunks(), seed=DIFF_SEED)
         m = cand[np.searchsorted(cand, idh, side="left").clip(max=cand.size - 1)] == idh
         if not m.any():
             continue
-        sel = np.flatnonzero(m)
-        canon = _tokens_canon(ft.column("tokens"))
-        for i in sel:
-            s = canon[int(i)].as_py()
-            out.append((ids[int(i)].as_py(), hashlib.md5(s.encode("utf-8")).hexdigest()))
+        sel = t.filter(pa.array(m))
+        hexes = _md5_hexes(_tokens_canon(sel.column("tokens")))
+        out.extend(zip(sel.column("doc_id").to_pylist(), hexes))
     return out
 
 
@@ -3507,7 +3525,11 @@ _DIFF_SCHEMA = pa.schema([("doc_id", pa.string()), ("status", pa.string())])
 
 
 def seq_corpus_diff_files(
-    files_a: list, files_b: list, *, ranges: "int | None" = None, files_per_task: int = 8
+    files_a: list,
+    files_b: list,
+    *,
+    ranges: "int | None" = None,
+    files_per_task: "int | None" = None,
 ) -> pa.Table:
     """Diff two corpora: (doc_id, status ∈ added|removed|changed), sorted.
 
@@ -3520,6 +3542,9 @@ def seq_corpus_diff_files(
         except Exception:  # pragma: no cover - no cluster
             ranges = 8
     ranges = max(2, ranges)
+    if files_per_task is None:
+        # both sides scan concurrently, so size each side at ~1 task/core
+        files_per_task = max(1, _cpu_files_per_task(max(len(files_a), len(files_b))) // 1)
     groups_a = [files_a[i : i + files_per_task] for i in range(0, len(files_a), files_per_task)]
     groups_b = [files_b[i : i + files_per_task] for i in range(0, len(files_b), files_per_task)]
     maps_a = [_diff_map.options(num_returns=ranges).remote(g, ranges) for g in groups_a]
