@@ -189,6 +189,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
     "seq_corpus_diff",
+    "seq_split_leakage",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
@@ -454,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_corpus_manifest": lambda sf: tk.seq_corpus_manifest(sf),  # per-fragment order-insensitive checksum
         "seq_dup_id_conflicts": lambda sf: tk.seq_dup_id_conflicts(sf),  # dup ids: exact-copy vs conflicting content
         "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),  # migration diff: added/removed/changed doc_ids
+        "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1887,6 +1889,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_contents,
                    count(DISTINCT md5(canon)) > 1 AS conflicting
             FROM r GROUP BY doc_id HAVING count(*) > 1
+        """,
+        # cross-split contamination: augmented-view contents grouped, kept
+        # when they span >1 of the deterministic train/val/test splits
+        "seq_split_leakage": f"""
+            WITH raw AS (
+              SELECT doc_id, tokens,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+              WHERE doc_id IS NOT NULL
+                AND regexp_matches(right(doc_id, 12), '^[0-9]{{12}}$')
+            ),
+            pat AS (
+              SELECT doc_id,
+                     CASE WHEN sfx % {tk.DUPSEQ_MOD} = {tk.DUPSEQ_RES}
+                          THEN {_canary_sql()}[1:{tk.DUPSEQ_LEN_BASE} + sfx % {tk.DUPSEQ_LEN_CHOICES}]
+                          ELSE list_transform(coalesce(tokens, []),
+                                              x -> coalesce(x, -1)) END AS ptok,
+                     CASE WHEN (sfx * {tk.SPLIT_MULT}) % {tk.SPLIT_PRIME} % 100
+                               < {tk.SPLIT_TEST_PCT} THEN 'test'
+                          WHEN (sfx * {tk.SPLIT_MULT}) % {tk.SPLIT_PRIME} % 100
+                               < {tk.SPLIT_VAL_PCT} THEN 'val'
+                          ELSE 'train' END AS split
+              FROM raw
+            )
+            SELECT min(doc_id) AS group_rep,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+                   string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+            FROM pat GROUP BY ptok HAVING count(DISTINCT split) > 1
         """,
         # migration diff: per-id MULTISET of content md5s compared across
         # the v1 and derived-v2 corpora (duplicate ids compare as bags)

@@ -3603,3 +3603,136 @@ def seq_corpus_diff(sf_dir: str) -> pa.Table:
     v2 = ensure_sequences_v2(sf_dir)
     files_b = sorted(_g.glob(_os.path.join(v2, "frag-*.parquet")))
     return seq_corpus_diff_files(files_a, files_b)
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination audit
+# ---------------------------------------------------------------------------
+
+_SPLITLEAK_SCHEMA = pa.schema(
+    [
+        ("group_rep", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_splits", pa.int64()),
+        ("splits", pa.string()),
+    ]
+)
+
+_SPLIT_NAMES = np.array(["test", "val", "train"], dtype=object)
+
+
+def _split_codes(doc_id: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """0=test, 1=val, 2=train — the seq_split_assign bucket formula."""
+    num = _doc_num(doc_id)
+    bucket = (num * SPLIT_MULT) % SPLIT_PRIME % 100
+    return np.where(bucket < SPLIT_TEST_PCT, 0, np.where(bucket < SPLIT_VAL_PCT, 1, 2))
+
+
+def seq_split_leakage(sf_dir: str, augment: bool | None = None) -> pa.Table:
+    """Cross-split contamination audit: (augmented-view) token-array
+    contents that appear in MORE THAN ONE of the deterministic
+    train/val/test splits (``seq_split_assign``'s formula) — the leakage
+    class where an eval example also trains, which no within-split dedup
+    catches and which makes eval numbers lie. One output row per leaked
+    content: (group_rep = min doc_id, n_rows, n_splits, splits as the
+    sorted comma-joined split names).
+
+    A cross-split duplicate content is in particular duplicated
+    corpus-wide, so ``seq_dup_token_arrays``'s candidates form a strict
+    superset: pass 1 is the same content-hash stream through the dupfinder
+    hash-range reduce (8 B/row); pass 2 recovers candidate rows only and
+    verifies the split SET on exact token arrays driver-side (64-bit
+    collisions filtered exactly). Null doc_ids carry no split and are
+    excluded, mirroring seq_split_assign.
+
+    Reference analog: the decontamination/holdout discipline (SURVEY §2.7,
+    Lee et al. dedup family) applied between a corpus's own splits.
+    """
+    aug = _aug(sf_dir, augment)
+    seq = _seq_ds(sf_dir, columns=["doc_id", "tokens"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        _, _, _, h = _row_hashes(t, aug)
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    from ..state.dupfinder import find_dup_hash_values
+
+    hashed = seq.map_batches(add_hash, batch_format="pyarrow", batch_size=None).materialize()
+    dup_h = find_dup_hash_values(hashed, "h")
+    if dup_h.size == 0:
+        return _SPLITLEAK_SCHEMA.empty_table()
+    dup_sorted = np.sort(dup_h.view(_U64))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("doc_id")))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "split": pa.array([], type=pa.int64()),
+                "ptok": pa.array([], type=pa.list_(pa.int32())),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sfx, offs, vals, h = _row_hashes(t, aug)
+        pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
+        mask = dup_sorted[pos] == h
+        if not mask.any():
+            return empty
+        idx = np.flatnonzero(mask)
+        sel = t.take(pa.array(idx))
+        rep = aug & (sfx[idx] >= 0) & (sfx[idx] % DUPSEQ_MOD == DUPSEQ_RES)
+        ptok = []
+        for j, i in enumerate(idx):
+            if rep[j]:
+                L = DUPSEQ_LEN_BASE + int(sfx[i] % DUPSEQ_LEN_CHOICES)
+                ptok.append(_CANARY_NP[:L].tolist())
+            else:
+                ptok.append(vals[offs[i] : offs[i + 1]].tolist())
+        return pa.table(
+            {
+                "doc_id": sel.column("doc_id"),
+                "split": pa.array(
+                    _split_codes(sel.column("doc_id")).astype(np.int64)
+                ),
+                "ptok": pa.array(ptok, type=pa.list_(pa.int32())),
+            }
+        )
+
+    cand = _collect(seq.map_batches(candidates, batch_format="pyarrow", batch_size=None))
+    if cand.num_rows == 0:
+        return _SPLITLEAK_SCHEMA.empty_table()
+    keys = [
+        np.asarray(x, dtype=np.int32).tobytes()
+        for x in cand.column("ptok").to_pylist()
+    ]
+    groups: dict[bytes, list[int]] = {}
+    for i, kb in enumerate(keys):
+        groups.setdefault(kb, []).append(i)
+    doc_ids = cand.column("doc_id").to_pylist()
+    codes = cand.column("split").to_numpy(zero_copy_only=False)
+    rows = []
+    for members in groups.values():
+        present = sorted({int(codes[i]) for i in members})
+        if len(present) < 2:
+            continue  # single-split duplicate (or 64-bit collision group)
+        rows.append(
+            (
+                min(doc_ids[i] for i in members),
+                len(members),
+                len(present),
+                ",".join(sorted(_SPLIT_NAMES[present])),
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "group_rep": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_splits": pa.array([r[2] for r in rows], type=pa.int64()),
+            "splits": pa.array([r[3] for r in rows], type=pa.string()),
+        }
+    )

@@ -1397,3 +1397,62 @@ def test_seq_corpus_diff_fixture_classes(ray_session):
                 assert sfx % DIFF_V2_REMOVE_MOD != DIFF_V2_REMOVE_RES
     with pytest.raises(ValueError, match="fixture tags"):
         tk.seq_corpus_diff("/tmp")
+
+
+def test_seq_split_leakage_planted(ray_session, tmp_path):
+    """Direct-path (augmentation off): contents shared across splits are
+    reported with the exact split set and min-doc_id rep; same-split
+    duplicates and unique contents stay out; null doc_ids are excluded."""
+    import numpy as np
+
+    # pick suffixes by split deterministically from the engine's own formula
+    buckets = (np.arange(10_000, dtype=np.int64) * tk.SPLIT_MULT) % tk.SPLIT_PRIME % 100
+    test_s = np.flatnonzero(buckets < tk.SPLIT_TEST_PCT)[:3]
+    val_s = np.flatnonzero((buckets >= tk.SPLIT_TEST_PCT) & (buckets < tk.SPLIT_VAL_PCT))[:3]
+    train_s = np.flatnonzero(buckets >= tk.SPLIT_VAL_PCT)[:3]
+
+    def did(sfx):
+        return f"d-{sfx:012d}"
+
+    rows = [
+        # leak A: same content in train+val+test
+        (did(train_s[0]), [1, 2, 3]),
+        (did(val_s[0]), [1, 2, 3]),
+        (did(test_s[0]), [1, 2, 3]),
+        # leak B: train+test only
+        (did(train_s[1]), [7]),
+        (did(test_s[1]), [7]),
+        # same-split duplicate: NOT leakage
+        (did(train_s[2]), [9, 9]),
+        (did(int(train_s[2]) + 0), [9, 9]),  # same suffix → same split
+        # unique content
+        (did(val_s[1]), [5, 6]),
+        # null doc_id with a leaking content: excluded (no split)
+        (None, [7]),
+    ]
+    d = tmp_path / "seq"
+    d.mkdir()
+    _write_frag(d, "frag-000.parquet", rows)
+    out = tk.seq_split_leakage(str(d)).to_pandas()
+    got = {r.group_rep: (r.n_rows, r.n_splits, r.splits) for r in out.itertuples(index=False)}
+    expect_a = min(did(train_s[0]), did(val_s[0]), did(test_s[0]))
+    expect_b = min(did(train_s[1]), did(test_s[1]))
+    assert got == {
+        expect_a: (3, 3, "test,train,val"),
+        expect_b: (2, 2, "test,train"),
+    }
+
+
+def test_seq_split_leakage_fixture(ray_session):
+    """Fixture: every leaked group is a canary content (or the shared
+    empty-tokens content) spanning all three splits at this scale, and
+    group sizes sum to the DUPSEQ family plus empty rows."""
+    out = tk.seq_split_leakage("sf0.001").to_pandas()
+    assert len(out) >= 2
+    assert (out.n_splits >= 2).all()
+    # leaked groups must be consistent with seq_dup_token_arrays' groups
+    dup = tk.seq_dup_token_arrays("sf0.001").to_pandas()
+    by_rep = dup.groupby("group_rep").size()
+    for r in out.itertuples(index=False):
+        assert r.group_rep in by_rep.index
+        assert by_rep[r.group_rep] == r.n_rows
