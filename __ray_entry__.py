@@ -126,15 +126,15 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_decontaminate",
     "seq_dup_token_arrays",
     "seq_strip_dup_spans",
-    "seq_lcs_pairs",
+    "seq_corpus_diff",
     "seq_dup_doc_ids",
-    "seq_shard_schema_audit",
+    "seq_split_leakage",
+    "seq_partition_verdicts",
     "seq_shard_stats",
     "seq_vocab_coverage",
     "seq_split_assign",
     "seq_repetition_scores",
     "seq_length_batches",
-    "seq_detokenize",
     "seq_unigram_lm_score",
     # validation engine (reference's core loop)
     "seq_row_violations",
@@ -188,8 +188,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_prefix_dups",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
-    "seq_corpus_diff",
-    "seq_split_leakage",
+    "seq_lcs_pairs",
+    "seq_shard_schema_audit",
+    "seq_detokenize",
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "multimodal_audio",
@@ -456,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_dup_id_conflicts": lambda sf: tk.seq_dup_id_conflicts(sf),  # dup ids: exact-copy vs conflicting content
         "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),  # migration diff: added/removed/changed doc_ids
         "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
+        "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1889,6 +1891,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_contents,
                    count(DISTINCT md5(canon)) > 1 AS conflicting
             FROM r GROUP BY doc_id HAVING count(*) > 1
+        """,
+        # per-partition pass/fail: the seq_check_counts predicate set
+        # grouped by fragment; passed = zero violating rows in the fragment
+        "seq_partition_verdicts": f"""
+            SELECT regexp_extract(filename, '[^/]+$') AS fragment,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS null_doc_id,
+                CAST(count(*) FILTER (WHERE tokens IS NULL) AS BIGINT) AS null_tokens,
+                CAST(count(*) FILTER (WHERE tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok)) AS BIGINT) AS ntok_mismatch,
+                CAST(count(*) FILTER (WHERE coalesce(list_max(tokens) >= {VOCAB}, false)) AS BIGINT) AS token_oov,
+                CAST(count(*) FILTER (WHERE (coalesce(list_min(tokens) < 0, false) OR coalesce(len(list_filter(tokens, x -> x IS NULL)) > 0, false))) AS BIGINT) AS token_neg,
+                CAST(count(*) FILTER (WHERE source IS NULL OR source NOT IN {_ALLOWED}) AS BIGINT) AS bad_source,
+                CAST(count(*) FILTER (WHERE coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048) AS BIGINT) AS ntok_range,
+                CAST(count(*) FILTER (WHERE {any_flag}) AS BIGINT) AS viol_rows,
+                count(*) FILTER (WHERE {any_flag}) = 0 AS passed
+            FROM read_parquet('{seq_glob}', filename=true)
+            GROUP BY 1
         """,
         # cross-split contamination: augmented-view contents grouped, kept
         # when they span >1 of the deterministic train/val/test splits

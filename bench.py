@@ -163,6 +163,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_dup_id_conflicts", lambda sf: tk.seq_dup_id_conflicts(sf)),
         ("seq_corpus_diff", lambda sf: tk.seq_corpus_diff(sf)),
         ("seq_split_leakage", lambda sf: tk.seq_split_leakage(sf)),
+        ("seq_partition_verdicts", lambda sf: tk.seq_partition_verdicts(sf)),
         ("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf)),
         ("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf)),
         ("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf)),

@@ -3736,3 +3736,77 @@ def seq_split_leakage(sf_dir: str, augment: bool | None = None) -> pa.Table:
             "splits": pa.array([r[3] for r in rows], type=pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-partition pass/fail verdicts
+# ---------------------------------------------------------------------------
+
+_PARTVERDICT_SCHEMA = pa.schema(
+    [("fragment", pa.string()), ("n_rows", pa.int64())]
+    + [(n, pa.int64()) for n in (
+        "null_doc_id", "null_tokens", "ntok_mismatch", "token_oov",
+        "token_neg", "bad_source", "ntok_range",
+    )]
+    + [("viol_rows", pa.int64()), ("passed", pa.bool_())]
+)
+
+
+@ray.remote
+def _scan_partition_verdicts(paths: list) -> list:
+    """Per-fragment row-check counts via the fused check kernel — one
+    projected read per fragment, verdict tuples out, no row shuffles."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..checks.row_checks import conform_schema, row_check_matrix
+    from ..sources.dimensions import build_check_ctx
+
+    ctx = build_check_ctx()
+    out = []
+    for p in paths:
+        t = conform_schema(
+            pq.read_table(p, columns=["doc_id", "tokens", "n_tok", "source"])
+        )
+        mat = row_check_matrix(t, ctx)
+        out.append(
+            (
+                os.path.basename(p),
+                t.num_rows,
+                *(int(c) for c in mat.sum(axis=0)),
+                int(mat.any(axis=1).sum()),
+            )
+        )
+    return out
+
+
+def seq_partition_verdicts(sf_dir: str, files_per_task: "int | None" = None) -> pa.Table:
+    """Per-PARTITION pass/fail verdict table — the north rule's own output
+    language ("per-partition pass/fail verdicts") as a first-class query:
+    for every input fragment, the count each row check fired, the number of
+    violating rows, and ``passed`` (no violations). This is the queryable
+    face of what ``run_validation`` records in per-partition lineage.
+
+    Shape: one task per fragment group, fused check kernel per fragment
+    (``checks.row_checks.row_check_matrix``, the same matrix the flagship
+    pipeline uses), a dozen integers out per fragment — the audit costs one
+    projected read and no shuffle at any corpus size.
+    """
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _PARTVERDICT_SCHEMA.empty_table()
+    if files_per_task is None:
+        files_per_task = _cpu_files_per_task(len(files))
+    refs = [
+        _scan_partition_verdicts.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    rows = sorted(r for part in ray.get(refs) for r in part)
+    cols: dict = {"fragment": pa.array([r[0] for r in rows], type=pa.string())}
+    for j, name in enumerate(_PARTVERDICT_SCHEMA.names[1:-1], start=1):
+        cols[name] = pa.array([r[j] for r in rows], type=pa.int64())
+    cols["passed"] = pa.array([r[-1] == 0 for r in rows], type=pa.bool_())
+    return pa.table(cols)

@@ -1456,3 +1456,53 @@ def test_seq_split_leakage_fixture(ray_session):
     for r in out.itertuples(index=False):
         assert r.group_rep in by_rep.index
         assert by_rep[r.group_rep] == r.n_rows
+
+
+def test_seq_partition_verdicts_planted(ray_session, tmp_path):
+    """A clean fragment passes; a fragment with one row per violation class
+    reports exact per-check counts and fails; counts are per-FRAGMENT, not
+    corpus-merged."""
+    import pyarrow as pa
+
+    from product_quality_check_ray.core.schema import VOCAB
+
+    d = tmp_path / "seq"
+    d.mkdir()
+
+    def frag(name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+                "source": pa.array([r[3] for r in rows], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    frag(
+        "frag-000.parquet",
+        [("a-000000000001", [1, 2], 2, "web"), ("b-000000000002", [3], 1, "books")],
+    )
+    frag(
+        "frag-001.parquet",
+        [
+            (None, [1], 1, "web"),                      # null_doc_id
+            ("c-000000000003", None, 1, "web"),          # null_tokens (+mismatch excluded)
+            ("d-000000000004", [1, 2], 3, "web"),        # ntok_mismatch
+            ("e-000000000005", [VOCAB + 1], 1, "web"),   # token_oov
+            ("f-000000000006", [-5], 1, "web"),          # token_neg
+            ("g-000000000007", [1], 1, "spam-zz"),       # bad_source
+            ("h-000000000008", [1] * 3000, 3000, "web"), # ntok_range
+            ("i-000000000009", [1, 2, 3], 3, "web"),     # clean row
+        ],
+    )
+    out = tk.seq_partition_verdicts(str(d)).to_pandas().set_index("fragment")
+    f0, f1 = out.loc["frag-000.parquet"], out.loc["frag-001.parquet"]
+    assert bool(f0.passed) and f0.viol_rows == 0 and f0.n_rows == 2
+    assert not bool(f1.passed) and f1.n_rows == 8 and f1.viol_rows == 7
+    for check in ("null_doc_id", "null_tokens", "ntok_mismatch", "token_oov",
+                  "token_neg", "bad_source"):
+        assert f1[check] == 1, check
+        assert f0[check] == 0, check
+    assert f1.ntok_range == 1
