@@ -190,6 +190,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_dup_id_conflicts",
     "seq_lcs_pairs",
     "seq_shard_schema_audit",
+    "seq_rowgroup_audit",
     "seq_detokenize",
     "doc_exact_dup_groups",
     "embedding_label_stats",
@@ -458,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),  # migration diff: added/removed/changed doc_ids
         "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
         "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
+        "seq_rowgroup_audit": lambda sf: tk.seq_rowgroup_audit(sf),  # footer-only row-group sizing audit
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1891,6 +1893,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_contents,
                    count(DISTINCT md5(canon)) > 1 AS conflicting
             FROM r GROUP BY doc_id HAVING count(*) > 1
+        """,
+        # footer-only row-group sizing audit: one metadata row per (group,
+        # column chunk) in DuckDB, re-grouped to per-group then per-file;
+        # 0-row-group files appear via the file-metadata union branch
+        "seq_rowgroup_audit": f"""
+            WITH rg AS (
+              SELECT file_name, row_group_id,
+                     max(row_group_num_rows) AS rows,
+                     CAST(sum(total_compressed_size) AS BIGINT) AS comp
+              FROM parquet_metadata('{seq_glob}') GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT regexp_extract(file_name, '[^/]+$') AS fragment,
+                     CAST(count(*) AS BIGINT) AS n_row_groups,
+                     CAST(min(rows) AS BIGINT) AS min_rg_rows,
+                     CAST(max(rows) AS BIGINT) AS max_rg_rows,
+                     CAST(sum(comp) AS BIGINT) AS compressed_bytes,
+                     CAST(max(comp) AS BIGINT) AS max_rg_compressed,
+                     max(rows) > {tk.RG_MAX_ROWS} AS oversized_rows,
+                     max(comp) > {tk.RG_MAX_BYTES} AS oversized_bytes
+              FROM rg GROUP BY 1
+            )
+            SELECT * FROM base
+            UNION ALL
+            SELECT regexp_extract(file_name, '[^/]+$'),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE
+            FROM parquet_file_metadata('{seq_glob}') WHERE num_row_groups = 0
         """,
         # per-partition pass/fail: the seq_check_counts predicate set
         # grouped by fragment; passed = zero violating rows in the fragment

@@ -3810,3 +3810,93 @@ def seq_partition_verdicts(sf_dir: str, files_per_task: "int | None" = None) -> 
         cols[name] = pa.array([r[j] for r in rows], type=pa.int64())
     cols["passed"] = pa.array([r[-1] == 0 for r in rows], type=pa.bool_())
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Row-group sizing audit (footer-only)
+# ---------------------------------------------------------------------------
+#
+# Row-group granularity IS the streaming read granularity: a shard written
+# with one giant row group forces every reader to materialize it whole,
+# breaking batch streaming and memory budgets at 100 TB. This audit reads
+# ONLY parquet footers (KBs per file — same cost class as
+# seq_shard_schema_audit) and flags fragments whose largest row group
+# exceeds the row- or compressed-byte ceiling. Thresholds are integers and
+# the flags are exact comparisons, so the DuckDB parquet_metadata() oracle
+# reproduces them bit-for-bit.
+
+RG_MAX_ROWS = 1_048_576          # rows per row group a streaming reader tolerates
+RG_MAX_BYTES = 268_435_456       # 256 MiB compressed per row group
+
+
+@ray.remote
+def _scan_rowgroup_audit(paths: list) -> list:
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        base = os.path.basename(p)
+        if md.num_row_groups == 0:
+            out.append((base, 0, 0, 0, 0, 0))
+            continue
+        rows = []
+        comps = []
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            rows.append(rg.num_rows)
+            comps.append(
+                sum(rg.column(j).total_compressed_size for j in range(rg.num_columns))
+            )
+        out.append(
+            (base, md.num_row_groups, min(rows), max(rows), sum(comps), max(comps))
+        )
+    return out
+
+
+_RGAUDIT_SCHEMA = pa.schema(
+    [
+        ("fragment", pa.string()),
+        ("n_row_groups", pa.int64()),
+        ("min_rg_rows", pa.int64()),
+        ("max_rg_rows", pa.int64()),
+        ("compressed_bytes", pa.int64()),
+        ("max_rg_compressed", pa.int64()),
+        ("oversized_rows", pa.bool_()),
+        ("oversized_bytes", pa.bool_()),
+    ]
+)
+
+
+def seq_rowgroup_audit(
+    sf_dir: str,
+    files_per_task: int = 64,
+    max_rows: int = RG_MAX_ROWS,
+    max_bytes: int = RG_MAX_BYTES,
+) -> pa.Table:
+    """Per-fragment row-group sizing audit (contract in the section comment
+    above). 0-row-group fragments report zeros and never flag."""
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _RGAUDIT_SCHEMA.empty_table()
+    refs = [
+        _scan_rowgroup_audit.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    rows = sorted(r for part in ray.get(refs) for r in part)
+    return pa.table(
+        {
+            "fragment": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_row_groups": pa.array([r[1] for r in rows], type=pa.int64()),
+            "min_rg_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+            "max_rg_rows": pa.array([r[3] for r in rows], type=pa.int64()),
+            "compressed_bytes": pa.array([r[4] for r in rows], type=pa.int64()),
+            "max_rg_compressed": pa.array([r[5] for r in rows], type=pa.int64()),
+            "oversized_rows": pa.array([r[3] > max_rows for r in rows], type=pa.bool_()),
+            "oversized_bytes": pa.array([r[5] > max_bytes for r in rows], type=pa.bool_()),
+        }
+    )

@@ -20,8 +20,10 @@ MUST_BE_IN_WINDOW = [
     "seq_pack_execute",
     "seq_neardup_pairs",
     "seq_bigram_topk",
-    "seq_lcs_pairs",
-    "seq_strip_dup_spans",
+    "seq_strip_dup_spans",  # token-span family rep (composes the LCS pass)
+    "seq_corpus_diff",
+    "seq_split_leakage",
+    "seq_partition_verdicts",
     "doc_lcs_pairs",
     "doc_strip_dup_spans",
     "clean_documents_full",

@@ -1506,3 +1506,39 @@ def test_seq_partition_verdicts_planted(ray_session, tmp_path):
         assert f1[check] == 1, check
         assert f0[check] == 0, check
     assert f1.ntok_range == 1
+
+
+def test_seq_rowgroup_audit_planted(ray_session, tmp_path):
+    """Row-group counts/extremes are exact; the oversize flags fire on the
+    engine's integer thresholds (passed small here to make a tiny corpus
+    flag); 0-row fragments report zeros and never flag."""
+    import pyarrow as pa
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(100)]),
+            "tokens": pa.array([[1, 2, 3]] * 100, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3] * 100, type=pa.int32()),
+            "source": pa.array(["web"] * 100),
+        }
+    )
+    pq.write_table(t, str(d / "frag-000.parquet"), row_group_size=40)  # 40/40/20
+    pq.write_table(t, str(d / "frag-001.parquet"))                      # one group
+    _write_frag(d, "frag-002.parquet", [])                              # empty
+
+    out = tk.seq_rowgroup_audit(str(d), max_rows=50, max_bytes=10**12)
+    df = out.to_pandas().set_index("fragment")
+    f0, f1, f2 = (df.loc[f"frag-00{i}.parquet"] for i in range(3))
+    assert (f0.n_row_groups, f0.min_rg_rows, f0.max_rg_rows) == (3, 20, 40)
+    assert not f0.oversized_rows
+    assert (f1.n_row_groups, f1.max_rg_rows) == (1, 100) and bool(f1.oversized_rows)
+    assert not f1.oversized_bytes and f1.compressed_bytes > 0
+    # pyarrow writes ONE empty row group for an empty table (other writers
+    # may emit zero groups — that path is covered by the union branch)
+    assert (f2.n_row_groups, f2.min_rg_rows, f2.max_rg_rows) == (1, 0, 0)
+    assert not f2.oversized_rows
+
+    tiny = tk.seq_rowgroup_audit(str(d), max_bytes=1).to_pandas().set_index("fragment")
+    assert bool(tiny.loc["frag-000.parquet"].oversized_bytes)
