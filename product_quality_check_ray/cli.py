@@ -139,11 +139,19 @@ def cmd_audit(args: argparse.Namespace) -> int:
     schema fingerprints + per-(fragment, source) length stats. Seconds at
     any corpus size (footers + two thin columns); exit 2 when any shard
     deviates — run this BEFORE paying for row-level validation."""
+    import os
+
     _init_ray(args.num_cpus)
-    from .pipelines.tokens import seq_shard_schema_audit, seq_shard_stats
+    from .pipelines.tokens import (
+        seq_corpus_manifest,
+        seq_rowgroup_audit,
+        seq_shard_schema_audit,
+        seq_shard_stats,
+    )
 
     schema = seq_shard_schema_audit(args.input)
     stats = seq_shard_stats(args.input)
+    rg = seq_rowgroup_audit(args.input)
     sigs = schema.column("schema_sig").to_pylist()
     sig_counts: dict[str, int] = {}
     for s in sigs:
@@ -165,6 +173,15 @@ def cmd_audit(args: argparse.Namespace) -> int:
             if o
         }
     )
+    oversized = sorted(
+        f
+        for f, orow, obyte in zip(
+            rg.column("fragment").to_pylist(),
+            rg.column("oversized_rows").to_pylist(),
+            rg.column("oversized_bytes").to_pylist(),
+        )
+        if orow or obyte
+    )
     summary = {
         "fragments": schema.num_rows,
         "total_rows": sum(schema.column("num_rows").to_pylist()),
@@ -172,9 +189,23 @@ def cmd_audit(args: argparse.Namespace) -> int:
         "schema_deviant_fragments": deviant[:20],
         "length_outlier_groups": [list(t) for t in outliers[:20]],
         "n_length_outliers": len(outliers),
+        "oversized_rowgroup_fragments": oversized[:20],
+        "n_oversized_rowgroups": len(oversized),
     }
+    if args.manifest_out:
+        # content-checksum manifest (full read — opt-in): diffable against a
+        # previous run's manifest to audit a copy/migration cheaply
+        import pyarrow.parquet as _pq
+
+        man = seq_corpus_manifest(args.input)
+        os.makedirs(os.path.dirname(args.manifest_out) or ".", exist_ok=True)
+        _pq.write_table(man, args.manifest_out)
+        summary["manifest_out"] = args.manifest_out
+        summary["n_twin_fragments"] = int(
+            sum(1 for n in man.column("n_twin_fragments").to_pylist() if n > 1)
+        )
     print(json.dumps(summary))
-    return 0 if not deviant and not outliers else 2
+    return 0 if not deviant and not outliers and not oversized else 2
 
 
 def cmd_diff(args: argparse.Namespace) -> int:
@@ -274,6 +305,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     a.add_argument("--input", required=True, help="directory of frag-*.parquet shards")
     a.add_argument("--num-cpus", type=int, default=None)
+    a.add_argument(
+        "--manifest-out",
+        default=None,
+        help="also write the per-fragment content-checksum manifest (parquet; "
+        "full read) for later `diff`-style corpus-equality audits",
+    )
     a.set_defaults(fn=cmd_audit)
 
     d = sub.add_parser(

@@ -526,3 +526,38 @@ def test_cli_diff_subcommand(tmp_path):
     assert line["sample"] == [{"doc_id": "d-000000000007", "status": "changed"}]
     got = pq.read_table(outp)
     assert got.to_pylist() == [{"doc_id": "d-000000000007", "status": "changed"}]
+
+
+def test_cli_audit_manifest_and_rowgroups(tmp_path):
+    """--manifest-out writes the content-checksum manifest alongside the
+    audit summary; a duplicated shard shows up as manifest twins while the
+    footer audits stay clean."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(64)]),
+            "tokens": pa.array([[1, i] for i in range(64)], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 64, type=pa.int32()),
+            "source": pa.array(["web"] * 64),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    pq.write_table(t, os.path.join(d, "frag-00001.parquet"))  # duplicated shard
+    mpath = str(tmp_path / "manifest.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "product_quality_check_ray", "audit",
+         "--input", d, "--manifest-out", mpath, "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["n_oversized_rowgroups"] == 0
+    assert line["manifest_out"] == mpath and line["n_twin_fragments"] == 2
+    man = pq.read_table(mpath)
+    assert man.column("content_sum").to_pylist()[0] == man.column("content_sum").to_pylist()[1]
