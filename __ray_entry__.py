@@ -191,6 +191,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_lcs_pairs",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
+    "seq_stats_prescreen",
     "seq_detokenize",
     "doc_exact_dup_groups",
     "embedding_label_stats",
@@ -460,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
         "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
         "seq_rowgroup_audit": lambda sf: tk.seq_rowgroup_audit(sf),  # footer-only row-group sizing audit
+        "seq_stats_prescreen": lambda sf: tk.seq_stats_prescreen(sf),  # footer-stats check-pruning proofs
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1921,6 +1923,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                    CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE, FALSE
             FROM parquet_file_metadata('{seq_glob}') WHERE num_row_groups = 0
+        """,
+        # footer-statistics check prescreen: per-column-chunk stats pivoted
+        # per file; list leaf is 'tokens, list, element' in DuckDB vs
+        # pyarrow's 'tokens.list.element'; empty row groups contribute
+        # nothing and a file with no non-empty row groups proves vacuously
+        "seq_stats_prescreen": f"""
+            WITH cc AS (
+              SELECT file_name, path_in_schema,
+                     stats_null_count, stats_min_value, stats_max_value
+              FROM parquet_metadata('{seq_glob}')
+              WHERE row_group_num_rows > 0
+            ),
+            agg AS (
+              SELECT file_name,
+                count(*) FILTER (WHERE path_in_schema = 'doc_id' AND stats_null_count IS NULL) AS did_nc_miss,
+                coalesce(sum(stats_null_count) FILTER (WHERE path_in_schema = 'doc_id'), 0) AS did_nulls,
+                count(*) FILTER (WHERE path_in_schema = 'tokens, list, element' AND stats_null_count IS NULL) AS tok_nc_miss,
+                coalesce(sum(stats_null_count) FILTER (WHERE path_in_schema = 'tokens, list, element'), 0) AS tok_nulls,
+                count(*) FILTER (WHERE path_in_schema = 'tokens, list, element' AND (stats_min_value IS NULL OR stats_max_value IS NULL)) AS tok_mm_miss,
+                min(try_cast(stats_min_value AS BIGINT)) FILTER (WHERE path_in_schema = 'tokens, list, element') AS tok_min,
+                max(try_cast(stats_max_value AS BIGINT)) FILTER (WHERE path_in_schema = 'tokens, list, element') AS tok_max,
+                count(*) FILTER (WHERE path_in_schema = 'n_tok' AND stats_null_count IS NULL) AS ntk_nc_miss,
+                coalesce(sum(stats_null_count) FILTER (WHERE path_in_schema = 'n_tok'), 0) AS ntk_nulls,
+                count(*) FILTER (WHERE path_in_schema = 'n_tok' AND (stats_min_value IS NULL OR stats_max_value IS NULL)) AS ntk_mm_miss,
+                min(try_cast(stats_min_value AS BIGINT)) FILTER (WHERE path_in_schema = 'n_tok') AS ntk_min,
+                max(try_cast(stats_max_value AS BIGINT)) FILTER (WHERE path_in_schema = 'n_tok') AS ntk_max,
+                count(*) FILTER (WHERE path_in_schema = 'source' AND stats_null_count IS NULL) AS src_nc_miss,
+                coalesce(sum(stats_null_count) FILTER (WHERE path_in_schema = 'source'), 0) AS src_nulls,
+                count(*) FILTER (WHERE path_in_schema = 'source' AND (stats_min_value IS NULL OR stats_max_value IS NULL)) AS src_mm_miss,
+                min(stats_min_value) FILTER (WHERE path_in_schema = 'source') AS src_min,
+                max(stats_max_value) FILTER (WHERE path_in_schema = 'source') AS src_max
+              FROM cc GROUP BY file_name
+            ),
+            flags AS (
+              SELECT regexp_extract(f.file_name, '[^/]+$') AS fragment,
+                CAST(f.num_rows AS BIGINT) AS n_rows,
+                (a.file_name IS NULL) OR (did_nc_miss = 0 AND did_nulls = 0) AS prove_null_doc_id,
+                (a.file_name IS NULL) OR (tok_nc_miss = 0 AND tok_nulls = 0) AS prove_null_tokens,
+                (a.file_name IS NULL) AS prove_ntok_mismatch,
+                (a.file_name IS NULL) OR (tok_mm_miss = 0 AND tok_max < {VOCAB}) AS prove_token_oov,
+                (a.file_name IS NULL) OR (tok_mm_miss = 0 AND tok_min >= 0 AND tok_nc_miss = 0 AND tok_nulls = 0) AS prove_token_neg,
+                (a.file_name IS NULL) OR (src_nc_miss = 0 AND src_nulls = 0 AND src_mm_miss = 0 AND src_min = src_max AND src_min IN {_ALLOWED}) AS prove_bad_source,
+                (a.file_name IS NULL) OR (ntk_nc_miss = 0 AND ntk_nulls = 0 AND ntk_mm_miss = 0 AND ntk_min >= 1 AND ntk_max <= 2048) AS prove_ntok_range
+              FROM parquet_file_metadata('{seq_glob}') f
+              LEFT JOIN agg a USING (file_name)
+            )
+            SELECT *,
+              CAST(prove_null_doc_id AS BIGINT) + CAST(prove_null_tokens AS BIGINT)
+              + CAST(prove_ntok_mismatch AS BIGINT) + CAST(prove_token_oov AS BIGINT)
+              + CAST(prove_token_neg AS BIGINT) + CAST(prove_bad_source AS BIGINT)
+              + CAST(prove_ntok_range AS BIGINT) AS n_proven
+            FROM flags
         """,
         # per-partition pass/fail: the seq_check_counts predicate set
         # grouped by fragment; passed = zero violating rows in the fragment

@@ -147,11 +147,13 @@ def cmd_audit(args: argparse.Namespace) -> int:
         seq_rowgroup_audit,
         seq_shard_schema_audit,
         seq_shard_stats,
+        seq_stats_prescreen,
     )
 
     schema = seq_shard_schema_audit(args.input)
     stats = seq_shard_stats(args.input)
     rg = seq_rowgroup_audit(args.input)
+    pre = seq_stats_prescreen(args.input)
     sigs = schema.column("schema_sig").to_pylist()
     sig_counts: dict[str, int] = {}
     for s in sigs:
@@ -191,6 +193,24 @@ def cmd_audit(args: argparse.Namespace) -> int:
         "n_length_outliers": len(outliers),
         "oversized_rowgroup_fragments": oversized[:20],
         "n_oversized_rowgroups": len(oversized),
+        # footer-stat check proofs (informational — never part of the exit
+        # gate): how many row checks the downstream validation run could
+        # skip per fragment without reading a data page
+        "checks_proven_by_stats": {
+            name: int(
+                sum(1 for v in pre.column(f"prove_{name}").to_pylist() if v)
+            )
+            for name in (
+                "null_doc_id", "null_tokens", "ntok_mismatch", "token_oov",
+                "token_neg", "bad_source", "ntok_range",
+            )
+        },
+        # fragments where every footer-provable check is proven — a
+        # downstream row scan there only needs the n_tok==len(tokens)
+        # pairing (the one check no per-column stat can see)
+        "fragments_proven_except_mismatch": int(
+            sum(1 for v in pre.column("n_proven").to_pylist() if v >= 6)
+        ),
     }
     if args.manifest_out:
         # content-checksum manifest (full read — opt-in): diffable against a

@@ -3900,3 +3900,166 @@ def seq_rowgroup_audit(
             "oversized_bytes": pa.array([r[5] > max_bytes for r in rows], type=pa.bool_()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Footer-statistics check prescreen
+# ---------------------------------------------------------------------------
+# Parquet column-chunk statistics (min / max / null_count) are enough to
+# PROVE, per fragment, that some row checks cannot fire anywhere in it —
+# without reading a single data page. At 100 TB that is the difference
+# between paying a full row-level scan on every shard and paying it only on
+# shards the footers cannot clear: a fragment whose token-element max stat
+# is < VOCAB provably has no token_oov row, one whose n_tok stats sit inside
+# [1, min-cap] with zero nulls provably has no ntok_range row, and so on.
+# Every proof here is SOUND (TRUE means the check cannot fire; FALSE means
+# "unknown", never "dirty") and conservative:
+#
+#   null_doc_id    — doc_id null_count == 0 across all non-empty row groups.
+#   null_tokens    — tokens LEAF null_count == 0. The leaf counts null
+#                    lists, null elements AND empty lists together (measured:
+#                    a [null-list, [None,5], []] file reports 3), so this
+#                    proof also implies no-null-elements below.
+#   ntok_mismatch  — never provable from per-column stats (needs the row-wise
+#                    n_tok == len(tokens) pairing); proven only vacuously
+#                    (0-row fragment).
+#   token_oov      — element max stat < VOCAB on every non-empty row group
+#                    (null/empty lists never fire oov, and stats min/max
+#                    ignore nulls, so max alone suffices).
+#   token_neg      — element min stat >= 0 AND leaf null_count == 0 (a null
+#                    ELEMENT is treated as -1 by the row kernel, so the min
+#                    stat alone — which ignores nulls — is not sufficient).
+#   bad_source     — source null_count == 0 AND min == max AND that single
+#                    value is allowlisted. Parquet may truncate string
+#                    stats, but truncated min is a lower bound and truncated
+#                    max an upper bound, so min == max == s still proves
+#                    every value equals s exactly.
+#   ntok_range     — n_tok null_count == 0 AND min >= 1 AND max <= the
+#                    GLOBAL minimum cap (min over every allowlisted source's
+#                    cap and MAX_N_TOK_DEFAULT) — sound without knowing the
+#                    per-row source pairing.
+#
+# A row group with 0 rows contributes nothing (pyarrow writes one empty row
+# group for empty tables); a fragment with no non-empty row groups proves
+# every check vacuously. Missing statistics on any contributing row group
+# make that column's proofs FALSE.
+#
+# SQL oracle: DuckDB parquet_metadata() exposes the same footer fields
+# (stats_min_value/stats_max_value/stats_null_count per column chunk; list
+# leaves named 'tokens, list, element' vs pyarrow's 'tokens.list.element'),
+# so the proofs replay bit-for-bit.
+#
+# Reference analog: the pre-flight required-column / wrong-file gate
+# (app.py:478-481) lifted from "is the schema right" to "which row checks
+# are already proven clean", per shard.
+
+_PRESCREEN_CHECKS: tuple[str, ...] = tuple(f"prove_{n}" for n in (
+    "null_doc_id",
+    "null_tokens",
+    "ntok_mismatch",
+    "token_oov",
+    "token_neg",
+    "bad_source",
+    "ntok_range",
+))
+
+_PRESCREEN_SCHEMA = pa.schema(
+    [("fragment", pa.string()), ("n_rows", pa.int64())]
+    + [(n, pa.bool_()) for n in _PRESCREEN_CHECKS]
+    + [("n_proven", pa.int64())]
+)
+
+
+def _min_source_cap() -> int:
+    from ..core.schema import MAX_N_TOK_DEFAULT, SOURCE_ALLOWLIST
+
+    return min([MAX_N_TOK_DEFAULT] + [r["max_n_tok"] for r in SOURCE_ALLOWLIST])
+
+
+@ray.remote
+def _scan_stats_prescreen(paths: list, vocab: int, min_cap: int, allowed: frozenset) -> list:
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        base = os.path.basename(p)
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+
+        # per-column aggregation over non-empty row groups:
+        # nulls_known, nulls_sum, mm_known, vmin, vmax
+        agg: dict[str, list] = {
+            c: [True, 0, True, None, None]
+            for c in ("doc_id", "tokens.list.element", "n_tok", "source")
+        }
+        n_contrib = 0
+        for ri in range(md.num_row_groups):
+            rg = md.row_group(ri)
+            if rg.num_rows == 0:
+                continue
+            n_contrib += 1
+            for c, a in agg.items():
+                ci = idx.get(c)
+                st = rg.column(ci).statistics if ci is not None else None
+                if st is None or not st.has_null_count:
+                    a[0] = False
+                else:
+                    a[1] += st.null_count
+                if st is None or not st.has_min_max:
+                    a[2] = False
+                else:
+                    a[3] = st.min if a[3] is None else min(a[3], st.min)
+                    a[4] = st.max if a[4] is None else max(a[4], st.max)
+
+        if n_contrib == 0:
+            flags = (True,) * len(_PRESCREEN_CHECKS)
+        else:
+            did, tok, ntk, src = (
+                agg["doc_id"], agg["tokens.list.element"], agg["n_tok"], agg["source"],
+            )
+            flags = (
+                did[0] and did[1] == 0,                                   # null_doc_id
+                tok[0] and tok[1] == 0,                                   # null_tokens
+                False,                                                    # ntok_mismatch
+                tok[2] and tok[4] < vocab,                                # token_oov
+                tok[2] and tok[3] >= 0 and tok[0] and tok[1] == 0,        # token_neg
+                src[0] and src[1] == 0 and src[2]
+                and src[3] == src[4] and src[3] in allowed,               # bad_source
+                ntk[0] and ntk[1] == 0 and ntk[2]
+                and ntk[3] >= 1 and ntk[4] <= min_cap,                    # ntok_range
+            )
+        out.append((base, md.num_rows) + tuple(bool(f) for f in flags))
+    return out
+
+
+def seq_stats_prescreen(sf_dir: str, files_per_task: int = 64) -> pa.Table:
+    """Footer-statistics check prescreen (contract in the section comment
+    above): per fragment, which row checks are PROVEN clean from parquet
+    column-chunk statistics alone — no data pages read, so the prescreen
+    costs seconds at any corpus size and tells a 100 TB validation run which
+    shards (and which checks per shard) it can skip paying for."""
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _PRESCREEN_SCHEMA.empty_table()
+    min_cap = _min_source_cap()
+    refs = [
+        _scan_stats_prescreen.remote(
+            files[i : i + files_per_task], VOCAB, min_cap, _ALLOWED
+        )
+        for i in range(0, len(files), files_per_task)
+    ]
+    rows = sorted(r for part in ray.get(refs) for r in part)
+    cols: dict[str, pa.Array] = {
+        "fragment": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+    }
+    for j, name in enumerate(_PRESCREEN_CHECKS):
+        cols[name] = pa.array([r[2 + j] for r in rows], type=pa.bool_())
+    cols["n_proven"] = pa.array(
+        [sum(r[2:]) for r in rows], type=pa.int64()
+    )
+    return pa.table(cols)

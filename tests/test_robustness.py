@@ -468,6 +468,12 @@ def test_cli_audit_subcommand(tmp_path):
     line = _json.loads(r.stdout.strip().splitlines()[-1])
     assert line["fragments"] == 2 and line["distinct_schemas"] == 1
     assert line["total_rows"] == 64 and line["n_length_outliers"] == 0
+    # clean single-source corpus: footer stats prove every check except the
+    # row-wise n_tok==len(tokens) pairing, on both fragments
+    assert line["fragments_proven_except_mismatch"] == 2
+    assert line["checks_proven_by_stats"]["token_oov"] == 2
+    assert line["checks_proven_by_stats"]["bad_source"] == 2
+    assert line["checks_proven_by_stats"]["ntok_mismatch"] == 0
 
     bad = t.slice(0, 4).append_column("extra", pa.array([1.0] * 4))
     pq.write_table(bad, os.path.join(d, "frag-00002.parquet"))

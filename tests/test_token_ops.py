@@ -1542,3 +1542,90 @@ def test_seq_rowgroup_audit_planted(ray_session, tmp_path):
 
     tiny = tk.seq_rowgroup_audit(str(d), max_bytes=1).to_pandas().set_index("fragment")
     assert bool(tiny.loc["frag-000.parquet"].oversized_bytes)
+
+
+def test_seq_stats_prescreen_planted(ray_session, tmp_path):
+    """Footer-stat proofs are SOUND and exactly as conservative as
+    documented: clean single-source fragments prove everything except the
+    (never footer-provable) ntok_mismatch; each violation class kills its
+    proof; empty token lists kill the null/neg proofs but not the oov proof
+    (stats min/max ignore nulls); multi-source and unknown-single-source
+    fragments can't prove bad_source; 0-row fragments prove vacuously."""
+    import pyarrow as pa
+
+    from product_quality_check_ray.core.schema import VOCAB
+
+    d = tmp_path / "seq"
+    d.mkdir()
+
+    def frag(name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([r[2] for r in rows], type=pa.int32()),
+                "source": pa.array([r[3] for r in rows], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    frag("frag-000.parquet",  # clean, single allowlisted source
+         [("a-000000000001", [1, 2], 2, "web"), ("b-000000000002", [3], 1, "web")])
+    frag("frag-001.parquet",  # null doc_id
+         [(None, [1], 1, "web")])
+    frag("frag-002.parquet",  # OOV token
+         [("c-000000000003", [VOCAB + 7], 1, "web")])
+    frag("frag-003.parquet",  # negative token
+         [("d-000000000004", [-5], 1, "web")])
+    frag("frag-004.parquet",  # clean but multi-source: bad_source unprovable
+         [("e-000000000005", [1], 1, "web"), ("f-000000000006", [2], 1, "books")])
+    frag("frag-005.parquet",  # single UNKNOWN source: min==max but not allowlisted
+         [("g-000000000007", [1], 1, "spam-zz")])
+    frag("frag-006.parquet",  # empty token list: leaf null_count > 0
+         [("h-000000000008", [], 0, "web"), ("i-000000000009", [4], 1, "web")])
+    frag("frag-007.parquet",  # n_tok out of range (0 and > cap)
+         [("j-000000000010", [1], 0, "web"), ("k-000000000011", [1], 4000, "web")])
+    frag("frag-008.parquet", [])  # 0-row fragment: vacuous proofs
+
+    out = tk.seq_stats_prescreen(str(d)).to_pandas().set_index("fragment")
+    assert len(out) == 9 and (out.n_proven == out.filter(like="prove_").sum(axis=1)).all()
+
+    f = out.loc["frag-000.parquet"]
+    assert not f.prove_ntok_mismatch  # never provable on non-empty fragments
+    assert (f.prove_null_doc_id and f.prove_null_tokens and f.prove_token_oov
+            and f.prove_token_neg and f.prove_bad_source and f.prove_ntok_range)
+    assert f.n_proven == 6 and f.n_rows == 2
+
+    assert not out.loc["frag-001.parquet"].prove_null_doc_id
+    assert not out.loc["frag-002.parquet"].prove_token_oov
+    assert out.loc["frag-002.parquet"].prove_token_neg  # min stat is fine
+    assert not out.loc["frag-003.parquet"].prove_token_neg
+    assert out.loc["frag-003.parquet"].prove_token_oov  # max stat is fine
+    assert not out.loc["frag-004.parquet"].prove_bad_source  # min != max
+    assert not out.loc["frag-005.parquet"].prove_bad_source  # not allowlisted
+    f6 = out.loc["frag-006.parquet"]
+    assert not f6.prove_null_tokens and not f6.prove_token_neg  # leaf nulls
+    assert f6.prove_token_oov  # min/max ignore nulls
+    assert not out.loc["frag-007.parquet"].prove_ntok_range
+    f8 = out.loc["frag-008.parquet"]
+    assert f8.n_rows == 0 and f8.n_proven == 7 and bool(f8.prove_ntok_mismatch)
+
+
+def test_seq_stats_prescreen_sound_vs_verdicts(ray_session):
+    """Soundness against the row-level ground truth: on the fixture corpus
+    (which plants every violation class), a check PROVEN clean by footer
+    stats must have zero violations of that class in the partition-verdict
+    table — for every fragment, every check."""
+    ensure_sequences(SF)
+    pre = tk.seq_stats_prescreen(SF).to_pandas().set_index("fragment")
+    ver = tk.seq_partition_verdicts(SF).to_pandas().set_index("fragment")
+    assert set(pre.index) == set(ver.index)
+    checks = [c[len("prove_"):] for c in pre.columns if c.startswith("prove_")]
+    for fragment, row in pre.iterrows():
+        v = ver.loc[fragment]
+        for c in checks:
+            if row[f"prove_{c}"]:
+                assert v[c] == 0, (fragment, c)
+    # and the prescreen is not trivially all-false: the fixture's clean
+    # fragments must prove at least the token-domain checks somewhere
+    assert pre.prove_token_oov.any() or pre.prove_token_neg.any()
