@@ -130,11 +130,17 @@ def _np_bool(arr) -> np.ndarray:
 
 
 def row_check_matrix(batch: pa.Table, ctx: dict) -> np.ndarray:
-    """Compute all fused row checks → bool matrix of shape (n_rows, n_checks).
+    """Compute the fused row checks → bool matrix of shape (n_rows, n_checks).
 
     ``ctx``: {"allowed_sources": frozenset[str], "max_n_tok": {source: cap},
     "vocab": int} — broadcast dimension state (built once per actor/worker,
     reference analog A1-A3 module-global dictionary indexes).
+
+    Disabled checks (``ctx["enabled_checks"]``) are NOT computed, not just
+    masked: their matrix columns stay False and their kernels never run.
+    That is what makes the footer-statistics prescreen a real win — a
+    fragment whose token domain is proven clean from stats skips the
+    ``_list_min_max`` pass (the kernel's single biggest cost) entirely.
     """
     n = batch.num_rows
     vocab = ctx.get("vocab", VOCAB)
@@ -143,48 +149,63 @@ def row_check_matrix(batch: pa.Table, ctx: dict) -> np.ndarray:
     doc_id = batch.column("doc_id")
     source = batch.column("source")
 
-    null_doc = _np_bool(pc.is_null(doc_id))
-    null_tok = _np_bool(pc.is_null(tokens))
-
-    list_len = pc.list_value_length(tokens)  # null where tokens null
-    mismatch = _np_bool(
-        pc.fill_null(pc.not_equal(pc.cast(list_len, pa.int32()), n_tok), True)
-    )
-    # a null n_tok is a mismatch; null tokens handled by null_tokens check
-    mismatch = mismatch | _np_bool(pc.is_null(n_tok))
-    mismatch &= ~null_tok
-
-    mins, maxs = _list_min_max(tokens)
-    oov = maxs >= vocab
-    neg = mins < 0
-
-    value_set = ctx.get("allowed_sources_arr")
-    if value_set is None:
-        value_set = pa.array(sorted(ctx["allowed_sources"]), type=pa.string())
-    src_ok = pc.is_in(source, value_set=value_set)
-    bad_source = ~_np_bool(pc.fill_null(src_ok, False))
-
-    caps = ctx.get("max_n_tok") or {}
-    nt = np.asarray(pc.fill_null(n_tok, -1).to_numpy(zero_copy_only=False), dtype=np.int64)
-    if caps:
-        # vectorized per-source cap lookup via index_in against the dim table
-        dim_sources = pa.array(list(caps.keys()), type=pa.string())
-        cap_arr = np.asarray(list(caps.values()) + [MAX_N_TOK_DEFAULT], dtype=np.int64)
-        idx = pc.fill_null(pc.index_in(source, value_set=dim_sources), len(caps))
-        row_caps = cap_arr[np.asarray(idx.to_numpy(zero_copy_only=False), dtype=np.int64)]
-    else:
-        row_caps = np.full(n, MAX_N_TOK_DEFAULT, dtype=np.int64)
-    ntok_range = (nt < 1) | (nt > row_caps)
-
-    mat = np.empty((n, len(ROW_CHECK_NAMES)), dtype=bool)
-    for j, arr in enumerate(
-        (null_doc, null_tok, mismatch, oov, neg, bad_source, ntok_range)
-    ):
-        mat[:, j] = arr
     enabled = ctx.get("enabled_checks")
-    if enabled is not None:
-        mask = np.array([name in enabled for name in ROW_CHECK_NAMES])
-        mat &= mask[None, :]
+    en = set(ROW_CHECK_NAMES) if enabled is None else set(enabled)
+
+    mat = np.zeros((n, len(ROW_CHECK_NAMES)), dtype=bool)
+
+    if "null_doc_id" in en:
+        mat[:, 0] = _np_bool(pc.is_null(doc_id))
+
+    null_tok = None
+    if en & {"null_tokens", "ntok_mismatch"}:
+        null_tok = _np_bool(pc.is_null(tokens))
+    if "null_tokens" in en:
+        mat[:, 1] = null_tok
+
+    if "ntok_mismatch" in en:
+        list_len = pc.list_value_length(tokens)  # null where tokens null
+        mismatch = _np_bool(
+            pc.fill_null(pc.not_equal(pc.cast(list_len, pa.int32()), n_tok), True)
+        )
+        # a null n_tok is a mismatch; null tokens handled by null_tokens check
+        mismatch = mismatch | _np_bool(pc.is_null(n_tok))
+        mismatch &= ~null_tok
+        mat[:, 2] = mismatch
+
+    if en & {"token_oov", "token_neg"}:
+        mins, maxs = _list_min_max(tokens)
+        if "token_oov" in en:
+            mat[:, 3] = maxs >= vocab
+        if "token_neg" in en:
+            mat[:, 4] = mins < 0
+
+    if "bad_source" in en:
+        value_set = ctx.get("allowed_sources_arr")
+        if value_set is None:
+            value_set = pa.array(sorted(ctx["allowed_sources"]), type=pa.string())
+        src_ok = pc.is_in(source, value_set=value_set)
+        mat[:, 5] = ~_np_bool(pc.fill_null(src_ok, False))
+
+    if "ntok_range" in en:
+        caps = ctx.get("max_n_tok") or {}
+        nt = np.asarray(
+            pc.fill_null(n_tok, -1).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        if caps:
+            # vectorized per-source cap lookup via index_in against the dim table
+            dim_sources = pa.array(list(caps.keys()), type=pa.string())
+            cap_arr = np.asarray(
+                list(caps.values()) + [MAX_N_TOK_DEFAULT], dtype=np.int64
+            )
+            idx = pc.fill_null(pc.index_in(source, value_set=dim_sources), len(caps))
+            row_caps = cap_arr[
+                np.asarray(idx.to_numpy(zero_copy_only=False), dtype=np.int64)
+            ]
+        else:
+            row_caps = np.full(n, MAX_N_TOK_DEFAULT, dtype=np.int64)
+        mat[:, 6] = (nt < 1) | (nt > row_caps)
+
     return mat
 
 

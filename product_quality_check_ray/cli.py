@@ -77,6 +77,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
         enabled_checks=cfg.get("enabled_checks"),
         schema_repair=bool(cfg.get("schema_repair", False)),
         write_clean=args.write_clean,
+        prescreen=args.prescreen,
     )
     summary = {
         "rows": rep.total_rows,
@@ -297,6 +298,12 @@ def main(argv: list[str] | None = None) -> int:
         "--preaudit",
         action="store_true",
         help="fail fast (exit 2) on shard-level schema deviance before the row-level pass",
+    )
+    v.add_argument(
+        "--prescreen",
+        action="store_true",
+        help="skip row checks proven clean per fragment by parquet footer "
+        "statistics (sound: output is identical to a full run)",
     )
     v.set_defaults(fn=cmd_validate)
 

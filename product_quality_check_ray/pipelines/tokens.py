@@ -3970,10 +3970,11 @@ _PRESCREEN_SCHEMA = pa.schema(
 )
 
 
-def _min_source_cap() -> int:
+def _min_source_cap(allowlist_rows: "list[dict] | None" = None) -> int:
     from ..core.schema import MAX_N_TOK_DEFAULT, SOURCE_ALLOWLIST
 
-    return min([MAX_N_TOK_DEFAULT] + [r["max_n_tok"] for r in SOURCE_ALLOWLIST])
+    rows = SOURCE_ALLOWLIST if allowlist_rows is None else allowlist_rows
+    return min([MAX_N_TOK_DEFAULT] + [int(r["max_n_tok"]) for r in rows])
 
 
 @ray.remote
@@ -4030,8 +4031,34 @@ def _scan_stats_prescreen(paths: list, vocab: int, min_cap: int, allowed: frozen
                 ntk[0] and ntk[1] == 0 and ntk[2]
                 and ntk[3] >= 1 and ntk[4] <= min_cap,                    # ntok_range
             )
-        out.append((base, md.num_rows) + tuple(bool(f) for f in flags))
+        out.append((p, md.num_rows) + tuple(bool(f) for f in flags))
     return out
+
+
+def stats_prescreen_files(
+    files: list,
+    *,
+    files_per_task: int = 64,
+    vocab: int = VOCAB,
+    allowlist_rows: "list[dict] | None" = None,
+) -> "dict[str, tuple[int, tuple[bool, ...]]]":
+    """Footer-proof scan over an explicit fragment list → {full path:
+    (n_rows, per-check proven flags in _PRESCREEN_CHECKS order)}. The
+    building block ``run_validation(prescreen=True)`` uses with ITS
+    dimension state (custom allowlist / caps), keyed by full path."""
+    if not files:
+        return {}
+    allowed = frozenset(
+        r["source"] for r in allowlist_rows
+    ) if allowlist_rows is not None else _ALLOWED
+    min_cap = _min_source_cap(allowlist_rows)
+    refs = [
+        _scan_stats_prescreen.remote(
+            files[i : i + files_per_task], vocab, min_cap, allowed
+        )
+        for i in range(0, len(files), files_per_task)
+    ]
+    return {r[0]: (r[1], tuple(r[2:])) for part in ray.get(refs) for r in part}
 
 
 def seq_stats_prescreen(sf_dir: str, files_per_task: int = 64) -> pa.Table:
@@ -4040,19 +4067,17 @@ def seq_stats_prescreen(sf_dir: str, files_per_task: int = 64) -> pa.Table:
     column-chunk statistics alone — no data pages read, so the prescreen
     costs seconds at any corpus size and tells a 100 TB validation run which
     shards (and which checks per shard) it can skip paying for."""
+    import os
+
     from ..datagen import resolve_sequences
 
     files = resolve_sequences(sf_dir)
     if not files:
         return _PRESCREEN_SCHEMA.empty_table()
-    min_cap = _min_source_cap()
-    refs = [
-        _scan_stats_prescreen.remote(
-            files[i : i + files_per_task], VOCAB, min_cap, _ALLOWED
-        )
-        for i in range(0, len(files), files_per_task)
-    ]
-    rows = sorted(r for part in ray.get(refs) for r in part)
+    scan = stats_prescreen_files(files, files_per_task=files_per_task)
+    rows = sorted(
+        (os.path.basename(p), n) + flags for p, (n, flags) in scan.items()
+    )
     cols: dict[str, pa.Array] = {
         "fragment": pa.array([r[0] for r in rows], type=pa.string()),
         "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),

@@ -126,6 +126,7 @@ class RowCheckStage:
         enabled_checks: list[str] | None = None,
         write_clean: bool = False,
         schema_repair: bool = False,
+        prescreen_ref: Any = None,
     ):
         self.ctx = build_check_ctx(
             allowlist_rows, enabled_checks=enabled_checks, schema_repair=schema_repair
@@ -134,6 +135,12 @@ class RowCheckStage:
         self.write_violations = write_violations and out_dir is not None
         self.write_clean = write_clean and out_dir is not None
         self.sketch_delta = sketch_delta
+        # footer-statistics prescreen: {full path: frozenset of check names
+        # PROVEN clean for that fragment} — shipped once per worker as an
+        # object-store ref (broadcast, not per-batch kwargs)
+        self.prescreen: dict[str, frozenset] = {}
+        if prescreen_ref is not None:
+            self.prescreen = ray.get(prescreen_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         paths = batch.column("path")
@@ -146,7 +153,17 @@ class RowCheckStage:
         return pa.Table.from_pylist(out_rows, schema=_PARTIAL_SCHEMA)
 
     def _process_group(self, path: str, t: pa.Table) -> list[dict]:
-        annotated, mat = annotate_batch(t, self.ctx)
+        ctx = self.ctx
+        proven = self.prescreen.get(path)
+        if proven:
+            # drop footer-proven checks for this fragment; proofs are SOUND
+            # (a proven check cannot fire on any row here), so the output is
+            # bit-identical to the full pass — the kernels just never run
+            base = ctx.get("enabled_checks")
+            base_set = set(ROW_CHECK_NAMES) if base is None else set(base)
+            ctx = dict(ctx)
+            ctx["enabled_checks"] = frozenset(base_set - proven)
+        annotated, mat = annotate_batch(t, ctx)
         ok = np.asarray(annotated.column("ok").to_numpy(zero_copy_only=False), dtype=bool)
         pid = lin.part_id_for(path)
         n_viol = int((~ok).sum())
@@ -301,8 +318,17 @@ def run_validation(
     enabled_checks: list[str] | None = None,
     write_clean: bool = False,
     schema_repair: bool = False,
+    prescreen: bool = False,
 ) -> ValidationReport:
     """Run the full validation suite; resumable at wave granularity.
+
+    ``prescreen=True`` first runs the footer-statistics proof scan
+    (``tokens.stats_prescreen_files`` — KBs of footer per fragment, no data
+    pages) against THIS run's dimension state and skips every proven check
+    per fragment. Proofs are sound, so the report, violation rows and
+    lineage are bit-identical to a full run; on a mostly-clean corpus (the
+    steady state at 100 TB) the row pass drops the token min/max kernel —
+    its single biggest cost — on every proven-clean shard.
 
     ``use_actor_pool=False`` (default) runs the fused row checks as tasks on
     Ray's shared worker pool with a per-worker stage cache — measured faster
@@ -329,6 +355,24 @@ def run_validation(
         lin.reset_partition(out_dir, lin.part_id_for(f))
         todo.append(f)
 
+    prescreen_ref = None
+    if prescreen and todo:
+        from .tokens import _PRESCREEN_CHECKS, stats_prescreen_files
+
+        t0 = time.time()
+        scan = stats_prescreen_files(todo, allowlist_rows=allow)
+        proven_map = {
+            p: frozenset(
+                name[len("prove_") :]
+                for name, flag in zip(_PRESCREEN_CHECKS, flags)
+                if flag
+            )
+            for p, (_, flags) in scan.items()
+        }
+        proven_map = {p: s for p, s in proven_map.items() if s}
+        prescreen_ref = ray.put(proven_map)
+        _phase_log(f"stats prescreen ({len(proven_map)} provable fragments)", t0)
+
     for wave in _chunks(todo, max(1, wave_files)):
         t0 = time.time()
         ds = rd.read_parquet(wave, include_paths=True)
@@ -339,6 +383,7 @@ def run_validation(
             "enabled_checks": enabled_checks,
             "write_clean": write_clean,
             "schema_repair": schema_repair,
+            "prescreen_ref": prescreen_ref,
         }
         if use_actor_pool:
             staged = ds.map_batches(

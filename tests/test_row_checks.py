@@ -203,3 +203,35 @@ def test_annotate_batch_schema_repair(ray_session):
     out, mat = annotate_batch(t, build_check_ctx(schema_repair=True))
     assert out.num_rows == 50
     assert not mat.any()  # the FIRST 'source' column (valid) is kept
+
+
+def test_lazy_matrix_equals_masked_full_matrix():
+    """enabled_checks now SKIPS kernels instead of masking their output —
+    the matrix must still equal the full matrix with disabled columns
+    zeroed, for every single-check set and a few mixed subsets."""
+    import itertools
+
+    rows = [
+        {"doc_id": "web-1", "tokens": [1, 2, 3], "n_tok": 3, "source": "web"},
+        {"doc_id": None, "tokens": [1], "n_tok": 1, "source": "web"},
+        {"doc_id": "x-2", "tokens": None, "n_tok": 0, "source": "web"},
+        {"doc_id": "x-3", "tokens": [1, 2], "n_tok": 5, "source": "web"},
+        {"doc_id": "x-4", "tokens": [VOCAB + 1], "n_tok": 1, "source": "web"},
+        {"doc_id": "x-5", "tokens": [-3], "n_tok": 1, "source": "web"},
+        {"doc_id": "x-6", "tokens": [1], "n_tok": 1, "source": "spam"},
+        {"doc_id": "x-7", "tokens": [1] * 10, "n_tok": 10, "source": "web"},
+        {"doc_id": "x-8", "tokens": [1], "n_tok": 9999, "source": "web"},
+        {"doc_id": "x-9", "tokens": [], "n_tok": 0, "source": "books"},
+        {"doc_id": "x-10", "tokens": [1, None, 2], "n_tok": 3, "source": "wiki"},
+    ]
+    t = tbl(rows)
+    full = row_check_matrix(t, CTX)
+    subsets = [frozenset([n]) for n in ROW_CHECK_NAMES]
+    subsets += [frozenset(), frozenset(ROW_CHECK_NAMES)]
+    subsets += [frozenset(c) for c in itertools.combinations(ROW_CHECK_NAMES, 3)]
+    for en in subsets:
+        ctx = dict(CTX)
+        ctx["enabled_checks"] = en
+        got = row_check_matrix(t, ctx)
+        mask = np.array([n in en for n in ROW_CHECK_NAMES])
+        assert (got == (full & mask[None, :])).all(), sorted(en)

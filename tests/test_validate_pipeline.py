@@ -190,3 +190,39 @@ def test_violation_schema(run):
     for col in SEQUENCE_SCHEMA.names:
         assert col in names
     assert "ok" in names and "checks_failed" in names
+
+
+def test_prescreen_run_identical(ray_session, small_corpus, tmp_path):
+    """prescreen=True skips footer-proven checks per fragment; because the
+    proofs are sound, the report, per-partition verdicts and violation ROWS
+    must be bit-identical to a full run on the same (corrupted) corpus."""
+    import pandas as pd
+
+    out_a = str(tmp_path / "full")
+    out_b = str(tmp_path / "pre")
+    rep_a = run_validation(small_corpus, out_a, resume=False, wave_files=4)
+    rep_b = run_validation(
+        small_corpus, out_b, resume=False, wave_files=4, prescreen=True
+    )
+    assert rep_a.check_counts() == rep_b.check_counts()
+    assert rep_a.total_rows == rep_b.total_rows
+    assert {p: v["pass"] for p, v in rep_a.partitions.items()} == {
+        p: v["pass"] for p, v in rep_b.partitions.items()
+    }
+    assert rep_a.drift == rep_b.drift
+
+    def viol_df(out):
+        ds = violations_dataset(out)
+        df = ds.to_pandas()
+        df["tokens"] = df["tokens"].map(
+            lambda v: None if v is None else tuple(int(x) for x in v)
+        )
+        return df.sort_values(
+            ["doc_id", "tokens", "n_tok", "source"], na_position="first"
+        ).reset_index(drop=True)
+
+    a, b = viol_df(out_a), viol_df(out_b)
+    pd.testing.assert_frame_equal(
+        a.drop(columns=["checks_failed"]), b.drop(columns=["checks_failed"])
+    )
+    assert a["checks_failed"].map(tuple).tolist() == b["checks_failed"].map(tuple).tolist()
