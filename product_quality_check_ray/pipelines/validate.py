@@ -145,11 +145,17 @@ class RowCheckStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         paths = batch.column("path")
         data = batch.drop_columns(["path"])
-        out_rows: list[dict] = []
-        # a block almost always comes from one file; group defensively anyway
-        for path in pc.unique(paths).to_pylist():
-            sel = data.filter(pc.equal(paths, path))
-            out_rows.extend(self._process_group(path, sel))
+        # a block almost always comes from ONE file: skip the equal+filter
+        # there — the filter copies the whole token payload per batch and
+        # was the stage's single biggest non-kernel cost when profiled
+        uniq = pc.unique(paths)
+        if len(uniq) == 1:
+            out_rows = self._process_group(uniq[0].as_py(), data)
+        else:
+            out_rows = []
+            for path in uniq.to_pylist():
+                sel = data.filter(pc.equal(paths, path))
+                out_rows.extend(self._process_group(path, sel))
         return pa.Table.from_pylist(out_rows, schema=_PARTIAL_SCHEMA)
 
     def _process_group(self, path: str, t: pa.Table) -> list[dict]:
