@@ -192,6 +192,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
     "seq_stats_prescreen",
+    "seq_keyrange_audit",
     "seq_detokenize",
     "doc_exact_dup_groups",
     "embedding_label_stats",
@@ -462,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
         "seq_rowgroup_audit": lambda sf: tk.seq_rowgroup_audit(sf),  # footer-only row-group sizing audit
         "seq_stats_prescreen": lambda sf: tk.seq_stats_prescreen(sf),  # footer-stats check-pruning proofs
+        "seq_keyrange_audit": lambda sf: tk.seq_keyrange_audit(sf),  # doc_id range disjointness audit
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -1975,6 +1977,44 @@ def oracle_sql() -> dict[str, str]:
               + CAST(prove_token_neg AS BIGINT) + CAST(prove_bad_source AS BIGINT)
               + CAST(prove_ntok_range AS BIGINT) AS n_proven
             FROM flags
+        """,
+        # fragment doc_id key-range audit: per-file footer min/max bounds
+        # (all-null row groups contribute nothing; a stat-less non-empty
+        # group makes the file unknown) + pairwise-overlap via self-join
+        "seq_keyrange_audit": f"""
+            WITH cc AS (
+              SELECT file_name, row_group_num_rows,
+                     stats_min_value, stats_max_value, stats_null_count
+              FROM parquet_metadata('{seq_glob}')
+              WHERE path_in_schema = 'doc_id' AND row_group_num_rows > 0
+            ),
+            agg AS (
+              SELECT file_name,
+                min(stats_min_value) AS id_min,
+                max(stats_max_value) AS id_max,
+                count(*) FILTER (
+                  WHERE stats_min_value IS NULL
+                    AND NOT coalesce(stats_null_count = row_group_num_rows, FALSE)
+                ) = 0 AS stats_known
+              FROM cc GROUP BY file_name
+            ),
+            base AS (
+              SELECT f.file_name,
+                     regexp_extract(f.file_name, '[^/]+$') AS fragment,
+                     a.id_min, a.id_max,
+                     coalesce(a.stats_known, TRUE) AS stats_known
+              FROM parquet_file_metadata('{seq_glob}') f
+              LEFT JOIN agg a USING (file_name)
+            )
+            SELECT fragment, id_min, id_max, stats_known,
+              EXISTS (
+                SELECT 1 FROM base o
+                WHERE o.file_name <> b.file_name
+                  AND o.stats_known AND b.stats_known
+                  AND o.id_min IS NOT NULL AND b.id_min IS NOT NULL
+                  AND o.id_min <= b.id_max AND b.id_min <= o.id_max
+              ) AS overlaps_other
+            FROM base b
         """,
         # per-partition pass/fail: the seq_check_counts predicate set
         # grouped by fragment; passed = zero violating rows in the fragment

@@ -147,6 +147,7 @@ def cmd_audit(args: argparse.Namespace) -> int:
         seq_corpus_manifest,
         seq_rowgroup_audit,
         seq_shard_schema_audit,
+        seq_keyrange_audit,
         seq_shard_stats,
         seq_stats_prescreen,
     )
@@ -155,6 +156,7 @@ def cmd_audit(args: argparse.Namespace) -> int:
     stats = seq_shard_stats(args.input)
     rg = seq_rowgroup_audit(args.input)
     pre = seq_stats_prescreen(args.input)
+    kr = seq_keyrange_audit(args.input)
     sigs = schema.column("schema_sig").to_pylist()
     sig_counts: dict[str, int] = {}
     for s in sigs:
@@ -211,6 +213,16 @@ def cmd_audit(args: argparse.Namespace) -> int:
         # pairing (the one check no per-column stat can see)
         "fragments_proven_except_mismatch": int(
             sum(1 for v in pre.column("n_proven").to_pylist() if v >= 6)
+        ),
+        # TRUE ⇒ the uniqueness pass runs shuffle-free (see
+        # dupfinder.find_duplicates range_pruning): all fragment doc_id
+        # ranges are footer-known and pairwise disjoint
+        "id_ranges_disjoint": bool(
+            kr.num_rows == 0
+            or (
+                all(kr.column("stats_known").to_pylist())
+                and not any(kr.column("overlaps_other").to_pylist())
+            )
         ),
     }
     if args.manifest_out:

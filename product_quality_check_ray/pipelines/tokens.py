@@ -4088,3 +4088,81 @@ def seq_stats_prescreen(sf_dir: str, files_per_task: int = 64) -> pa.Table:
         [sum(r[2:]) for r in rows], type=pa.int64()
     )
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Fragment key-range audit (doc_id footer min/max + overlap flags)
+# ---------------------------------------------------------------------------
+# Whether a corpus's fragments carry pairwise-disjoint doc_id ranges decides
+# the cost class of every id-keyed global operation: disjoint ranges (a
+# sorted or id-partitioned writer) make uniqueness, diffing and resolve-back
+# joins embarrassingly parallel — no hash exchange at all (see
+# state/dupfinder.find_duplicates range_pruning) — while one overlapping
+# shard forces the full shuffle. This audit reads ONLY footers (string
+# min/max stats are sound bounds even when truncated: truncated min is a
+# lower bound, truncated max an upper bound, so stats ranges CONTAIN true
+# ranges) and reports each fragment's bounds plus whether it overlaps any
+# other fragment. Reference analog: none (the reference is single-file);
+# this is the Ray-native partitioning-contract check the north rule's
+# "partitioning handled explicitly" asks for.
+
+_KEYRANGE_SCHEMA = pa.schema(
+    [
+        ("fragment", pa.string()),
+        ("id_min", pa.string()),
+        ("id_max", pa.string()),
+        ("stats_known", pa.bool_()),
+        ("overlaps_other", pa.bool_()),
+    ]
+)
+
+
+def seq_keyrange_audit(sf_dir: str, files_per_task: int = 64) -> pa.Table:
+    """Per-fragment doc_id footer range + pairwise overlap flag (contract in
+    the section comment above). ``overlaps_other`` is computed over the
+    stats bounds of fragments with known, non-empty ranges; unknown-stats
+    fragments report overlaps_other=false (their flag is ``stats_known`` —
+    an unknown range already disables every range-pruned fast path)."""
+    import os
+
+    from ..datagen import resolve_sequences
+    from ..state.dupfinder import fragment_id_ranges
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _KEYRANGE_SCHEMA.empty_table()
+    rows = sorted(
+        (os.path.basename(p), lo, hi, known)
+        for p, lo, hi, known in fragment_id_ranges(
+            files, files_per_task=files_per_task
+        )
+    )
+    # O(F log F) overlap detection over fragment-count-sized metadata,
+    # equivalent to the SQL self-join EXISTS: after sorting by (lo, hi), a
+    # span overlaps an EARLIER one iff prefix-max(hi) >= its lo (earlier
+    # spans have lo <= its lo), and a LATER one iff suffix-min(lo) <= its hi
+    spans = sorted(
+        (lo, hi, i)
+        for i, (_, lo, hi, known) in enumerate(rows)
+        if known and lo is not None
+    )
+    overlaps = [False] * len(rows)
+    pre_hi = None
+    for j, (lo, hi, i) in enumerate(spans):
+        if pre_hi is not None and pre_hi >= lo:
+            overlaps[i] = True
+        pre_hi = hi if pre_hi is None else max(pre_hi, hi)
+    suf_lo = None
+    for lo, hi, i in reversed(spans):
+        if suf_lo is not None and suf_lo <= hi:
+            overlaps[i] = True
+        suf_lo = lo if suf_lo is None else min(suf_lo, lo)
+    return pa.table(
+        {
+            "fragment": pa.array([r[0] for r in rows], type=pa.string()),
+            "id_min": pa.array([r[1] for r in rows], type=pa.string()),
+            "id_max": pa.array([r[2] for r in rows], type=pa.string()),
+            "stats_known": pa.array([r[3] for r in rows], type=pa.bool_()),
+            "overlaps_other": pa.array(overlaps, type=pa.bool_()),
+        }
+    )

@@ -103,10 +103,108 @@ def _recover_fragment(path: str, dup_hashes_sorted: np.ndarray) -> dict[str, int
     }
 
 
-def find_duplicates(files: list[str], ranges: int | None = None) -> dict[str, int]:
-    """Exact global {doc_id: count} for doc_ids appearing more than once."""
+@ray.remote
+def _fragment_id_ranges(paths: list[str]) -> list:
+    """Footer-only doc_id range scan: (path, min, max, known) per fragment.
+    Parquet string stats may be TRUNCATED, but truncated min is a lower
+    bound and truncated max an upper bound, so [stats_min, stats_max] always
+    CONTAINS the true id range — disjoint stats ranges imply disjoint true
+    ranges (sound). ``known`` is False when any non-empty row group lacks
+    min/max stats; all-empty fragments report known=True with (None, None)
+    (they cannot contain ids)."""
+    out = []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).path == "doc_id":
+                idx = i
+                break
+        lo = hi = None
+        known = idx is not None
+        for ri in range(md.num_row_groups):
+            rg = md.row_group(ri)
+            if rg.num_rows == 0 or idx is None:
+                continue
+            st = rg.column(idx).statistics
+            if st is None or not st.has_min_max:
+                # an all-null chunk legitimately has no min/max and no ids
+                if st is not None and st.has_null_count and st.null_count == rg.num_rows:
+                    continue
+                known = False
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((p, lo, hi, known))
+    return out
+
+
+def fragment_id_ranges(files: list[str], files_per_task: int = 64) -> list:
+    """[(path, min, max, known)] for every fragment — footers only."""
+    refs = [
+        _fragment_id_ranges.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    return [r for part in ray.get(refs) for r in part]
+
+
+def ranges_pairwise_disjoint(ranges: list) -> bool:
+    """True iff every fragment's id range is known and STRICTLY disjoint
+    from every other's (equal endpoints count as overlap: the same id could
+    sit at both boundaries). Fragments with no ids (None bounds) never
+    overlap anything."""
+    spans = []
+    for _, lo, hi, known in ranges:
+        if not known:
+            return False
+        if lo is None:
+            continue
+        spans.append((lo, hi))
+    spans.sort()
+    return all(spans[i - 1][1] < spans[i][0] for i in range(1, len(spans)))
+
+
+@ray.remote
+def _local_duplicates(paths: list[str]) -> dict[str, int]:
+    """Within-task exact duplicate counts (used when fragment id ranges are
+    globally disjoint, so a duplicate can only live inside one fragment)."""
+    t = pa.concat_tables(pq.read_table(p, columns=["doc_id"]) for p in paths)
+    col = t.column("doc_id").drop_null().combine_chunks()
+    if len(col) == 0:
+        return {}
+    vc = pc.value_counts(col)
+    vals = vc.field("values").to_pylist()
+    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    return {v: int(c) for v, c in zip(vals, counts) if c > 1}
+
+
+def find_duplicates(
+    files: list[str], ranges: int | None = None, *, range_pruning: bool = True
+) -> dict[str, int]:
+    """Exact global {doc_id: count} for doc_ids appearing more than once.
+
+    ``range_pruning=True`` (default) first reads doc_id min/max from every
+    fragment's footer: when the ranges are pairwise disjoint (a sorted /
+    id-partitioned writer — the well-behaved 100 TB corpus), duplicates can
+    only live WITHIN a fragment, so the global hash exchange is skipped
+    entirely and each fragment self-checks in one embarrassingly parallel
+    pass — zero bytes shuffled. Overlapping or stat-less ranges fall back to
+    the exact hash-range tree reduce below; both paths return identical
+    results (pinned by test).
+    """
     if not files:
         return {}
+    if range_pruning and ranges_pairwise_disjoint(fragment_id_ranges(files)):
+        group = max(1, len(files) // 64)
+        totals: dict[str, int] = {}
+        for d in ray.get(
+            [
+                _local_duplicates.remote(files[i : i + group])
+                for i in range(0, len(files), group)
+            ]
+        ):
+            totals.update(d)  # disjoint ranges → disjoint key sets per task
+        return totals
     if ranges is None:
         try:
             ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))

@@ -1935,3 +1935,105 @@ def test_cli_validate_preaudit(ray_session, tmp_path):
     s2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["preaudit_failed"] and s2["schema_deviant_fragments"] == ["frag-zz.parquet"]
     assert not os.path.exists(os.path.join(str(tmp_path / "outp2"), "_RUN_SUCCESS.json"))
+
+
+def _write_id_frag(d, name, ids, write_statistics=True):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "tokens": pa.array([[1, 2]] * len(ids), type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * len(ids), type=pa.int32()),
+            "source": pa.array(["web"] * len(ids), type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / name), write_statistics=write_statistics)
+    return str(d / name)
+
+
+def test_keyrange_audit_planted(ray_session, tmp_path):
+    """Disjoint fragments don't flag; an overlapping pair flags BOTH sides;
+    a stats-less fragment reports stats_known=false and never joins the
+    overlap computation; all-null and empty fragments are known with null
+    bounds; a range that CONTAINS another (not just crosses its boundary)
+    still flags — the prefix/suffix formulation must catch nesting."""
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    _write_id_frag(d, "frag-000.parquet", ["a-1", "a-2", "a-9"])       # [a-1, a-9]
+    _write_id_frag(d, "frag-001.parquet", ["b-1", "b-5"])              # [b-1, b-5]
+    _write_id_frag(d, "frag-002.parquet", ["c-1", "c-9"])              # [c-1, c-9]
+    _write_id_frag(d, "frag-003.parquet", ["c-2", "c-3"])              # nested in 002
+    _write_id_frag(d, "frag-004.parquet", ["d-1"], write_statistics=False)
+    _write_id_frag(d, "frag-005.parquet", [None, None])                # all-null ids
+    _write_id_frag(d, "frag-006.parquet", [])                          # empty
+
+    out = tk.seq_keyrange_audit(str(d)).to_pandas().set_index("fragment")
+    assert not out.loc["frag-000.parquet"].overlaps_other
+    assert not out.loc["frag-001.parquet"].overlaps_other
+    assert bool(out.loc["frag-002.parquet"].overlaps_other)
+    assert bool(out.loc["frag-003.parquet"].overlaps_other)
+    f4 = out.loc["frag-004.parquet"]
+    assert not f4.stats_known and not f4.overlaps_other
+    f5 = out.loc["frag-005.parquet"]
+    assert f5.stats_known and f5.id_min is None and not f5.overlaps_other
+    f6 = out.loc["frag-006.parquet"]
+    assert f6.stats_known and f6.id_min is None
+    assert (out.loc[["frag-000.parquet", "frag-001.parquet", "frag-002.parquet"],
+                    "stats_known"]).all()
+
+
+def test_dupfinder_range_pruning(ray_session, tmp_path):
+    """Disjoint fragment id ranges take the shuffle-free local path and
+    return EXACTLY what the global hash-range reduce returns (within-
+    fragment dups found, cross-fragment impossible by disjointness); an
+    overlapping corpus falls back and still matches; the disjointness
+    predicate itself is pinned on both corpora."""
+    from product_quality_check_ray.state import dupfinder
+
+    d = tmp_path / "sorted"
+    d.mkdir()
+    # sorted writer: fragment k owns ids k000..k999; plant within-frag dups
+    files = []
+    for k in range(4):
+        ids = [f"id-{k:02d}-{i:04d}" for i in range(50)]
+        ids += [f"id-{k:02d}-0007", f"id-{k:02d}-0007"]  # triple of -0007
+        files.append(_write_id_frag(d, f"frag-{k:03d}.parquet", sorted(ids)))
+
+    ranges = dupfinder.fragment_id_ranges(files)
+    assert dupfinder.ranges_pairwise_disjoint(ranges)
+    fast = dupfinder.find_duplicates(files)
+    slow = dupfinder.find_duplicates(files, range_pruning=False)
+    assert fast == slow
+    assert fast == {f"id-{k:02d}-0007": 3 for k in range(4)}
+
+    # overlapping corpus: duplicate id spans two fragments — the fast path
+    # must NOT activate (disjointness false) and results still match
+    d2 = tmp_path / "overlap"
+    d2.mkdir()
+    f_a = _write_id_frag(d2, "frag-000.parquet", ["m-1", "m-5", "x-dup"])
+    f_b = _write_id_frag(d2, "frag-001.parquet", ["m-3", "x-dup"])
+    files2 = [f_a, f_b]
+    assert not dupfinder.ranges_pairwise_disjoint(
+        dupfinder.fragment_id_ranges(files2)
+    )
+    assert (
+        dupfinder.find_duplicates(files2)
+        == dupfinder.find_duplicates(files2, range_pruning=False)
+        == {"x-dup": 2}
+    )
+
+    # touching endpoints (equal boundary id) count as OVERLAP: the shared
+    # id sits in both fragments, so the local path would undercount
+    d3 = tmp_path / "touch"
+    d3.mkdir()
+    f_c = _write_id_frag(d3, "frag-000.parquet", ["p-1", "p-5"])
+    f_d = _write_id_frag(d3, "frag-001.parquet", ["p-5", "p-9"])
+    files3 = [f_c, f_d]
+    assert not dupfinder.ranges_pairwise_disjoint(
+        dupfinder.fragment_id_ranges(files3)
+    )
+    assert dupfinder.find_duplicates(files3) == {"p-5": 2}
