@@ -135,6 +135,58 @@ def cmd_prep(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_report(args: argparse.Namespace) -> int:
+    """Read back a run's verdicts from its output directory WITHOUT
+    re-validating (and without Ray): per-partition lineage records + the
+    run-success record. The operational complement of resume — a monitor,
+    CI step or human can ask "where is this run, what failed" at any time,
+    including while the job is still writing or after it was killed.
+
+    Exit codes: 0 = run complete and clean; 2 = violations recorded;
+    3 = run record absent (in progress / killed before completion).
+    """
+    import os
+
+    from .state import lineage as lin
+
+    recs = lin.all_lineage(args.out)
+    run = None
+    p = lin.run_success_path(args.out)
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                run = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            run = None
+    parts = {
+        pid: {
+            "input_path": rec.get("input_path"),
+            "rows": rec.get("processed_rows"),
+            "viol_rows": rec.get("viol_rows"),
+            "pass": rec.get("viol_rows") == 0,
+            "wall_s": rec.get("wall_s"),
+        }
+        for pid, rec in recs.items()
+    }
+    failed = sorted(pid for pid, v in parts.items() if not v["pass"])
+    summary = {
+        "out_dir": args.out,
+        "run_complete": run is not None,
+        "partitions_recorded": len(parts),
+        "rows": sum(v["rows"] or 0 for v in parts.values()),
+        "viol_rows": sum(v["viol_rows"] or 0 for v in parts.values()),
+        "failed_partitions": failed[:20],
+        "n_failed_partitions": len(failed),
+        "run": run,
+    }
+    if args.partitions:
+        summary["partitions"] = parts
+    print(json.dumps(summary))
+    if run is None:
+        return 3
+    return 2 if failed else 0
+
+
 def cmd_audit(args: argparse.Namespace) -> int:
     """Shard-level pre-validation audit over a sequences corpus dir: footer
     schema fingerprints + per-(fragment, source) length stats. Seconds at
@@ -351,6 +403,18 @@ def main(argv: list[str] | None = None) -> int:
         "full read) for later `diff`-style corpus-equality audits",
     )
     a.set_defaults(fn=cmd_audit)
+
+    rp = sub.add_parser(
+        "report",
+        help="read back a run's verdicts from its out dir (no Ray, no re-validation)",
+    )
+    rp.add_argument("--out", required=True, help="a validation run's output directory")
+    rp.add_argument(
+        "--partitions",
+        action="store_true",
+        help="include the full per-partition verdict map in the JSON",
+    )
+    rp.set_defaults(fn=cmd_report)
 
     d = sub.add_parser(
         "diff",

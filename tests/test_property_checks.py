@@ -322,3 +322,52 @@ def test_prefix_pair_kernel_matches_naive(lists, data):
         if len(rows[i]) < len(rows[j]) and rows[j][: len(rows[i])] == rows[i]
     )
     assert got == expected
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(row, min_size=0, max_size=30), st.booleans())
+def test_footer_prescreen_sound_on_arbitrary_corpora(ray_session, rows, stats_on):
+    """Soundness of the footer-statistics proofs on ARBITRARY corpora: a
+    check the prescreen proves clean for a fragment must never fire on any
+    of that fragment's rows per the (independently differential-tested) row
+    kernel — including with statistics writing disabled (nothing may prove
+    then, except vacuously on 0 rows)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from product_quality_check_ray.pipelines.tokens import (
+        _PRESCREEN_CHECKS,
+        _min_source_cap,
+        _scan_stats_prescreen,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.string()),
+            "tokens": pa.array([r["tokens"] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([r["n_tok"] for r in rows], type=pa.int32()),
+            "source": pa.array([r["source"] for r in rows], type=pa.string()),
+        }
+    )
+    ctx = build_check_ctx(vocab=VOCAB_SMALL)
+    mat = row_check_matrix(t, ctx)
+    fired = {name: bool(mat[:, j].any()) for j, name in enumerate(ROW_CHECK_NAMES)}
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "frag-000.parquet")
+        pq.write_table(t, p, write_statistics=stats_on, row_group_size=7)
+        [(path, n_rows, *flags)] = _ray.get(
+            _scan_stats_prescreen.remote(
+                [p], VOCAB_SMALL, _min_source_cap(), ctx["allowed_sources"]
+            )
+        )
+    assert n_rows == t.num_rows
+    for name, proven in zip(_PRESCREEN_CHECKS, flags):
+        check = name[len("prove_") :]
+        if proven:
+            assert not fired[check], (check, rows)
+    if not stats_on and t.num_rows:
+        assert not any(flags)

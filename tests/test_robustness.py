@@ -567,3 +567,68 @@ def test_cli_audit_manifest_and_rowgroups(tmp_path):
     assert line["manifest_out"] == mpath and line["n_twin_fragments"] == 2
     man = pq.read_table(mpath)
     assert man.column("content_sum").to_pylist()[0] == man.column("content_sum").to_pylist()[1]
+
+
+def test_cli_report_subcommand(ray_session, tmp_path):
+    """report reads verdicts back from lineage without Ray or re-validation:
+    exit 0 on a clean completed run, 2 when violations were recorded, 3 when
+    the run record is absent (killed mid-run) — with partitions still
+    visible in that case."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from product_quality_check_ray.pipelines.validate import run_validation
+    from product_quality_check_ray.state import lineage as lin
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(64)]),
+            "tokens": pa.array([[1, 2]] * 64, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 64, type=pa.int32()),
+            "source": pa.array(["web"] * 64),
+        }
+    )
+    pq.write_table(t.slice(0, 32), os.path.join(d, "frag-00000.parquet"))
+    pq.write_table(t.slice(32), os.path.join(d, "frag-00001.parquet"))
+    out = str(tmp_path / "out")
+    run_validation(d, out, resume=False)
+
+    def report(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "report",
+             "--out", out, *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        )
+
+    r = report("--partitions")
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["run_complete"] and line["rows"] == 64 and line["viol_rows"] == 0
+    assert len(line["partitions"]) == 2
+
+    # violations → exit 2
+    bad = pa.table(
+        {
+            "doc_id": pa.array([None, "x-000000000001"], type=pa.string()),
+            "tokens": pa.array([[1], [2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1], type=pa.int32()),
+            "source": pa.array(["web", "web"]),
+        }
+    )
+    pq.write_table(bad, os.path.join(d, "frag-00002.parquet"))
+    run_validation(d, out, resume=True)
+    r2 = report()
+    assert r2.returncode == 2
+    line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line2["viol_rows"] == 1 and line2["n_failed_partitions"] == 1
+
+    # killed-before-completion look: run record gone, lineage intact → 3
+    os.remove(lin.run_success_path(out))
+    r3 = report()
+    assert r3.returncode == 3
+    line3 = _json.loads(r3.stdout.strip().splitlines()[-1])
+    assert not line3["run_complete"] and line3["partitions_recorded"] == 3
