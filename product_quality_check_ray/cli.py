@@ -38,9 +38,29 @@ def cmd_validate(args: argparse.Namespace) -> int:
     from .pipelines.validate import run_validation
 
     if args.preaudit:
-        # fail fast on shard-level schema deviance BEFORE paying for the
-        # row-level pass — footers only, seconds at any corpus size
-        from .pipelines.tokens import seq_shard_schema_audit
+        # fail fast on unreadable shards and shard-level schema deviance
+        # BEFORE paying for the row-level pass — footers only, seconds at
+        # any corpus size
+        import os as _os
+
+        from .pipelines.tokens import probe_unreadable, seq_shard_schema_audit
+        from .pipelines.validate import input_fragments
+
+        unreadable = probe_unreadable(input_fragments(args.input))
+        if unreadable:
+            print(
+                json.dumps(
+                    {
+                        "preaudit_failed": True,
+                        "unreadable_fragments": [
+                            [_os.path.basename(p), err[:200]]
+                            for p, err in unreadable[:20]
+                        ],
+                        "n_unreadable": len(unreadable),
+                    }
+                )
+            )
+            return 2
 
         schema = seq_shard_schema_audit(args.input)
         sigs = schema.column("schema_sig").to_pylist()
@@ -195,7 +215,9 @@ def cmd_audit(args: argparse.Namespace) -> int:
     import os
 
     _init_ray(args.num_cpus)
+    from .datagen import resolve_sequences
     from .pipelines.tokens import (
+        probe_unreadable,
         seq_corpus_manifest,
         seq_rowgroup_audit,
         seq_shard_schema_audit,
@@ -203,6 +225,23 @@ def cmd_audit(args: argparse.Namespace) -> int:
         seq_shard_stats,
         seq_stats_prescreen,
     )
+
+    # unreadable shards (truncated upload, zero bytes, garbage) fail HERE
+    # with their names — every later audit (and DuckDB, and any reader)
+    # would otherwise die mid-task on the first bad footer
+    unreadable = probe_unreadable(resolve_sequences(args.input))
+    if unreadable:
+        print(
+            json.dumps(
+                {
+                    "unreadable_fragments": [
+                        [os.path.basename(p), err[:200]] for p, err in unreadable[:20]
+                    ],
+                    "n_unreadable": len(unreadable),
+                }
+            )
+        )
+        return 2
 
     schema = seq_shard_schema_audit(args.input)
     stats = seq_shard_stats(args.input)

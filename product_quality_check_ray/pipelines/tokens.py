@@ -4166,3 +4166,32 @@ def seq_keyrange_audit(sf_dir: str, files_per_task: int = 64) -> pa.Table:
             "overlaps_other": pa.array(overlaps, type=pa.bool_()),
         }
     )
+
+
+@ray.remote
+def _probe_footers(paths: list) -> list:
+    """(path, error-string) for fragments whose FOOTER cannot be read —
+    truncated uploads, zero-byte files, non-parquet garbage. Footer-only."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        try:
+            pq.ParquetFile(p).metadata
+        except Exception as ex:  # noqa: BLE001 — any unreadable shard is the finding
+            out.append((p, f"{type(ex).__name__}: {ex}"))
+    return out
+
+
+def probe_unreadable(files: list, files_per_task: int = 64) -> list:
+    """[(path, error)] for every fragment with an unreadable footer. The
+    cheapest possible corpus health gate: a truncated or garbage shard
+    fails HERE with its name, not 40 minutes into a row-level run as an
+    opaque Ray task error."""
+    if not files:
+        return []
+    refs = [
+        _probe_footers.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    return sorted(r for part in ray.get(refs) for r in part)

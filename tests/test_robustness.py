@@ -632,3 +632,46 @@ def test_cli_report_subcommand(ray_session, tmp_path):
     assert r3.returncode == 3
     line3 = _json.loads(r3.stdout.strip().splitlines()[-1])
     assert not line3["run_complete"] and line3["partitions_recorded"] == 3
+
+
+def test_cli_audit_unreadable_shard(ray_session, tmp_path):
+    """A truncated / garbage shard fails the audit AND validate --preaudit
+    fast, with the shard NAMED — not as an opaque mid-task Arrow error."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(32)]),
+            "tokens": pa.array([[1, 2]] * 32, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 32, type=pa.int32()),
+            "source": pa.array(["web"] * 32),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    good = open(os.path.join(d, "frag-00000.parquet"), "rb").read()
+    with open(os.path.join(d, "frag-00001.parquet"), "wb") as f:
+        f.write(good[:-60])  # truncated footer
+
+    def run(*cmd):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", *cmd,
+             "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    r = run("audit", "--input", d)
+    assert r.returncode == 2, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["n_unreadable"] == 1
+    assert line["unreadable_fragments"][0][0] == "frag-00001.parquet"
+
+    out = str(tmp_path / "out")
+    r2 = run("validate", "--input", d, "--out", out, "--preaudit")
+    assert r2.returncode == 2, r2.stderr[-2000:]
+    line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line2["preaudit_failed"] and line2["n_unreadable"] == 1
