@@ -182,12 +182,26 @@ def _bench_query_fns() -> list[tuple[str, object]]:
     ]
 
 
+def _warm_v2_corpus() -> None:
+    """Materialize the derived v2 corpus OUTSIDE any timer: seq_corpus_diff
+    generates it on first use, and on a fresh machine that one-time datagen
+    (71 s at sf0.1) would otherwise be booked against the pipeline wall."""
+    try:
+        from product_quality_check_ray.datagen import ensure_sequences_v2
+
+        if not os.environ.get("PQCRAY_SEQ_DIR"):
+            ensure_sequences_v2(SF_DIR)
+    except Exception:
+        pass  # non-fixture SF dirs: diff-style queries warm on first read
+
+
 def run_suite() -> dict:
     _init_ray(NUM_CPUS)
     queries: dict[str, float] = {}
     extras: dict = {}
 
     _warm_tables()
+    _warm_v2_corpus()
     r = _validate_once(SF_DIR, "/tmp/pqcray_bench_out")
     queries["validate"] = round(r["wall_s"], 3)
     extras["rows_validated"] = r["rows"]
@@ -267,6 +281,7 @@ def run_one_query(name: str) -> dict:
         _warm_files(sorted(_glob.glob(os.path.join(seq, "*.parquet"))))
     except Exception:
         pass  # non-fixture SF dirs: queries that need sequences will warm on read
+    _warm_v2_corpus()
     t0 = time.time()
     _consume(fns[name](SF_DIR))
     return {"name": name, "wall_s": time.time() - t0}
