@@ -131,8 +131,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_split_leakage",
     "seq_partition_verdicts",
     "seq_shard_stats",
-    "seq_vocab_coverage",
-    "seq_split_assign",
+    "seq_stats_prescreen",
+    "seq_keyrange_audit",
     "seq_repetition_scores",
     "seq_length_batches",
     "seq_unigram_lm_score",
@@ -191,8 +191,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_lcs_pairs",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
-    "seq_stats_prescreen",
-    "seq_keyrange_audit",
+    "seq_vocab_coverage",
+    "seq_split_assign",
     "seq_detokenize",
     "doc_exact_dup_groups",
     "embedding_label_stats",

@@ -24,6 +24,8 @@ MUST_BE_IN_WINDOW = [
     "seq_corpus_diff",
     "seq_split_leakage",
     "seq_partition_verdicts",
+    "seq_stats_prescreen",  # footer-proof family (round-3 flagship additions)
+    "seq_keyrange_audit",
     "doc_lcs_pairs",
     "doc_strip_dup_spans",
     "clean_documents_full",
