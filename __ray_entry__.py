@@ -196,6 +196,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_detokenize",
     "doc_exact_dup_groups",
     "embedding_label_stats",
+    "embedding_validate",
     "multimodal_audio",
     "multimodal_video_frames",
     "multimodal_resize",
@@ -518,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": sim.knn_ivf,  # seeded-quantizer IVF — full SQL oracle
         "knn_ivf_kmeans": sim.knn_ivf_kmeans,  # Lloyd-trained lists — rows-only (recall in pytest)
         "embedding_label_stats": sim.embedding_label_stats,
+        "embedding_validate": sim.embedding_validate,  # row checks generalized to the embeddings table
         "embedding_kmeans": lambda sf: sim.kmeans_fit(sf, k=8, iters=10)[1],  # iterative — rows-only
         # --- multimodal columns
         "multimodal_features": mm.multimodal_features,  # header parse + fake dims — rows-only
@@ -3263,6 +3265,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n_vecs,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        # embeddings-table validation: flags replayed per row (null element
+        # counts as non-finite; zero_norm only on fully-finite vectors —
+        # abs-sum == 0 is order- and precision-independent for non-negative
+        # floats, so both engines agree exactly); null labels fold into -1
+        "embedding_validate": """
+            WITH f AS (
+              SELECT coalesce(label, -1) AS label,
+                vec_id IS NULL AS null_id,
+                embedding IS NULL AS null_vec,
+                embedding IS NOT NULL AND len(embedding) <> 64 AS dim_mismatch,
+                embedding IS NOT NULL AND len(list_filter(embedding,
+                    x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 AS nonfinite,
+                embedding IS NOT NULL AND len(list_filter(embedding,
+                    x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+                  AND coalesce(list_sum(list_transform(embedding, x -> abs(x))), 0) = 0
+                  AS zero_norm
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (WHERE null_id) AS BIGINT) AS null_id,
+              CAST(count(*) FILTER (WHERE null_vec) AS BIGINT) AS null_vec,
+              CAST(count(*) FILTER (WHERE dim_mismatch) AS BIGINT) AS dim_mismatch,
+              CAST(count(*) FILTER (WHERE nonfinite) AS BIGINT) AS nonfinite,
+              CAST(count(*) FILTER (WHERE zero_norm) AS BIGINT) AS zero_norm,
+              CAST(count(*) FILTER (WHERE null_id OR null_vec OR dim_mismatch
+                   OR nonfinite OR zero_norm) AS BIGINT) AS viol_rows,
+              count(*) FILTER (WHERE null_id OR null_vec OR dim_mismatch
+                   OR nonfinite OR zero_norm) = 0 AS passed
+            FROM f GROUP BY label ORDER BY label
         """,
         # generated twins: literal hyperplanes / hash-ranked seeds — any
         # bucketing, probing, scoring or tie-break drift hash-mismatches

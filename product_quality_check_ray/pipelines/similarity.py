@@ -21,6 +21,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -1171,3 +1172,102 @@ def knn_ivf_oracle_sql(
         ) WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-table validation (the row-check engine generalized off tokens)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64  # declared embedding width of the fixture table
+
+
+def embedding_validate(sf_dir: str, dim: int = EMB_DIM) -> pa.Table:
+    """Per-label validation verdicts over the embeddings table: counts of
+    rows with a null vec_id, null vector, wrong dimension, any non-finite
+    (NaN/Inf/null) element, or an exactly-zero vector — plus the violating-
+    row total and a passed flag. The same fused-kernel + per-batch-combiner
+    + tiny-groupby shape as the sequences validation engine, applied to the
+    second payload table: one streaming pass, the embedding payload never
+    shuffles, the groupby moves a handful of small-int rows per batch.
+
+    Flag semantics (SQL-mirrored exactly): ``nonfinite`` counts null
+    elements as non-finite (a null inside a vector is as unusable as NaN);
+    ``zero_norm`` fires only on fully-finite vectors whose abs-sum is
+    exactly 0.0 (an empty vector is zero-norm AND dim-mismatched).
+
+    Reference analog: the per-row verdict dict over a validated frame
+    (app.py's check loop), lifted to the embeddings modality.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _emb(sf_dir)
+    flags = ("null_id", "null_vec", "dim_mismatch", "nonfinite", "zero_norm")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        n = t.num_rows
+        vec = t.column("embedding").combine_chunks()
+        null_id = np.asarray(pc.is_null(t.column("vec_id")).to_numpy(zero_copy_only=False), dtype=bool)
+        null_vec = np.asarray(pc.is_valid(vec).to_numpy(zero_copy_only=False), dtype=bool)
+        null_vec = ~null_vec
+        offs = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        inner = vec.values
+        if inner.null_count:
+            inner = pc.fill_null(inner, float("nan"))
+        vals = np.asarray(inner.to_numpy(zero_copy_only=False), dtype=np.float64)
+        vals = vals[: offs[-1]] if offs.size else vals[:0]
+        lens = offs[1:] - offs[:-1]
+        dim_mismatch = ~null_vec & (lens != dim)
+        bad = ~np.isfinite(vals)
+        nonfin_cnt = np.zeros(n, dtype=np.int64)
+        abs_sum = np.zeros(n, dtype=np.float64)
+        nonempty = lens > 0
+        if vals.size and nonempty.any():
+            starts = offs[:-1][nonempty]
+            nonfin_cnt[nonempty] = np.add.reduceat(bad.astype(np.int64), starts)
+            abs_sum[nonempty] = np.add.reduceat(np.abs(vals), starts)
+        nonfinite = ~null_vec & (nonfin_cnt > 0)
+        zero_norm = ~null_vec & (nonfin_cnt == 0) & (abs_sum == 0.0)
+        viol = null_id | null_vec | dim_mismatch | nonfinite | zero_norm
+        # null labels fold into the -1 sentinel group (SQL: coalesce(label,
+        # -1)) — a nullable group key would be engine-dependent in both
+        # pandas and the Dataset groupby
+        lab = np.asarray(
+            pc.fill_null(pc.cast(t.column("label"), pa.int64()), -1).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+        df = pd.DataFrame(
+            {
+                "label": lab,
+                "n_rows": 1,
+                "null_id": null_id.astype(np.int64),
+                "null_vec": null_vec.astype(np.int64),
+                "dim_mismatch": dim_mismatch.astype(np.int64),
+                "nonfinite": nonfinite.astype(np.int64),
+                "zero_norm": zero_norm.astype(np.int64),
+                "viol_rows": viol.astype(np.int64),
+            }
+        )
+        g = df.groupby("label", as_index=False, dropna=False).sum()
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(_aout(partial), batch_format="pyarrow")
+        .materialize()  # tiny combiner output; see core/batches.py note
+        .groupby("label")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            *[Sum(f, alias_name=f) for f in flags],
+            Sum("viol_rows", alias_name="viol_rows"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_rows", *flags, "viol_rows"):
+            df[c] = df[c].astype(np.int64)
+        df["passed"] = df["viol_rows"] == 0
+        return df[["label", "n_rows", *flags, "viol_rows", "passed"]]
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("label"))

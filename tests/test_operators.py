@@ -2037,3 +2037,57 @@ def test_dupfinder_range_pruning(ray_session, tmp_path):
         dupfinder.fragment_id_ranges(files3)
     )
     assert dupfinder.find_duplicates(files3) == {"p-5": 2}
+
+
+def test_embedding_validate_planted(ray_session, tmp_path):
+    """Each violation class fires exactly once where planted; null labels
+    fold into the -1 sentinel group; a null ELEMENT counts as non-finite;
+    the zero vector is zero_norm but not nonfinite; the engine agrees with
+    the DuckDB oracle on the same file."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.similarity import embedding_validate
+
+    D = 64
+    ok = [0.5] * D
+    rows = {
+        "vec_id": pa.array([None, 1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+        "embedding": pa.array(
+            [
+                ok,                      # label 0: null_id only
+                None,                    # label 0: null_vec
+                [0.1] * (D - 1),         # label 1: dim_mismatch
+                [float("nan")] + ok[1:], # label 1: nonfinite (NaN)
+                [float("inf")] + ok[1:], # label 2: nonfinite (Inf)
+                [None] + ok[1:],         # label 2: nonfinite (null element)
+                [0.0] * D,               # null label → -1 group: zero_norm
+                ok,                      # label 3: clean
+            ],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array([0, 0, 1, 1, 2, 2, None, 3], type=pa.int32()),
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "embeddings.parquet"))
+
+    out = embedding_validate(str(d)).to_pandas().set_index("label")
+    assert list(out.index) == [-1, 0, 1, 2, 3]
+    assert out.loc[-1, ["zero_norm", "viol_rows"]].tolist() == [1, 1]
+    assert out.loc[0, ["null_id", "null_vec", "viol_rows"]].tolist() == [1, 1, 2]
+    assert out.loc[1, ["dim_mismatch", "nonfinite", "viol_rows"]].tolist() == [1, 1, 2]
+    assert out.loc[2, ["nonfinite", "viol_rows"]].tolist() == [2, 2]
+    assert not out.loc[2, "zero_norm"] and not out.loc[2, "dim_mismatch"]
+    assert out.loc[3, "viol_rows"] == 0 and bool(out.loc[3, "passed"])
+    assert not out.loc[:2, "passed"].any()
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    oracle = con.sql(e.oracle_sql()["embedding_validate"]).df()
+    mine = embedding_validate(str(d)).to_pandas()
+    assert mine.astype(str).values.tolist() == oracle.astype(str).values.tolist()
