@@ -229,6 +229,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "grouped_topk_orders",
     "events_daily",
     "events_range_counts",
+    "events_validate",
     "events_hopping_windows",
     "customers_without_orders",
     "parts_matching_terms",
@@ -479,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_bigram_topk": lambda sf: tk.seq_bigram_topk(sf),  # exact BPE merge-candidate mining
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
+        "events_validate": lambda sf: rel.events_validate(sf),  # row checks generalized to the events table
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
         "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
         # capstone: clean → mixture → shard → chunk in ONE fused pass
@@ -3265,6 +3267,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n_vecs,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        # events-table validation: same per-row flag replay; props check is
+        # the same structural regex (not a JSON parse) on both engines
+        "events_validate": f"""
+            WITH f AS (
+              SELECT coalesce(event_type, '~null~') AS event_type,
+                event_id IS NULL AS null_id,
+                ts IS NULL AS null_ts,
+                user_id IS NULL AS null_user,
+                coalesce(value < 0, FALSE) AS neg_value,
+                props IS NOT NULL AND NOT regexp_matches(props, '^\\{{.*\\}}$') AS malformed_props,
+                coalesce(ts < TIMESTAMP '{rel.EVENTS_TS_LO}'
+                         OR ts >= TIMESTAMP '{rel.EVENTS_TS_HI}', FALSE) AS ts_range
+              FROM events
+            )
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (WHERE null_id) AS BIGINT) AS null_id,
+              CAST(count(*) FILTER (WHERE null_ts) AS BIGINT) AS null_ts,
+              CAST(count(*) FILTER (WHERE null_user) AS BIGINT) AS null_user,
+              CAST(count(*) FILTER (WHERE neg_value) AS BIGINT) AS neg_value,
+              CAST(count(*) FILTER (WHERE malformed_props) AS BIGINT) AS malformed_props,
+              CAST(count(*) FILTER (WHERE ts_range) AS BIGINT) AS ts_range,
+              CAST(count(*) FILTER (WHERE null_id OR null_ts OR null_user OR neg_value
+                   OR malformed_props OR ts_range) AS BIGINT) AS viol_rows,
+              count(*) FILTER (WHERE null_id OR null_ts OR null_user OR neg_value
+                   OR malformed_props OR ts_range) = 0 AS passed
+            FROM f GROUP BY event_type ORDER BY event_type
         """,
         # embeddings-table validation: flags replayed per row (null element
         # counts as non-finite; zero_norm only on fully-finite vectors —

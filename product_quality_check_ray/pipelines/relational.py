@@ -1436,3 +1436,82 @@ def events_range_counts(
         .map_groups(_aout(lookback), batch_format="pandas")
     )
     return _collect(out.sort("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Events-table validation (the row-check engine generalized to events)
+# ---------------------------------------------------------------------------
+
+EVENTS_TS_LO = "2000-01-01"  # broad validity window; a ts outside it is a
+EVENTS_TS_HI = "2100-01-01"  # decode/clock bug, not data
+
+
+def events_validate(sf_dir: str) -> pa.Table:
+    """Per-event-type validation verdicts over the events table: counts of
+    rows with a null event_id / ts / user_id, a negative value, a
+    structurally-malformed props payload (non-null and not ``{...}`` —
+    vectorized regex, not a JSON parse, so both engines stay row-loop-free)
+    or a timestamp outside [2000-01-01, 2100-01-01), plus the violating-row
+    total and a passed flag. Null event types fold into the ``~null~``
+    sentinel group. Same fused-kernel + combiner + tiny-groupby shape as
+    the sequences and embeddings validators; the props strings never
+    shuffle."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "events")
+    flags = ("null_id", "null_ts", "null_user", "neg_value", "malformed_props", "ts_range")
+    lo = pd.Timestamp(EVENTS_TS_LO)
+    hi = pd.Timestamp(EVENTS_TS_HI)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        def _b(a):
+            return np.asarray(a.to_numpy(zero_copy_only=False), dtype=bool)
+
+        null_id = _b(pc.is_null(t.column("event_id")))
+        null_ts = _b(pc.is_null(t.column("ts")))
+        null_user = _b(pc.is_null(t.column("user_id")))
+        neg_value = _b(pc.fill_null(pc.less(t.column("value"), 0.0), False))
+        props = t.column("props")
+        shaped = pc.match_substring_regex(props, r"^\{.*\}$")
+        malformed = _b(pc.fill_null(pc.invert(shaped), False))  # null props allowed
+        ts = t.column("ts")
+        out_lo = pc.less(ts, pa.scalar(lo.to_pydatetime()))
+        out_hi = pc.greater_equal(ts, pa.scalar(hi.to_pydatetime()))
+        ts_range = _b(pc.fill_null(pc.or_(out_lo, out_hi), False))
+        viol = null_id | null_ts | null_user | neg_value | malformed | ts_range
+        etype = pc.fill_null(t.column("event_type"), "~null~").to_pandas()
+        df = pd.DataFrame(
+            {
+                "event_type": etype,
+                "n_rows": 1,
+                "null_id": null_id.astype(np.int64),
+                "null_ts": null_ts.astype(np.int64),
+                "null_user": null_user.astype(np.int64),
+                "neg_value": neg_value.astype(np.int64),
+                "malformed_props": malformed.astype(np.int64),
+                "ts_range": ts_range.astype(np.int64),
+                "viol_rows": viol.astype(np.int64),
+            }
+        )
+        g = df.groupby("event_type", as_index=False).sum()
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(_aout(partial), batch_format="pyarrow")
+        .materialize()  # tiny combiner output; see core/batches.py note
+        .groupby("event_type")
+        .aggregate(
+            _Sum("n_rows", alias_name="n_rows"),
+            *[_Sum(f, alias_name=f) for f in flags],
+            _Sum("viol_rows", alias_name="viol_rows"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_rows", *flags, "viol_rows"):
+            df[c] = df[c].astype(np.int64)
+        df["passed"] = df["viol_rows"] == 0
+        return df[["event_type", "n_rows", *flags, "viol_rows", "passed"]]
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("event_type"))

@@ -2091,3 +2091,59 @@ def test_embedding_validate_planted(ray_session, tmp_path):
     oracle = con.sql(e.oracle_sql()["embedding_validate"]).df()
     mine = embedding_validate(str(d)).to_pandas()
     assert mine.astype(str).values.tolist() == oracle.astype(str).values.tolist()
+
+
+def test_events_validate_planted(ray_session, tmp_path):
+    """Each event violation class fires exactly once where planted; null
+    event types fold into '~null~'; null props are ALLOWED (optional field)
+    while a structurally-broken props string flags; engine matches the
+    DuckDB oracle on the same file."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.relational import events_validate
+
+    ok_ts = dt.datetime(2024, 1, 1)
+    rows = pa.table(
+        {
+            "event_id": pa.array([None, 1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+            "ts": pa.array(
+                [ok_ts, None, ok_ts, ok_ts, ok_ts,
+                 dt.datetime(1999, 12, 31), dt.datetime(2100, 1, 1), ok_ts],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 2, None, 4, 5, 6, 7, 8], type=pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "view", "view", None, "error", "error", "click"],
+                type=pa.string(),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, -0.5, 5.0, 6.0, 7.0, 8.0]),
+            "props": pa.array(
+                ['{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}', "not-json",
+                 None, '{"k": 7}', '{"k": 8}'],
+                type=pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(rows, str(d / "events.parquet"))
+
+    out = events_validate(str(d)).to_pandas().set_index("event_type")
+    assert list(out.index) == ["click", "error", "view", "~null~"]
+    assert out.loc["click", ["null_id", "null_ts", "viol_rows"]].tolist() == [1, 1, 2]
+    assert out.loc["view", ["null_user", "neg_value", "viol_rows"]].tolist() == [1, 1, 2]
+    assert out.loc["~null~", ["malformed_props", "viol_rows"]].tolist() == [1, 1]
+    # both out-of-window timestamps flag; the NULL props row does NOT
+    assert out.loc["error", ["ts_range", "malformed_props", "viol_rows"]].tolist() == [2, 0, 2]
+    assert not out["passed"].any() and out.loc["click", "n_rows"] == 3
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    oracle = con.sql(e.oracle_sql()["events_validate"]).df()
+    mine = events_validate(str(d)).to_pandas()
+    assert mine.astype(str).values.tolist() == oracle.astype(str).values.tolist()
