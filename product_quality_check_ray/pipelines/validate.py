@@ -351,6 +351,11 @@ def run_validation(
         raise FileNotFoundError(f"no parquet fragments under {input_path}")
     os.makedirs(out_dir, exist_ok=True)
     lin.clear_run_record(out_dir)
+    # the out_dir must describe THIS corpus exactly: drop ghost state for
+    # fragments removed/renamed since a prior run against the same out_dir
+    # (resume + input fingerprints already cover modified/added fragments,
+    # making a rerun a true incremental re-validation of an evolved corpus)
+    lin.gc_stale_partitions(out_dir, files)
     allow = allowlist_rows if allowlist_rows is not None else SOURCE_ALLOWLIST
     pool = concurrency if concurrency is not None else _default_pool()
 

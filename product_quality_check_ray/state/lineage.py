@@ -119,6 +119,38 @@ def reset_partition(out_dir: str, part_id: str) -> None:
     shutil.rmtree(clean_dir(out_dir, part_id), ignore_errors=True)
 
 
+def recorded_part_ids(out_dir: str) -> set[str]:
+    """Every partition id with ANY on-disk state (lineage record, violation
+    rows or clean rows) — including half-written state from a killed run
+    that never produced a lineage record."""
+    ids: set[str] = set()
+    for sub, strip_json in (("lineage", True), ("violations", False), ("clean", False)):
+        for p in glob.glob(os.path.join(out_dir, sub, "part=*")):
+            pid = os.path.basename(p)[len("part=") :]
+            if strip_json and pid.endswith(".json"):
+                pid = pid[: -len(".json")]
+            ids.add(pid)
+    return ids
+
+
+def gc_stale_partitions(out_dir: str, input_files: list[str]) -> list[str]:
+    """Remove lineage / violation / clean state for partitions whose input
+    fragment is not part of THIS run's corpus.
+
+    Resume doubles as incremental re-validation (``partition_complete``
+    fingerprints each input), but a fragment REMOVED or RENAMED between runs
+    would otherwise leave ghost state behind: ``_assemble_report`` ignores
+    it (it iterates the current file set), yet ``report``/``cmd_report`` and
+    anything globbing ``violations/`` read the out_dir as truth and would
+    double-count rows and resurface violations that no longer exist in the
+    corpus. Returns the removed partition ids (sorted)."""
+    expected = {part_id_for(f) for f in input_files}
+    stale = sorted(recorded_part_ids(out_dir) - expected)
+    for pid in stale:
+        reset_partition(out_dir, pid)
+    return stale
+
+
 def run_success_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_RUN_SUCCESS.json")
 

@@ -226,3 +226,64 @@ def test_prescreen_run_identical(ray_session, small_corpus, tmp_path):
         a.drop(columns=["checks_failed"]), b.drop(columns=["checks_failed"])
     )
     assert a["checks_failed"].map(tuple).tolist() == b["checks_failed"].map(tuple).tolist()
+
+
+def test_incremental_revalidation_of_evolved_corpus(ray_session, tmp_path):
+    """Resume against an EVOLVED corpus = incremental re-validation.
+
+    Between two runs into the same out_dir the corpus gains a fragment,
+    loses a fragment, and has one fragment rewritten in place. The rerun
+    must (a) skip untouched fragments (lineage files untouched), (b) drop
+    the removed fragment's ghost lineage + violation rows
+    (``lineage.gc_stale_partitions``), and (c) converge to the exact output
+    of a fresh full run on the evolved corpus — including the ``report``
+    CLI's totals, which read the out_dir as truth."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.datagen import write_sequences
+
+    corpus = write_sequences(str(tmp_path / "seq"), 2_000, num_fragments=8)
+    out = str(tmp_path / "out")
+    run_validation(corpus, out, resume=False, wave_files=4, uniqueness=False)
+
+    frags = sorted(glob.glob(os.path.join(corpus, "frag-*.parquet")))
+    removed, rewritten = frags[1], frags[3]
+    added = os.path.join(corpus, "frag-99999.parquet")
+    removed_pid = lin.part_id_for(removed)
+    # evolve: drop one fragment, rewrite one (first half only — content AND
+    # fingerprint change), add one (copy of an untouched fragment under a
+    # new path = a brand-new partition id)
+    shutil.copy(frags[5], added)
+    t = pq.read_table(rewritten)
+    os.remove(removed)
+    pq.write_table(t.slice(0, len(t) // 2), rewritten)
+
+    untouched = [f for f in frags if f not in (removed, rewritten)]
+    mtimes = {
+        f: os.path.getmtime(lin.lineage_path(out, lin.part_id_for(f)))
+        for f in untouched
+    }
+    rep = run_validation(corpus, out, resume=True, wave_files=4, uniqueness=False)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(lin.lineage_path(out, lin.part_id_for(f))) == m
+    # ghost state of the removed fragment is gone everywhere
+    assert removed_pid not in lin.all_lineage(out)
+    assert not os.path.exists(lin.violations_dir(out, removed_pid))
+
+    fresh = run_validation(
+        corpus, str(tmp_path / "fresh"), resume=False, wave_files=4, uniqueness=False
+    )
+    assert rep.check_counts() == fresh.check_counts()
+    assert rep.total_rows == fresh.total_rows
+    assert set(rep.partitions) == set(fresh.partitions)
+    v1 = violations_dataset(out).to_pandas()
+    v2 = violations_dataset(str(tmp_path / "fresh")).to_pandas()
+    assert sorted(map(str, v1["doc_id"])) == sorted(map(str, v2["doc_id"]))
+
+    # the report CLI aggregates ALL recorded partitions — with GC its totals
+    # now equal the evolved corpus's truth
+    recs = lin.all_lineage(out)
+    assert sum(r["processed_rows"] for r in recs.values()) == fresh.total_rows
+    assert sum(r["viol_rows"] for r in recs.values()) == len(v2)
