@@ -197,6 +197,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "embedding_validate",
+    "documents_validate",
     "multimodal_audio",
     "multimodal_video_frames",
     "multimodal_resize",
@@ -481,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "events_validate": lambda sf: rel.events_validate(sf),  # row checks generalized to the events table
+        "documents_validate": lambda sf: tx.documents_validate(sf),  # row checks generalized to the documents table
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
         "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
         # capstone: clean → mixture → shard → chunk in ONE fused pass
@@ -3326,6 +3328,36 @@ def oracle_sql() -> dict[str, str]:
               count(*) FILTER (WHERE null_id OR null_vec OR dim_mismatch
                    OR nonfinite OR zero_norm) = 0 AS passed
             FROM f GROUP BY label ORDER BY label
+        """,
+        # documents-table validation: flags replayed per row; Arrow
+        # utf8_length and DuckDB length() both count codepoints, and the
+        # nchars_mismatch pairing compares under a shared -1 null sentinel
+        "documents_validate": f"""
+            WITH f AS (
+              SELECT coalesce(lang, '~null~') AS lang,
+                doc_id IS NULL AS null_id,
+                text IS NULL AS null_text,
+                coalesce(length(text) = 0, FALSE) AS empty_text,
+                lang IS NULL AS null_lang,
+                lang IS NOT NULL AND lang NOT IN {repr(tuple(tx.DOC_LANG_ALLOWLIST))} AS bad_lang,
+                coalesce(n_chars, -1) <> coalesce(length(text), -1) AS nchars_mismatch,
+                coalesce(n_chars < 0, FALSE) AS neg_nchars
+              FROM documents
+            )
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (WHERE null_id) AS BIGINT) AS null_id,
+              CAST(count(*) FILTER (WHERE null_text) AS BIGINT) AS null_text,
+              CAST(count(*) FILTER (WHERE empty_text) AS BIGINT) AS empty_text,
+              CAST(count(*) FILTER (WHERE null_lang) AS BIGINT) AS null_lang,
+              CAST(count(*) FILTER (WHERE bad_lang) AS BIGINT) AS bad_lang,
+              CAST(count(*) FILTER (WHERE nchars_mismatch) AS BIGINT) AS nchars_mismatch,
+              CAST(count(*) FILTER (WHERE neg_nchars) AS BIGINT) AS neg_nchars,
+              CAST(count(*) FILTER (WHERE null_id OR null_text OR empty_text OR null_lang
+                   OR bad_lang OR nchars_mismatch OR neg_nchars) AS BIGINT) AS viol_rows,
+              count(*) FILTER (WHERE null_id OR null_text OR empty_text OR null_lang
+                   OR bad_lang OR nchars_mismatch OR neg_nchars) = 0 AS passed
+            FROM f GROUP BY lang ORDER BY lang
         """,
         # generated twins: literal hyperplanes / hash-ranked seeds — any
         # bucketing, probing, scoring or tie-break drift hash-mismatches

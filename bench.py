@@ -172,6 +172,9 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf)),
         ("doc_lm_score", lambda sf: tp.doc_lm_score(sf)),
         ("events_range_counts", lambda sf: rel.events_range_counts(sf)),
+        ("events_validate", lambda sf: rel.events_validate(sf)),
+        ("embedding_validate", lambda sf: sim.embedding_validate(sf)),
+        ("documents_validate", lambda sf: tx.documents_validate(sf)),
         ("prepare_training_corpus", lambda sf: tp.prepare_training_corpus(sf)),
         ("knn_bruteforce", sim.knn_bruteforce),
         ("knn_lsh", sim.knn_lsh),

@@ -1851,3 +1851,104 @@ def clean_documents_full(
         with open(marker, "w") as f:
             _json.dump({"params": {"n": n, "bench_mod": bench_mod}}, f)
     return cleaned
+
+
+# ---------------------------------------------------------------------------
+# Documents-table validation (the row-check engine generalized to documents)
+# ---------------------------------------------------------------------------
+
+# referential language allowlist (FIXTURES.md: the fixture corpus draws from
+# these five); a lang outside it is a tagging bug, not a new language
+DOC_LANG_ALLOWLIST = ("de", "en", "es", "fr", "zh")
+
+
+def documents_validate(sf_dir: str) -> pa.Table:
+    """Per-language validation verdicts over the documents table: counts of
+    rows with a null doc_id / text / lang, an empty (zero-codepoint) text,
+    a lang outside ``DOC_LANG_ALLOWLIST``, an ``n_chars`` that disagrees
+    with the text's actual codepoint length (the documents analog of the
+    sequences engine's ntok_mismatch cross-column pairing; nulls compare
+    under a shared -1 sentinel so null text + null n_chars is consistent,
+    not mismatched), or a negative n_chars — plus the violating-row total
+    and a passed flag. Null langs fold into the ``~null~`` sentinel group.
+
+    Same fused-kernel + per-batch-combiner + tiny-groupby shape as the
+    sequences / embeddings / events validators: one streaming pass, document
+    text never shuffles (only a dozen integers per (batch, lang) group).
+    Arrow ``utf8_length`` and DuckDB ``length()`` both count codepoints, so
+    the oracle replays the mismatch flag exactly.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..core.batches import arrow_out as _aout
+
+    ds = _docs(sf_dir)
+    flags = (
+        "null_id",
+        "null_text",
+        "empty_text",
+        "null_lang",
+        "bad_lang",
+        "nchars_mismatch",
+        "neg_nchars",
+    )
+    allowed = pa.array(list(DOC_LANG_ALLOWLIST), type=pa.string())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        def _b(a):
+            return np.asarray(a.to_numpy(zero_copy_only=False), dtype=bool)
+
+        text = t.column("text")
+        lang = t.column("lang")
+        n_chars = t.column("n_chars")
+        tlen = pc.cast(pc.utf8_length(text), pa.int64())
+        null_id = _b(pc.is_null(t.column("doc_id")))
+        null_text = _b(pc.is_null(text))
+        empty_text = _b(pc.fill_null(pc.equal(tlen, 0), False))
+        null_lang = _b(pc.is_null(lang))
+        bad_lang = _b(
+            pc.and_(pc.is_valid(lang), pc.invert(pc.is_in(lang, value_set=allowed)))
+        )
+        mismatch = _b(
+            pc.not_equal(pc.fill_null(n_chars, -1), pc.fill_null(tlen, -1))
+        )
+        neg_nchars = _b(pc.fill_null(pc.less(n_chars, 0), False))
+        viol = (
+            null_id | null_text | empty_text | null_lang | bad_lang | mismatch | neg_nchars
+        )
+        df = pd.DataFrame(
+            {
+                "lang": pc.fill_null(lang, "~null~").to_pandas(),
+                "n_rows": 1,
+                "null_id": null_id.astype(np.int64),
+                "null_text": null_text.astype(np.int64),
+                "empty_text": empty_text.astype(np.int64),
+                "null_lang": null_lang.astype(np.int64),
+                "bad_lang": bad_lang.astype(np.int64),
+                "nchars_mismatch": mismatch.astype(np.int64),
+                "neg_nchars": neg_nchars.astype(np.int64),
+                "viol_rows": viol.astype(np.int64),
+            }
+        )
+        g = df.groupby("lang", as_index=False).sum()
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return g
+
+    agg = (
+        ds.map_batches(_aout(partial), batch_format="pyarrow")
+        .materialize()  # tiny combiner output; see core/batches.py note
+        .groupby("lang")
+        .aggregate(
+            _Sum("n_rows", alias_name="n_rows"),
+            *[_Sum(f, alias_name=f) for f in flags],
+            _Sum("viol_rows", alias_name="viol_rows"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_rows", *flags, "viol_rows"):
+            df[c] = df[c].astype(np.int64)
+        df["passed"] = df["viol_rows"] == 0
+        return df[["lang", "n_rows", *flags, "viol_rows", "passed"]]
+
+    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("lang"))

@@ -2147,3 +2147,60 @@ def test_events_validate_planted(ray_session, tmp_path):
     oracle = con.sql(e.oracle_sql()["events_validate"]).df()
     mine = events_validate(str(d)).to_pandas()
     assert mine.astype(str).values.tolist() == oracle.astype(str).values.tolist()
+
+
+def test_documents_validate_planted(ray_session, tmp_path):
+    """Each documents violation class fires exactly once where planted; null
+    langs fold into '~null~'; null text + null n_chars is CONSISTENT under
+    the shared -1 sentinel (not a mismatch) while null text + n_chars=7 is a
+    mismatch; n_chars=-1 with null text flags only neg_nchars; engine
+    matches the DuckDB oracle on the same file."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.text import documents_validate
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([None, 1, 2, 3, 4, 5, 6, 7, 8], type=pa.int64()),
+            "text": pa.array(
+                ["ok one", None, "", "ok two", "héllo", "ok three", None, None, "ok"],
+                type=pa.string(),
+            ),
+            "lang": pa.array(
+                ["en", "en", "de", None, "xx", "fr", "fr", "zh", "es"],
+                type=pa.string(),
+            ),
+            # héllo is 5 codepoints; row 4 claims 6 → mismatch. Row 6: null
+            # text but n_chars=7 → mismatch. Row 7: null text + n_chars=-1 →
+            # consistent under the sentinel, flags ONLY neg_nchars.
+            "n_chars": pa.array([6, None, 0, 6, 6, 8, 7, -1, 2], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(rows, str(d / "documents.parquet"))
+
+    out = documents_validate(str(d)).to_pandas().set_index("lang")
+    assert list(out.index) == ["de", "en", "es", "fr", "xx", "zh", "~null~"]
+    assert out.loc["en", ["null_id", "null_text", "viol_rows"]].tolist() == [1, 1, 2]
+    # null text + null n_chars (row 1) is consistent → no mismatch in 'en'
+    assert out.loc["en", "nchars_mismatch"] == 0
+    assert out.loc["de", ["empty_text", "viol_rows"]].tolist() == [1, 1]
+    assert out.loc["~null~", ["null_lang", "viol_rows"]].tolist() == [1, 1]
+    assert out.loc["xx", ["bad_lang", "nchars_mismatch", "viol_rows"]].tolist() == [1, 1, 1]
+    # row 5 ("ok three", n_chars=8) is consistent; row 6 (null text,
+    # n_chars=7) is fr's one mismatch — and its null_text also flags
+    assert out.loc["fr", ["nchars_mismatch", "null_text", "viol_rows"]].tolist() == [1, 1, 1]
+    assert out.loc["zh", ["neg_nchars", "nchars_mismatch", "viol_rows"]].tolist() == [1, 0, 1]
+    assert bool(out.loc["es", "passed"]) and not out.drop(index="es")["passed"].any()
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    oracle = con.sql(e.oracle_sql()["documents_validate"]).df()
+    mine = documents_validate(str(d)).to_pandas()
+    assert mine.astype(str).values.tolist() == oracle.astype(str).values.tolist()
