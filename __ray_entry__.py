@@ -188,6 +188,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_prefix_dups",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
+    "seq_id_source_fd",
     "seq_lcs_pairs",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
@@ -461,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_shard_stats": lambda sf: tk.seq_shard_stats(sf),  # per-shard length stats + exact outlier flag
         "seq_corpus_manifest": lambda sf: tk.seq_corpus_manifest(sf),  # per-fragment order-insensitive checksum
         "seq_dup_id_conflicts": lambda sf: tk.seq_dup_id_conflicts(sf),  # dup ids: exact-copy vs conflicting content
+        "seq_id_source_fd": lambda sf: tk.seq_id_source_fd(sf),  # doc_id → source functional-dependency audit
         "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),  # migration diff: added/removed/changed doc_ids
         "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
         "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
@@ -1903,6 +1905,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_contents,
                    count(DISTINCT md5(canon)) > 1 AS conflicting
             FROM r GROUP BY doc_id HAVING count(*) > 1
+        """,
+        # doc_id → source functional dependency: null sources fold into the
+        # sentinel and COUNT as a distinct conflicting value
+        "seq_id_source_fd": f"""
+            WITH r AS (
+              SELECT doc_id, coalesce(source, '~null~') AS source
+              FROM {seq} WHERE doc_id IS NOT NULL
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+            FROM r GROUP BY doc_id HAVING count(DISTINCT source) > 1
+            ORDER BY doc_id
         """,
         # footer-only row-group sizing audit: one metadata row per (group,
         # column chunk) in DuckDB, re-grouped to per-group then per-file;

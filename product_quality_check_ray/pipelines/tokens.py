@@ -3403,6 +3403,83 @@ def seq_dup_id_conflicts(sf_dir: str, files_per_task: int = 16) -> pa.Table:
     )
 
 
+_FD_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_sources", pa.int64()),
+        ("sources", pa.string()),
+    ]
+)
+
+
+@ray.remote
+def _scan_id_sources(paths: list, ids: pa.Array) -> list:
+    """(doc_id, source-or-sentinel) for rows whose doc_id is a duplicate
+    candidate; only two thin columns are read, nothing else leaves the
+    task."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id", "source"])
+        mask = pc.is_in(t.column("doc_id"), value_set=ids)
+        if not pc.any(mask).as_py():
+            continue
+        sel = t.filter(mask)
+        srcs = pc.fill_null(sel.column("source"), "~null~").to_pylist()
+        out.extend(zip(sel.column("doc_id").to_pylist(), srcs))
+    return out
+
+
+def seq_id_source_fd(sf_dir: str, files_per_task: int = 16) -> pa.Table:
+    """Functional-dependency audit doc_id → source: doc_ids whose rows carry
+    MORE THAN ONE distinct source (null folds into the ``~null~`` sentinel —
+    a null source conflicting with a real one is an inconsistency, not a
+    gap). A multi-writer corpus where two jobs claimed the same id under
+    different domains fires here even when the payloads are byte-identical,
+    which is exactly the case ``seq_dup_id_conflicts`` (content-keyed)
+    cannot see.
+
+    Scale shape: an FD violation requires a duplicate id, so the candidate
+    set IS the dupfinder hash-range reduce's output (8 B/row shuffled, the
+    shuffle-free range-pruned path applies when fragment key ranges are
+    disjoint); the recover pass then reads only (doc_id, source) for
+    candidate rows. Driver state is bounded by the duplicate-id set — the
+    same contract as ``seq_dup_id_conflicts``. Output: one row per
+    violating id with its row count and the sorted distinct source list.
+    """
+    from ..datagen import resolve_sequences
+    from ..state.dupfinder import find_duplicates
+
+    files = resolve_sequences(sf_dir)
+    dups = find_duplicates(files)
+    if not dups:
+        return _FD_SCHEMA.empty_table()
+    ids_ref = ray.put(pa.array(sorted(dups), type=pa.string()))
+    refs = [
+        _scan_id_sources.remote(files[i : i + files_per_task], ids_ref)
+        for i in range(0, len(files), files_per_task)
+    ]
+    agg: dict = {}
+    for part in ray.get(refs):
+        for d, s in part:
+            rec = agg.setdefault(d, [0, set()])
+            rec[0] += 1
+            rec[1].add(s)
+    ids = sorted(d for d, (n, ss) in agg.items() if len(ss) > 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "n_rows": pa.array([agg[d][0] for d in ids], type=pa.int64()),
+            "n_sources": pa.array([len(agg[d][1]) for d in ids], type=pa.int64()),
+            "sources": pa.array(
+                [",".join(sorted(agg[d][1])) for d in ids], type=pa.string()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Two-corpus migration diff
 # ---------------------------------------------------------------------------

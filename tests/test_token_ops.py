@@ -1323,6 +1323,77 @@ def test_seq_dup_id_conflicts_fixture(ray_session):
     assert out.conflicting.all()
 
 
+def _write_frag_src(d, name, rows):
+    """rows: list of (doc_id, tokens, source) — n_tok derived."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+            "n_tok": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows], type=pa.int32()
+            ),
+            "source": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / name))
+
+
+def test_seq_id_source_fd_planted(ray_session, tmp_path):
+    """doc_id → source FD: a duplicate id under two sources fires even when
+    payloads are byte-identical (invisible to seq_dup_id_conflicts); a null
+    source CONFLICTS with a real one via the '~null~' sentinel; same-source
+    duplicates, unique ids and null ids never appear; the sorted distinct
+    source list is deterministic."""
+    d = tmp_path / "seq"
+    d.mkdir()
+    _write_frag_src(
+        d,
+        "frag-000.parquet",
+        [
+            ("fd-000000000001", [1, 2], "web"),
+            ("benign-000000000002", [3, 4], "code"),
+            ("nullsrc-000000000003", [5], "wiki"),
+            ("uniq-000000000004", [6], "web"),
+            (None, [7], "web"),
+        ],
+    )
+    _write_frag_src(
+        d,
+        "frag-001.parquet",
+        [
+            ("fd-000000000001", [1, 2], "code"),  # identical payload, new source
+            ("benign-000000000002", [3, 4], "code"),
+            ("nullsrc-000000000003", [5], None),
+            (None, [8], "books"),
+        ],
+    )
+    out = tk.seq_id_source_fd(str(d)).to_pandas().set_index("doc_id")
+    assert list(out.index) == ["fd-000000000001", "nullsrc-000000000003"]
+    fd, ns = out.loc["fd-000000000001"], out.loc["nullsrc-000000000003"]
+    assert (fd.n_rows, fd.n_sources, fd.sources) == (2, 2, "code,web")
+    assert (ns.n_rows, ns.n_sources, ns.sources) == (2, 2, "wiki,~null~")
+    # the identical-payload FD violation is exactly the case the
+    # content-keyed audit cannot see
+    conf = tk.seq_dup_id_conflicts(str(d)).to_pandas().set_index("doc_id")
+    assert not conf.loc["fd-000000000001", "conflicting"]
+
+
+def test_seq_id_source_fd_fixture(ray_session):
+    """FD-violating ids are a subset of the duplicate-id set, and every
+    reported group's source list length equals n_sources > 1."""
+    from product_quality_check_ray.pipelines import seq_queries as sq
+
+    sf = "sf0.001"
+    out = tk.seq_id_source_fd(sf).to_pandas()
+    assert len(out) > 0  # non-vacuous on the fixture
+    dup = set(sq.seq_dup_doc_ids(sf).to_pandas().doc_id)
+    assert set(out.doc_id) <= dup
+    assert (out.n_sources > 1).all()
+    assert (out.sources.str.split(",").str.len() == out.n_sources).all()
+
+
 def test_seq_corpus_diff_files_planted(ray_session, tmp_path):
     """Added / removed / changed classes; duplicate ids compare as BAGS of
     content md5s (a dropped duplicate is 'changed'); rows AFTER a null
