@@ -85,20 +85,39 @@ def cmd_validate(args: argparse.Namespace) -> int:
             )
             return 2
 
-    rep = run_validation(
-        args.input,
-        args.out,
-        allowlist_rows=cfg.get("allowlist"),
-        resume=not args.no_resume,
-        wave_files=cfg.get("wave_files", 128),
-        batch_size=cfg.get("batch_size"),
-        write_violations=not args.no_violations,
-        uniqueness=cfg.get("uniqueness", True),
-        enabled_checks=cfg.get("enabled_checks"),
-        schema_repair=bool(cfg.get("schema_repair", False)),
-        write_clean=args.write_clean,
-        prescreen=args.prescreen,
-    )
+    from .pipelines.validate import FailFastExceeded
+
+    try:
+        rep = run_validation(
+            args.input,
+            args.out,
+            allowlist_rows=cfg.get("allowlist"),
+            resume=not args.no_resume,
+            wave_files=cfg.get("wave_files", 128),
+            batch_size=cfg.get("batch_size"),
+            write_violations=not args.no_violations,
+            uniqueness=cfg.get("uniqueness", True),
+            enabled_checks=cfg.get("enabled_checks"),
+            schema_repair=bool(cfg.get("schema_repair", False)),
+            write_clean=args.write_clean,
+            prescreen=args.prescreen,
+            fail_fast_violations=args.fail_fast,
+        )
+    except FailFastExceeded as e:
+        # exit 4 = aborted by budget, NOT a crash: completed partitions'
+        # lineage is intact and a rerun without --fail-fast resumes there
+        print(
+            json.dumps(
+                {
+                    "fail_fast": True,
+                    "viol_rows": e.viol_rows,
+                    "budget": e.budget,
+                    "partitions_done": e.partitions_done,
+                    "out_dir": args.out,
+                }
+            )
+        )
+        return 4
     summary = {
         "rows": rep.total_rows,
         "check_counts": rep.check_counts(),
@@ -407,6 +426,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="skip row checks proven clean per fragment by parquet footer "
         "statistics (sound: output is identical to a full run)",
+    )
+    v.add_argument(
+        "--fail-fast",
+        type=int,
+        default=None,
+        metavar="N",
+        help="abort (exit 4) once recorded row violations exceed N; "
+        "completed partitions keep their lineage so a rerun resumes",
     )
     v.set_defaults(fn=cmd_validate)
 

@@ -298,6 +298,23 @@ class ValidationReport:
         return out
 
 
+class FailFastExceeded(RuntimeError):
+    """Raised by ``run_validation(fail_fast_violations=N)`` when recorded
+    row violations exceed the budget. The run stops between waves with all
+    completed partitions' lineage intact and NO run-success record, so a
+    later resume (without the budget, or with a higher one) finishes the
+    remaining partitions instead of restarting."""
+
+    def __init__(self, viol_rows: int, budget: int, partitions_done: int):
+        self.viol_rows = viol_rows
+        self.budget = budget
+        self.partitions_done = partitions_done
+        super().__init__(
+            f"fail-fast: {viol_rows} violation rows recorded > budget {budget} "
+            f"after {partitions_done} partitions"
+        )
+
+
 def input_fragments(input_path: str) -> list[str]:
     if os.path.isdir(input_path):
         return sorted(glob.glob(os.path.join(input_path, "*.parquet")))
@@ -325,6 +342,7 @@ def run_validation(
     write_clean: bool = False,
     schema_repair: bool = False,
     prescreen: bool = False,
+    fail_fast_violations: int | None = None,
 ) -> ValidationReport:
     """Run the full validation suite; resumable at wave granularity.
 
@@ -335,6 +353,16 @@ def run_validation(
     lineage are bit-identical to a full run; on a mostly-clean corpus (the
     steady state at 100 TB) the row pass drops the token min/max kernel —
     its single biggest cost — on every proven-clean shard.
+
+    ``fail_fast_violations=N`` aborts the run (``FailFastExceeded``) as soon
+    as recorded row violations exceed N — between waves, with completed
+    partitions' lineage intact and no run-success record, so a 100 TB run
+    on a systematically-broken corpus stops after one wave instead of
+    burning the full pass, and a later resume finishes the remainder. A
+    resumed run seeds the budget with the violations already recorded for
+    the partitions it keeps. (Duplicate-id violations are global and
+    counted only by the final uniqueness phase — the budget covers row
+    checks.)
 
     ``use_actor_pool=False`` (default) runs the fused row checks as tasks on
     Ray's shared worker pool with a per-worker stage cache — measured faster
@@ -365,6 +393,21 @@ def run_validation(
             continue
         lin.reset_partition(out_dir, lin.part_id_for(f))
         todo.append(f)
+
+    # fail-fast budget: seed with violations already recorded for the
+    # completed partitions a resume is keeping — the budget is a statement
+    # about the corpus, not about this process's share of the work
+    viol_so_far = 0
+    parts_done = len(files) - len(todo)
+    if fail_fast_violations is not None and parts_done:
+        recs = lin.all_lineage(out_dir)
+        viol_so_far = sum(
+            recs[pid]["viol_rows"]
+            for pid in (lin.part_id_for(f) for f in files if f not in set(todo))
+            if pid in recs
+        )
+        if viol_so_far > fail_fast_violations:
+            raise FailFastExceeded(viol_so_far, fail_fast_violations, parts_done)
 
     prescreen_ref = None
     if prescreen and todo:
@@ -423,9 +466,14 @@ def run_validation(
         partials = staged.take_all()
         _phase_log(f"rowcheck wave({len(wave)} files)", t0)
         t1 = time.time()
-        _publish_wave(out_dir, wave, partials, time.time() - t0)
+        wave_viol, wave_parts = _publish_wave(out_dir, wave, partials, time.time() - t0)
         lin.heartbeat(out_dir)
         _phase_log("publish wave", t1)
+        if fail_fast_violations is not None:
+            viol_so_far += wave_viol
+            parts_done += wave_parts
+            if viol_so_far > fail_fast_violations:
+                raise FailFastExceeded(viol_so_far, fail_fast_violations, parts_done)
 
     t0 = time.time()
     report = _assemble_report(out_dir, files)
@@ -464,10 +512,16 @@ def run_validation(
     return report
 
 
-def _publish_wave(out_dir: str, wave: list[str], partials: list[dict], wall_s: float) -> None:
+def _publish_wave(
+    out_dir: str, wave: list[str], partials: list[dict], wall_s: float
+) -> tuple[int, int]:
+    """Publish lineage for every fully-covered partition of this wave;
+    returns (published violation rows, published partitions) so the caller
+    can enforce a fail-fast budget."""
     by_pid: dict[str, list[dict]] = {}
     for r in partials:
         by_pid.setdefault(lin.part_id_for(r["path"]), []).append(r)
+    pub_viol = pub_parts = 0
     expected = {lin.part_id_for(f): (f, pq.read_metadata(f).num_rows) for f in wave}
     for pid, (fpath, file_rows) in expected.items():
         rows = by_pid.get(pid, [])
@@ -536,6 +590,9 @@ def _publish_wave(out_dir: str, wave: list[str], partials: list[dict], wall_s: f
             "wall_s": round(wall_s, 3),
         }
         lin.write_lineage(out_dir, pid, record)
+        pub_viol += record["viol_rows"]
+        pub_parts += 1
+    return pub_viol, pub_parts
 
 
 def _assemble_report(out_dir: str, files: list[str]) -> ValidationReport:

@@ -675,3 +675,60 @@ def test_cli_audit_unreadable_shard(ray_session, tmp_path):
     assert r2.returncode == 2, r2.stderr[-2000:]
     line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert line2["preaudit_failed"] and line2["n_unreadable"] == 1
+
+
+def test_cli_validate_fail_fast(ray_session, tmp_path):
+    """validate --fail-fast N exits 4 with a JSON abort line once recorded
+    violations exceed N, keeping completed lineage; a rerun WITHOUT the
+    budget resumes and exits with the normal violation code 2."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from product_quality_check_ray.state import lineage as lin
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    good = pa.table(
+        {
+            "doc_id": pa.array([f"g-{i:012d}" for i in range(8)]),
+            "tokens": pa.array([[1, 2]] * 8, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 8, type=pa.int32()),
+            "source": pa.array(["web"] * 8),
+        }
+    )
+    bad = pa.table(
+        {
+            "doc_id": pa.array([None, "x-000000000001"], type=pa.string()),
+            "tokens": pa.array([[1], [2]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 9], type=pa.int32()),
+            "source": pa.array(["web", "web"]),
+        }
+    )
+    pq.write_table(bad, os.path.join(d, "frag-00000.parquet"))
+    pq.write_table(good, os.path.join(d, "frag-00001.parquet"))
+    out = str(tmp_path / "out")
+
+    def validate(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "validate",
+             "--input", d, "--out", out, "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    cfg = str(tmp_path / "cfg.json")
+    with open(cfg, "w") as f:
+        _json.dump({"wave_files": 1, "uniqueness": False}, f)
+    r = validate("--fail-fast", "0", "--config", cfg)
+    assert r.returncode == 4, (r.returncode, r.stderr[-2000:])
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["fail_fast"] and line["viol_rows"] == 2 and line["budget"] == 0
+    assert line["partitions_done"] == 1
+    assert len(lin.all_lineage(out)) == 1  # first wave's lineage kept
+    assert not os.path.exists(lin.run_success_path(out))
+
+    r2 = validate("--config", cfg)
+    assert r2.returncode == 2, (r2.returncode, r2.stderr[-2000:])
+    line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line2["rows"] == 10 and len(lin.all_lineage(out)) == 2

@@ -287,3 +287,45 @@ def test_incremental_revalidation_of_evolved_corpus(ray_session, tmp_path):
     recs = lin.all_lineage(out)
     assert sum(r["processed_rows"] for r in recs.values()) == fresh.total_rows
     assert sum(r["viol_rows"] for r in recs.values()) == len(v2)
+
+
+def test_fail_fast_budget(ray_session, tmp_path):
+    """fail_fast_violations aborts between waves once recorded row
+    violations exceed the budget: completed partitions keep their lineage,
+    no run record is written, a rerun with the same budget aborts from the
+    SEED (kept partitions' violations) without doing new work, and a rerun
+    without the budget resumes to the exact full-run output."""
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.validate import FailFastExceeded
+
+    corpus = write_sequences(str(tmp_path / "seq"), 2_000, num_fragments=8)
+    out = str(tmp_path / "out")
+    with pytest.raises(FailFastExceeded) as ei:
+        run_validation(
+            corpus, out, resume=False, wave_files=1, uniqueness=False,
+            fail_fast_violations=0,
+        )
+    assert ei.value.viol_rows > 0 and ei.value.budget == 0
+    done = lin.all_lineage(out)
+    assert 0 < len(done) < 8  # stopped early, lineage intact
+    assert not os.path.exists(lin.run_success_path(out))
+
+    # same budget on resume: the seed alone exceeds it — aborts before any
+    # wave, so no new lineage appears
+    with pytest.raises(FailFastExceeded):
+        run_validation(
+            corpus, out, resume=True, wave_files=1, uniqueness=False,
+            fail_fast_violations=0,
+        )
+    assert set(lin.all_lineage(out)) == set(done)
+
+    # rerun WITHOUT the budget: resumes the remainder, equals a fresh run
+    rep = run_validation(corpus, out, resume=True, wave_files=4, uniqueness=False)
+    full = run_validation(
+        corpus, str(tmp_path / "full"), resume=False, uniqueness=False
+    )
+    assert rep.check_counts() == full.check_counts()
+    assert rep.total_rows == full.total_rows
+    v1 = violations_dataset(out).to_pandas()
+    v2 = violations_dataset(str(tmp_path / "full")).to_pandas()
+    assert sorted(map(str, v1["doc_id"])) == sorted(map(str, v2["doc_id"]))
