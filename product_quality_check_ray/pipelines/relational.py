@@ -1514,4 +1514,12 @@ def events_validate(sf_dir: str) -> pa.Table:
         df["passed"] = df["viol_rows"] == 0
         return df[["event_type", "n_rows", *flags, "viol_rows", "passed"]]
 
-    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("event_type"))
+    out = _collect(agg.map_batches(finalize, batch_format="pandas").sort("event_type"))
+    if out.num_rows == 0:
+        # 0-row events table → typed empty verdict table (see documents_validate)
+        return pa.schema(
+            [("event_type", pa.string()), ("n_rows", pa.int64())]
+            + [(f, pa.int64()) for f in flags]
+            + [("viol_rows", pa.int64()), ("passed", pa.bool_())]
+        ).empty_table()
+    return out

@@ -1270,4 +1270,13 @@ def embedding_validate(sf_dir: str, dim: int = EMB_DIM) -> pa.Table:
         df["passed"] = df["viol_rows"] == 0
         return df[["label", "n_rows", *flags, "viol_rows", "passed"]]
 
-    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("label"))
+    out = _collect(agg.map_batches(finalize, batch_format="pandas").sort("label"))
+    if out.num_rows == 0:
+        # 0-row embeddings table → typed empty verdict table (see
+        # documents_validate)
+        return pa.schema(
+            [("label", pa.int64()), ("n_rows", pa.int64())]
+            + [(f, pa.int64()) for f in flags]
+            + [("viol_rows", pa.int64()), ("passed", pa.bool_())]
+        ).empty_table()
+    return out

@@ -1951,4 +1951,14 @@ def documents_validate(sf_dir: str) -> pa.Table:
         df["passed"] = df["viol_rows"] == 0
         return df[["lang", "n_rows", *flags, "viol_rows", "passed"]]
 
-    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("lang"))
+    out = _collect(agg.map_batches(finalize, batch_format="pandas").sort("lang"))
+    if out.num_rows == 0:
+        # a 0-row documents table: the aggregate emits nothing, so finalize
+        # never runs — return the typed empty verdict table, not a
+        # schema-less one
+        return pa.schema(
+            [("lang", pa.string()), ("n_rows", pa.int64())]
+            + [(f, pa.int64()) for f in flags]
+            + [("viol_rows", pa.int64()), ("passed", pa.bool_())]
+        ).empty_table()
+    return out
