@@ -186,6 +186,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_boundary_audit",
     "seq_mixture_sample",
     "seq_prefix_dups",
+    "seq_sampled_check_counts",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
     "seq_id_source_fd",
@@ -382,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sequences validation engine (SURVEY.md §2 row checks / groupbys)
         "seq_row_violations": lambda sf: sq.seq_row_violations(sf),
         "seq_check_counts": lambda sf: sq.seq_check_counts(sf),
+        "seq_sampled_check_counts": lambda sf: sq.seq_sampled_check_counts(sf),  # content-keyed ~15.6% health probe
         "seq_dup_doc_ids": lambda sf: sq.seq_dup_doc_ids(sf),
         "seq_source_stats": lambda sf: sq.seq_source_stats(sf),
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
@@ -849,6 +851,30 @@ def oracle_sql() -> dict[str, str]:
                 count(*) AS rows,
                 count(*) FILTER (WHERE {any_flag}) AS viol_rows
             FROM {seq} GROUP BY source ORDER BY source
+        """,
+        # sampled health probe: the seq_check_counts predicates over the
+        # deterministic content-keyed sample (manifest canon md5 < cutoff)
+        "seq_sampled_check_counts": f"""
+            WITH s AS (
+              SELECT * FROM {seq}
+              WHERE substr(md5(coalesce(doc_id, '~N~') || '|' ||
+                    CASE WHEN tokens IS NULL THEN '~N~'
+                         ELSE coalesce(array_to_string(list_transform(
+                                tokens, x -> coalesce(CAST(x AS VARCHAR), '-1')
+                              ), ','), '') END), 1, 2)
+                    < '{sq.SAMPLE_HEX_CUTOFF}'
+            )
+            SELECT source,
+                count(*) FILTER (WHERE doc_id IS NULL) AS null_doc_id,
+                count(*) FILTER (WHERE tokens IS NULL) AS null_tokens,
+                count(*) FILTER (WHERE tokens IS NOT NULL AND (n_tok IS NULL OR len(tokens) <> n_tok)) AS ntok_mismatch,
+                count(*) FILTER (WHERE coalesce(list_max(tokens) >= {VOCAB}, false)) AS token_oov,
+                count(*) FILTER (WHERE (coalesce(list_min(tokens) < 0, false) OR coalesce(len(list_filter(tokens, x -> x IS NULL)) > 0, false))) AS token_neg,
+                count(*) FILTER (WHERE source IS NULL OR source NOT IN {_ALLOWED}) AS bad_source,
+                count(*) FILTER (WHERE coalesce(n_tok, -1) < 1 OR coalesce(n_tok, -1) > 2048) AS ntok_range,
+                count(*) AS rows,
+                count(*) FILTER (WHERE {any_flag}) AS viol_rows
+            FROM s GROUP BY source ORDER BY source
         """,
         "seq_npm_scores": npm_sql,
         # full drift-verdict math in SQL (recursive-CTE bin pooling); the

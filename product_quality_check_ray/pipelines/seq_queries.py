@@ -103,6 +103,87 @@ def seq_check_counts(sf_dir: str) -> pa.Table:
     return _collect(agg.map_batches(to_int, batch_format="pandas").sort("source"))
 
 
+SAMPLE_HEX_CUTOFF = "28"  # 40/256 = 15.625% expected sample rate
+
+
+class SampledCheckCountsStage(_FlagStage):
+    """``CheckCountsStage`` over a deterministic CONTENT-KEYED row sample:
+    keep rows whose md5 of the canonical row string (the corpus-manifest
+    formula: ``coalesce(doc_id,'~N~') || '|' || tokens-canon``) starts below
+    ``SAMPLE_HEX_CUTOFF``. Content-keyed sampling is re-shard- and
+    engine-independent (unlike ``random_sample`` or row-position hashing),
+    so the probe returns the SAME rows on any cluster size and the SQL
+    oracle replays it exactly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .tokens import _md5_hexes, _tokens_canon
+
+        t = conform_schema(batch)
+        canon = pc.binary_join_element_wise(
+            pc.fill_null(t.column("doc_id").combine_chunks(), "~N~"),
+            _tokens_canon(t.column("tokens")),
+            "|",
+        )
+        keep = pa.array([h[:2] < SAMPLE_HEX_CUTOFF for h in _md5_hexes(canon)])
+        sel = t.filter(keep)
+        if sel.num_rows == 0:
+            return _check_counts_schema().empty_table()
+        mat = row_check_matrix(sel, self.ctx)
+        df = pd.DataFrame(mat.astype(np.int64), columns=list(ROW_CHECK_NAMES))
+        df["rows"] = np.int64(1)
+        df["viol_rows"] = mat.any(axis=1).astype(np.int64)
+        df["source"] = sel.column("source").to_pandas().to_numpy()
+        out = df.groupby("source", as_index=False, dropna=False).sum()
+        out = out[[*ROW_CHECK_NAMES, "rows", "viol_rows", "source"]]
+        return (
+            pa.Table.from_pandas(out, preserve_index=False)
+            .replace_schema_metadata(None)
+            .cast(_check_counts_schema())
+        )
+
+
+def _check_counts_schema() -> pa.Schema:
+    return pa.schema(
+        [(n, pa.int64()) for n in ROW_CHECK_NAMES]
+        + [("rows", pa.int64()), ("viol_rows", pa.int64()), ("source", pa.string())]
+    )
+
+
+def seq_sampled_check_counts(sf_dir: str) -> pa.Table:
+    """Sampled corpus health probe: ``seq_check_counts`` over the
+    deterministic ~15.6% content-keyed sample — at 100 TB the cheap
+    pre-commit answer to "roughly how broken is this corpus, per source"
+    before paying for the full validation pass (the row-level complement of
+    the footer prescreen, which can only PROVE cleanliness, not estimate
+    violation rates). One streaming pass; the md5 sampling key is computed
+    from zero-copy value-buffer slices and non-sampled rows never reach the
+    check kernels."""
+    partial = _seq_ds(sf_dir).map_batches(
+        SampledCheckCountsStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()  # tiny combiner output; see core/batches.py note
+    agg = partial.groupby("source").aggregate(
+        *[Sum(n, alias_name=n) for n in ROW_CHECK_NAMES],
+        Sum("rows", alias_name="rows"),
+        Sum("viol_rows", alias_name="viol_rows"),
+    )
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        for c in df.columns:
+            if c != "source":
+                df[c] = df[c].astype(np.int64)
+        return df
+
+    out = _collect(agg.map_batches(to_int, batch_format="pandas").sort("source"))
+    if out.num_rows == 0:
+        # nothing sampled (tiny corpus): typed empty, matching the oracle
+        return pa.schema(
+            [("source", pa.string())]
+            + [(n, pa.int64()) for n in ROW_CHECK_NAMES]
+            + [("rows", pa.int64()), ("viol_rows", pa.int64())]
+        ).empty_table()
+    return out
+
+
 def seq_dup_doc_ids(sf_dir: str) -> pa.Table:
     """doc_ids appearing more than once (projected read, combiner, groupby).
 

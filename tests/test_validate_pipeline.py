@@ -329,3 +329,57 @@ def test_fail_fast_budget(ray_session, tmp_path):
     v1 = violations_dataset(out).to_pandas()
     v2 = violations_dataset(str(tmp_path / "full")).to_pandas()
     assert sorted(map(str, v1["doc_id"])) == sorted(map(str, v2["doc_id"]))
+
+
+def test_sampled_check_counts_matches_naive(ray_session, tmp_path):
+    """The content-keyed sampled health probe equals a per-row naive replay:
+    same md5(canon) sampling decision, same check predicates
+    (oracle_row_checks), same per-source rollup — on a corrupted corpus.
+    Also pins the expected ~15.6% rate within loose bounds (the sample is
+    deterministic, so this can't flake)."""
+    import hashlib
+
+    import pandas as pd
+
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.seq_queries import (
+        SAMPLE_HEX_CUTOFF,
+        seq_sampled_check_counts,
+    )
+
+    corpus = write_sequences(str(tmp_path / "seq"), 2_000, num_fragments=4)
+    files = sorted(glob.glob(os.path.join(corpus, "frag-*.parquet")))
+    df = pds.dataset(files).to_table().to_pandas()
+
+    def canon(row):
+        did = row["doc_id"]
+        did = "~N~" if did is None or (isinstance(did, float) and pd.isna(did)) else did
+        toks = row["tokens"]
+        if toks is None or (isinstance(toks, float) and pd.isna(toks)):
+            tc = "~N~"
+        else:
+            tc = ",".join("-1" if pd.isna(x) else str(int(x)) for x in toks)
+        return f"{did}|{tc}"
+
+    keep = df.apply(
+        lambda r: hashlib.md5(canon(r).encode()).hexdigest()[:2] < SAMPLE_HEX_CUTOFF,
+        axis=1,
+    )
+    sampled = df[keep].reset_index(drop=True)
+    assert 0.10 < len(sampled) / len(df) < 0.22  # deterministic, ~15.6%
+
+    flags = oracle_row_checks(sampled)
+    exp = pd.DataFrame({"source": sampled["source"]})
+    for c in flags.columns:
+        if c != "ok":
+            exp[c] = flags[c].astype("int64")
+    exp["rows"] = 1
+    exp["viol_rows"] = (~flags["ok"]).astype("int64")
+    exp = exp.groupby("source", dropna=False, as_index=False).sum().sort_values("source")
+
+    got = seq_sampled_check_counts(corpus).to_pandas()
+    assert list(got["source"]) == list(exp["source"])
+    for c in exp.columns:
+        if c == "source":
+            continue
+        assert got[c].tolist() == exp[c].tolist(), c
