@@ -335,6 +335,28 @@ def cmd_audit(args: argparse.Namespace) -> int:
             )
         ),
     }
+    if args.sample_probe:
+        # sampled row-level health probe (reads the sampled rows' payloads —
+        # opt-in): per-source ESTIMATED violation rates from the
+        # deterministic ~15.6% content-keyed sample, the row-level
+        # complement of the footer proofs above (which prove cleanliness
+        # but cannot estimate violation rates). Informational — never part
+        # of the exit gate (it is an estimate).
+        from .pipelines.seq_queries import seq_sampled_check_counts
+
+        probe = seq_sampled_check_counts(args.input)
+        summary["sample_probe"] = {
+            (s if s is not None else "~null~"): {
+                "sampled_rows": int(r),
+                "viol_rows": int(v),
+                "est_viol_ppm": int(round(v * 1_000_000 / r)) if r else 0,
+            }
+            for s, r, v in zip(
+                probe.column("source").to_pylist(),
+                probe.column("rows").to_pylist(),
+                probe.column("viol_rows").to_pylist(),
+            )
+        }
     if args.manifest_out:
         # content-checksum manifest (full read — opt-in): diffable against a
         # previous run's manifest to audit a copy/migration cheaply
@@ -467,6 +489,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="also write the per-fragment content-checksum manifest (parquet; "
         "full read) for later `diff`-style corpus-equality audits",
+    )
+    a.add_argument(
+        "--sample-probe",
+        action="store_true",
+        help="also run the deterministic ~15.6%% content-keyed sampled row "
+        "check probe and report per-source estimated violation rates "
+        "(informational; reads sampled payloads)",
     )
     a.set_defaults(fn=cmd_audit)
 

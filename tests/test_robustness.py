@@ -558,7 +558,7 @@ def test_cli_audit_manifest_and_rowgroups(tmp_path):
     mpath = str(tmp_path / "manifest.parquet")
     r = subprocess.run(
         [sys.executable, "-m", "product_quality_check_ray", "audit",
-         "--input", d, "--manifest-out", mpath, "--num-cpus", "4"],
+         "--input", d, "--manifest-out", mpath, "--sample-probe", "--num-cpus", "4"],
         capture_output=True, text=True, cwd="/root/repo", timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -567,6 +567,10 @@ def test_cli_audit_manifest_and_rowgroups(tmp_path):
     assert line["manifest_out"] == mpath and line["n_twin_fragments"] == 2
     man = pq.read_table(mpath)
     assert man.column("content_sum").to_pylist()[0] == man.column("content_sum").to_pylist()[1]
+    # clean corpus: the sampled probe estimates 0 violations everywhere
+    probe = line["sample_probe"]
+    assert probe and all(v["viol_rows"] == 0 and v["est_viol_ppm"] == 0 for v in probe.values())
+    assert sum(v["sampled_rows"] for v in probe.values()) > 0
 
 
 def test_cli_report_subcommand(ray_session, tmp_path):
