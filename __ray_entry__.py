@@ -190,6 +190,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
     "seq_id_source_fd",
+    "seq_corpus_drift",
     "seq_lcs_pairs",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
@@ -465,7 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_corpus_manifest": lambda sf: tk.seq_corpus_manifest(sf),  # per-fragment order-insensitive checksum
         "seq_dup_id_conflicts": lambda sf: tk.seq_dup_id_conflicts(sf),  # dup ids: exact-copy vs conflicting content
         "seq_id_source_fd": lambda sf: tk.seq_id_source_fd(sf),  # doc_id → source functional-dependency audit
-        "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),  # migration diff: added/removed/changed doc_ids
+        "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),
+        "seq_corpus_drift": lambda sf: tk.seq_corpus_drift(sf),  # two-corpus integer-KS length drift  # migration diff: added/removed/changed doc_ids
         "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
         "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
         "seq_rowgroup_audit": lambda sf: tk.seq_rowgroup_audit(sf),  # footer-only row-group sizing audit
@@ -1931,6 +1933,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT md5(canon)) AS BIGINT) AS n_contents,
                    count(DISTINCT md5(canon)) > 1 AS conflicting
             FROM r GROUP BY doc_id HAVING count(*) > 1
+        """,
+        # two-corpus per-source length drift: exact integer KS — the max CDF
+        # gap by HUGEINT cross-multiplication over the (source, bin) union,
+        # one integer division to ppm; a one-sided source is maximal drift
+        "seq_corpus_drift": f"""
+            WITH ha AS (
+              SELECT coalesce(source, '~null~') AS source,
+                     CASE WHEN n_tok IS NULL OR n_tok < 0 THEN -1
+                          ELSE n_tok // {HIST_BIN_WIDTH} END AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM read_parquet('{seq_glob}') GROUP BY 1, 2
+            ),
+            hb AS (
+              SELECT coalesce(source, '~null~') AS source,
+                     CASE WHEN n_tok IS NULL OR n_tok < 0 THEN -1
+                          ELSE n_tok // {HIST_BIN_WIDTH} END AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM read_parquet('{seq_v2_glob}') GROUP BY 1, 2
+            ),
+            bins AS (
+              SELECT coalesce(ha.source, hb.source) AS source,
+                     coalesce(ha.bin, hb.bin) AS bin,
+                     coalesce(ha.n, 0) AS na_bin, coalesce(hb.n, 0) AS nb_bin
+              FROM ha FULL OUTER JOIN hb
+                ON ha.source = hb.source AND ha.bin = hb.bin
+            ),
+            tot AS (
+              SELECT source, CAST(sum(na_bin) AS HUGEINT) AS na,
+                     CAST(sum(nb_bin) AS HUGEINT) AS nb
+              FROM bins GROUP BY source
+            ),
+            cum AS (
+              SELECT source, bin,
+                     CAST(sum(na_bin) OVER w AS HUGEINT) AS ca,
+                     CAST(sum(nb_bin) OVER w AS HUGEINT) AS cb
+              FROM bins WINDOW w AS (PARTITION BY source ORDER BY bin)
+            ),
+            gap AS (
+              SELECT c.source, max(abs(c.ca * t.nb - c.cb * t.na)) AS m,
+                     any_value(t.na) AS na, any_value(t.nb) AS nb
+              FROM cum c JOIN tot t USING (source) GROUP BY c.source
+            ),
+            ks AS (
+              SELECT source, na, nb,
+                     CASE WHEN na = 0 OR nb = 0 THEN 1000000
+                          ELSE (m * 1000000) // (na * nb) END AS ks_ppm
+              FROM gap
+            )
+            SELECT source, CAST(na AS BIGINT) AS rows_a,
+                   CAST(nb AS BIGINT) AS rows_b,
+                   CAST(ks_ppm AS BIGINT) AS ks_ppm,
+                   ks_ppm > {tk.DRIFT2_KS_PPM} AS drifted
+            FROM ks ORDER BY source
         """,
         # doc_id → source functional dependency: null sources fold into the
         # sentinel and COUNT as a distinct conflicting value

@@ -398,17 +398,24 @@ def cmd_diff(args: argparse.Namespace) -> int:
 
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         pq.write_table(diff, args.out)
-    print(
-        json.dumps(
-            {
-                "identical": diff.num_rows == 0,
-                "n_diff_ids": diff.num_rows,
-                **counts,
-                "sample": diff.slice(0, 10).to_pylist(),
-                "out": args.out,
-            }
+    summary = {
+        "identical": diff.num_rows == 0,
+        "n_diff_ids": diff.num_rows,
+        **counts,
+        "sample": diff.slice(0, 10).to_pylist(),
+        "out": args.out,
+    }
+    if args.drift:
+        # distribution complement of the identity diff: did the migration
+        # shift per-source length distributions (exact integer KS, ppm)
+        from .pipelines.tokens import seq_corpus_drift_files
+
+        drift = seq_corpus_drift_files(fa, fb)
+        summary["drift"] = drift.to_pylist()
+        summary["n_drifted_sources"] = int(
+            sum(1 for v in drift.column("drifted").to_pylist() if v)
         )
-    )
+    print(json.dumps(summary))
     return 0 if diff.num_rows == 0 else 2
 
 
@@ -518,6 +525,12 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--a", required=True, help="baseline corpus dir (frag-*.parquet)")
     d.add_argument("--b", required=True, help="candidate corpus dir (frag-*.parquet)")
     d.add_argument("--out", default=None, help="optional parquet path for the full diff")
+    d.add_argument(
+        "--drift",
+        action="store_true",
+        help="also report per-source length-distribution drift "
+        "(exact integer KS, ppm) between the two corpora",
+    )
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_diff)
 

@@ -3683,6 +3683,130 @@ def seq_corpus_diff(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Two-corpus distribution-drift audit
+# ---------------------------------------------------------------------------
+#
+# ``seq_corpus_diff`` answers IDENTITY ("which rows changed"); this answers
+# DISTRIBUTION ("did the copy / re-shard / re-tokenization shift per-source
+# length distributions") — the migration-validation analog of the flagship's
+# reference-histogram drift check, with the statistic made ENGINE-EXACT:
+# KS = max_bin |cumA/nA - cumB/nB| evaluated by integer cross-multiplication
+# (max |cumA*nB - cumB*nA| over the bin union, then one integer division to
+# ppm), so no float threshold or summation order can disagree with the SQL
+# oracle. Each corpus contributes one (source, bin) count table — a per-batch
+# combiner over two thin columns; no row ever shuffles and the driver sees
+# sources × bins integers per side.
+
+DRIFT2_KS_PPM = 2500  # flag when the max CDF gap exceeds 0.25% (ppm scale).
+# The statistic is EXACT, not significance-tested: a 35-row source that
+# loses one row to a remove-residue legitimately shows a ~3% CDF gap and
+# flags (the sf0.01 fixture's spam-1/spam-2), while the big sources sit at
+# 500–1000 ppm from the per-fragment v2 additions. Callers pick the
+# threshold for their corpus; the default documents intent, the oracle
+# replays the arithmetic bit-for-bit at any setting.
+
+
+def _drift2_hist(files: list) -> "dict[tuple[str, int], int]":
+    """(source-or-sentinel, bin) → rows. bin = -1 for null/negative n_tok
+    (a negative value must not floor-divide into a real bin), else
+    n_tok // HIST_BIN_WIDTH, uncapped."""
+    from ..core.batches import arrow_out as _aout
+    from ..core.schema import HIST_BIN_WIDTH
+
+    w = HIST_BIN_WIDTH
+    ds = rd.read_parquet(files, columns=["source", "n_tok"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ntv = pc.fill_null(pc.cast(t.column("n_tok"), pa.int64()), -1).to_numpy(
+            zero_copy_only=False
+        )
+        b = np.where(ntv < 0, -1, ntv // w).astype(np.int64)
+        src = pc.fill_null(t.column("source"), "~null~").to_pandas().to_numpy()
+        g = (
+            pd.DataFrame({"source": src, "bin": b, "n": np.int64(1)})
+            .groupby(["source", "bin"], as_index=False)
+            .sum()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    out: dict[tuple[str, int], int] = {}
+    for r in ds.map_batches(_aout(partial), batch_format="pyarrow").take_all():
+        k = (r["source"], int(r["bin"]))
+        out[k] = out.get(k, 0) + int(r["n"])
+    return out
+
+
+_DRIFT2_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("rows_a", pa.int64()),
+        ("rows_b", pa.int64()),
+        ("ks_ppm", pa.int64()),
+        ("drifted", pa.bool_()),
+    ]
+)
+
+
+def seq_corpus_drift_files(
+    files_a: list, files_b: list, ks_ppm: int = DRIFT2_KS_PPM
+) -> pa.Table:
+    """Per-source two-corpus KS drift (exact integer ppm; contract in the
+    section comment above). A source present on only one side is maximal
+    drift (the CDF gap supremum is 1): ks_ppm = 1,000,000."""
+    ha, hb = _drift2_hist(files_a), _drift2_hist(files_b)
+    per_src: dict[str, tuple[dict, dict]] = {}
+    for (s, b), n in ha.items():
+        per_src.setdefault(s, ({}, {}))[0][b] = n
+    for (s, b), n in hb.items():
+        per_src.setdefault(s, ({}, {}))[1][b] = n
+    rows = []
+    for s in sorted(per_src):
+        ca, cb = per_src[s]
+        na, nb = sum(ca.values()), sum(cb.values())
+        if na == 0 or nb == 0:
+            ks = 1_000_000
+        else:
+            cum_a = cum_b = 0
+            m = 0
+            for b in sorted(set(ca) | set(cb)):
+                cum_a += ca.get(b, 0)
+                cum_b += cb.get(b, 0)
+                m = max(m, abs(cum_a * nb - cum_b * na))  # Python bigints
+            ks = (m * 1_000_000) // (na * nb)
+        rows.append(
+            {
+                "source": s,
+                "rows_a": na,
+                "rows_b": nb,
+                "ks_ppm": ks,
+                "drifted": ks > ks_ppm,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=_DRIFT2_SCHEMA)
+
+
+def seq_corpus_drift(sf_dir: str) -> pa.Table:
+    """Fixture entry: v1 corpus vs the derived v2 (``seq_corpus_diff``
+    precedent — real corpora go through ``seq_corpus_drift_files``)."""
+    import glob as _g
+    import os as _os
+
+    from ..datagen import _is_fixture_tag, ensure_sequences_v2, resolve_sequences
+
+    if not _is_fixture_tag(sf_dir):
+        raise ValueError(
+            "seq_corpus_drift(sf_dir) derives its second corpus only for "
+            "fixture tags; compare real corpora with "
+            "seq_corpus_drift_files(files_a, files_b)"
+        )
+    files_a = resolve_sequences(sf_dir)
+    v2 = ensure_sequences_v2(sf_dir)
+    files_b = sorted(_g.glob(_os.path.join(v2, "frag-*.parquet")))
+    return seq_corpus_drift_files(files_a, files_b)
+
+
+# ---------------------------------------------------------------------------
 # Cross-split contamination audit
 # ---------------------------------------------------------------------------
 

@@ -505,18 +505,24 @@ def test_cli_diff_subcommand(tmp_path):
     pq.write_table(t, os.path.join(da, "frag-00000.parquet"))
     pq.write_table(t, os.path.join(db, "frag-00000.parquet"))
 
-    def run(out=None):
+    def run(out=None, *extra):
         cmd = [sys.executable, "-m", "product_quality_check_ray", "diff",
-               "--a", da, "--b", db, "--num-cpus", "4"]
+               "--a", da, "--b", db, "--num-cpus", "4", *extra]
         if out:
             cmd += ["--out", out]
         return subprocess.run(
             cmd, capture_output=True, text=True, cwd="/root/repo", timeout=300
         )
 
-    r = run()
+    r = run(None, "--drift")
     assert r.returncode == 0, r.stderr[-2000:]
-    assert _json.loads(r.stdout.strip().splitlines()[-1])["identical"] is True
+    line0 = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line0["identical"] is True
+    # identical corpora: drift report present, every source at 0 ppm
+    assert line0["n_drifted_sources"] == 0
+    assert line0["drift"] == [
+        {"source": "web", "rows_a": 64, "rows_b": 64, "ks_ppm": 0, "drifted": False}
+    ]
 
     mut = t.set_column(
         t.schema.get_field_index("tokens"),

@@ -1700,3 +1700,75 @@ def test_seq_stats_prescreen_sound_vs_verdicts(ray_session):
     # and the prescreen is not trivially all-false: the fixture's clean
     # fragments must prove at least the token-domain checks somewhere
     assert pre.prove_token_oov.any() or pre.prove_token_neg.any()
+
+
+def test_seq_corpus_drift_planted(ray_session, tmp_path):
+    """Integer-KS arithmetic pinned by hand: a half-mass bin shift is
+    exactly 500,000 ppm; identical sources are 0; a source present on one
+    side only is maximal (1,000,000, drifted); null source folds into
+    '~null~' and null n_tok into bin -1 so sentinel rows compare equal."""
+    import glob
+
+    import pyarrow as pa
+
+    da, db = tmp_path / "A", tmp_path / "B"
+    da.mkdir(), db.mkdir()
+
+    def frag(d, name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "tokens": pa.array([[1]] * len(rows), type=pa.list_(pa.int32())),
+                "n_tok": pa.array([r[1] for r in rows], type=pa.int32()),
+                "source": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    frag(da, "frag-000.parquet", [
+        ("a-000000000001", 10, "web"),
+        ("a-000000000002", 40, "web"),
+        ("a-000000000003", 7, "code"),
+        ("a-000000000004", 1, "only-a"),
+        ("a-000000000005", None, None),
+    ])
+    frag(db, "frag-000.parquet", [
+        ("b-000000000001", 10, "web"),
+        ("b-000000000002", 100, "web"),  # bin 1 → bin 3: half the mass moves
+        ("b-000000000003", 7, "code"),
+        ("b-000000000005", None, None),
+    ])
+    fa = sorted(glob.glob(str(da / "frag-*.parquet")))
+    fb = sorted(glob.glob(str(db / "frag-*.parquet")))
+    out = tk.seq_corpus_drift_files(fa, fb).to_pandas().set_index("source")
+    assert list(out.index) == ["code", "only-a", "web", "~null~"]
+    assert (out.loc["web", ["rows_a", "rows_b", "ks_ppm"]].tolist() == [2, 2, 500_000]
+            and bool(out.loc["web", "drifted"]))
+    assert out.loc["code", "ks_ppm"] == 0 and not out.loc["code", "drifted"]
+    assert (out.loc["only-a", ["rows_a", "rows_b", "ks_ppm"]].tolist()
+            == [1, 0, 1_000_000]) and bool(out.loc["only-a", "drifted"])
+    assert out.loc["~null~", "ks_ppm"] == 0 and not out.loc["~null~", "drifted"]
+
+
+def test_seq_corpus_drift_fixture(ray_session):
+    """Fixture v1-vs-v2: row totals reconcile with both corpora; the KS
+    values are non-vacuous (the v2 additions/removals shift every big
+    source by a few hundred ppm)."""
+    import glob
+    import os
+
+    import pyarrow.dataset as pds
+
+    from product_quality_check_ray.datagen import (
+        ensure_sequences_v2,
+        resolve_sequences,
+    )
+
+    sf = "sf0.001"
+    out = tk.seq_corpus_drift(sf).to_pandas()
+    va = pds.dataset(resolve_sequences(sf)).count_rows()
+    vb = pds.dataset(
+        sorted(glob.glob(os.path.join(ensure_sequences_v2(sf), "frag-*.parquet")))
+    ).count_rows()
+    assert out.rows_a.sum() == va and out.rows_b.sum() == vb
+    assert (out.ks_ppm >= 0).all() and out.ks_ppm.max() > 0
