@@ -153,7 +153,11 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_simhash_recall",
     "doc_tfidf_topk",
     "doc_quality_scores",
-    "doc_lang_id",
+    # per-table validator family rep (documents/events/embeddings share the
+    # fused-kernel + combiner + tiny-groupby shape; the other two sit just
+    # past the marker). doc_lang_id demoted — quality family stays
+    # represented by doc_quality_scores.
+    "documents_validate",
     "doc_pii_redact",
     # normalize → explode → dict-match spine
     "doc_normalized",
@@ -200,7 +204,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_exact_dup_groups",
     "embedding_label_stats",
     "embedding_validate",
-    "documents_validate",
+    "doc_lang_id",
     "multimodal_audio",
     "multimodal_video_frames",
     "multimodal_resize",

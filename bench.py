@@ -111,6 +111,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
     and the isolated runner so both time the exact same work."""
     from product_quality_check_ray.pipelines import npm
     from product_quality_check_ray.pipelines import relational as rel
+    from product_quality_check_ray.pipelines import seq_queries as sq
     from product_quality_check_ray.pipelines import similarity as sim
     from product_quality_check_ray.pipelines import substring as sub
     from product_quality_check_ray.pipelines import text as tx
@@ -141,6 +142,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_decontaminate", lambda sf: tk.seq_decontaminate(sf)),
         ("seq_dup_token_arrays", lambda sf: tk.seq_dup_token_arrays(sf)),
         ("seq_prefix_dups", lambda sf: tk.seq_prefix_dups(sf)),
+        ("seq_sampled_check_counts", lambda sf: sq.seq_sampled_check_counts(sf)),
         ("seq_shard_schema_audit", lambda sf: tk.seq_shard_schema_audit(sf)),
         ("seq_shard_stats", lambda sf: tk.seq_shard_stats(sf)),
         ("seq_chunk_windows", lambda sf: tk.seq_chunk_windows(sf)),
@@ -162,6 +164,8 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_corpus_manifest", lambda sf: tk.seq_corpus_manifest(sf)),
         ("seq_dup_id_conflicts", lambda sf: tk.seq_dup_id_conflicts(sf)),
         ("seq_corpus_diff", lambda sf: tk.seq_corpus_diff(sf)),
+        ("seq_corpus_drift", lambda sf: tk.seq_corpus_drift(sf)),
+        ("seq_id_source_fd", lambda sf: tk.seq_id_source_fd(sf)),
         ("seq_split_leakage", lambda sf: tk.seq_split_leakage(sf)),
         ("seq_partition_verdicts", lambda sf: tk.seq_partition_verdicts(sf)),
         ("seq_rowgroup_audit", lambda sf: tk.seq_rowgroup_audit(sf)),

@@ -49,6 +49,7 @@ MUST_BE_IN_WINDOW = [
     "doc_words",
     "doc_dict_matches_lang",
     "doc_pii_redact",
+    "documents_validate",  # per-table validator family rep (round-3 cont.)
 ]
 
 WINDOW = 50
