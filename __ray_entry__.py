@@ -195,6 +195,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_dup_id_conflicts",
     "seq_id_source_fd",
     "seq_corpus_drift",
+    "seq_corpus_token_drift",
     "seq_lcs_pairs",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
@@ -471,7 +472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_dup_id_conflicts": lambda sf: tk.seq_dup_id_conflicts(sf),  # dup ids: exact-copy vs conflicting content
         "seq_id_source_fd": lambda sf: tk.seq_id_source_fd(sf),  # doc_id → source functional-dependency audit
         "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),
-        "seq_corpus_drift": lambda sf: tk.seq_corpus_drift(sf),  # two-corpus integer-KS length drift  # migration diff: added/removed/changed doc_ids
+        "seq_corpus_drift": lambda sf: tk.seq_corpus_drift(sf),  # two-corpus integer-KS length drift
+        "seq_corpus_token_drift": lambda sf: tk.seq_corpus_token_drift(sf),  # token-id distribution drift (re-tokenization detector)  # migration diff: added/removed/changed doc_ids
         "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
         "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
         "seq_rowgroup_audit": lambda sf: tk.seq_rowgroup_audit(sf),  # footer-only row-group sizing audit
@@ -1987,6 +1989,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, CAST(na AS BIGINT) AS rows_a,
                    CAST(nb AS BIGINT) AS rows_b,
+                   CAST(ks_ppm AS BIGINT) AS ks_ppm,
+                   ks_ppm > {tk.DRIFT2_KS_PPM} AS drifted
+            FROM ks ORDER BY source
+        """,
+        # token-id distribution drift (re-tokenization detector): the same
+        # integer-KS chain weighted by TOKENS — histograms from unnested
+        # token ids; null/empty lists contribute nothing
+        "seq_corpus_token_drift": f"""
+            WITH ha AS (
+              SELECT coalesce(source, '~null~') AS source,
+                     CASE WHEN tok IS NULL OR tok < 0 THEN -1
+                          ELSE tok // {tk.TOKDRIFT_BIN} END AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT source, unnest(tokens) AS tok
+                    FROM read_parquet('{seq_glob}'))
+              GROUP BY 1, 2
+            ),
+            hb AS (
+              SELECT coalesce(source, '~null~') AS source,
+                     CASE WHEN tok IS NULL OR tok < 0 THEN -1
+                          ELSE tok // {tk.TOKDRIFT_BIN} END AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT source, unnest(tokens) AS tok
+                    FROM read_parquet('{seq_v2_glob}'))
+              GROUP BY 1, 2
+            ),
+            bins AS (
+              SELECT coalesce(ha.source, hb.source) AS source,
+                     coalesce(ha.bin, hb.bin) AS bin,
+                     coalesce(ha.n, 0) AS na_bin, coalesce(hb.n, 0) AS nb_bin
+              FROM ha FULL OUTER JOIN hb
+                ON ha.source = hb.source AND ha.bin = hb.bin
+            ),
+            tot AS (
+              SELECT source, CAST(sum(na_bin) AS HUGEINT) AS na,
+                     CAST(sum(nb_bin) AS HUGEINT) AS nb
+              FROM bins GROUP BY source
+            ),
+            cum AS (
+              SELECT source, bin,
+                     CAST(sum(na_bin) OVER w AS HUGEINT) AS ca,
+                     CAST(sum(nb_bin) OVER w AS HUGEINT) AS cb
+              FROM bins WINDOW w AS (PARTITION BY source ORDER BY bin)
+            ),
+            gap AS (
+              SELECT c.source, max(abs(c.ca * t.nb - c.cb * t.na)) AS m,
+                     any_value(t.na) AS na, any_value(t.nb) AS nb
+              FROM cum c JOIN tot t USING (source) GROUP BY c.source
+            ),
+            ks AS (
+              SELECT source, na, nb,
+                     CASE WHEN na = 0 OR nb = 0 THEN 1000000
+                          ELSE (m * 1000000) // (na * nb) END AS ks_ppm
+              FROM gap
+            )
+            SELECT source, CAST(na AS BIGINT) AS tokens_a,
+                   CAST(nb AS BIGINT) AS tokens_b,
                    CAST(ks_ppm AS BIGINT) AS ks_ppm,
                    ks_ppm > {tk.DRIFT2_KS_PPM} AS drifted
             FROM ks ORDER BY source

@@ -3737,24 +3737,16 @@ def _drift2_hist(files: list) -> "dict[tuple[str, int], int]":
     return out
 
 
-_DRIFT2_SCHEMA = pa.schema(
-    [
-        ("source", pa.string()),
-        ("rows_a", pa.int64()),
-        ("rows_b", pa.int64()),
-        ("ks_ppm", pa.int64()),
-        ("drifted", pa.bool_()),
-    ]
-)
-
-
-def seq_corpus_drift_files(
-    files_a: list, files_b: list, ks_ppm: int = DRIFT2_KS_PPM
+def _ks_verdicts(
+    ha: "dict[tuple[str, int], int]",
+    hb: "dict[tuple[str, int], int]",
+    ks_ppm: int,
+    count_cols: tuple = ("rows_a", "rows_b"),
 ) -> pa.Table:
-    """Per-source two-corpus KS drift (exact integer ppm; contract in the
-    section comment above). A source present on only one side is maximal
-    drift (the CDF gap supremum is 1): ks_ppm = 1,000,000."""
-    ha, hb = _drift2_hist(files_a), _drift2_hist(files_b)
+    """Shared integer-KS core over two (source, bin) → count tables: per
+    source, max |cumA*nB − cumB*nA| over the bin union (Python bigints),
+    one integer division to ppm. A source present on only one side is
+    maximal drift (the CDF gap supremum is 1): ks_ppm = 1,000,000."""
     per_src: dict[str, tuple[dict, dict]] = {}
     for (s, b), n in ha.items():
         per_src.setdefault(s, ({}, {}))[0][b] = n
@@ -3777,13 +3769,30 @@ def seq_corpus_drift_files(
         rows.append(
             {
                 "source": s,
-                "rows_a": na,
-                "rows_b": nb,
+                count_cols[0]: na,
+                count_cols[1]: nb,
                 "ks_ppm": ks,
                 "drifted": ks > ks_ppm,
             }
         )
-    return pa.Table.from_pylist(rows, schema=_DRIFT2_SCHEMA)
+    schema = pa.schema(
+        [
+            ("source", pa.string()),
+            (count_cols[0], pa.int64()),
+            (count_cols[1], pa.int64()),
+            ("ks_ppm", pa.int64()),
+            ("drifted", pa.bool_()),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def seq_corpus_drift_files(
+    files_a: list, files_b: list, ks_ppm: int = DRIFT2_KS_PPM
+) -> pa.Table:
+    """Per-source two-corpus length-KS drift (exact integer ppm; contract
+    in the section comment above)."""
+    return _ks_verdicts(_drift2_hist(files_a), _drift2_hist(files_b), ks_ppm)
 
 
 def seq_corpus_drift(sf_dir: str) -> pa.Table:
@@ -3804,6 +3813,98 @@ def seq_corpus_drift(sf_dir: str) -> pa.Table:
     v2 = ensure_sequences_v2(sf_dir)
     files_b = sorted(_g.glob(_os.path.join(v2, "frag-*.parquet")))
     return seq_corpus_drift_files(files_a, files_b)
+
+
+TOKDRIFT_BIN = 1024  # token-id bin width: 32 bins over the 32k vocab
+
+
+def _tokdrift_hist(files: list) -> "dict[tuple[str, int], int]":
+    """(source-or-sentinel, token-id bin) → TOKEN count. bin = -1 for
+    null/negative token elements, else token // TOKDRIFT_BIN, uncapped.
+    Null/empty token lists contribute nothing (they carry no tokens).
+
+    Fully vectorized: per batch, dictionary-encoded sources are repeated to
+    token positions via list offsets, and one bincount over the combined
+    (source code, bin) index produces the partial — no (source, token) row
+    ever shuffles."""
+    from ..core.batches import arrow_out as _aout
+
+    ds = rd.read_parquet(files, columns=["source", "tokens"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = t.column("tokens").combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals_arr = toks.values
+        if vals_arr.null_count:
+            vals_arr = pc.fill_null(vals_arr, -1)
+        vals = np.asarray(vals_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+        vals = vals[: offs[-1]] if offs.size else vals[:0]
+        src = pc.fill_null(t.column("source"), "~null~")
+        d = pc.dictionary_encode(src)
+        codes = np.asarray(
+            d.combine_chunks().indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        uniq = d.combine_chunks().dictionary.to_pylist()
+        raw_lens = offs[1:] - offs[:-1]
+        # a null LIST still spans offsets (undefined value region) — mask
+        # its values out and give it zero repeat weight
+        valid_list = pc.is_valid(toks).to_numpy(zero_copy_only=False)
+        v = vals[np.repeat(valid_list, raw_lens)]
+        tok_codes = np.repeat(codes, np.where(valid_list, raw_lens, 0))
+        bins = np.where(v < 0, -1, v // TOKDRIFT_BIN)
+        nb = (32768 // TOKDRIFT_BIN) + 2
+        idx = tok_codes * nb + (bins + 1)
+        counts = np.bincount(idx, minlength=len(uniq) * nb)
+        rows = []
+        for ci, s in enumerate(uniq):
+            seg = counts[ci * nb : (ci + 1) * nb]
+            for bi in np.flatnonzero(seg):
+                rows.append({"source": s, "bin": int(bi) - 1, "n": int(seg[bi])})
+        return pd.DataFrame(rows, columns=["source", "bin", "n"]).astype(
+            {"bin": np.int64, "n": np.int64}
+        )
+
+    out: dict[tuple[str, int], int] = {}
+    for r in ds.map_batches(_aout(partial), batch_format="pyarrow").take_all():
+        k = (r["source"], int(r["bin"]))
+        out[k] = out.get(k, 0) + int(r["n"])
+    return out
+
+
+def seq_corpus_token_drift(sf_dir: str, ks_ppm: int = DRIFT2_KS_PPM) -> pa.Table:
+    """Two-corpus TOKEN-ID distribution drift per source (fixture v1 vs the
+    derived v2): the re-tokenization detector — a tokenizer/vocab change
+    shifts which token ids appear even when sequence LENGTHS stay identical,
+    so this is the content complement of ``seq_corpus_drift``. Same exact
+    integer-KS core (``_ks_verdicts``) over (source, token-id bin) counts
+    weighted by TOKENS, not rows; null/negative elements fold into bin -1
+    and null/empty lists contribute nothing."""
+    import glob as _g
+    import os as _os
+
+    from ..datagen import _is_fixture_tag, ensure_sequences_v2, resolve_sequences
+
+    if not _is_fixture_tag(sf_dir):
+        raise ValueError(
+            "seq_corpus_token_drift(sf_dir) derives its second corpus only "
+            "for fixture tags; compare real corpora with "
+            "seq_corpus_token_drift_files(files_a, files_b)"
+        )
+    files_a = resolve_sequences(sf_dir)
+    v2 = ensure_sequences_v2(sf_dir)
+    files_b = sorted(_g.glob(_os.path.join(v2, "frag-*.parquet")))
+    return seq_corpus_token_drift_files(files_a, files_b, ks_ppm)
+
+
+def seq_corpus_token_drift_files(
+    files_a: list, files_b: list, ks_ppm: int = DRIFT2_KS_PPM
+) -> pa.Table:
+    return _ks_verdicts(
+        _tokdrift_hist(files_a),
+        _tokdrift_hist(files_b),
+        ks_ppm,
+        count_cols=("tokens_a", "tokens_b"),
+    )
 
 
 # ---------------------------------------------------------------------------

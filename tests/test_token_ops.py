@@ -1772,3 +1772,55 @@ def test_seq_corpus_drift_fixture(ray_session):
     ).count_rows()
     assert out.rows_a.sum() == va and out.rows_b.sum() == vb
     assert (out.ks_ppm >= 0).all() and out.ks_ppm.max() > 0
+
+
+def test_seq_corpus_token_drift_planted(ray_session, tmp_path):
+    """The re-tokenization detector: a source whose token IDS all moved to
+    a different vocab region while sequence LENGTHS stayed identical is
+    invisible to the length drift (0 ppm) and maximal here (1,000,000 ppm).
+    Null elements fold into bin -1 and compare equal when planted on both
+    sides; empty/null token lists contribute no tokens, so a source with
+    only those rows is absent from the report entirely."""
+    import glob
+
+    import pyarrow as pa
+
+    da, db = tmp_path / "A", tmp_path / "B"
+    da.mkdir(), db.mkdir()
+
+    def frag(d, name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [len(r[1]) if r[1] is not None else 0 for r in rows],
+                    type=pa.int32(),
+                ),
+                "source": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / name))
+
+    frag(da, "frag-000.parquet", [
+        ("a-000000000001", [0, 1], "retok"),
+        ("a-000000000002", [2, 3], "retok"),
+        ("a-000000000003", [None, 5], "nulls"),
+        ("a-000000000004", [], "emptyonly"),
+        ("a-000000000005", None, "emptyonly"),
+    ])
+    frag(db, "frag-000.parquet", [
+        ("b-000000000001", [2048, 2049], "retok"),  # same lengths, new vocab region
+        ("b-000000000002", [2050, 2051], "retok"),
+        ("b-000000000003", [None, 5], "nulls"),
+    ])
+    fa = sorted(glob.glob(str(da / "frag-*.parquet")))
+    fb = sorted(glob.glob(str(db / "frag-*.parquet")))
+
+    tokd = tk.seq_corpus_token_drift_files(fa, fb).to_pandas().set_index("source")
+    lend = tk.seq_corpus_drift_files(fa, fb).to_pandas().set_index("source")
+    assert list(tokd.index) == ["nulls", "retok"]  # emptyonly carries no tokens
+    assert (tokd.loc["retok", ["tokens_a", "tokens_b", "ks_ppm"]].tolist()
+            == [4, 4, 1_000_000]) and bool(tokd.loc["retok", "drifted"])
+    assert lend.loc["retok", "ks_ppm"] == 0 and not lend.loc["retok", "drifted"]
+    assert tokd.loc["nulls", "ks_ppm"] == 0 and not tokd.loc["nulls", "drifted"]
