@@ -197,6 +197,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_drift",
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
+    "seq_sortedness_audit",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
     "seq_vocab_coverage",
@@ -479,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_rowgroup_audit": lambda sf: tk.seq_rowgroup_audit(sf),  # footer-only row-group sizing audit
         "seq_stats_prescreen": lambda sf: tk.seq_stats_prescreen(sf),  # footer-stats check-pruning proofs
         "seq_keyrange_audit": lambda sf: tk.seq_keyrange_audit(sf),  # doc_id range disjointness audit
+        "seq_sortedness_audit": lambda sf: tk.seq_sortedness_audit(sf),  # intra-fragment doc_id order audit
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -2180,6 +2182,37 @@ def oracle_sql() -> dict[str, str]:
                   AND o.id_min <= b.id_max AND b.id_min <= o.id_max
               ) AS overlaps_other
             FROM base b
+        """,
+        # intra-fragment doc_id physical-order audit: lag() over the file's
+        # row order replays the engine's adjacent-descending-step count; both
+        # engines compare utf-8 bytes and fold null ids to '' (sorts first).
+        # 0-row fragments emit nothing on both sides.
+        "seq_sortedness_audit": f"""
+            WITH r AS (
+              SELECT regexp_extract(filename, '[^/]+$') AS fragment,
+                     file_row_number AS rn,
+                     doc_id IS NULL AS id_null,
+                     coalesce(doc_id, '') AS id
+              FROM read_parquet('{seq_glob}', filename=true,
+                                file_row_number=true)
+            ),
+            w AS (
+              SELECT fragment, id_null, id,
+                     lag(id) OVER (PARTITION BY fragment ORDER BY rn)
+                       AS prev_id
+              FROM r
+            )
+            SELECT fragment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (WHERE id_null) AS BIGINT)
+                     AS n_null_ids,
+                   CAST(count(*) FILTER (
+                     WHERE prev_id IS NOT NULL AND id < prev_id
+                   ) AS BIGINT) AS n_desc_steps,
+                   count(*) FILTER (
+                     WHERE prev_id IS NOT NULL AND id < prev_id
+                   ) = 0 AS sorted_asc
+            FROM w GROUP BY 1
         """,
         # per-partition pass/fail: the seq_check_counts predicate set
         # grouped by fragment; passed = zero violating rows in the fragment

@@ -335,6 +335,29 @@ def cmd_audit(args: argparse.Namespace) -> int:
             )
         ),
     }
+    if args.sortedness:
+        # intra-fragment doc_id order scan (projected one-column read —
+        # opt-in): with the footer-range disjointness bit above this
+        # certifies a globally id-sorted corpus, the layout that makes the
+        # uniqueness / diff / resolve-back passes shuffle-free.
+        # Informational — never part of the exit gate (an unsorted corpus
+        # is a slower corpus, not a broken one).
+        from .pipelines.tokens import seq_sortedness_audit
+
+        so = seq_sortedness_audit(args.input)
+        unsorted = sorted(
+            f
+            for f, ok in zip(
+                so.column("fragment").to_pylist(),
+                so.column("sorted_asc").to_pylist(),
+            )
+            if not ok
+        )
+        summary["unsorted_fragments"] = unsorted[:20]
+        summary["n_unsorted_fragments"] = len(unsorted)
+        summary["corpus_id_sorted"] = bool(
+            summary["id_ranges_disjoint"] and not unsorted
+        )
     if args.sample_probe:
         # sampled row-level health probe (reads the sampled rows' payloads —
         # opt-in): per-source ESTIMATED violation rates from the
@@ -503,6 +526,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also run the deterministic ~15.6%% content-keyed sampled row "
         "check probe and report per-source estimated violation rates "
         "(informational; reads sampled payloads)",
+    )
+    a.add_argument(
+        "--sortedness",
+        action="store_true",
+        help="also scan doc_id physical order per fragment (projected "
+        "one-column read) and report unsorted fragments plus the decisive "
+        "corpus_id_sorted bit (ranges disjoint AND every fragment sorted)",
     )
     a.set_defaults(fn=cmd_audit)
 

@@ -4497,3 +4497,89 @@ def probe_unreadable(files: list, files_per_task: int = 64) -> list:
         for i in range(0, len(files), files_per_task)
     ]
     return sorted(r for part in ray.get(refs) for r in part)
+
+
+# ---------------------------------------------------------------------------
+# Intra-fragment doc_id sortedness audit
+# ---------------------------------------------------------------------------
+# ``seq_keyrange_audit`` proves the CROSS-fragment half of the id-sorted
+# writer contract (pairwise-disjoint footer ranges); this audit proves the
+# WITHIN-fragment half: are rows physically ordered by doc_id inside each
+# shard. Together they certify a globally id-sorted corpus — the layout that
+# makes uniqueness / diff / resolve-back shuffle-free (dupfinder range
+# pruning) and point lookups footer-prunable. Footer stats cannot see row
+# ORDER, so this is a projected one-column scan (doc_id only — the token
+# payload never leaves storage): per fragment, count adjacent descending
+# steps over the file's physical row order, vectorized as one sliced Arrow
+# ``less`` per fragment. Null ids fold to '' (sorts first on both engines;
+# a null mid-file therefore registers as a descending step) and are counted
+# separately for diagnosis. Both engines compare utf-8 bytes (Arrow string
+# compare and DuckDB's default binary collation), so the oracle — a
+# lag() window over read_parquet(file_row_number=true) — replays every step
+# exactly. 0-row fragments emit nothing (matching the SQL group-by).
+# Reference analog: none (single-file pandas keeps its frame order); this
+# is a Ray-native writer-contract check in the spirit of SURVEY §2.7.
+
+_SORTEDNESS_SCHEMA = pa.schema(
+    [
+        ("fragment", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_null_ids", pa.int64()),
+        ("n_desc_steps", pa.int64()),
+        ("sorted_asc", pa.bool_()),
+    ]
+)
+
+
+@ray.remote
+def _scan_sortedness(paths: list) -> list:
+    """(fragment, n_rows, n_null_ids, n_desc_steps) per fragment — one
+    projected read of doc_id only; order within a single-file read_table is
+    the file's physical row order."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id"])
+        n = t.num_rows
+        if n == 0:
+            continue
+        col = t.column("doc_id")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        nulls = arr.null_count
+        ids = pc.fill_null(arr, "")
+        desc = 0
+        if n >= 2:
+            desc = int(
+                pc.sum(pc.less(ids.slice(1), ids.slice(0, n - 1))).as_py() or 0
+            )
+        out.append((os.path.basename(p), n, int(nulls), desc))
+    return out
+
+
+def seq_sortedness_audit(sf_dir: str, files_per_task: "int | None" = None) -> pa.Table:
+    """Per-fragment doc_id physical-order audit (contract in the section
+    comment above): adjacent descending-step count + sorted flag."""
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if not files:
+        return _SORTEDNESS_SCHEMA.empty_table()
+    if files_per_task is None:
+        files_per_task = _cpu_files_per_task(len(files))
+    refs = [
+        _scan_sortedness.remote(files[i : i + files_per_task])
+        for i in range(0, len(files), files_per_task)
+    ]
+    rows = sorted(r for part in ray.get(refs) for r in part)
+    return pa.table(
+        {
+            "fragment": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_null_ids": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_desc_steps": pa.array([r[3] for r in rows], type=pa.int64()),
+            "sorted_asc": pa.array([r[3] == 0 for r in rows], type=pa.bool_()),
+        }
+    )

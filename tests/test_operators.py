@@ -2204,3 +2204,32 @@ def test_documents_validate_planted(ray_session, tmp_path):
     oracle = con.sql(e.oracle_sql()["documents_validate"]).df()
     mine = documents_validate(str(d)).to_pandas()
     assert mine.astype(str).values.tolist() == oracle.astype(str).values.tolist()
+
+
+def test_sortedness_audit_planted(ray_session, tmp_path):
+    """Planted order cases: a sorted fragment passes; an unsorted one
+    reports the exact adjacent descending-step count; equal adjacent ids
+    (duplicates) are NOT descending steps; a null id folds to '' so a null
+    mid-file registers one step and n_null_ids counts it; a single-row
+    fragment is vacuously sorted; a 0-row fragment emits nothing (the SQL
+    group-by contract)."""
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    _write_id_frag(d, "frag-000.parquet", ["a-1", "a-2", "a-2", "b-9"])   # sorted, dup adjacent
+    _write_id_frag(d, "frag-001.parquet", ["b-2", "a-1", "c-3", "b-0"])   # steps at rows 1 and 3
+    _write_id_frag(d, "frag-002.parquet", ["a-1", None, "a-5"])           # null mid-file
+    _write_id_frag(d, "frag-003.parquet", ["z-9"])                        # single row
+    _write_id_frag(d, "frag-004.parquet", [])                             # empty
+
+    out = tk.seq_sortedness_audit(str(d)).to_pandas().set_index("fragment")
+    assert "frag-004.parquet" not in out.index
+    f0 = out.loc["frag-000.parquet"]
+    assert f0.n_rows == 4 and f0.n_desc_steps == 0 and bool(f0.sorted_asc)
+    f1 = out.loc["frag-001.parquet"]
+    assert f1.n_desc_steps == 2 and not bool(f1.sorted_asc)
+    f2 = out.loc["frag-002.parquet"]
+    assert f2.n_null_ids == 1 and f2.n_desc_steps == 1 and not bool(f2.sorted_asc)
+    f3 = out.loc["frag-003.parquet"]
+    assert f3.n_rows == 1 and bool(f3.sorted_asc)

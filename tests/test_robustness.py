@@ -564,7 +564,8 @@ def test_cli_audit_manifest_and_rowgroups(tmp_path):
     mpath = str(tmp_path / "manifest.parquet")
     r = subprocess.run(
         [sys.executable, "-m", "product_quality_check_ray", "audit",
-         "--input", d, "--manifest-out", mpath, "--sample-probe", "--num-cpus", "4"],
+         "--input", d, "--manifest-out", mpath, "--sample-probe",
+         "--sortedness", "--num-cpus", "4"],
         capture_output=True, text=True, cwd="/root/repo", timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -577,6 +578,12 @@ def test_cli_audit_manifest_and_rowgroups(tmp_path):
     probe = line["sample_probe"]
     assert probe and all(v["viol_rows"] == 0 and v["est_viol_ppm"] == 0 for v in probe.values())
     assert sum(v["sampled_rows"] for v in probe.values()) > 0
+    # both fragments are internally id-sorted, but the duplicated shard
+    # makes the footer ranges overlap — so the decisive corpus-sorted bit
+    # (disjoint AND per-fragment sorted) is false with zero unsorted frags
+    assert line["n_unsorted_fragments"] == 0 and line["unsorted_fragments"] == []
+    assert line["id_ranges_disjoint"] is False
+    assert line["corpus_id_sorted"] is False
 
 
 def test_cli_report_subcommand(ray_session, tmp_path):
