@@ -198,6 +198,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
     "seq_sortedness_audit",
+    "seq_locate_ids",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
     "seq_vocab_coverage",
@@ -481,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_stats_prescreen": lambda sf: tk.seq_stats_prescreen(sf),  # footer-stats check-pruning proofs
         "seq_keyrange_audit": lambda sf: tk.seq_keyrange_audit(sf),  # doc_id range disjointness audit
         "seq_sortedness_audit": lambda sf: tk.seq_sortedness_audit(sf),  # intra-fragment doc_id order audit
+        "seq_locate_ids": lambda sf: tk.seq_locate_ids(sf),  # footer-pruned doc_id point lookup
         "seq_chunk_windows": lambda sf: tk.seq_chunk_windows(sf),  # token sliding-window chunking
         "seq_length_batches": lambda sf: tk.seq_length_batches(sf),  # length-sorted batch plan + pad waste
         "seq_detokenize": lambda sf: tk.seq_detokenize(sf),  # vocab decode (audit/inspection)
@@ -2182,6 +2184,20 @@ def oracle_sql() -> dict[str, str]:
                   AND o.id_min <= b.id_max AND b.id_min <= o.id_max
               ) AS overlaps_other
             FROM base b
+        """,
+        # footer-pruned point lookup: a literal IN-list filter replays the
+        # engine's result exactly no matter how many fragments the engine's
+        # footer-range pruning skipped (pruning is sound, so pruned
+        # fragments contribute no rows on either side)
+        "seq_locate_ids": f"""
+            SELECT doc_id,
+                   regexp_extract(filename, '[^/]+$') AS fragment,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM read_parquet('{seq_glob}', filename=true)
+            WHERE doc_id IN ({
+                ", ".join(f"'{i}'" for i in tk.default_locate_ids())
+            })
+            GROUP BY 1, 2
         """,
         # intra-fragment doc_id physical-order audit: lag() over the file's
         # row order replays the engine's adjacent-descending-step count; both

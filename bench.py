@@ -172,6 +172,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_stats_prescreen", lambda sf: tk.seq_stats_prescreen(sf)),
         ("seq_keyrange_audit", lambda sf: tk.seq_keyrange_audit(sf)),
         ("seq_sortedness_audit", lambda sf: tk.seq_sortedness_audit(sf)),
+        ("seq_locate_ids", lambda sf: tk.seq_locate_ids(sf)),
         ("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf)),
         ("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf)),
         ("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf)),

@@ -4583,3 +4583,123 @@ def seq_sortedness_audit(sf_dir: str, files_per_task: "int | None" = None) -> pa
             "sorted_asc": pa.array([r[3] == 0 for r in rows], type=pa.bool_()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Footer-pruned point lookup (doc_id → owning fragments)
+# ---------------------------------------------------------------------------
+# The targeted-re-validation primitive: given a handful of doc_ids (a bug
+# report, a takedown request, a failed downstream example), find the shards
+# and row counts that hold them WITHOUT a full corpus scan. Fragment pruning
+# uses the same footer min/max bounds as ``seq_keyrange_audit`` — string
+# stats are sound CONTAINING bounds even when truncated (truncated min is a
+# lower bound, truncated max an upper bound), so "no target inside a
+# fragment's stats range" proves the fragment holds no target and it is
+# never opened. On an id-sorted / id-partitioned corpus this reads O(hit)
+# fragments out of 10^5; on an unsorted corpus it degrades to the full
+# (still projected, doc_id-only) scan — correct either way, and the SQL
+# oracle (a literal IN-list filter with filename=true) replays the result
+# exactly regardless of how many fragments were pruned. Default target set
+# is deterministic and synthesized from the allowlist source names ×  fixed
+# numeric suffixes (present AND absent ids at every sf), so both engines
+# agree on the targets without any scan.
+
+LOCATE_DEFAULT_IDXS = (7, 123, 999, 4567, 12345, 31337, 65535, 7654321)
+
+_LOCATE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("fragment", pa.string()),
+        ("n_rows", pa.int64()),
+    ]
+)
+
+
+def default_locate_ids() -> "list[str]":
+    """Deterministic default lookup set: allowlist sources × fixed suffixes
+    (some exist at any sf, some never do — absence must round-trip too)."""
+    from ..datagen import SOURCES
+
+    return sorted(f"{s}-{i:012d}" for s in SOURCES for i in LOCATE_DEFAULT_IDXS)
+
+
+def locate_prune(files: "list[str]", targets: "list[str]") -> "tuple[list, list]":
+    """(must_scan, provably_empty) fragment split from footer id ranges.
+
+    Sound: stats bounds CONTAIN the true id range, so a fragment whose
+    bounds exclude every target cannot hold one. Unknown-stats fragments
+    are always scanned; known fragments with no non-null ids are skipped
+    only for the id lookup itself (null ids are never lookup targets)."""
+    import bisect
+
+    from ..state.dupfinder import fragment_id_ranges
+
+    ts = sorted(targets)
+    scan, skip = [], []
+    for p, lo, hi, known in fragment_id_ranges(files):
+        if not known:
+            scan.append(p)
+            continue
+        if lo is None:
+            skip.append(p)
+            continue
+        j = bisect.bisect_left(ts, lo)
+        (scan if j < len(ts) and ts[j] <= hi else skip).append(p)
+    return sorted(scan), sorted(skip)
+
+
+@ray.remote
+def _scan_locate(paths: list, ids: pa.Array) -> list:
+    """(doc_id, fragment, count) for target rows — doc_id column only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for p in paths:
+        t = pq.read_table(p, columns=["doc_id"])
+        col = t.column("doc_id").combine_chunks()
+        mask = pc.is_in(col, value_set=ids)
+        if not pc.any(mask).as_py():
+            continue
+        vc = pc.value_counts(col.filter(mask))
+        frag = os.path.basename(p)
+        out.extend(
+            (v, frag, int(c))
+            for v, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            )
+        )
+    return out
+
+
+def seq_locate_ids(
+    sf_dir: str,
+    targets: "list[str] | None" = None,
+    files_per_task: int = 64,
+) -> pa.Table:
+    """Footer-pruned doc_id point lookup (contract in the section comment
+    above): one row per (found id, owning fragment) with the row count."""
+    from ..datagen import resolve_sequences
+
+    files = resolve_sequences(sf_dir)
+    if targets is None:
+        targets = default_locate_ids()
+    if not files or not targets:
+        return _LOCATE_SCHEMA.empty_table()
+    scan, _skip = locate_prune(files, targets)
+    if not scan:
+        return _LOCATE_SCHEMA.empty_table()
+    ids = ray.put(pa.array(sorted(set(targets)), type=pa.string()))
+    refs = [
+        _scan_locate.remote(scan[i : i + files_per_task], ids)
+        for i in range(0, len(scan), files_per_task)
+    ]
+    rows = sorted(r for part in ray.get(refs) for r in part)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "fragment": pa.array([r[1] for r in rows], type=pa.string()),
+            "n_rows": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )

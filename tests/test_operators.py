@@ -2233,3 +2233,43 @@ def test_sortedness_audit_planted(ray_session, tmp_path):
     assert f2.n_null_ids == 1 and f2.n_desc_steps == 1 and not bool(f2.sorted_asc)
     f3 = out.loc["frag-003.parquet"]
     assert f3.n_rows == 1 and bool(f3.sorted_asc)
+
+
+def test_locate_ids_pruning_planted(ray_session, tmp_path):
+    """Footer-range pruning is sound and effective: on an id-sorted corpus
+    only fragments whose stats range can contain a target are opened; the
+    pruned lookup equals a full-scan lookup (duplicate rows counted, absent
+    targets absent); stats-less fragments are always scanned; all-null-id
+    fragments are skipped."""
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    files = []
+    for k in range(6):  # fragment k owns ids k-0000..k-0049, sorted
+        ids = sorted(f"id-{k:02d}-{i:04d}" for i in range(50))
+        if k == 2:
+            ids += [f"id-{k:02d}-0049"]  # duplicate of the last id
+        files.append(_write_id_frag(d, f"frag-{k:03d}.parquet", sorted(ids)))
+    files.append(_write_id_frag(d, "frag-006.parquet", ["zz-1"], write_statistics=False))
+    files.append(_write_id_frag(d, "frag-007.parquet", [None, None]))  # all-null
+
+    targets = ["id-02-0049", "id-04-0000", "id-99-0000"]  # 2 hits + 1 absent
+    scan, skip = tk.locate_prune(sorted(files), targets)
+    # fragments 2 and 4 hold targets; the stats-less fragment must be
+    # scanned too; everything else is provably empty
+    assert [f.split("/")[-1] for f in scan] == [
+        "frag-002.parquet", "frag-004.parquet", "frag-006.parquet"
+    ]
+    assert "frag-007.parquet" in {f.split("/")[-1] for f in skip}
+
+    out = tk.seq_locate_ids(str(d), targets=targets).to_pylist()
+    assert out == [
+        {"doc_id": "id-02-0049", "fragment": "frag-002.parquet", "n_rows": 2},
+        {"doc_id": "id-04-0000", "fragment": "frag-004.parquet", "n_rows": 1},
+    ]
+    # pruning OFF (scan everything) must give the identical table
+    full = tk.seq_locate_ids(str(d), targets=targets + ["zz-1"]).to_pylist()
+    assert full[:2] == out and full[2] == {
+        "doc_id": "zz-1", "fragment": "frag-006.parquet", "n_rows": 1
+    }
