@@ -205,6 +205,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_split_assign",
     "seq_detokenize",
     "doc_exact_dup_groups",
+    "documents_lang_drift",
     "embedding_label_stats",
     "embedding_validate",
     "doc_lang_id",
@@ -499,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "events_validate": lambda sf: rel.events_validate(sf),  # row checks generalized to the events table
         "documents_validate": lambda sf: tx.documents_validate(sf),  # row checks generalized to the documents table
+        "documents_lang_drift": lambda sf: tx.documents_lang_drift(sf),  # per-lang length-KS vs corpus complement
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
         "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
         # capstone: clean → mixture → shard → chunk in ONE fused pass
@@ -3566,6 +3568,54 @@ def oracle_sql() -> dict[str, str]:
               count(*) FILTER (WHERE null_id OR null_text OR empty_text OR null_lang
                    OR bad_lang OR nchars_mismatch OR neg_nchars) = 0 AS passed
             FROM f GROUP BY lang ORDER BY lang
+        """,
+        # per-language length-distribution outlier audit: the seq_corpus_drift
+        # integer-KS chain with side B = the language's complement (rest of
+        # the corpus); exact HUGEINT arithmetic so no float can disagree
+        "documents_lang_drift": f"""
+            WITH h AS (
+              SELECT coalesce(lang, '~null~') AS lang,
+                     CASE WHEN n_chars IS NULL OR n_chars < 0 THEN -1
+                          ELSE n_chars // {tx.DOC_DRIFT_BIN} END AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            tot AS (SELECT bin, CAST(sum(n) AS BIGINT) AS nt FROM h GROUP BY 1),
+            pairs AS (
+              SELECT l.lang, t.bin,
+                     coalesce(h.n, 0) AS na_bin,
+                     t.nt - coalesce(h.n, 0) AS nb_bin
+              FROM (SELECT DISTINCT lang FROM h) l
+              CROSS JOIN tot t
+              LEFT JOIN h ON h.lang = l.lang AND h.bin = t.bin
+            ),
+            tots AS (
+              SELECT lang, CAST(sum(na_bin) AS HUGEINT) AS na,
+                     CAST(sum(nb_bin) AS HUGEINT) AS nb
+              FROM pairs GROUP BY 1
+            ),
+            cum AS (
+              SELECT lang, bin,
+                     CAST(sum(na_bin) OVER w AS HUGEINT) AS ca,
+                     CAST(sum(nb_bin) OVER w AS HUGEINT) AS cb
+              FROM pairs WINDOW w AS (PARTITION BY lang ORDER BY bin)
+            ),
+            gap AS (
+              SELECT c.lang, max(abs(c.ca * t.nb - c.cb * t.na)) AS m,
+                     any_value(t.na) AS na, any_value(t.nb) AS nb
+              FROM cum c JOIN tots t USING (lang) GROUP BY c.lang
+            ),
+            ks AS (
+              SELECT lang, na, nb,
+                     CASE WHEN na = 0 OR nb = 0 THEN 1000000
+                          ELSE (m * 1000000) // (na * nb) END AS ks_ppm
+              FROM gap
+            )
+            SELECT lang, CAST(na AS BIGINT) AS rows_lang,
+                   CAST(nb AS BIGINT) AS rows_rest,
+                   CAST(ks_ppm AS BIGINT) AS ks_ppm,
+                   ks_ppm > {tx.DOC_LANG_KS_PPM} AS drifted
+            FROM ks ORDER BY lang
         """,
         # generated twins: literal hyperplanes / hash-ranked seeds — any
         # bucketing, probing, scoring or tie-break drift hash-mismatches

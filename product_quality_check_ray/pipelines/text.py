@@ -1962,3 +1962,70 @@ def documents_validate(sf_dir: str) -> pa.Table:
             + [("viol_rows", pa.int64()), ("passed", pa.bool_())]
         ).empty_table()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-language length-distribution outlier audit (documents table)
+# ---------------------------------------------------------------------------
+# The documents-table analog of the sequences engine's drift verdicts, with
+# no reference corpus needed: each language's n_chars distribution is
+# KS-compared against the REST of the corpus (its complement), flagging the
+# language whose document-length profile deviates — a crawl/extraction
+# pipeline that truncates or pads one language shows up here while
+# per-language row counts stay plausible. The statistic is the engine-exact
+# integer KS shared with seq_corpus_drift (max |cumA*nB − cumB*nA| in
+# Python bigints / HUGEINT, one integer division to ppm), so no float
+# threshold can disagree with the SQL oracle. One streaming pass over two
+# thin columns; the driver sees langs × bins integers. Null langs fold to
+# '~null~'; null/negative n_chars fold to bin -1. A lang that is the WHOLE
+# corpus has an empty complement and reads maximal drift (the CDF gap
+# supremum over an empty side is defined as 1), matching the two-corpus
+# convention.
+
+DOC_DRIFT_BIN = 64          # n_chars histogram bin width
+DOC_LANG_KS_PPM = 120_000   # flag a lang whose length CDF gaps >12% vs rest
+
+
+def documents_lang_drift(sf_dir: str, ks_ppm: int = DOC_LANG_KS_PPM) -> pa.Table:
+    """Per-language n_chars-distribution KS vs the rest of the corpus
+    (contract in the section comment above)."""
+    from ..core.batches import arrow_out as _aout
+    from .tokens import _ks_verdicts
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lang = pc.fill_null(t.column("lang"), "~null~").to_pandas()
+        nc = pc.fill_null(pc.cast(t.column("n_chars"), pa.int64()), -1).to_numpy(
+            zero_copy_only=False
+        )
+        bins = np.where(nc < 0, -1, nc // DOC_DRIFT_BIN)
+        df = pd.DataFrame(
+            {"lang": lang, "bin": bins.astype(np.int64), "n": np.int64(1)}
+        )
+        g = df.groupby(["lang", "bin"], as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ha: dict = {}
+    for bt in ds.map_batches(_aout(partial), batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for l, b, n in zip(
+            bt.column("lang").to_pylist(),
+            bt.column("bin").to_pylist(),
+            bt.column("n").to_pylist(),
+        ):
+            ha[(l, b)] = ha.get((l, b), 0) + int(n)
+    tot: dict = {}
+    for (_, b), n in ha.items():
+        tot[b] = tot.get(b, 0) + n
+    langs = sorted({l for l, _ in ha})
+    hb = {
+        (l, b): tot[b] - ha.get((l, b), 0)
+        for l in langs
+        for b in tot
+    }
+    return _ks_verdicts(
+        ha, hb, ks_ppm, count_cols=("rows_lang", "rows_rest"), key_col="lang"
+    )

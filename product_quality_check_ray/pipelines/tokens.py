@@ -3742,6 +3742,7 @@ def _ks_verdicts(
     hb: "dict[tuple[str, int], int]",
     ks_ppm: int,
     count_cols: tuple = ("rows_a", "rows_b"),
+    key_col: str = "source",
 ) -> pa.Table:
     """Shared integer-KS core over two (source, bin) → count tables: per
     source, max |cumA*nB − cumB*nA| over the bin union (Python bigints),
@@ -3768,7 +3769,7 @@ def _ks_verdicts(
             ks = (m * 1_000_000) // (na * nb)
         rows.append(
             {
-                "source": s,
+                key_col: s,
                 count_cols[0]: na,
                 count_cols[1]: nb,
                 "ks_ppm": ks,
@@ -3777,7 +3778,7 @@ def _ks_verdicts(
         )
     schema = pa.schema(
         [
-            ("source", pa.string()),
+            (key_col, pa.string()),
             (count_cols[0], pa.int64()),
             (count_cols[1], pa.int64()),
             ("ks_ppm", pa.int64()),

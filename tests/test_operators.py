@@ -2273,3 +2273,43 @@ def test_locate_ids_pruning_planted(ray_session, tmp_path):
     assert full[:2] == out and full[2] == {
         "doc_id": "zz-1", "fragment": "frag-006.parquet", "n_rows": 1
     }
+
+
+def test_documents_lang_drift_planted(ray_session, tmp_path):
+    """Exact integer-KS arithmetic pinned by hand on a 12-row corpus with
+    three langs (bin width 64; null/negative n_chars fold to bin -1):
+    aa = 4×bin0, bb = {0:2, 1:2}, cc = {-1:2, 0:2} → ks(aa vs rest) =
+    250,000 ppm, ks(bb vs rest) = ks(cc vs rest) = 500,000 ppm. A lang that
+    is the WHOLE corpus has an empty complement → maximal 1,000,000 ppm."""
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.text import documents_lang_drift
+
+    d = tmp_path / "c"
+    d.mkdir()
+    langs = ["aa"] * 4 + ["bb"] * 4 + ["cc"] * 4
+    n_chars = [1, 10, 20, 63, 10, 20, 70, 100, None, -5, 5, 15]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(12), type=pa.int64()),
+            "text": pa.array(["x"] * 12, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array(["web"] * 12, type=pa.string()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    out = documents_lang_drift(str(d), ks_ppm=300_000).to_pandas().set_index("lang")
+    assert out.loc["aa"].ks_ppm == 250_000 and not out.loc["aa"].drifted
+    assert out.loc["bb"].ks_ppm == 500_000 and bool(out.loc["bb"].drifted)
+    assert out.loc["cc"].ks_ppm == 500_000 and bool(out.loc["cc"].drifted)
+    assert (out.rows_lang == 4).all() and (out.rows_rest == 8).all()
+
+    d2 = tmp_path / "single"
+    d2.mkdir()
+    pq.write_table(t.set_column(2, "lang", pa.array(["zz"] * 12)), str(d2 / "documents.parquet"))
+    solo = documents_lang_drift(str(d2)).to_pylist()
+    assert solo == [
+        {"lang": "zz", "rows_lang": 12, "rows_rest": 0, "ks_ppm": 1_000_000,
+         "drifted": True}
+    ]
