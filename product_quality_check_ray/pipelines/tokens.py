@@ -4678,9 +4678,12 @@ def seq_locate_ids(
     sf_dir: str,
     targets: "list[str] | None" = None,
     files_per_task: int = 64,
+    prune: bool = True,
 ) -> pa.Table:
     """Footer-pruned doc_id point lookup (contract in the section comment
-    above): one row per (found id, owning fragment) with the row count."""
+    above): one row per (found id, owning fragment) with the row count.
+    ``prune=False`` scans every fragment — identical output by pruning
+    soundness; kept as the measured A/B control (see BASELINE.md)."""
     from ..datagen import resolve_sequences
 
     files = resolve_sequences(sf_dir)
@@ -4688,7 +4691,7 @@ def seq_locate_ids(
         targets = default_locate_ids()
     if not files or not targets:
         return _LOCATE_SCHEMA.empty_table()
-    scan, _skip = locate_prune(files, targets)
+    scan, _skip = locate_prune(files, targets) if prune else (sorted(files), [])
     if not scan:
         return _LOCATE_SCHEMA.empty_table()
     ids = ray.put(pa.array(sorted(set(targets)), type=pa.string()))

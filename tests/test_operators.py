@@ -2269,6 +2269,7 @@ def test_locate_ids_pruning_planted(ray_session, tmp_path):
         {"doc_id": "id-04-0000", "fragment": "frag-004.parquet", "n_rows": 1},
     ]
     # pruning OFF (scan everything) must give the identical table
+    assert tk.seq_locate_ids(str(d), targets=targets, prune=False).to_pylist() == out
     full = tk.seq_locate_ids(str(d), targets=targets + ["zz-1"]).to_pylist()
     assert full[:2] == out and full[2] == {
         "doc_id": "zz-1", "fragment": "frag-006.parquet", "n_rows": 1
