@@ -235,7 +235,18 @@ def annotate_batch(batch: pa.Table, ctx: dict) -> tuple[pa.Table, np.ndarray]:
     """
     t = conform_schema(batch, repair=bool(ctx.get("schema_repair")))
     mat = row_check_matrix(t, ctx)
-    ok = ~mat.any(axis=1)
+    warn = ctx.get("warn_checks")
+    if warn:
+        # warn-class checks annotate (checks_failed) and count (the matrix
+        # is returned untouched) but never fail a row
+        fail_cols = [j for j, n in enumerate(ROW_CHECK_NAMES) if n not in warn]
+        ok = (
+            ~mat[:, fail_cols].any(axis=1)
+            if fail_cols
+            else np.ones(t.num_rows, dtype=bool)
+        )
+    else:
+        ok = ~mat.any(axis=1)
     t = t.append_column("ok", pa.array(ok))
     t = t.append_column("checks_failed", checks_failed_list_array(mat))
     return t, mat

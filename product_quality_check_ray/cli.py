@@ -98,6 +98,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
             write_violations=not args.no_violations,
             uniqueness=cfg.get("uniqueness", True),
             enabled_checks=cfg.get("enabled_checks"),
+            warn_checks=(
+                args.warn_checks.split(",") if args.warn_checks
+                else cfg.get("warn_checks")
+            ),
             schema_repair=bool(cfg.get("schema_repair", False)),
             write_clean=args.write_clean,
             prescreen=args.prescreen,
@@ -460,6 +464,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--input", required=True, help="dir or glob of parquet fragments")
     v.add_argument("--out", required=True, help="output/checkpoint directory")
     v.add_argument("--config", help="JSON job config (allowlist, enabled_checks, ...)")
+    v.add_argument(
+        "--warn-checks",
+        default=None,
+        help="comma-separated row-check names demoted to WARN severity: "
+        "counted and annotated but never failing a row/partition "
+        "(config key `warn_checks`; this flag wins)",
+    )
     v.add_argument("--num-cpus", type=int, default=None)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--no-violations", action="store_true")

@@ -127,9 +127,13 @@ class RowCheckStage:
         write_clean: bool = False,
         schema_repair: bool = False,
         prescreen_ref: Any = None,
+        warn_checks: list[str] | None = None,
     ):
         self.ctx = build_check_ctx(
-            allowlist_rows, enabled_checks=enabled_checks, schema_repair=schema_repair
+            allowlist_rows,
+            enabled_checks=enabled_checks,
+            schema_repair=schema_repair,
+            warn_checks=warn_checks,
         )
         self.out_dir = out_dir
         self.write_violations = write_violations and out_dir is not None
@@ -343,6 +347,7 @@ def run_validation(
     schema_repair: bool = False,
     prescreen: bool = False,
     fail_fast_violations: int | None = None,
+    warn_checks: list[str] | None = None,
 ) -> ValidationReport:
     """Run the full validation suite; resumable at wave granularity.
 
@@ -363,6 +368,14 @@ def run_validation(
     the partitions it keeps. (Duplicate-id violations are global and
     counted only by the final uniqueness phase — the budget covers row
     checks.)
+
+    ``warn_checks=[...]`` demotes named row checks to WARN severity
+    (reference analog: advisory vs blocking verdicts in the reviewer UI):
+    they still run, still count per check in ``check_counts()`` and still
+    appear in ``checks_failed`` evidence, but a warn-only row passes — it
+    stays out of the violations sink, out of ``viol_rows`` / per-partition
+    pass-fail / the fail-fast budget, and goes INTO the clean sink. With
+    ``warn_checks=None`` (default) behavior is bit-identical to before.
 
     ``use_actor_pool=False`` (default) runs the fused row checks as tasks on
     Ray's shared worker pool with a per-worker stage cache — measured faster
@@ -385,6 +398,15 @@ def run_validation(
     # making a rerun a true incremental re-validation of an evolved corpus)
     lin.gc_stale_partitions(out_dir, files)
     allow = allowlist_rows if allowlist_rows is not None else SOURCE_ALLOWLIST
+    # validate dimension + check-name config EAGERLY on the driver: a typo'd
+    # check name or malformed allowlist fails here as a bare ValueError, not
+    # minutes later wrapped in a RayTaskError from inside the first wave
+    build_check_ctx(
+        allow,
+        enabled_checks=enabled_checks,
+        schema_repair=schema_repair,
+        warn_checks=warn_checks,
+    )
     pool = concurrency if concurrency is not None else _default_pool()
 
     todo = []
@@ -438,6 +460,7 @@ def run_validation(
             "write_clean": write_clean,
             "schema_repair": schema_repair,
             "prescreen_ref": prescreen_ref,
+            "warn_checks": warn_checks,
         }
         if use_actor_pool:
             staged = ds.map_batches(

@@ -33,6 +33,7 @@ def build_check_ctx(
     vocab: int = VOCAB,
     enabled_checks: "list[str] | None" = None,
     schema_repair: bool = False,
+    warn_checks: "list[str] | None" = None,
 ) -> dict:
     """Build the broadcast context consumed by ``row_check_matrix``.
 
@@ -65,6 +66,18 @@ def build_check_ctx(
         if unknown:
             raise ValueError(f"unknown checks {sorted(unknown)}; valid: {ROW_CHECK_NAMES}")
         ctx["enabled_checks"] = tuple(enabled_checks)
+    if warn_checks:
+        # severity demotion: warn-class checks still run and are counted
+        # per check (and listed in checks_failed evidence), but they do not
+        # fail a row — warn-only rows stay out of the violations sink, out
+        # of viol_rows / partition pass-fail / the fail-fast budget, and IN
+        # the clean sink. Unknown names fail loudly like enabled_checks.
+        from ..checks.row_checks import ROW_CHECK_NAMES
+
+        unknown = set(warn_checks) - set(ROW_CHECK_NAMES)
+        if unknown:
+            raise ValueError(f"unknown checks {sorted(unknown)}; valid: {ROW_CHECK_NAMES}")
+        ctx["warn_checks"] = frozenset(warn_checks)
     return ctx
 
 

@@ -383,3 +383,57 @@ def test_sampled_check_counts_matches_naive(ray_session, tmp_path):
         if c == "source":
             continue
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_warn_severity_demotion(ray_session, small_corpus, tmp_path):
+    """warn_checks demotes named checks to advisory: per-check counts and
+    checks_failed evidence are UNCHANGED, but warn-only rows pass — absent
+    from the violations sink and viol_rows, present in the clean sink, and
+    partition pass/fail reflects only fail-class checks. Empty warn set is
+    bit-identical to the default; unknown names fail loudly."""
+    base_out = str(tmp_path / "base")
+    warn_out = str(tmp_path / "warn")
+    base = run_validation(small_corpus, base_out, resume=False, write_clean=True)
+    rep = run_validation(
+        small_corpus, warn_out, resume=False, write_clean=True,
+        warn_checks=["token_oov", "bad_source"],
+    )
+    # severity never changes WHAT fires, only what fails
+    assert rep.check_counts() == base.check_counts()
+
+    def _viol_rows(report):
+        return sum(v["viol_rows"] for v in report.partitions.values())
+
+    warn_only = 0
+    vd = violations_dataset(base_out)
+    for b in vd.iter_batches(batch_format="pandas"):
+        warn_only += sum(
+            1 for fl in b["checks_failed"]
+            if set(fl) <= {"token_oov", "bad_source"}
+        )
+    assert warn_only > 0  # non-vacuous on the corrupted fixture
+    assert _viol_rows(rep) == _viol_rows(base) - warn_only
+
+    # the demoted rows' violation classes never reach the warn run's sink
+    wv = violations_dataset(warn_out)
+    for b in wv.iter_batches(batch_format="pandas"):
+        for fl in b["checks_failed"]:
+            assert not set(fl) <= {"token_oov", "bad_source"}
+        # evidence still lists warn names on rows that fail a fail-class
+        # check too — annotation is unchanged
+
+    # clean + violations still partition the input exactly
+    import glob as _g
+
+    import pyarrow.dataset as _pds
+
+    n_clean = _pds.dataset(
+        _g.glob(os.path.join(warn_out, "clean", "part=*", "*.parquet"))
+    ).count_rows()
+    assert n_clean + _viol_rows(rep) == rep.total_rows
+
+    with pytest.raises(ValueError, match="unknown checks"):
+        run_validation(
+            small_corpus, str(tmp_path / "bad"), resume=False,
+            warn_checks=["nope"],
+        )
