@@ -212,6 +212,63 @@ def cmd_report(args: argparse.Namespace) -> int:
         for pid, rec in recs.items()
     }
     failed = sorted(pid for pid, v in parts.items() if not v["pass"])
+    if args.compare:
+        # verdict diff between two runs' lineage (same corpus, different
+        # run: a code/config change, or before/after a corpus fix): which
+        # partitions regressed (pass→fail), were fixed (fail→pass), or
+        # changed violation counts. Partition ids are derived from input
+        # paths, so two runs over the same corpus line up by id. No Ray,
+        # no re-validation; exit 0 = identical verdicts, 2 = any drift.
+        recs_b = lin.all_lineage(args.compare)
+        parts_b = {
+            pid: {
+                "viol_rows": rec.get("viol_rows"),
+                "rows": rec.get("processed_rows"),
+            }
+            for pid, rec in recs_b.items()
+        }
+        only_a = sorted(set(parts) - set(parts_b))
+        only_b = sorted(set(parts_b) - set(parts))
+        shared = sorted(set(parts) & set(parts_b))
+        regressed = [
+            p for p in shared
+            if parts[p]["viol_rows"] == 0 and parts_b[p]["viol_rows"] != 0
+        ]
+        fixed = [
+            p for p in shared
+            if parts[p]["viol_rows"] != 0 and parts_b[p]["viol_rows"] == 0
+        ]
+        changed = [
+            {
+                "partition": p,
+                "viol_rows_a": parts[p]["viol_rows"],
+                "viol_rows_b": parts_b[p]["viol_rows"],
+                "rows_a": parts[p]["rows"],
+                "rows_b": parts_b[p]["rows"],
+            }
+            for p in shared
+            if parts[p]["viol_rows"] != parts_b[p]["viol_rows"]
+            or parts[p]["rows"] != parts_b[p]["rows"]
+        ]
+        identical = not (only_a or only_b or changed)
+        print(
+            json.dumps(
+                {
+                    "out_a": args.out,
+                    "out_b": args.compare,
+                    "identical_verdicts": identical,
+                    "partitions_a": len(parts),
+                    "partitions_b": len(parts_b),
+                    "only_in_a": only_a[:20],
+                    "only_in_b": only_b[:20],
+                    "regressed": regressed[:20],
+                    "fixed": fixed[:20],
+                    "n_changed": len(changed),
+                    "changed": changed[:20],
+                }
+            )
+        )
+        return 0 if identical else 2
     summary = {
         "out_dir": args.out,
         "run_complete": run is not None,
@@ -552,6 +609,13 @@ def main(argv: list[str] | None = None) -> int:
         help="read back a run's verdicts from its out dir (no Ray, no re-validation)",
     )
     rp.add_argument("--out", required=True, help="a validation run's output directory")
+    rp.add_argument(
+        "--compare",
+        default=None,
+        help="second run's output directory: print a per-partition verdict "
+        "diff (regressed / fixed / changed counts) instead of the summary; "
+        "exit 0 iff verdicts are identical",
+    )
     rp.add_argument(
         "--partitions",
         action="store_true",

@@ -749,3 +749,61 @@ def test_cli_validate_fail_fast(ray_session, tmp_path):
     assert r2.returncode == 2, (r2.returncode, r2.stderr[-2000:])
     line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert line2["rows"] == 10 and len(lin.all_lineage(out)) == 2
+
+
+def test_cli_report_compare(ray_session, tmp_path):
+    """report --compare diffs two runs' per-partition verdicts without Ray
+    or re-validation: identical runs exit 0; after one fragment is
+    rewritten with a violating row, the re-run's diff names exactly that
+    partition as regressed (exit 2) with the viol_rows delta visible."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from product_quality_check_ray.pipelines.validate import run_validation
+    from product_quality_check_ray.state import lineage as lin
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(64)]),
+            "tokens": pa.array([[1, 2]] * 64, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 64, type=pa.int32()),
+            "source": pa.array(["web"] * 64),
+        }
+    )
+    f0, f1 = os.path.join(d, "frag-00000.parquet"), os.path.join(d, "frag-00001.parquet")
+    pq.write_table(t.slice(0, 32), f0)
+    pq.write_table(t.slice(32), f1)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_validation(d, out_a, resume=False)
+    run_validation(d, out_b, resume=False)
+
+    def compare(a, b):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "report",
+             "--out", a, "--compare", b],
+            capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        )
+
+    r = compare(out_a, out_b)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["identical_verdicts"] and line["n_changed"] == 0
+
+    # rewrite fragment 1 with one violating row (ntok_mismatch) and re-run
+    bad = t.slice(32).set_column(
+        2, "n_tok", pa.array([2] * 31 + [99], type=pa.int32())
+    )
+    pq.write_table(bad, f1)
+    out_c = str(tmp_path / "cc")
+    run_validation(d, out_c, resume=False)
+    r2 = compare(out_a, out_c)
+    assert r2.returncode == 2
+    line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line2["regressed"] == [lin.part_id_for(f1)]
+    assert line2["fixed"] == [] and line2["only_in_a"] == []
+    (chg,) = line2["changed"]
+    assert chg["viol_rows_a"] == 0 and chg["viol_rows_b"] == 1
