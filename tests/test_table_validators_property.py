@@ -147,3 +147,39 @@ def test_embedding_validate_matches_oracle(tmp_path_factory, rows):
         f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
     )
     _cmp(embedding_validate(str(d)), con, e.oracle_sql()["embedding_validate"])
+
+
+# --- documents lang drift ------------------------------------------------------
+
+_drift_row = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["en", "de", "zh", "", "EN"])),
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=300)),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_drift_row, min_size=0, max_size=16))
+def test_documents_lang_drift_matches_oracle(tmp_path_factory, rows):
+    """Engine↔oracle parity of the per-lang complement-KS on arbitrary
+    tables: null langs, null/negative n_chars (bin -1), single-lang corpora
+    (maximal drift), multi-bin spreads, empty tables."""
+    from product_quality_check_ray.pipelines.text import documents_lang_drift
+
+    import __ray_entry__ as e
+
+    d = tmp_path_factory.mktemp("docdrift")
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "text": pa.array(["x"] * len(rows), type=pa.string()),
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "source": pa.array(["web"] * len(rows), type=pa.string()),
+            "n_chars": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    _cmp(documents_lang_drift(str(d)), con, e.oracle_sql()["documents_lang_drift"])
