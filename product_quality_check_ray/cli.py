@@ -441,6 +441,44 @@ def cmd_audit(args: argparse.Namespace) -> int:
                 probe.column("viol_rows").to_pylist(),
             )
         }
+    if args.baseline:
+        # manifest-level corpus comparison (full read of THIS corpus, tiny
+        # read of the saved baseline): per-fragment order-insensitive
+        # content checksums decide added/removed/changed fragments without
+        # a row-level diff — the cheap "did the copy/migration land intact"
+        # gate. Exit stays 2 via changed_vs_baseline below.
+        import pyarrow.parquet as _pq
+
+        base = _pq.read_table(args.baseline)
+        cur = seq_corpus_manifest(args.input)
+
+        def _m(t):
+            return {
+                f: (r, k, c)
+                for f, r, k, c in zip(
+                    t.column("fragment").to_pylist(),
+                    t.column("n_rows").to_pylist(),
+                    t.column("n_tokens").to_pylist(),
+                    t.column("content_sum").to_pylist(),
+                )
+            }
+
+        mb, mc = _m(base), _m(cur)
+        added = sorted(set(mc) - set(mb))
+        removed = sorted(set(mb) - set(mc))
+        changed = sorted(f for f in set(mb) & set(mc) if mb[f] != mc[f])
+        summary["baseline"] = {
+            "path": args.baseline,
+            "fragments_baseline": len(mb),
+            "fragments_now": len(mc),
+            "added": added[:20],
+            "removed": removed[:20],
+            "changed": changed[:20],
+            "n_added": len(added),
+            "n_removed": len(removed),
+            "n_changed": len(changed),
+            "identical": not (added or removed or changed),
+        }
     if args.manifest_out:
         # content-checksum manifest (full read — opt-in): diffable against a
         # previous run's manifest to audit a copy/migration cheaply
@@ -454,7 +492,14 @@ def cmd_audit(args: argparse.Namespace) -> int:
             sum(1 for n in man.column("n_twin_fragments").to_pylist() if n > 1)
         )
     print(json.dumps(summary))
-    return 0 if not deviant and not outliers and not oversized else 2
+    baseline_drifted = bool(
+        args.baseline and not summary["baseline"]["identical"]
+    )
+    return (
+        0
+        if not deviant and not outliers and not oversized and not baseline_drifted
+        else 2
+    )
 
 
 def cmd_diff(args: argparse.Namespace) -> int:
@@ -594,6 +639,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also run the deterministic ~15.6%% content-keyed sampled row "
         "check probe and report per-source estimated violation rates "
         "(informational; reads sampled payloads)",
+    )
+    a.add_argument(
+        "--baseline",
+        default=None,
+        help="a previously saved --manifest-out parquet: compare per-fragment "
+        "content checksums against it (added/removed/changed fragments; "
+        "exit 2 on any difference) — the cheap corpus-migration gate",
     )
     a.add_argument(
         "--sortedness",

@@ -807,3 +807,60 @@ def test_cli_report_compare(ray_session, tmp_path):
     assert line2["fixed"] == [] and line2["only_in_a"] == []
     (chg,) = line2["changed"]
     assert chg["viol_rows_a"] == 0 and chg["viol_rows_b"] == 1
+
+
+def test_cli_audit_baseline_manifest(tmp_path):
+    """audit --baseline gates a copy/migration on the saved manifest: an
+    unchanged corpus passes (exit 0, identical=true); mutating one token in
+    one fragment flips exactly that fragment to changed and the exit to 2;
+    adding a fragment reports it as added."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(64)]),
+            "tokens": pa.array([[1, i] for i in range(64)], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 64, type=pa.int32()),
+            "source": pa.array(["web"] * 64),
+        }
+    )
+    pq.write_table(t.slice(0, 32), os.path.join(d, "frag-00000.parquet"))
+    pq.write_table(t.slice(32), os.path.join(d, "frag-00001.parquet"))
+    mpath = str(tmp_path / "manifest.parquet")
+
+    def audit(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "audit",
+             "--input", d, "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    r0 = audit("--manifest-out", mpath)
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    r1 = audit("--baseline", mpath)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    b1 = _json.loads(r1.stdout.strip().splitlines()[-1])["baseline"]
+    assert b1["identical"] and b1["n_changed"] == 0
+
+    # mutate one token in fragment 0 (row count + token count unchanged —
+    # only the content checksum can see this)
+    mut = t.slice(0, 32).set_column(
+        1, "tokens",
+        pa.array([[9, i] if i == 7 else [1, i] for i in range(32)], type=pa.list_(pa.int32())),
+    )
+    pq.write_table(mut, os.path.join(d, "frag-00000.parquet"))
+    r2 = audit("--baseline", mpath)
+    assert r2.returncode == 2
+    b2 = _json.loads(r2.stdout.strip().splitlines()[-1])["baseline"]
+    assert b2["changed"] == ["frag-00000.parquet"] and not b2["identical"]
+    assert b2["n_added"] == 0 and b2["n_removed"] == 0
+
+    pq.write_table(t.slice(0, 8), os.path.join(d, "frag-00002.parquet"))
+    r3 = audit("--baseline", mpath)
+    b3 = _json.loads(r3.stdout.strip().splitlines()[-1])["baseline"]
+    assert b3["added"] == ["frag-00002.parquet"] and r3.returncode == 2
