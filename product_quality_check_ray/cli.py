@@ -36,6 +36,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
             cfg = json.load(f)
     _init_ray(args.num_cpus)
     from .pipelines.validate import run_validation
+    from .sources.dimensions import load_reference_histograms
+
+    # load (and validate) the custom drift reference BEFORE any work
+    ref_hists = load_reference_histograms(args.ref_hist) if args.ref_hist else None
 
     if args.preaudit:
         # fail fast on unreadable shards and shard-level schema deviance
@@ -106,6 +110,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
             write_clean=args.write_clean,
             prescreen=args.prescreen,
             fail_fast_violations=args.fail_fast,
+            reference_hists=ref_hists,
         )
     except FailFastExceeded as e:
         # exit 4 = aborted by budget, NOT a crash: completed partitions'
@@ -122,6 +127,12 @@ def cmd_validate(args: argparse.Namespace) -> int:
             )
         )
         return 4
+    if args.export_hist:
+        # persist this run's OBSERVED per-source histograms as a reference
+        # dimension: the next run's --ref-hist drifts against THIS corpus
+        from .sources.dimensions import save_reference_histograms
+
+        save_reference_histograms(args.export_hist, rep.observed_hists)
     summary = {
         "rows": rep.total_rows,
         "check_counts": rep.check_counts(),
@@ -566,6 +577,19 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--input", required=True, help="dir or glob of parquet fragments")
     v.add_argument("--out", required=True, help="output/checkpoint directory")
     v.add_argument("--config", help="JSON job config (allowlist, enabled_checks, ...)")
+    v.add_argument(
+        "--ref-hist",
+        default=None,
+        help="drift against this saved reference-histogram parquet instead "
+        "of the built-in dimension (pair with a previous run's "
+        "--export-hist to drift v2 against v1's observed distribution)",
+    )
+    v.add_argument(
+        "--export-hist",
+        default=None,
+        help="write this run's observed per-source n_tok histograms as a "
+        "reference-dimension parquet (the next run's --ref-hist)",
+    )
     v.add_argument(
         "--warn-checks",
         default=None,

@@ -288,6 +288,10 @@ class ValidationReport:
     drift: dict[str, dict] = field(default_factory=dict)
     duplicates: dict[str, int] = field(default_factory=dict)  # doc_id → count
     global_stats: dict[str, Any] = field(default_factory=dict)
+    # observed per-source n_tok histograms (drift's left-hand side) — save
+    # via sources.dimensions.save_reference_histograms to make THIS corpus
+    # the drift reference for the next run (validate --export-hist)
+    observed_hists: dict[str, Any] = field(default_factory=dict)
 
     @property
     def total_rows(self) -> int:
@@ -348,6 +352,7 @@ def run_validation(
     prescreen: bool = False,
     fail_fast_violations: int | None = None,
     warn_checks: list[str] | None = None,
+    reference_hists: "dict[str, np.ndarray] | None" = None,
 ) -> ValidationReport:
     """Run the full validation suite; resumable at wave granularity.
 
@@ -376,6 +381,13 @@ def run_validation(
     stays out of the violations sink, out of ``viol_rows`` / per-partition
     pass-fail / the fail-fast budget, and goes INTO the clean sink. With
     ``warn_checks=None`` (default) behavior is bit-identical to before.
+
+    ``reference_hists={source: bin_counts}`` drifts against a CUSTOM
+    reference instead of the built-in dimension (load a saved one with
+    ``sources.dimensions.load_reference_histograms``). The report exposes
+    ``observed_hists`` — save them with ``save_reference_histograms`` to
+    make THIS corpus the reference for the next run, closing the
+    corpus-evolution loop (CLI: ``--ref-hist`` / ``--export-hist``).
 
     ``use_actor_pool=False`` (default) runs the fused row checks as tasks on
     Ray's shared worker pool with a per-worker stage cache — measured faster
@@ -499,7 +511,7 @@ def run_validation(
                 raise FailFastExceeded(viol_so_far, fail_fast_violations, parts_done)
 
     t0 = time.time()
-    report = _assemble_report(out_dir, files)
+    report = _assemble_report(out_dir, files, reference_hists=reference_hists)
     _phase_log("assemble report", t0)
     if uniqueness:
         t0 = time.time()
@@ -618,7 +630,11 @@ def _publish_wave(
     return pub_viol, pub_parts
 
 
-def _assemble_report(out_dir: str, files: list[str]) -> ValidationReport:
+def _assemble_report(
+    out_dir: str,
+    files: list[str],
+    reference_hists: "dict[str, np.ndarray] | None" = None,
+) -> ValidationReport:
     report = ValidationReport()
     records = lin.all_lineage(out_dir)
     expected_pids = {lin.part_id_for(f) for f in files}
@@ -680,7 +696,11 @@ def _assemble_report(out_dir: str, files: list[str]) -> ValidationReport:
             "hist": a["hist"],
         }
     observed = {s: a["hist"] for s, a in per_source.items() if not s.startswith("\x00")}
-    report.drift = drift_verdicts(observed, reference_histograms_dim())
+    report.observed_hists = {s: np.asarray(h, dtype=np.int64) for s, h in observed.items()}
+    report.drift = drift_verdicts(
+        observed,
+        reference_hists if reference_hists is not None else reference_histograms_dim(),
+    )
     report.global_stats = {
         "rows": report.total_rows,
         "ok_rows": sum(p["ok_rows"] for p in report.partitions.values()),

@@ -864,3 +864,40 @@ def test_cli_audit_baseline_manifest(tmp_path):
     r3 = audit("--baseline", mpath)
     b3 = _json.loads(r3.stdout.strip().splitlines()[-1])["baseline"]
     assert b3["added"] == ["frag-00002.parquet"] and r3.returncode == 2
+
+
+def test_cli_ref_hist_export_and_use(ray_session, tmp_path):
+    """validate --export-hist writes the observed reference dimension;
+    --ref-hist drifts a rerun against it (same corpus → no drift flags)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(128)]),
+            "tokens": pa.array([[1] * 30] * 128, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([30] * 128, type=pa.int32()),
+            "source": pa.array(["web"] * 128),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    hist = str(tmp_path / "ref.parquet")
+
+    def validate(out, *extra):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "validate",
+             "--input", d, "--out", out, "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    r1 = validate(str(tmp_path / "o1"), "--export-hist", hist)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.exists(hist)
+    r2 = validate(str(tmp_path / "o2"), "--ref-hist", hist)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    line = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line["drift"] == {"web": False}

@@ -437,3 +437,55 @@ def test_warn_severity_demotion(ray_session, small_corpus, tmp_path):
             small_corpus, str(tmp_path / "bad"), resume=False,
             warn_checks=["nope"],
         )
+
+
+def test_custom_reference_histogram_loop(ray_session, tmp_path):
+    """The corpus-evolution drift loop: a run's observed histograms, saved
+    and fed back as the next run's reference, yield zero drift against the
+    same corpus; a corpus whose one source's lengths shift drifts against
+    the first run's observed reference; save/load round-trips through the
+    dimension file (CLI --export-hist / --ref-hist path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.sources.dimensions import (
+        load_reference_histograms,
+        save_reference_histograms,
+    )
+
+    def corpus(dirname, n_tok_web):
+        d = tmp_path / dirname
+        d.mkdir()
+        rows = 600
+        toks = [[1] * n_tok_web if i % 2 == 0 else [1] * 40 for i in range(rows)]
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"d-{i:012d}" for i in range(rows)]),
+                "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+                "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+                "source": pa.array(
+                    ["web" if i % 2 == 0 else "books" for i in range(rows)]
+                ),
+            }
+        )
+        pq.write_table(t, str(d / "frag-00000.parquet"))
+        return str(d)
+
+    c1 = corpus("v1", n_tok_web=100)
+    rep1 = run_validation(c1, str(tmp_path / "o1"), resume=False)
+    ref_path = str(tmp_path / "ref.parquet")
+    save_reference_histograms(ref_path, rep1.observed_hists)
+    loaded = load_reference_histograms(ref_path)
+
+    # self-reference: identical distributions → no source drifts
+    rep1b = run_validation(
+        c1, str(tmp_path / "o1b"), resume=False, reference_hists=loaded
+    )
+    assert rep1b.drift and not any(v["drifted"] for v in rep1b.drift.values())
+
+    # web lengths shift 100 → 900; books unchanged → only web drifts
+    c2 = corpus("v2", n_tok_web=900)
+    rep2 = run_validation(
+        c2, str(tmp_path / "o2"), resume=False, reference_hists=loaded
+    )
+    assert rep2.drift["web"]["drifted"] and not rep2.drift["books"]["drifted"]
