@@ -292,6 +292,44 @@ def cmd_report(args: argparse.Namespace) -> int:
     }
     if args.partitions:
         summary["partitions"] = parts
+    if args.sample:
+        # example violation rows PER CHECK straight from the sink parquet
+        # (pyarrow only, no Ray): the diagnosis a human asks for first —
+        # "show me a few rows that failed X". Token arrays are elided to
+        # their length; up to N examples per check name.
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        from .checks.row_checks import ROW_CHECK_NAMES
+
+        per_check: dict[str, list] = {}
+        for f in sorted(
+            _glob.glob(os.path.join(lin.violations_dir(args.out), "part=*", "*.parquet"))
+        ):
+            t = _pq.read_table(
+                f, columns=["doc_id", "n_tok", "source", "checks_failed"]
+            )
+            for r in t.to_pylist():
+                for name in r["checks_failed"]:
+                    ex = per_check.setdefault(name, [])
+                    if len(ex) < args.sample:
+                        ex.append(
+                            {
+                                "doc_id": r["doc_id"],
+                                "n_tok": r["n_tok"],
+                                "source": r["source"],
+                                "checks_failed": r["checks_failed"],
+                            }
+                        )
+            # stop reading sink files once every builtin check already has
+            # its N examples (a check that never appears can't be saturated,
+            # so a corpus missing some violation class still reads all files)
+            if set(per_check) >= set(ROW_CHECK_NAMES) and all(
+                len(v) >= args.sample for v in per_check.values()
+            ):
+                break
+        summary["violation_samples"] = per_check
     print(json.dumps(summary))
     if run is None:
         return 3
@@ -685,6 +723,13 @@ def main(argv: list[str] | None = None) -> int:
         help="read back a run's verdicts from its out dir (no Ray, no re-validation)",
     )
     rp.add_argument("--out", required=True, help="a validation run's output directory")
+    rp.add_argument(
+        "--sample",
+        type=int,
+        default=0,
+        help="include up to N example violation rows per check name, read "
+        "straight from the violations sink (tokens elided; no Ray)",
+    )
     rp.add_argument(
         "--compare",
         default=None,

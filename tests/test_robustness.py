@@ -643,6 +643,16 @@ def test_cli_report_subcommand(ray_session, tmp_path):
     line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert line2["viol_rows"] == 1 and line2["n_failed_partitions"] == 1
 
+    # --sample: example rows per check name straight from the sink (no Ray)
+    r3 = report("--sample", "2")
+    line3 = _json.loads(r3.stdout.strip().splitlines()[-1])
+    samples = line3["violation_samples"]
+    assert set(samples) == {"null_doc_id"}
+    assert samples["null_doc_id"] == [
+        {"doc_id": None, "n_tok": 1, "source": "web",
+         "checks_failed": ["null_doc_id"]}
+    ]
+
     # killed-before-completion look: run record gone, lineage intact → 3
     os.remove(lin.run_success_path(out))
     r3 = report()
