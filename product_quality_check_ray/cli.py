@@ -551,6 +551,38 @@ def cmd_audit(args: argparse.Namespace) -> int:
     )
 
 
+def cmd_locate(args: argparse.Namespace) -> int:
+    """Footer-pruned doc_id point lookup over a corpus dir: which fragments
+    hold the given ids, and how many rows each. On an id-sorted /
+    id-partitioned corpus only O(hit) fragments are opened (footer range
+    math); unsorted corpora degrade to a projected doc_id-only scan.
+    Exit 0 if every requested id was found somewhere, 2 otherwise."""
+    _init_ray(args.num_cpus)
+    from .pipelines.tokens import seq_locate_ids
+
+    ids = [s for s in (args.ids.split(",") if args.ids else []) if s]
+    if args.ids_file:
+        with open(args.ids_file) as f:
+            ids.extend(s.strip() for s in f if s.strip())
+    if not ids:
+        print(json.dumps({"error": "no ids given (--ids or --ids-file)"}))
+        return 1
+    t = seq_locate_ids(args.input, targets=ids)
+    found = set(t.column("doc_id").to_pylist())
+    missing = sorted(set(ids) - found)
+    print(
+        json.dumps(
+            {
+                "requested": len(set(ids)),
+                "found": len(found),
+                "missing": missing[:50],
+                "locations": t.to_pylist(),
+            }
+        )
+    )
+    return 0 if not missing else 2
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Migration diff between two corpus dirs: which doc_ids were added,
     removed, or changed (content compared as per-id bags of md5s). Equal
@@ -759,6 +791,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_diff)
+
+    lc = sub.add_parser(
+        "locate",
+        help="footer-pruned doc_id point lookup: which fragments hold these ids",
+    )
+    lc.add_argument("--input", required=True, help="corpus dir (frag-*.parquet)")
+    lc.add_argument("--ids", default=None, help="comma-separated doc_ids")
+    lc.add_argument("--ids-file", default=None, help="file with one doc_id per line")
+    lc.add_argument("--num-cpus", type=int, default=None)
+    lc.set_defaults(fn=cmd_locate)
 
     g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     g.add_argument("--out", required=True)

@@ -911,3 +911,39 @@ def test_cli_ref_hist_export_and_use(ray_session, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     line = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert line["drift"] == {"web": False}
+
+
+def test_cli_locate_subcommand(tmp_path):
+    """locate finds ids across fragments (dup rows counted), reports
+    missing ids, and exits 2 when any requested id is absent."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(64)] + ["d-000000000007"]),
+            "tokens": pa.array([[1, 2]] * 65, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 65, type=pa.int32()),
+            "source": pa.array(["web"] * 65),
+        }
+    )
+    pq.write_table(t.slice(0, 33), os.path.join(d, "frag-00000.parquet"))
+    pq.write_table(t.slice(33), os.path.join(d, "frag-00001.parquet"))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "product_quality_check_ray", "locate",
+         "--input", d, "--ids", "d-000000000007,zzz", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 2, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["missing"] == ["zzz"] and line["found"] == 1
+    # the duplicate of -0007 lives in fragment 1 (the 65th row)
+    assert line["locations"] == [
+        {"doc_id": "d-000000000007", "fragment": "frag-00000.parquet", "n_rows": 1},
+        {"doc_id": "d-000000000007", "fragment": "frag-00001.parquet", "n_rows": 1},
+    ]
