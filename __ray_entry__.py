@@ -206,6 +206,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_detokenize",
     "doc_exact_dup_groups",
     "documents_lang_drift",
+    "events_type_drift",
     "embedding_label_stats",
     "embedding_validate",
     "doc_lang_id",
@@ -499,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "events_validate": lambda sf: rel.events_validate(sf),  # row checks generalized to the events table
+        "events_type_drift": lambda sf: rel.events_type_drift(sf),  # per-type event-time KS vs complement
         "documents_validate": lambda sf: tx.documents_validate(sf),  # row checks generalized to the documents table
         "documents_lang_drift": lambda sf: tx.documents_lang_drift(sf),  # per-lang length-KS vs corpus complement
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
@@ -3616,6 +3618,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ks_ppm AS BIGINT) AS ks_ppm,
                    ks_ppm > {tx.DOC_LANG_KS_PPM} AS drifted
             FROM ks ORDER BY lang
+        """,
+        # per-type event-time drift: the documents_lang_drift chain over
+        # (event_type, 6-hour epoch_us bucket); Arrow's timestamp→int64 cast
+        # and epoch_us() agree on the same integer, so the KS is exact
+        "events_type_drift": f"""
+            WITH h AS (
+              SELECT coalesce(event_type, '~null~') AS event_type,
+                     CASE WHEN ts IS NULL OR epoch_us(ts) < 0 THEN -1
+                          ELSE epoch_us(ts) // {rel.EVENTS_DRIFT_BIN_US}
+                          END AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT bin, CAST(sum(n) AS BIGINT) AS nt FROM h GROUP BY 1),
+            pairs AS (
+              SELECT l.event_type, t.bin,
+                     coalesce(h.n, 0) AS na_bin,
+                     t.nt - coalesce(h.n, 0) AS nb_bin
+              FROM (SELECT DISTINCT event_type FROM h) l
+              CROSS JOIN tot t
+              LEFT JOIN h ON h.event_type = l.event_type AND h.bin = t.bin
+            ),
+            tots AS (
+              SELECT event_type, CAST(sum(na_bin) AS HUGEINT) AS na,
+                     CAST(sum(nb_bin) AS HUGEINT) AS nb
+              FROM pairs GROUP BY 1
+            ),
+            cum AS (
+              SELECT event_type, bin,
+                     CAST(sum(na_bin) OVER w AS HUGEINT) AS ca,
+                     CAST(sum(nb_bin) OVER w AS HUGEINT) AS cb
+              FROM pairs WINDOW w AS (PARTITION BY event_type ORDER BY bin)
+            ),
+            gap AS (
+              SELECT c.event_type, max(abs(c.ca * t.nb - c.cb * t.na)) AS m,
+                     any_value(t.na) AS na, any_value(t.nb) AS nb
+              FROM cum c JOIN tots t USING (event_type) GROUP BY c.event_type
+            ),
+            ks AS (
+              SELECT event_type, na, nb,
+                     CASE WHEN na = 0 OR nb = 0 THEN 1000000
+                          ELSE (m * 1000000) // (na * nb) END AS ks_ppm
+              FROM gap
+            )
+            SELECT event_type, CAST(na AS BIGINT) AS rows_type,
+                   CAST(nb AS BIGINT) AS rows_rest,
+                   CAST(ks_ppm AS BIGINT) AS ks_ppm,
+                   ks_ppm > {rel.EVENTS_TYPE_KS_PPM} AS drifted
+            FROM ks ORDER BY event_type
         """,
         # generated twins: literal hyperplanes / hash-ranked seeds — any
         # bucketing, probing, scoring or tie-break drift hash-mismatches

