@@ -91,6 +91,16 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
                     ("qty_base", "num"), ("e_mark", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
+    "table_drift_suite": (
+        # complement-KS drift family (documents + events tables): exact
+        # integer-ppm statistics, so the melt is hash-stable by construction
+        MemberSpec("documents_lang_drift", ("lang",),
+                   (("rows_lang", "num"), ("rows_rest", "num"),
+                    ("ks_ppm", "num"), ("drifted", "num"))),
+        MemberSpec("events_type_drift", ("event_type",),
+                   (("rows_type", "num"), ("rows_rest", "num"),
+                    ("ks_ppm", "num"), ("drifted", "num"))),
+    ),
     "doc_stats_suite": (
         MemberSpec("doc_token_stats", ("doc_id",),
                    (("lang", "str"), ("source", "str"), ("n_chars_actual", "num"),
@@ -132,7 +142,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_partition_verdicts",
     "seq_shard_stats",
     "seq_stats_prescreen",
-    "seq_keyrange_audit",
+    "table_drift_suite",
     "seq_repetition_scores",
     "seq_length_batches",
     "seq_unigram_lm_score",
@@ -197,6 +207,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_drift",
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
+    "seq_keyrange_audit",
     "seq_sortedness_audit",
     "seq_locate_ids",
     "seq_shard_schema_audit",

@@ -24,8 +24,10 @@ MUST_BE_IN_WINDOW = [
     "seq_corpus_diff",
     "seq_split_leakage",
     "seq_partition_verdicts",
-    "seq_stats_prescreen",  # footer-proof family (round-3 flagship additions)
-    "seq_keyrange_audit",
+    "seq_stats_prescreen",  # footer-proof family (round-3 flagship additions;
+    # seq_keyrange_audit demoted past the marker for table_drift_suite —
+    # the footer family stays represented by the prescreen + verdicts)
+    "table_drift_suite",  # complement-KS drift family (documents + events)
     "doc_lcs_pairs",
     "doc_strip_dup_spans",
     "clean_documents_full",
