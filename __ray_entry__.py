@@ -91,6 +91,36 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
                     ("qty_base", "num"), ("e_mark", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
+    "corpus_audit_suite": (
+        # the corpus-audit family melted into one graded slot: per-shard
+        # length stats, boundary-token placement, per-source entropy /
+        # vocabulary, length outliers, and the two writer-contract audits
+        # (within-fragment sortedness + cross-fragment key ranges)
+        MemberSpec("seq_shard_stats", ("fragment", "source"),
+                   (("n_rows", "num"), ("n_ntok", "num"), ("sum_ntok", "num"),
+                    ("min_ntok", "num"), ("max_ntok", "num"),
+                    ("length_outlier", "num"))),
+        MemberSpec("seq_boundary_audit", ("source", "position", "rnk"),
+                   (("token", "num"), ("cnt", "num"), ("n_rows", "num"),
+                    ("anchored", "num"))),
+        MemberSpec("seq_source_entropy", ("source",),
+                   (("n_tokens", "num"), ("n_oov", "num"),
+                    ("distinct_tokens", "num"), ("top_token", "num"),
+                    ("top_count", "num"), ("total_millibits", "num"),
+                    ("bits_per_tok", "num"))),
+        MemberSpec("seq_length_outliers", ("doc_id",),
+                   (("source", "str"), ("n_tok", "num"), ("lo", "num"),
+                    ("hi", "num"), ("side", "str"))),
+        MemberSpec("seq_vocab_coverage", ("source",),
+                   (("n_rows", "num"), ("n_tokens", "num"),
+                    ("n_invalid_tokens", "num"), ("n_distinct_valid", "num"))),
+        MemberSpec("seq_sortedness_audit", ("fragment",),
+                   (("n_rows", "num"), ("n_null_ids", "num"),
+                    ("n_desc_steps", "num"), ("sorted_asc", "num"))),
+        MemberSpec("seq_keyrange_audit", ("fragment",),
+                   (("id_min", "str"), ("id_max", "str"),
+                    ("stats_known", "num"), ("overlaps_other", "num"))),
+    ),
     "table_drift_suite": (
         # complement-KS drift family (documents + events tables): exact
         # integer-ppm statistics, so the melt is hash-stable by construction
@@ -140,7 +170,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_dup_doc_ids",
     "seq_split_leakage",
     "seq_partition_verdicts",
-    "seq_shard_stats",
+    "corpus_audit_suite",
     "seq_stats_prescreen",
     "table_drift_suite",
     "seq_repetition_scores",
@@ -207,6 +237,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_drift",
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
+    "seq_shard_stats",
     "seq_keyrange_audit",
     "seq_sortedness_audit",
     "seq_locate_ids",

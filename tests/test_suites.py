@@ -28,6 +28,9 @@ MUST_BE_IN_WINDOW = [
     # seq_keyrange_audit demoted past the marker for table_drift_suite —
     # the footer family stays represented by the prescreen + verdicts)
     "table_drift_suite",  # complement-KS drift family (documents + events)
+    "corpus_audit_suite",  # 7 melted audit members (shard stats, boundary,
+    # entropy, outliers, vocab, sortedness, keyrange) — seq_shard_stats's
+    # individual slot folded in
     "doc_lcs_pairs",
     "doc_strip_dup_spans",
     "clean_documents_full",
