@@ -91,6 +91,37 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
                     ("qty_base", "num"), ("e_mark", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
+    "corpus_lifecycle_suite": (
+        # corpus-evolution / lifecycle family in one graded slot: content
+        # manifest, duplicate-id consistency, id→source FD, token-id drift,
+        # sampled health probe, mixture sampling, split assignment, and
+        # truncation-duplicate pairs
+        MemberSpec("seq_corpus_manifest", ("fragment",),
+                   (("n_rows", "num"), ("n_tokens", "num"),
+                    ("content_sum", "num"), ("n_twin_fragments", "num"))),
+        MemberSpec("seq_dup_id_conflicts", ("doc_id",),
+                   (("n_rows", "num"), ("n_contents", "num"),
+                    ("conflicting", "num"))),
+        MemberSpec("seq_id_source_fd", ("doc_id",),
+                   (("n_rows", "num"), ("n_sources", "num"),
+                    ("sources", "str"))),
+        MemberSpec("seq_corpus_token_drift", ("source",),
+                   (("tokens_a", "num"), ("tokens_b", "num"),
+                    ("ks_ppm", "num"), ("drifted", "num"))),
+        MemberSpec("seq_sampled_check_counts", ("source",),
+                   (("null_doc_id", "num"), ("null_tokens", "num"),
+                    ("ntok_mismatch", "num"), ("token_oov", "num"),
+                    ("token_neg", "num"), ("bad_source", "num"),
+                    ("ntok_range", "num"), ("rows", "num"),
+                    ("viol_rows", "num"))),
+        MemberSpec("seq_mixture_sample", ("doc_id",),
+                   (("source", "str"), ("n_tok", "num"))),
+        MemberSpec("seq_split_assign", ("doc_id",),
+                   (("source", "str"), ("split", "str"))),
+        MemberSpec("seq_prefix_dups", ("short_id", "long_id"),
+                   (("short_source", "str"), ("long_source", "str"),
+                    ("short_len", "num"), ("long_len", "num"))),
+    ),
     "corpus_audit_suite": (
         # the corpus-audit family melted into one graded slot: per-shard
         # length stats, boundary-token placement, per-source entropy /
@@ -191,7 +222,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_strip_dup_spans",
     "doc_near_dup_clusters",
     "doc_simhash_recall",
-    "doc_tfidf_topk",
+    "corpus_lifecycle_suite",
     "doc_quality_scores",
     # per-table validator family rep (documents/events/embeddings share the
     # fused-kernel + combiner + tiny-groupby shape; the other two sit just
@@ -237,6 +268,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_drift",
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
+    "doc_tfidf_topk",
     "seq_shard_stats",
     "seq_keyrange_audit",
     "seq_sortedness_audit",

@@ -48,6 +48,9 @@ MUST_BE_IN_WINDOW = [
     "events_suite",
     "lookup_match_suite",
     "doc_stats_suite",
+    "corpus_lifecycle_suite",  # manifest/conflicts/FD/token-drift/probe/
+    # mixture/split/prefix-dups in one slot (doc_tfidf_topk demoted; the
+    # textprep family stays represented by prepare_training_corpus)
     "seq_row_violations",
     "seq_npm_scores",
     "seq_adjudicated",
