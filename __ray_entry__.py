@@ -91,6 +91,26 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
                     ("qty_base", "num"), ("e_mark", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
+    "table_validators_suite": (
+        # the per-table validator family (documents / events / embeddings —
+        # the fused row-check + combiner + tiny-groupby shape) in one slot
+        MemberSpec("documents_validate", ("lang",),
+                   (("n_rows", "num"), ("null_id", "num"), ("null_text", "num"),
+                    ("empty_text", "num"), ("null_lang", "num"),
+                    ("bad_lang", "num"), ("nchars_mismatch", "num"),
+                    ("neg_nchars", "num"), ("viol_rows", "num"),
+                    ("passed", "num"))),
+        MemberSpec("events_validate", ("event_type",),
+                   (("n_rows", "num"), ("null_id", "num"), ("null_ts", "num"),
+                    ("null_user", "num"), ("neg_value", "num"),
+                    ("malformed_props", "num"), ("ts_range", "num"),
+                    ("viol_rows", "num"), ("passed", "num"))),
+        MemberSpec("embedding_validate", ("label",),
+                   (("n_rows", "num"), ("null_id", "num"), ("null_vec", "num"),
+                    ("dim_mismatch", "num"), ("nonfinite", "num"),
+                    ("zero_norm", "num"), ("viol_rows", "num"),
+                    ("passed", "num"))),
+    ),
     "corpus_lifecycle_suite": (
         # corpus-evolution / lifecycle family in one graded slot: content
         # manifest, duplicate-id consistency, id→source FD, token-id drift,
@@ -228,7 +248,7 @@ QUERY_ORDER: tuple[str, ...] = (
     # fused-kernel + combiner + tiny-groupby shape; the other two sit just
     # past the marker). doc_lang_id demoted — quality family stays
     # represented by doc_quality_scores.
-    "documents_validate",
+    "table_validators_suite",
     "doc_pii_redact",
     # normalize → explode → dict-match spine
     "doc_normalized",
@@ -268,6 +288,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_drift",
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
+    "documents_validate",
     "doc_tfidf_topk",
     "seq_shard_stats",
     "seq_keyrange_audit",

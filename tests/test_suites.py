@@ -57,7 +57,8 @@ MUST_BE_IN_WINDOW = [
     "doc_words",
     "doc_dict_matches_lang",
     "doc_pii_redact",
-    "documents_validate",  # per-table validator family rep (round-3 cont.)
+    "table_validators_suite",  # all three table validators in one slot
+    # (documents_validate's individual entry demoted past the marker)
 ]
 
 WINDOW = 50
