@@ -91,6 +91,26 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
                     ("qty_base", "num"), ("e_mark", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
+    "multimodal_suite": (
+        # the full multimodal family (pixel decode, audio stats, frame
+        # sampling, nearest-neighbor resize) in one slot — every member is
+        # a real-bytes decode whose features are closed-form SQL-checked
+        MemberSpec("multimodal_decode", ("media_id",),
+                   (("container", "str"), ("width", "num"), ("height", "num"),
+                    ("mean_r", "num"), ("mean_g", "num"), ("mean_b", "num"))),
+        MemberSpec("multimodal_audio", ("media_id",),
+                   (("sample_rate", "num"), ("n_samples", "num"),
+                    ("duration_ms", "num"), ("mean_amp", "num"),
+                    ("rms", "num"), ("peak", "num"))),
+        MemberSpec("multimodal_video_frames", ("media_id", "frame_idx"),
+                   (("n_frames", "num"), ("width", "num"), ("height", "num"),
+                    ("mean_r", "num"), ("mean_g", "num"), ("mean_b", "num"))),
+        MemberSpec("multimodal_resize", ("media_id",),
+                   (("container", "str"), ("src_width", "num"),
+                    ("src_height", "num"), ("rz_width", "num"),
+                    ("rz_height", "num"), ("rz_mean_r", "num"),
+                    ("rz_mean_g", "num"), ("rz_mean_b", "num"))),
+    ),
     "table_validators_suite": (
         # the per-table validator family (documents / events / embeddings —
         # the fused row-check + combiner + tiny-groupby shape) in one slot
@@ -171,6 +191,8 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
         MemberSpec("seq_keyrange_audit", ("fragment",),
                    (("id_min", "str"), ("id_max", "str"),
                     ("stats_known", "num"), ("overlaps_other", "num"))),
+        MemberSpec("seq_locate_ids", ("doc_id", "fragment"),
+                   (("n_rows", "num"),)),
     ),
     "table_drift_suite": (
         # complement-KS drift family (documents + events tables): exact
@@ -268,7 +290,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
-    "multimodal_decode",
+    "multimodal_suite",
     # --- end of graded window (position 50) ---
     "seq_pack_plan",
     "embedding_near_dups_lsh",
@@ -288,6 +310,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_drift",
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
+    "multimodal_decode",
     "documents_validate",
     "doc_tfidf_topk",
     "seq_shard_stats",

@@ -58,6 +58,7 @@ MUST_BE_IN_WINDOW = [
     "doc_dict_matches_lang",
     "doc_pii_redact",
     "table_validators_suite",  # all three table validators in one slot
+    "multimodal_suite",  # decode/audio/frames/resize in one slot
     # (documents_validate's individual entry demoted past the marker)
 ]
 
