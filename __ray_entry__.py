@@ -91,6 +91,24 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
                     ("qty_base", "num"), ("e_mark", "num"))),
         MemberSpec("party_names", ("name", "kind"), ()),
     ),
+    "token_plan_suite": (
+        # token-shaping plans in one slot: sliding-window chunking, vocab
+        # detokenization audit, packing plan, length-sorted batch plan
+        MemberSpec("seq_chunk_windows", ("doc_id", "chunk_idx"),
+                   (("tok_start", "num"), ("chunk_len", "num"),
+                    ("tok_sum", "num"), ("tok_first", "num"),
+                    ("tok_last", "num"))),
+        MemberSpec("seq_detokenize", ("doc_id",),
+                   (("source", "str"), ("n_tok", "num"), ("tlen", "num"),
+                    ("n_oov", "num"), ("text_len", "num"),
+                    ("text_prefix", "str"))),
+        MemberSpec("seq_pack_plan", ("doc_id",),
+                   (("shard", "num"), ("pack_id", "num"), ("pack_pos", "num"),
+                    ("tok_offset", "num"), ("n_tok", "num"))),
+        MemberSpec("seq_length_batches", ("batch_id",),
+                   (("n_seqs", "num"), ("min_tok", "num"), ("max_tok", "num"),
+                    ("sum_tok", "num"), ("pad_waste", "num"))),
+    ),
     "multimodal_suite": (
         # the full multimodal family (pixel decode, audio stats, frame
         # sampling, nearest-neighbor resize) in one slot — every member is
@@ -247,7 +265,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_stats_prescreen",
     "table_drift_suite",
     "seq_repetition_scores",
-    "seq_length_batches",
+    "token_plan_suite",
     "seq_unigram_lm_score",
     # validation engine (reference's core loop)
     "seq_row_violations",
@@ -310,6 +328,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_corpus_drift",
     "seq_corpus_token_drift",
     "seq_lcs_pairs",
+    "seq_length_batches",
     "multimodal_decode",
     "documents_validate",
     "doc_tfidf_topk",

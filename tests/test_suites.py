@@ -59,6 +59,7 @@ MUST_BE_IN_WINDOW = [
     "doc_pii_redact",
     "table_validators_suite",  # all three table validators in one slot
     "multimodal_suite",  # decode/audio/frames/resize in one slot
+    "token_plan_suite",  # chunk/detokenize/pack-plan/length-batches
     # (documents_validate's individual entry demoted past the marker)
 ]
 
