@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import glob
 import hashlib
+import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -420,10 +421,14 @@ def run_validation(
         warn_checks=warn_checks,
     )
     pool = concurrency if concurrency is not None else _default_pool()
+    cfg_digest = _config_digest(
+        allow, enabled_checks, warn_checks, schema_repair,
+        write_violations, write_clean,
+    )
 
     todo = []
     for f in files:
-        if resume and lin.partition_complete(out_dir, f):
+        if resume and lin.partition_complete(out_dir, f, config_digest=cfg_digest):
             continue
         lin.reset_partition(out_dir, lin.part_id_for(f))
         todo.append(f)
@@ -501,7 +506,9 @@ def run_validation(
         partials = staged.take_all()
         _phase_log(f"rowcheck wave({len(wave)} files)", t0)
         t1 = time.time()
-        wave_viol, wave_parts = _publish_wave(out_dir, wave, partials, time.time() - t0)
+        wave_viol, wave_parts = _publish_wave(
+            out_dir, wave, partials, time.time() - t0, config_digest=cfg_digest
+        )
         lin.heartbeat(out_dir)
         _phase_log("publish wave", t1)
         if fail_fast_violations is not None:
@@ -547,8 +554,44 @@ def run_validation(
     return report
 
 
+def _config_digest(
+    allow: list[dict],
+    enabled_checks: "list[str] | None",
+    warn_checks: "list[str] | None",
+    schema_repair: bool,
+    write_violations: bool,
+    write_clean: bool,
+) -> str:
+    """Stable digest of everything that shapes a partition's recorded
+    verdicts and side outputs. Stamped into each lineage record and
+    required to match on resume — so a rerun with a different check
+    config / severity map / allowlist / sink set re-validates instead of
+    silently mixing old-config partitions into the new run's report.
+    (Prescreen is excluded: its proofs are sound, output bit-identical.)"""
+    canon = json.dumps(
+        {
+            "allow": sorted(
+                ({k: r[k] for k in sorted(r)} for r in allow),
+                key=lambda r: str(r.get("source")),
+            ),
+            "enabled": sorted(enabled_checks) if enabled_checks is not None else None,
+            "warn": sorted(warn_checks) if warn_checks else [],
+            "schema_repair": bool(schema_repair),
+            "write_violations": bool(write_violations),
+            "write_clean": bool(write_clean),
+        },
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha1(canon.encode()).hexdigest()
+
+
 def _publish_wave(
-    out_dir: str, wave: list[str], partials: list[dict], wall_s: float
+    out_dir: str,
+    wave: list[str],
+    partials: list[dict],
+    wall_s: float,
+    config_digest: "str | None" = None,
 ) -> tuple[int, int]:
     """Publish lineage for every fully-covered partition of this wave;
     returns (published violation rows, published partitions) so the caller
@@ -623,6 +666,7 @@ def _publish_wave(
                 for s, a in per_source.items()
             },
             "wall_s": round(wall_s, 3),
+            "config_digest": config_digest,
         }
         lin.write_lineage(out_dir, pid, record)
         pub_viol += record["viol_rows"]

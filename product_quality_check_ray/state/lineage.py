@@ -92,9 +92,15 @@ def all_lineage(out_dir: str) -> dict[str, dict[str, Any]]:
     return out
 
 
-def partition_complete(out_dir: str, input_path: str) -> bool:
+def partition_complete(
+    out_dir: str, input_path: str, config_digest: "str | None" = None
+) -> bool:
     """A partition is complete iff its lineage record exists, matches the
-    input file's fingerprint, and proves full row coverage."""
+    input file's fingerprint, proves full row coverage, and — when the
+    caller supplies a ``config_digest`` — was validated under the SAME
+    check configuration. Without the digest check, a rerun with different
+    enabled/warn checks or allowlist would silently keep partitions whose
+    verdicts were computed under the old config (mixed-severity lineage)."""
     rec = read_lineage(out_dir, part_id_for(input_path))
     if rec is None:
         return False
@@ -102,6 +108,7 @@ def partition_complete(out_dir: str, input_path: str) -> bool:
         rec.get("engine_version") == ENGINE_VERSION
         and rec.get("input_fingerprint") == file_fingerprint(input_path)
         and rec.get("processed_rows") == rec.get("file_rows")
+        and (config_digest is None or rec.get("config_digest") == config_digest)
     )
 
 

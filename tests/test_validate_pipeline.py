@@ -489,3 +489,39 @@ def test_custom_reference_histogram_loop(ray_session, tmp_path):
         c2, str(tmp_path / "o2"), resume=False, reference_hists=loaded
     )
     assert rep2.drift["web"]["drifted"] and not rep2.drift["books"]["drifted"]
+
+
+def test_resume_invalidates_on_config_change(ray_session, small_corpus, tmp_path):
+    """A rerun of the SAME out_dir under a DIFFERENT check config must
+    re-validate (old-config partitions would otherwise mix into the new
+    report); an unchanged config still resumes (lineage untouched)."""
+    import glob as _g
+    import os as _os
+
+    out = str(tmp_path / "out")
+    rep1 = run_validation(small_corpus, out, resume=False)
+    v1 = sum(v["viol_rows"] for v in rep1.partitions.values())
+    lineage = sorted(_g.glob(_os.path.join(out, "lineage", "*.json")))
+    mtimes = {p: _os.path.getmtime(p) for p in lineage}
+
+    # unchanged config: resume keeps every partition (mtimes identical)
+    rep2 = run_validation(small_corpus, out, resume=True)
+    assert {p: _os.path.getmtime(p) for p in lineage} == mtimes
+    assert sum(v["viol_rows"] for v in rep2.partitions.values()) == v1
+
+    # severity change: resume must re-validate; verdicts equal a FRESH run
+    rep3 = run_validation(
+        small_corpus, out, resume=True, warn_checks=["token_oov", "bad_source"]
+    )
+    fresh = run_validation(
+        small_corpus, str(tmp_path / "fresh"), resume=False,
+        warn_checks=["token_oov", "bad_source"],
+    )
+    v3 = sum(v["viol_rows"] for v in rep3.partitions.values())
+    vf = sum(v["viol_rows"] for v in fresh.partitions.values())
+    assert v3 == vf < v1
+    assert rep3.check_counts() == fresh.check_counts()
+
+    # and switching BACK also re-validates (digest mismatch, not ordering)
+    rep4 = run_validation(small_corpus, out, resume=True)
+    assert sum(v["viol_rows"] for v in rep4.partitions.values()) == v1
