@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
@@ -149,6 +150,17 @@ def _check_counts_schema() -> pa.Schema:
     )
 
 
+_SAMPLED_STAGE_CACHE: list = []
+
+
+def _sampled_counts_task(batch: pa.Table) -> pa.Table:
+    """Per-worker-cached ``SampledCheckCountsStage`` as a task function —
+    Ray reuses worker processes, so the ctx builds once per worker."""
+    if not _SAMPLED_STAGE_CACHE:
+        _SAMPLED_STAGE_CACHE.append(SampledCheckCountsStage())
+    return _SAMPLED_STAGE_CACHE[0](batch)
+
+
 def seq_sampled_check_counts(sf_dir: str) -> pa.Table:
     """Sampled corpus health probe: ``seq_check_counts`` over the
     deterministic ~15.6% content-keyed sample — at 100 TB the cheap
@@ -158,30 +170,35 @@ def seq_sampled_check_counts(sf_dir: str) -> pa.Table:
     violation rates). One streaming pass; the md5 sampling key is computed
     from zero-copy value-buffer slices and non-sampled rows never reach the
     check kernels."""
+    # the md5 sampling key is per-row CPU work; run the stage as TASKS with
+    # a per-worker stage cache (the validate._row_check_task pattern) — an
+    # actor pool here ramped too slowly to use the cores and the original
+    # (1, 4) cap serialized the scan (measured 7.4-8 s at sf0.1 / 32 CPUs
+    # vs 2.6 s as tasks; state is one tiny check ctx, free to rebuild)
     partial = _seq_ds(sf_dir).map_batches(
-        SampledCheckCountsStage, batch_format="pyarrow", concurrency=(1, 4)
+        _sampled_counts_task, batch_format="pyarrow"
     ).materialize()  # tiny combiner output; see core/batches.py note
-    agg = partial.groupby("source").aggregate(
-        *[Sum(n, alias_name=n) for n in ROW_CHECK_NAMES],
-        Sum("rows", alias_name="rows"),
-        Sum("viol_rows", alias_name="viol_rows"),
-    )
-
-    def to_int(df: pd.DataFrame) -> pd.DataFrame:
-        for c in df.columns:
-            if c != "source":
-                df[c] = df[c].astype(np.int64)
-        return df
-
-    out = _collect(agg.map_batches(to_int, batch_format="pandas").sort("source"))
-    if out.num_rows == 0:
+    # final rollup on the DRIVER: the partials are O(tasks × sources) rows
+    # (~1.5k at sf0.1), so a Ray groupby here only pays the hash-aggregate
+    # operator's fixed stall (~3 s measured) for work pandas does in
+    # microseconds. Null sources (none in the fixture, possible in user
+    # corpora) keep their group and sort last, matching DuckDB ASC order.
+    cols = list(ROW_CHECK_NAMES) + ["rows", "viol_rows"]
+    df = partial.to_pandas()
+    if len(df) == 0:
         # nothing sampled (tiny corpus): typed empty, matching the oracle
         return pa.schema(
             [("source", pa.string())]
-            + [(n, pa.int64()) for n in ROW_CHECK_NAMES]
-            + [("rows", pa.int64()), ("viol_rows", pa.int64())]
+            + [(n, pa.int64()) for n in cols]
         ).empty_table()
-    return out
+    g = df.groupby("source", dropna=False, as_index=False)[cols].sum()
+    g = g.sort_values("source", na_position="last", kind="mergesort").reset_index(
+        drop=True
+    )
+    return pa.table(
+        {"source": pa.array(g["source"].astype(object).where(g["source"].notna(), None), type=pa.string())}
+        | {c: pa.array(g[c].astype(np.int64), type=pa.int64()) for c in cols}
+    )
 
 
 def seq_dup_doc_ids(sf_dir: str) -> pa.Table:
