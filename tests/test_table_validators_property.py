@@ -183,3 +183,45 @@ def test_documents_lang_drift_matches_oracle(tmp_path_factory, rows):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
     )
     _cmp(documents_lang_drift(str(d)), con, e.oracle_sql()["documents_lang_drift"])
+
+
+# --- events type drift ---------------------------------------------------------
+
+_ev_drift_row = st.tuples(
+    st.one_of(st.none(), st.sampled_from(["click", "view", "error", ""])),
+    st.one_of(
+        st.none(),
+        st.datetimes(
+            min_value=dt.datetime(2024, 1, 1), max_value=dt.datetime(2024, 3, 1)
+        ),
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_ev_drift_row, min_size=0, max_size=16))
+def test_events_type_drift_matches_oracle(tmp_path_factory, rows):
+    """Engine↔oracle parity of the per-type temporal complement-KS on
+    arbitrary tables: null types ('~null~'), null timestamps (bin -1),
+    single-type streams (maximal drift), multi-bucket spreads, empties."""
+    from product_quality_check_ray.pipelines.relational import events_type_drift
+
+    import __ray_entry__ as e
+
+    d = tmp_path_factory.mktemp("evdrift")
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), type=pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+            "value": pa.array([1.0] * len(rows), type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows), type=pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    _cmp(events_type_drift(str(d)), con, e.oracle_sql()["events_type_drift"])
