@@ -2359,3 +2359,25 @@ def test_events_type_drift_planted(ray_session, tmp_path):
     assert out.loc["steady"].ks_ppm == 500_000
     # nullts vs rest: na=1 nb=8; bin -1: |1*8-0|=8 → m=8 → 8e6/8 = 1,000,000
     assert out.loc["nullts"].ks_ppm == 1_000_000
+
+
+def test_locate_ids_long_id_stats_dropped(ray_session, tmp_path):
+    """pyarrow omits doc_id min/max stats entirely when values exceed the
+    statistics size ceiling — the range is then UNKNOWN and pruning must
+    scan the fragment (soundness), still finding the target."""
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    long_ids = ["p" * 5000 + f"{i:04d}" for i in range(5)]
+    _write_id_frag(d, "frag-000.parquet", long_ids)
+    _write_id_frag(d, "frag-001.parquet", ["a-1", "a-2"])  # normal stats
+
+    target = long_ids[3]
+    scan, skip = tk.locate_prune(
+        sorted(str(d / f"frag-00{k}.parquet") for k in range(2)), [target]
+    )
+    assert [f.split("/")[-1] for f in scan] == ["frag-000.parquet"]
+    assert [f.split("/")[-1] for f in skip] == ["frag-001.parquet"]
+    out = tk.seq_locate_ids(str(d), targets=[target]).to_pylist()
+    assert out == [{"doc_id": target, "fragment": "frag-000.parquet", "n_rows": 1}]
