@@ -194,6 +194,10 @@ _ev_drift_row = st.tuples(
         st.datetimes(
             min_value=dt.datetime(2024, 1, 1), max_value=dt.datetime(2024, 3, 1)
         ),
+        # pre-1970: negative epoch_us folds to bin -1 on both engines
+        st.datetimes(
+            min_value=dt.datetime(1960, 1, 1), max_value=dt.datetime(1969, 12, 31)
+        ),
     ),
 )
 
