@@ -69,7 +69,9 @@ class RowViolationsStage(_FlagStage):
 
 def seq_row_violations(sf_dir: str) -> rd.Dataset:
     """All violating rows with one boolean column per fused check."""
-    return _seq_ds(sf_dir).map_batches(RowViolationsStage, batch_format="pyarrow", concurrency=(1, 4))
+    return _seq_ds(sf_dir).map_batches(
+        _stage_task(RowViolationsStage), batch_format="pyarrow"
+    )
 
 
 class CheckCountsStage(_FlagStage):
@@ -87,21 +89,20 @@ class CheckCountsStage(_FlagStage):
 def seq_check_counts(sf_dir: str) -> pa.Table:
     """Per-source violation counts for every fused row check."""
     partial = _seq_ds(sf_dir).map_batches(
-        CheckCountsStage, batch_format="pyarrow", concurrency=(1, 4)
+        _stage_task(CheckCountsStage), batch_format="pyarrow"
     ).materialize()  # tiny combiner output; see core/batches.py note
-    agg = partial.groupby("source").aggregate(
-        *[Sum(n, alias_name=n) for n in ROW_CHECK_NAMES],
-        Sum("rows", alias_name="rows"),
-        Sum("viol_rows", alias_name="viol_rows"),
+    # final rollup on the driver: O(tasks × sources) partial rows — a Ray
+    # hash-aggregate here only pays its fixed stall (see the sampled probe)
+    cols = list(ROW_CHECK_NAMES) + ["rows", "viol_rows"]
+    df = partial.to_pandas()
+    g = df.groupby("source", dropna=False, as_index=False)[cols].sum()
+    g = g.sort_values("source", na_position="last", kind="mergesort").reset_index(
+        drop=True
     )
-
-    def to_int(df: pd.DataFrame) -> pd.DataFrame:
-        for c in df.columns:
-            if c != "source":
-                df[c] = df[c].astype(np.int64)
-        return df
-
-    return _collect(agg.map_batches(to_int, batch_format="pandas").sort("source"))
+    return pa.table(
+        {"source": pa.array(g["source"].astype(object).where(g["source"].notna(), None), type=pa.string())}
+        | {c: pa.array(g[c].astype(np.int64), type=pa.int64()) for c in cols}
+    )
 
 
 SAMPLE_HEX_CUTOFF = "28"  # 40/256 = 15.625% expected sample rate
@@ -150,15 +151,22 @@ def _check_counts_schema() -> pa.Schema:
     )
 
 
-_SAMPLED_STAGE_CACHE: list = []
+_TASK_STAGE_CACHE: dict = {}
 
 
-def _sampled_counts_task(batch: pa.Table) -> pa.Table:
-    """Per-worker-cached ``SampledCheckCountsStage`` as a task function —
-    Ray reuses worker processes, so the ctx builds once per worker."""
-    if not _SAMPLED_STAGE_CACHE:
-        _SAMPLED_STAGE_CACHE.append(SampledCheckCountsStage())
-    return _SAMPLED_STAGE_CACHE[0](batch)
+def _stage_task(cls):
+    """Run a tiny-state stage class as TASKS with a per-worker instance
+    cache (the validate._row_check_task pattern): Ray reuses worker
+    processes, so the check ctx builds once per worker — and tasks use all
+    cores immediately, where a small actor pool ramps too slowly."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        st = _TASK_STAGE_CACHE.get(cls.__name__)
+        if st is None:
+            st = _TASK_STAGE_CACHE[cls.__name__] = cls()
+        return st(batch)
+
+    return run
 
 
 def seq_sampled_check_counts(sf_dir: str) -> pa.Table:
@@ -176,7 +184,7 @@ def seq_sampled_check_counts(sf_dir: str) -> pa.Table:
     # (1, 4) cap serialized the scan (measured 7.4-8 s at sf0.1 / 32 CPUs
     # vs 2.6 s as tasks; state is one tiny check ctx, free to rebuild)
     partial = _seq_ds(sf_dir).map_batches(
-        _sampled_counts_task, batch_format="pyarrow"
+        _stage_task(SampledCheckCountsStage), batch_format="pyarrow"
     ).materialize()  # tiny combiner output; see core/batches.py note
     # final rollup on the DRIVER: the partials are O(tasks × sources) rows
     # (~1.5k at sf0.1), so a Ray groupby here only pays the hash-aggregate
@@ -238,27 +246,34 @@ def seq_source_stats(sf_dir: str) -> pa.Table:
         g["sum_n_tok"] = g["sum_n_tok"].astype(np.int64)
         return g
 
-    agg = (
+    df = (
         ds.map_batches(_aout(partial), batch_format="pandas")
         .materialize()  # tiny combiner output; see core/batches.py note
-        .groupby("source")
-        .aggregate(
-            Sum("rows", alias_name="rows"),
-            Sum("sum_n_tok", alias_name="sum_n_tok"),
-            Min("min_n_tok", alias_name="min_n_tok"),
-            Max("max_n_tok", alias_name="max_n_tok"),
-        )
+        .to_pandas()
     )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["mean_n_tok"] = _rha(df["sum_n_tok"] / df["rows"], 6)
-        for c in ("rows", "sum_n_tok"):
-            df[c] = df[c].astype(np.int64)
-        for c in ("min_n_tok", "max_n_tok"):
-            df[c] = df[c].astype(np.int32)
-        return df
-
-    return _collect(agg.map_batches(finalize, batch_format="pandas").sort("source"))
+    # driver rollup over O(tasks × sources) partial rows (see seq_check_counts)
+    g = df.groupby("source", dropna=False, as_index=False).agg(
+        rows=("rows", "sum"),
+        sum_n_tok=("sum_n_tok", "sum"),
+        min_n_tok=("min_n_tok", "min"),
+        max_n_tok=("max_n_tok", "max"),
+    )
+    g = g.sort_values("source", na_position="last", kind="mergesort").reset_index(
+        drop=True
+    )
+    return pa.table(
+        {
+            "source": pa.array(g["source"].astype(object).where(g["source"].notna(), None), type=pa.string()),
+            "rows": pa.array(g["rows"].astype(np.int64), type=pa.int64()),
+            "sum_n_tok": pa.array(g["sum_n_tok"].astype(np.int64), type=pa.int64()),
+            "min_n_tok": pa.array(g["min_n_tok"].astype(np.int32), type=pa.int32()),
+            "max_n_tok": pa.array(g["max_n_tok"].astype(np.int32), type=pa.int32()),
+            "mean_n_tok": pa.array(
+                _rha(g["sum_n_tok"].astype(np.float64) / g["rows"], 6),
+                type=pa.float64(),
+            ),
+        }
+    )
 
 
 def seq_ntok_histogram(sf_dir: str) -> pa.Table:
@@ -273,16 +288,19 @@ def seq_ntok_histogram(sf_dir: str) -> pa.Table:
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    agg = ds.map_batches(_aout(partial), batch_format="pandas").groupby("bin").aggregate(
-        Sum("n", alias_name="n")
+    df = ds.map_batches(_aout(partial), batch_format="pandas").to_pandas()
+    # driver rollup over O(tasks × bins) partial rows (see seq_check_counts)
+    g = (
+        df.groupby("bin", as_index=False)["n"].sum()
+        .sort_values("bin", kind="mergesort")
+        .reset_index(drop=True)
     )
-
-    def to_int(df: pd.DataFrame) -> pd.DataFrame:
-        df["bin"] = df["bin"].astype(np.int64)
-        df["n"] = df["n"].astype(np.int64)
-        return df
-
-    return _collect(agg.map_batches(to_int, batch_format="pandas").sort("bin"))
+    return pa.table(
+        {
+            "bin": pa.array(g["bin"].astype(np.int64), type=pa.int64()),
+            "n": pa.array(g["n"].astype(np.int64), type=pa.int64()),
+        }
+    )
 
 
 def seq_drift_verdicts(sf_dir: str) -> pa.Table:
@@ -309,17 +327,20 @@ def seq_drift_verdicts(sf_dir: str) -> pa.Table:
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    agg = (
-        ds.map_batches(_aout(partial), batch_format="pandas")
-        .materialize()  # tiny combiner output; see core/batches.py note
-        .groupby(["source", "bin"])
-        .aggregate(Sum("n", alias_name="n"))
-    )
     hists: dict[str, np.ndarray] = {}
-    for r in agg.take_all():
-        hists.setdefault(r["source"], np.zeros(HIST_NUM_BINS + 1, dtype=np.int64))[
-            int(r["bin"])
-        ] += int(r["n"])
+    # merge the O(tasks × sources × bins) partials on the driver — a Ray
+    # (source, bin) groupby here only pays its fixed stall
+    for bt in ds.map_batches(_aout(partial), batch_format="pandas").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for src, b, n in zip(
+            bt.column("source").to_pylist(),
+            bt.column("bin").to_pylist(),
+            bt.column("n").to_pylist(),
+        ):
+            hists.setdefault(src, np.zeros(HIST_NUM_BINS + 1, dtype=np.int64))[
+                int(b)
+            ] += int(n)
     verdicts = drift_verdicts(hists, reference_histograms_dim())
     rows = [
         {
