@@ -103,7 +103,10 @@ def cmd_validate(args: argparse.Namespace) -> int:
             uniqueness=cfg.get("uniqueness", True),
             enabled_checks=cfg.get("enabled_checks"),
             warn_checks=(
-                args.warn_checks.split(",") if args.warn_checks
+                # strip whitespace / drop empty tokens so
+                # `--warn-checks "a, b"` or a trailing comma parse cleanly
+                [s.strip() for s in args.warn_checks.split(",") if s.strip()]
+                if args.warn_checks
                 else cfg.get("warn_checks")
             ),
             schema_repair=bool(cfg.get("schema_repair", False)),
@@ -240,7 +243,15 @@ def cmd_report(args: argparse.Namespace) -> int:
         }
         only_a = sorted(set(parts) - set(parts_b))
         only_b = sorted(set(parts_b) - set(parts))
-        shared = sorted(set(parts) & set(parts_b))
+        shared_all = sorted(set(parts) & set(parts_b))
+        # a lineage record with viol_rows=None (partially-written / legacy)
+        # has NO verdict: classifying it as regressed/fixed by `!= 0` would
+        # misreport an incomplete partition — report it separately instead
+        unknown = [
+            p for p in shared_all
+            if parts[p]["viol_rows"] is None or parts_b[p]["viol_rows"] is None
+        ]
+        shared = [p for p in shared_all if p not in set(unknown)]
         regressed = [
             p for p in shared
             if parts[p]["viol_rows"] == 0 and parts_b[p]["viol_rows"] != 0
@@ -261,7 +272,7 @@ def cmd_report(args: argparse.Namespace) -> int:
             if parts[p]["viol_rows"] != parts_b[p]["viol_rows"]
             or parts[p]["rows"] != parts_b[p]["rows"]
         ]
-        identical = not (only_a or only_b or changed)
+        identical = not (only_a or only_b or changed or unknown)
         print(
             json.dumps(
                 {
@@ -276,6 +287,8 @@ def cmd_report(args: argparse.Namespace) -> int:
                     "fixed": fixed[:20],
                     "n_changed": len(changed),
                     "changed": changed[:20],
+                    "unknown_verdict": unknown[:20],
+                    "n_unknown_verdict": len(unknown),
                 }
             )
         )

@@ -95,6 +95,13 @@ def seq_check_counts(sf_dir: str) -> pa.Table:
     # hash-aggregate here only pays its fixed stall (see the sampled probe)
     cols = list(ROW_CHECK_NAMES) + ["rows", "viol_rows"]
     df = partial.to_pandas()
+    if len(df) == 0:
+        # zero-row corpus: the partials dataset is column-less and the
+        # groupby below would KeyError — return the typed empty table
+        # (same guard as the sampled probe)
+        return pa.schema(
+            [("source", pa.string())] + [(c, pa.int64()) for c in cols]
+        ).empty_table()
     g = df.groupby("source", dropna=False, as_index=False)[cols].sum()
     g = g.sort_values("source", na_position="last", kind="mergesort").reset_index(
         drop=True
@@ -158,7 +165,13 @@ def _stage_task(cls):
     """Run a tiny-state stage class as TASKS with a per-worker instance
     cache (the validate._row_check_task pattern): Ray reuses worker
     processes, so the check ctx builds once per worker — and tasks use all
-    cores immediately, where a small actor pool ramps too slowly."""
+    cores immediately, where a small actor pool ramps too slowly.
+
+    CONTRACT: ``cls`` must be no-arg and stateless-per-run (ctx built from
+    module constants only). The cache is keyed by class name and never
+    invalidated on workers, so a stage carrying per-run config would
+    silently reuse a stale instance across queries in long-lived worker
+    processes — key the cache by (cls, config) before adding one."""
 
     def run(batch: pa.Table) -> pa.Table:
         st = _TASK_STAGE_CACHE.get(cls.__name__)

@@ -4562,7 +4562,12 @@ def _scan_sortedness(paths: list) -> list:
 
 def seq_sortedness_audit(sf_dir: str, files_per_task: "int | None" = None) -> pa.Table:
     """Per-fragment doc_id physical-order audit (contract in the section
-    comment above): adjacent descending-step count + sorted flag."""
+    comment above): adjacent descending-step count + sorted flag.
+
+    Fragments are keyed by basename (same convention as seq_keyrange_audit /
+    seq_locate_ids): flat ``frag-*.parquet`` corpora never collide; if
+    nested corpora with duplicate basenames become supported, key by a
+    corpus-relative path on both the engine and oracle sides."""
     from ..datagen import resolve_sequences
 
     files = resolve_sequences(sf_dir)

@@ -947,3 +947,107 @@ def test_cli_locate_subcommand(tmp_path):
         {"doc_id": "d-000000000007", "fragment": "frag-00000.parquet", "n_rows": 1},
         {"doc_id": "d-000000000007", "fragment": "frag-00001.parquet", "n_rows": 1},
     ]
+
+
+def test_seq_check_counts_zero_row_corpus(ray_session, tmp_path):
+    """A corpus whose fragments hold zero rows yields the typed empty
+    per-source count table, not a KeyError from a column-less partials
+    DataFrame (ADVICE r3)."""
+    import os
+
+    from product_quality_check_ray.pipelines.seq_queries import seq_check_counts
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.string()),
+            "tokens": pa.array([], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([], type=pa.int32()),
+            "source": pa.array([], type=pa.string()),
+        }
+    )
+    pq.write_table(empty, os.path.join(d, "frag-00000.parquet"))
+    out = seq_check_counts(d)
+    assert out.num_rows == 0
+    assert out.column("source").type == pa.string()
+    assert out.column("rows").type == pa.int64()
+    assert out.column("viol_rows").type == pa.int64()
+
+
+def test_cli_warn_checks_whitespace_tokens(ray_session, tmp_path):
+    """`--warn-checks "a, b"` and trailing commas parse cleanly (tokens are
+    stripped, empties dropped) instead of failing with `unknown checks
+    [' b']` (ADVICE r3)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(16)]),
+            "tokens": pa.array([[1, 2]] * 16, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 15 + [99], type=pa.int32()),
+            "source": pa.array(["web"] * 16),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    r = subprocess.run(
+        [sys.executable, "-m", "product_quality_check_ray", "validate",
+         "--input", d, "--out", str(tmp_path / "out"), "--num-cpus", "4",
+         "--warn-checks", "ntok_mismatch, token_oov,"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    # the one mismatch row is WARN-severity → clean exit 0, still counted
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["check_counts"]["ntok_mismatch"] == 1
+    assert line["failed_partitions"] == []
+
+
+def test_cli_report_compare_unknown_verdict(ray_session, tmp_path):
+    """A lineage record missing viol_rows (partially-written / legacy) is
+    reported as unknown_verdict, not misclassified as regressed/fixed
+    (ADVICE r3)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from product_quality_check_ray.pipelines.validate import run_validation
+    from product_quality_check_ray.state import lineage as lin
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d-{i:012d}" for i in range(32)]),
+            "tokens": pa.array([[1, 2]] * 32, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 32, type=pa.int32()),
+            "source": pa.array(["web"] * 32),
+        }
+    )
+    f0 = os.path.join(d, "frag-00000.parquet")
+    pq.write_table(t, f0)
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_validation(d, out_a, resume=False)
+    run_validation(d, out_b, resume=False)
+    # strip viol_rows from run B's record (simulate a legacy/partial write)
+    pid = lin.part_id_for(f0)
+    rec = lin.read_lineage(out_b, pid)
+    rec.pop("viol_rows", None)
+    lin.write_lineage(out_b, pid, rec)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "product_quality_check_ray", "report",
+         "--out", out_a, "--compare", out_b],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 2, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["unknown_verdict"] == [pid]
+    assert line["regressed"] == [] and line["fixed"] == []
+    assert not line["identical_verdicts"]
