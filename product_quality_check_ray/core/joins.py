@@ -61,6 +61,12 @@ def probe_keys(keys_ds: rd.Dataset, col: str, cap: int) -> pa.Array | None:
         .map_batches(batch_unique, batch_format="pyarrow")
         .limit(cap + 1)
     )
+    if col not in head.column_names:
+        # an all-empty key side can lose its schema through the limit
+        # (collect falls back to a zero-column table) — it IS the complete
+        # (empty) key side; recover the column type from the dataset schema
+        s = keys_ds.schema()
+        head = pa.table({col: pa.array([], type=dict(zip(s.names, s.types))[col])})
     if head.num_rows > cap:
         return None
     return pc.unique(head.column(col).combine_chunks())

@@ -693,7 +693,7 @@ def prepare_training_corpus(
     w = MIXTURE_WEIGHTS if weights is None else weights
     thresholds = {s: int(round(v * _MIX_DENOM)) for s, v in w.items()}
     default_thr = int(round(MIXTURE_DEFAULT * _MIX_DENOM))
-    state_ref = clean_full_state_ref(sf_dir, DECON_NGRAM, DECON_BENCH_MOD)
+    state_ref, losers_ds = clean_full_state_ref(sf_dir, DECON_NGRAM, DECON_BENCH_MOD)
 
     def assemble(t: pa.Table, _cache={}) -> pa.Table:
         t = clean_full_filter_batch(t, state_ref, DECON_NGRAM, DECON_BENCH_MOD, _cache)
@@ -723,7 +723,14 @@ def prepare_training_corpus(
         shard, _ = _shard_cols(cids, n_shards)
         return chunks.append_column("shard", pa.array(shard))
 
-    out = _docs(sf_dir).map_batches(assemble, batch_format="pyarrow")
+    base = _docs(sf_dir)
+    if losers_ds is not None:
+        # loser set over the broadcast cap: anti-join in front of the fused
+        # pass (see clean_full_state_ref) — the drop never hits the driver
+        from ..core.joins import semi_join
+
+        base = semi_join(base, "doc_id", losers_ds, "doc_id", anti=True)
+    out = base.map_batches(assemble, batch_format="pyarrow")
     if out_dir is not None:
         import json
         import os

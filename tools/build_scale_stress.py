@@ -78,9 +78,43 @@ def build_embeddings(out_dir: str, replicas: int) -> int:
     return n * replicas
 
 
+def build_dupheavy_documents(out_dir: str, replicas: int) -> int:
+    """Majority-duplicate corpus (the VERDICT r3 scale seam): sf0.1
+    documents replicated VERBATIM with distinct doc_ids, so the exact-dup
+    loser fraction is 1 - 1/replicas (75% at the default 4). The drop set
+    is O(corpus) — the regime where clean_documents must route losers
+    through the shuffle anti-join, never a driver broadcast."""
+    src = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    n = src.num_rows
+    cols = {c: src.column(c) for c in src.column_names if c != "doc_id"}
+    path = os.path.join(out_dir, "documents.parquet")
+    writer = None
+    for r in range(replicas):
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64) + r * n),
+                **cols,
+            }
+        )
+        if writer is None:
+            writer = pq.ParquetWriter(path, t.schema)
+        writer.write_table(t)
+    if writer is not None:
+        writer.close()
+    return n * replicas
+
+
 def main() -> int:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale100"
-    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    args = [a for a in sys.argv[1:] if a != "--dupheavy"]
+    if "--dupheavy" in sys.argv[1:]:
+        out_dir = args[0] if args else "/tmp/dupheavy"
+        replicas = int(args[1]) if len(args) > 1 else 4
+        os.makedirs(out_dir, exist_ok=True)
+        nd = build_dupheavy_documents(out_dir, replicas)
+        print(f"wrote {nd} documents ({replicas}x verbatim replicas) to {out_dir}")
+        return 0
+    out_dir = args[0] if args else "/tmp/scale100"
+    replicas = int(args[1]) if len(args) > 1 else 100
     os.makedirs(out_dir, exist_ok=True)
     nd = build_documents(out_dir, replicas)
     ne = build_embeddings(out_dir, replicas)
