@@ -321,6 +321,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_boundary_audit",
     "seq_mixture_sample",
     "seq_prefix_dups",
+    "seq_minhash_recall",
     "seq_sampled_check_counts",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
@@ -633,6 +634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
         "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
         "seq_neardup_pairs": lambda sf: tk.seq_neardup_pairs(sf),  # head-anchor near-dup, exact verify
+        # token-level MinHash banding recall over identical-gram-set ground
+        # truth (rotated-twin plant: heads differ, sets identical — the
+        # edit-anywhere complement head-anchor blocking misses)
+        "seq_minhash_recall": lambda sf: tk.seq_minhash_recall(sf),
         "seq_bigram_topk": lambda sf: tk.seq_bigram_topk(sf),  # exact BPE merge-candidate mining
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
@@ -1802,6 +1807,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT da AS doc_id_a, db AS doc_id_b, shared, n_union, jaccard
             FROM scored WHERE jaccard >= {tk.SEQND_THRESHOLD}
+        """,
+        # minhash-banding recall: identical distinct-gram sets ⇒ identical
+        # signatures ⇒ every band matches, so found == truth structurally
+        # (the doc_simhash_recall pigeonhole-oracle pattern on tokens);
+        # truth = distinct (id_a < id_b) pairs sharing a distinct-8-gram
+        # set over the rotated-twin-augmented view
+        "seq_minhash_recall": f"""
+            WITH raw AS (
+              SELECT doc_id, tokens,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+            ),
+            aug AS (
+              SELECT doc_id,
+                     CASE WHEN sfx % {tk.SEQMH_MOD} = {tk.SEQMH_RES}
+                          THEN list_transform(range({tk.SEQMH_GEN_LEN}), j -> CAST(
+                                 ({tk.SEQMH_A} * ((sfx // {2 * tk.SEQMH_MOD}) % {VOCAB} + 1)
+                                  + {tk.SEQMH_B} * (((j + ((sfx // {tk.SEQMH_MOD}) % 2)
+                                                     * {tk.SEQMH_ROT}) % {tk.SEQMH_L}) + 1))
+                                 % {VOCAB} AS INTEGER))
+                          ELSE list_transform(tokens, x -> coalesce(x, -1)) END AS ptok
+              FROM raw
+            ),
+            ok AS MATERIALIZED (
+              SELECT row_number() OVER () AS rid, doc_id, ptok
+              FROM aug WHERE len(ptok) >= {tk.DECON_K}
+            ),
+            g AS (SELECT DISTINCT rid, ptok[i + 1:i + {tk.DECON_K}] AS gr
+                  FROM ok, unnest(range(len(ptok) - {tk.DECON_K - 1})) AS t(i)),
+            fp AS (SELECT rid, string_agg(gr::VARCHAR, '|' ORDER BY gr::VARCHAR) AS key
+                   FROM g GROUP BY rid),
+            rows_fp AS (SELECT o.doc_id, f.key FROM ok o JOIN fp f USING (rid)),
+            truth AS (
+              SELECT count(*)::BIGINT AS n FROM (
+                SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                FROM rows_fp a JOIN rows_fp b
+                  ON a.key = b.key AND a.doc_id < b.doc_id
+              )
+            )
+            SELECT n AS n_truth_pairs, n AS n_truth_found,
+                   CASE WHEN n = 0 THEN 1.0 ELSE 1.0 END::DOUBLE AS recall
+            FROM truth
         """,
         # token-level decontamination: same canary patch + holdout slice as
         # the engine (pipelines/tokens.py constants interpolated); corp is

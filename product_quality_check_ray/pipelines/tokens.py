@@ -1868,10 +1868,13 @@ def _seqnd_tokens(sfx: np.ndarray) -> np.ndarray:
     return ((base + tail) % VOCAB).astype(np.int32)
 
 
-def _seqnd_view(t: pa.Table, aug: bool = True):
-    """(doc_ids, offs, vals) of the near-dup-augmented view, rows with
-    ≥ DECON_K tokens only (the head anchor needs one full window);
-    ``aug=False`` (user corpora) plants no synthetic family."""
+def _planted_view(t: pa.Table, aug: bool, mod: int, res: int, gen_fn, gen_len: int):
+    """(doc_ids, offs, vals) of a planted-family-augmented view: rows with a
+    numeric suffix ≡ ``res`` (mod ``mod``) have their token array REPLACED
+    by ``gen_fn(sfx)`` (an (n, gen_len) int32 matrix); rows shorter than
+    DECON_K tokens are excluded (every family op needs one full window);
+    ``aug=False`` (user corpora) plants nothing. Shared by the near-dup
+    (``_seqnd_view``) and minhash-recall (``_seqmh_view``) families."""
     ids = t.column("doc_id").combine_chunks()
     toks = t.column("tokens")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
@@ -1882,8 +1885,8 @@ def _seqnd_view(t: pa.Table, aug: bool = True):
     sfx = _suffix_i64(sel.column("doc_id"))
     offs, vals = _tokens_parts(sel.column("tokens"))
     lens = offs[1:] - offs[:-1]
-    nd = aug & (sfx >= 0) & (sfx % SEQND_MOD == SEQND_RES)
-    lens_eff = np.where(nd, SEQND_L, lens)
+    nd = aug & (sfx >= 0) & (sfx % mod == res)
+    lens_eff = np.where(nd, gen_len, lens)
     # same mask-compaction + splice shape as _capstone_view
     span = vals[offs[0] : offs[-1]]
     drows = np.flatnonzero(nd)
@@ -1897,7 +1900,7 @@ def _seqnd_view(t: pa.Table, aug: bool = True):
         if cd.sum():
             keep_m[np.repeat(base[:-1][drows], cd) + _intra(cd)] = False
         main = span[keep_m]
-        gen = _seqnd_tokens(sfx[drows])
+        gen = gen_fn(sfx[drows])
         kept_before = base[:-1][drows] - np.concatenate(([0], np.cumsum(cd)))[:-1]
         pieces = []
         prev = 0
@@ -1921,6 +1924,13 @@ def _seqnd_view(t: pa.Table, aug: bool = True):
         offs_eff = np.concatenate(([0], np.cumsum(lens_eff)))
         return sel.column("doc_id").take(pa.array(idx)), offs_eff, out
     return sel.column("doc_id"), offs_eff, out
+
+
+def _seqnd_view(t: pa.Table, aug: bool = True):
+    """(doc_ids, offs, vals) of the near-dup-augmented view, rows with
+    ≥ DECON_K tokens only (the head anchor needs one full window);
+    ``aug=False`` (user corpora) plants no synthetic family."""
+    return _planted_view(t, aug, SEQND_MOD, SEQND_RES, _seqnd_tokens, SEQND_L)
 
 
 def seq_neardup_pairs(
@@ -2063,6 +2073,270 @@ def seq_neardup_pairs(
             "jaccard": pa.array(out["jaccard"], type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-level MinHash banding recall (the edit-anywhere complement to
+# seq_neardup_pairs' head-anchor blocking)
+# ---------------------------------------------------------------------------
+
+SEQMH_MOD = 419   # suffix % this == SEQMH_RES → minhash-recall family member
+SEQMH_RES = 11
+SEQMH_L = 64      # circular core length (64 distinct circular 8-grams)
+SEQMH_ROT = 32    # member-1 rotation offset — heads differ by construction
+SEQMH_A = 23      # generation constants (< VOCAB ⇒ BIGINT-exact in DuckDB)
+SEQMH_B = 29
+SEQMH_GEN_LEN = SEQMH_L + DECON_K - 1  # 71: linear grams = circular grams
+SEQMH_K = 64      # minhash permutations
+SEQMH_BANDS = 16  # 16 bands × 4 rows
+SEQMH_MAX_BUCKET = 1024
+
+_SEQMH_RECALL_SCHEMA = pa.schema(
+    [
+        ("n_truth_pairs", pa.int64()),
+        ("n_truth_found", pa.int64()),
+        ("recall", pa.float64()),
+    ]
+)
+
+
+def _seqmh_tokens(sfx: np.ndarray) -> np.ndarray:
+    """Generated member arrays ((n, 71) int32): pair members share group
+    g = sfx // (2·MOD) and are ROTATIONS of one circular 64-token core
+    (member m starts at offset m·32), each extended by its first 7 tokens —
+    so the two members' distinct-8-gram SETS are identical (the 64 circular
+    windows) while their heads differ. token j = (A·((g % V)+1)
+    + B·((((j + m·32) mod 64))+1)) % V, mirrored verbatim in the SQL
+    oracle."""
+    g = (sfx // (2 * SEQMH_MOD)) % VOCAB
+    m = (sfx // SEQMH_MOD) % 2
+    j = np.arange(SEQMH_GEN_LEN, dtype=np.int64)
+    pos = (j[None, :] + m[:, None] * SEQMH_ROT) % SEQMH_L
+    return ((SEQMH_A * (g + 1)[:, None] + SEQMH_B * (pos + 1)) % VOCAB).astype(
+        np.int32
+    )
+
+
+def _seqmh_view(t: pa.Table, aug: bool = True):
+    return _planted_view(t, aug, SEQMH_MOD, SEQMH_RES, _seqmh_tokens, SEQMH_GEN_LEN)
+
+
+def _seqmh_seeds() -> np.ndarray:
+    return np.random.default_rng(7654321).integers(
+        0, 2**63, size=SEQMH_K, dtype=np.int64
+    ).astype(_U64)
+
+
+def _seqmh_grams(t: pa.Table, aug: bool):
+    """(ids, row gram-hash segments): per-row 8-gram uint64 hashes of the
+    minhash-augmented view — (doc_ids, gram hashes flat, per-row counts)."""
+    ids, offs, vals = _seqmh_view(t, aug)
+    if offs.size <= 1:
+        return ids, np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
+    win, _gdoc, m = _gram_windows(offs, vals, DECON_K)
+    return ids, _key_hash64(win), m
+
+
+def _seqmh_setfp64(gh: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Order-free 64-bit DISTINCT-gram-set hash per row: sort+dedup each
+    row's gram hashes, then a commutative splitmix sum (collisions are
+    candidates only — pass 2 verifies with exact md5 fingerprints)."""
+    n = m.size
+    gdoc = np.repeat(np.arange(n, dtype=np.int64), m)
+    order = np.lexsort((gh, gdoc))
+    gd, gs = gdoc[order], gh[order]
+    first = np.empty(gs.size, dtype=bool)
+    first[0] = True
+    first[1:] = (gd[1:] != gd[:-1]) | (gs[1:] != gs[:-1])
+    gd, gs = gd[first], gs[first]
+    starts = np.searchsorted(gd, np.arange(n))
+    with np.errstate(over="ignore"):
+        return np.add.reduceat(splitmix64(gs), starts)
+
+
+def _seqmh_fp_md5(gh_row: np.ndarray) -> str:
+    """Exact canonical fingerprint of one row's distinct-gram set: md5 of
+    the sorted unique 8-byte gram hashes (hash-level exactness suffices —
+    the 64-bit gram hash is the same injective-in-practice polynomial every
+    dedup op verifies through; set equality at the md5 level ⇔ equal
+    distinct-gram-hash sets)."""
+    import hashlib as _hl
+
+    u = np.unique(gh_row)
+    return _hl.md5(np.ascontiguousarray(u).tobytes()).hexdigest()
+
+
+def seq_minhash_recall(sf_dir: str, augment: "bool | None" = None) -> pa.Table:
+    """Recall contract for token-level MinHash banding — the EDIT-ANYWHERE
+    complement to ``seq_neardup_pairs``' head-anchor blocking (whose
+    documented assumption misses near-dups that disagree on their first
+    8-gram): every pair of rows with IDENTICAL distinct-8-gram sets has
+    identical 64-perm minhash signatures, so the 16-band × 4-row index MUST
+    emit it — recall over that ground truth is exactly 1.0 and the truth
+    count is plain SQL (group rows by their distinct-gram set), the
+    ``doc_simhash_recall`` grading pattern on the tokens axis.
+
+    Ground truth is non-vacuous at every scale via a planted ROTATED-twin
+    family (suffix % {MOD} == {RES}): members are rotations of one circular
+    64-token core, each extended by its first 7 tokens — identical gram
+    sets, DIFFERENT heads, so head-anchor blocking misses exactly these
+    while the minhash index must find them. Natural truth (injected exact
+    token-array duplicates under distinct ids) counts too; pairs are
+    distinct (doc_id_a < doc_id_b) pairs, mirrored in the oracle.
+
+    Scale shape (candidate→recover throughout): pass 1 ships one 64-bit
+    set-hash per row into the ``dupfinder`` tree reduce (8 B/row); pass 2
+    recovers exact md5 set fingerprints for DUP-hash rows only; pass 3
+    emits 16 (band key, row id hash) rows per sequence into the
+    ``pairreduce`` co-occurrence reduce. The driver sees candidate rows
+    and verified pairs only — never signatures or gram sets of the corpus.
+    """
+    from ..core.hashing import hash_strings
+    from ..state.dupfinder import find_dup_hash_values
+    from ..state.pairreduce import cooccurrence_pairs
+
+    aug = _aug(sf_dir, augment)
+    cols = ["doc_id", "tokens"]
+    seeds = _seqmh_seeds()
+
+    # ---- pass 1: 64-bit set-hash per row → dup candidates ----
+    def setfp(t: pa.Table) -> pa.Table:
+        _ids, gh, m = _seqmh_grams(t, aug)
+        if m.size == 0:
+            return pa.table({"fph": pa.array([], type=pa.int64())})
+        return pa.table({"fph": pa.array(_seqmh_setfp64(gh, m).view(np.int64))})
+
+    fp_ds = (
+        _seq_ds(sf_dir, columns=cols)
+        .map_batches(setfp, batch_format="pyarrow", batch_size=2048)
+        .materialize()
+    )
+    dup_fph = find_dup_hash_values(fp_ds, "fph")
+    empty = pa.table(
+        {
+            "n_truth_pairs": pa.array([0], type=pa.int64()),
+            "n_truth_found": pa.array([0], type=pa.int64()),
+            "recall": pa.array([1.0], type=pa.float64()),
+        }
+    )
+    if dup_fph.size == 0:
+        return empty
+    dup_sorted = np.sort(dup_fph.view(_U64))
+
+    # ---- pass 2: exact md5 set fingerprints for candidate rows only ----
+    def recover(t: pa.Table) -> pa.Table:
+        ids, gh, m = _seqmh_grams(t, aug)
+        out_empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "rid": pa.array([], type=pa.int64()),
+                "fp": pa.array([], type=pa.string()),
+            }
+        )
+        if m.size == 0:
+            return out_empty
+        h = _seqmh_setfp64(gh, m)
+        pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
+        hit = np.flatnonzero(dup_sorted[pos] == h)
+        if hit.size == 0:
+            return out_empty
+        ids_arr = ids if isinstance(ids, pa.ChunkedArray) else pa.chunked_array([ids])
+        sel = ids_arr.take(pa.array(hit))
+        rid = hash_strings(sel).view(np.int64)
+        starts = np.concatenate(([0], np.cumsum(m)))
+        fps = [_seqmh_fp_md5(gh[starts[i] : starts[i + 1]]) for i in hit]
+        return pa.table(
+            {
+                "doc_id": sel,
+                "rid": pa.array(rid),
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    cand = _collect(
+        _seq_ds(sf_dir, columns=cols).map_batches(
+            recover, batch_format="pyarrow", batch_size=2048
+        )
+    )
+    # exact truth: distinct (id_a < id_b) pairs sharing a set fingerprint
+    cids = cand.column("doc_id").to_pylist()
+    crids = cand.column("rid").to_pylist()
+    cfps = cand.column("fp").to_pylist()
+    rid_to_id: dict[int, str] = {}
+    for r, d in zip(crids, cids):
+        if rid_to_id.setdefault(r, d) != d:
+            raise ValueError(f"64-bit doc_id hash collision on rid {r}")
+    by_fp: dict[str, set] = {}
+    rid_fps: dict[int, set] = {}
+    for d, r, f in zip(cids, crids, cfps):
+        by_fp.setdefault(f, set()).add(d)
+        rid_fps.setdefault(r, set()).add(f)
+    truth: set = set()
+    for members in by_fp.values():
+        if len(members) < 2:
+            continue  # 64-bit set-hash collision filtered exactly
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                truth.add((ms[x], ms[y]))
+    n_truth = len(truth)
+    if n_truth == 0:
+        return empty
+
+    # ---- pass 3: minhash signatures → band keys → candidate pairs ----
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids, gh, m = _seqmh_grams(t, aug)
+        if m.size == 0:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()), "rid": pa.array([], type=pa.int64())}
+            )
+        n = m.size
+        starts = np.concatenate(([0], np.cumsum(m)))[:-1]
+        sig = np.empty((n, SEQMH_K), dtype=_U64)
+        for s in range(SEQMH_K):
+            sig[:, s] = np.minimum.reduceat(splitmix64(gh ^ seeds[s]), starts)
+        r = SEQMH_K // SEQMH_BANDS
+        ids_arr = ids if isinstance(ids, pa.ChunkedArray) else pa.chunked_array([ids])
+        rid = hash_strings(ids_arr).view(np.int64)
+        keys = np.empty((n, SEQMH_BANDS), dtype=_U64)
+        for b in range(SEQMH_BANDS):
+            k = splitmix64(np.full(n, b + 1, dtype=_U64))
+            for s in range(b * r, (b + 1) * r):
+                k = splitmix64(k ^ sig[:, s])
+            keys[:, b] = k
+        return pa.table(
+            {
+                "key": pa.array(keys.ravel().view(np.int64)),
+                "rid": pa.array(np.repeat(rid, SEQMH_BANDS)),
+            }
+        )
+
+    keyed = (
+        _seq_ds(sf_dir, columns=cols)
+        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .materialize()
+    )
+    pairs = cooccurrence_pairs(
+        keyed, "key", "rid", max_bucket=SEQMH_MAX_BUCKET, distinct_ids=True
+    )
+    found: set = set()
+    for ra, rb in zip(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()):
+        fa, fb = rid_fps.get(int(ra)), rid_fps.get(int(rb))
+        if not fa or not fb or not (fa & fb):
+            continue  # non-truth candidate (band collision / near-miss)
+        da, db = rid_to_id[int(ra)], rid_to_id[int(rb)]
+        found.add((da, db) if da < db else (db, da))
+    n_found = len(found)
+    from ..core.rounding import round_half_away as _rha2
+
+    recall = float(_rha2(np.array([n_found / n_truth]), 6)[0])
+    return pa.table(
+        {
+            "n_truth_pairs": pa.array([n_truth], type=pa.int64()),
+            "n_truth_found": pa.array([n_found], type=pa.int64()),
+            "recall": pa.array([recall], type=pa.float64()),
+        }
+    ).cast(_SEQMH_RECALL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1824,3 +1824,95 @@ def test_seq_corpus_token_drift_planted(ray_session, tmp_path):
             == [4, 4, 1_000_000]) and bool(tokd.loc["retok", "drifted"])
     assert lend.loc["retok", "ks_ppm"] == 0 and not lend.loc["retok", "drifted"]
     assert tokd.loc["nulls", "ks_ppm"] == 0 and not tokd.loc["nulls", "drifted"]
+
+
+# ---------------------------------------------------------------------------
+# seq_minhash_recall (token-level MinHash banding, edit-anywhere complement)
+# ---------------------------------------------------------------------------
+
+
+def test_seqmh_planted_twins_identical_gram_sets():
+    """The rotated-twin construction: members of a group have IDENTICAL
+    distinct-8-gram sets (the 64 circular windows) but DIFFERENT heads —
+    hand-checked arithmetic, no engine involved."""
+    import numpy as np
+
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    g = 3
+    sfx0 = (2 * g) * tk.SEQMH_MOD + tk.SEQMH_RES          # member 0
+    sfx1 = (2 * g + 1) * tk.SEQMH_MOD + tk.SEQMH_RES      # member 1
+    arrs = tk._seqmh_tokens(np.array([sfx0, sfx1], dtype=np.int64))
+    a, b = arrs[0], arrs[1]
+    assert a.shape == (tk.SEQMH_GEN_LEN,) and not np.array_equal(a, b)
+    # heads differ → head-anchor blocking misses this pair by construction
+    assert not np.array_equal(a[: tk.DECON_K], b[: tk.DECON_K])
+
+    def gram_set(x):
+        k = tk.DECON_K
+        return {tuple(x[i : i + k]) for i in range(len(x) - k + 1)}
+
+    sa, sb = gram_set(a), gram_set(b)
+    assert sa == sb and len(sa) == tk.SEQMH_L  # all 64 circular windows, distinct
+
+
+def test_seq_minhash_recall_fixture(ray_session):
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    t = tk.seq_minhash_recall("/root/testdata/sf0.001").to_pydict()
+    assert t["n_truth_pairs"][0] > 0  # plant keeps the query non-vacuous
+    assert t["n_truth_found"][0] == t["n_truth_pairs"][0]
+    assert t["recall"] == [1.0]
+
+
+def test_seq_minhash_recall_user_corpus_and_complement(ray_session, tmp_path):
+    """On a user corpus (no plant): a hand-built rotated pair (identical
+    gram sets, different heads) is truth and FOUND by minhash banding,
+    while head-anchor blocking (seq_neardup_pairs) misses it — the
+    documented complement. A mid-edit pair (different sets) is NOT truth."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = str(tmp_path / "user")
+    os.makedirs(d)
+    rng = np.random.default_rng(3)
+    core = rng.integers(0, 32000, size=64).astype(np.int32)
+    while len(set(core.tolist())) < 64:  # distinct tokens → distinct windows
+        core = rng.integers(0, 32000, size=64).astype(np.int32)
+    m0 = np.concatenate([core, core[:7]])
+    rot = np.roll(core, -32)
+    m1 = np.concatenate([rot, rot[:7]])
+    edit = m0.copy()
+    edit[35] = (edit[35] + 1) % 32000  # mid-array edit → different gram set
+    fillers = [
+        rng.integers(0, 32000, size=int(rng.integers(20, 60))).astype(np.int32)
+        for _ in range(40)
+    ]
+    toks = [m0, m1, edit, *fillers]
+    ids = [f"u/rot_a", f"u/rot_b", f"u/edit"] + [f"u/f{i}" for i in range(40)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "tokens": pa.array([x.tolist() for x in toks], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+            "source": pa.array(["web"] * len(ids), type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+
+    rec = tk.seq_minhash_recall(d).to_pydict()
+    # exactly the rotated pair is truth (the edit twin's set differs), found
+    assert rec["n_truth_pairs"] == [1] and rec["n_truth_found"] == [1]
+    assert rec["recall"] == [1.0]
+
+    # head-anchor blocking misses the rotated pair (heads differ)
+    nd = tk.seq_neardup_pairs(d)
+    pairs = set(
+        zip(nd.column("doc_id_a").to_pylist(), nd.column("doc_id_b").to_pylist())
+    )
+    assert ("u/rot_a", "u/rot_b") not in pairs
