@@ -356,6 +356,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_ntok_histogram",
     "seq_drift_verdicts",
     "seq_sketch_report",
+    "seq_sketch_accuracy",
     "seq_token_topk",
     "doc_dict_matches",
     "doc_dict_matches_tsr",
@@ -400,6 +401,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "clean_documents_exact",
     "doc_simhash_dups",
     "embedding_kmeans",
+    "embedding_kmeans_lattice",
     "knn_ivf_kmeans",
 )
 
@@ -537,6 +539,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
         "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),
         "seq_sketch_report": lambda sf: sq.seq_sketch_report(sf),  # sketches — rows-only
+        # sketch-accuracy contract: engine compares HLL/t-digest estimates
+        # against exact distributed references within documented bounds and
+        # emits booleans the oracle asserts structurally (simhash-recall
+        # grading pattern) — the graded companion of seq_sketch_report
+        "seq_sketch_accuracy": lambda sf: sq.seq_sketch_accuracy(sf),
         "seq_repaired": lambda sf: sq.seq_repaired(sf),
         "seq_token_topk": lambda sf: sq.seq_token_topk(sf),
         "seq_ntok_percentiles": lambda sf: sq.seq_ntok_percentiles(sf),
@@ -687,6 +694,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_stats": sim.embedding_label_stats,
         "embedding_validate": sim.embedding_validate,  # row checks generalized to the embeddings table
         "embedding_kmeans": lambda sf: sim.kmeans_fit(sf, k=8, iters=10)[1],  # iterative — rows-only
+        # integer-lattice Lloyd: the SQL-replayable graded companion of the
+        # float kmeans (every assignment/update/inertia engine-exact int64)
+        "embedding_kmeans_lattice": lambda sf: sim.embedding_kmeans_lattice(sf),
         # --- multimodal columns
         "multimodal_features": mm.multimodal_features,  # header parse + fake dims — rows-only
         # REAL pixel decode (pure-stdlib PNG inflate/unfilter + BMP) with a
@@ -1850,6 +1860,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS n_truth_pairs, n AS n_truth_found,
                    CASE WHEN n = 0 THEN 1.0 ELSE 1.0 END::DOUBLE AS recall
             FROM truth
+        """,
+        # sketch accuracy: the oracle asserts the documented bounds hold
+        # (TRUE per source); the engine computes |HLL − exact distinct| and
+        # t-digest-vs-exact-quantile rank windows itself and would emit
+        # FALSE (hash mismatch) on a sketch regression
+        "seq_sketch_accuracy": f"""
+            SELECT source, count(*)::BIGINT AS rows,
+                   TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok,
+                   TRUE AS p99_ok
+            FROM {seq} GROUP BY source ORDER BY source
         """,
         # token-level decontamination: same canary patch + holdout slice as
         # the engine (pipelines/tokens.py constants interpolated); corp is
@@ -3857,6 +3877,7 @@ def oracle_sql() -> dict[str, str]:
         # bucketing, probing, scoring or tie-break drift hash-mismatches
         "knn_lsh": sim.knn_lsh_oracle_sql(),
         "knn_ivf": sim.knn_ivf_oracle_sql(),
+        "embedding_kmeans_lattice": sim.embedding_kmeans_lattice_oracle_sql(),
         # closed-form expectations for the REAL pixel decode: the gradient
         # fixture (pipelines/multimodal.py PX_* constants, reproduced here)
         # makes per-channel means exact rationals both engines compute

@@ -370,51 +370,63 @@ def seq_drift_verdicts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def seq_sketch_report(sf_dir: str) -> pa.Table:
-    """Per-source sketch stage as a driver query: t-digest quantiles of
-    n_tok + HLL distinct-doc estimates, from per-batch partial sketches
-    merged in deterministic order (rows-only check: approximate by design;
-    accuracy bounds are asserted in tests/test_sketches.py)."""
+def _sketch_partial(t: pa.Table) -> pa.Table:
+    """Per-batch per-source sketch partials: t-digest over valid n_tok
+    (null/negative excluded) + HLL over non-null doc_ids; null sources fold
+    to the ``\\x00null`` sentinel group."""
     from ..state.sketches import HyperLogLog, TDigest
 
-    ds = _seq_ds(sf_dir, columns=["source", "n_tok", "doc_id"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        src = t.column("source").to_pandas().fillna("\x00null")
-        n_tok = np.asarray(
-            pc.fill_null(t.column("n_tok"), -1).to_numpy(zero_copy_only=False),
-            dtype=np.int64,
+    src = t.column("source").to_pandas().fillna("\x00null")
+    n_tok = np.asarray(
+        pc.fill_null(t.column("n_tok"), -1).to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    doc_ids = t.column("doc_id")
+    rows = []
+    for s, idx in src.groupby(src).groups.items():
+        ii = np.asarray(idx)
+        ntv = n_tok[ii][n_tok[ii] >= 0]
+        uv, uc = np.unique(ntv, return_counts=True)
+        td = TDigest().add(uv.astype(np.float64), uc.astype(np.float64))
+        hll = HyperLogLog()
+        ids = doc_ids.take(pa.array(ii)).combine_chunks().drop_null()
+        if len(ids):
+            hll.add_strings(ids)
+        rows.append(
+            {"source": s, "n": int(len(ii)), "td": td.to_bytes(), "hll": hll.to_bytes()}
         )
-        doc_ids = t.column("doc_id")
-        rows = []
-        for s, idx in src.groupby(src).groups.items():
-            ii = np.asarray(idx)
-            ntv = n_tok[ii][n_tok[ii] >= 0]
-            uv, uc = np.unique(ntv, return_counts=True)
-            td = TDigest().add(uv.astype(np.float64), uc.astype(np.float64))
-            hll = HyperLogLog()
-            ids = doc_ids.take(pa.array(ii)).combine_chunks().drop_null()
-            if len(ids):
-                hll.add_strings(ids)
-            rows.append(
-                {"source": s, "n": int(len(ii)), "td": td.to_bytes(), "hll": hll.to_bytes()}
-            )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [("source", pa.string()), ("n", pa.int64()), ("td", pa.binary()), ("hll", pa.binary())]
-            ),
-        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("source", pa.string()), ("n", pa.int64()), ("td", pa.binary()), ("hll", pa.binary())]
+        ),
+    )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged: dict[str, dict] = {}
+
+def _merge_sketch_partials(partials: list[dict]) -> dict[str, dict]:
+    """Deterministic-order merge of per-batch sketch partials (SURVEY §7.4:
+    t-digest merges are order-sensitive, so partials sort first)."""
     from ..state.sketches import HyperLogLog as _H, TDigest as _T
 
+    merged: dict[str, dict] = {}
     for r in sorted(partials, key=lambda r: (r["source"], r["n"], r["td"])):
         agg = merged.setdefault(r["source"], {"n": 0, "td": _T(), "hll": _H()})
         agg["n"] += r["n"]
         agg["td"].merge(_T.from_bytes(r["td"]))
         agg["hll"].merge(_H.from_bytes(r["hll"]))
+    return merged
+
+
+def seq_sketch_report(sf_dir: str) -> pa.Table:
+    """Per-source sketch stage as a driver query: t-digest quantiles of
+    n_tok + HLL distinct-doc estimates, from per-batch partial sketches
+    merged in deterministic order (rows-only check: approximate by design;
+    accuracy bounds are asserted in tests/test_sketches.py and graded
+    against exact DuckDB values by ``seq_sketch_accuracy``)."""
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok", "doc_id"])
+    merged = _merge_sketch_partials(
+        ds.map_batches(_sketch_partial, batch_format="pyarrow").take_all()
+    )
     rows = [
         {
             "source": s,
@@ -428,6 +440,187 @@ def seq_sketch_report(sf_dir: str) -> pa.Table:
         if not s.startswith("\x00")
     ]
     return pa.Table.from_pylist(rows)
+
+
+SKETCH_HLL_BOUND = 0.05   # |HLL est − exact| ≤ 5% of exact (≈3σ at p=12)
+SKETCH_TD_RANK_EPS = 0.05  # t-digest quantile within a ±5% rank window
+
+
+def _distinct_by_source(ds: rd.Dataset) -> dict[int, int]:
+    """Exact distinct-key count per source over a (k:int64, s:int64)
+    dataset, via the hash-range reduce (``state/pairreduce`` map): each
+    range holds disjoint key hashes, unique (k, s) pairs are counted per
+    range and summed — the driver sees O(ranges × sources) integers, never
+    the keys. Returns {source_hash: distinct_count}. Exact up to 64-bit
+    doc_id-hash collisions (~n²/2⁶⁴ — feeds a 5%-slack bound, never an
+    equality check)."""
+    import ray
+
+    from ..state.pairreduce import _map_blocks
+
+    try:
+        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        ranges = 8
+    ranges = max(2, ranges)
+    bundles = list(ds.iter_internal_ref_bundles())
+    block_refs = [ref for b in bundles for ref in b.block_refs]
+    if not block_refs:
+        return {}
+    mapped = [
+        _map_blocks.options(num_returns=ranges).remote(
+            block_refs[i : i + 8], "k", "s", ranges, None
+        )
+        for i in range(0, len(block_refs), 8)
+    ]
+
+    @ray.remote
+    def _distinct_range(*parts):
+        ks = [p[0] for p in parts if len(p[0])]
+        if not ks:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        k = np.concatenate(ks)
+        s = np.concatenate([p[1] for p in parts if len(p[0])])
+        u = np.unique(np.stack([k, s], axis=1), axis=0)
+        sv, sc = np.unique(u[:, 1], return_counts=True)
+        return sv, sc.astype(np.int64)
+
+    out: dict[int, int] = {}
+    for sv, sc in ray.get(
+        [_distinct_range.remote(*[m[r] for m in mapped]) for r in range(ranges)]
+    ):
+        for s, c in zip(sv.tolist(), sc.tolist()):
+            out[s] = out.get(s, 0) + c
+    return out
+
+
+def seq_sketch_accuracy(sf_dir: str) -> pa.Table:
+    """Oracle-graded accuracy contract for the sketch stage (VERDICT r3
+    item 3): per source, the HLL distinct-doc estimate must land within
+    ±5% of the EXACT distinct count, and each t-digest quantile estimate
+    must lie between the exact quantile values at ranks q∓0.05 — both
+    documented bounds, well outside the sketches' design error (HLL σ≈1.6%
+    at p=12; t-digest rank error ≪1% at δ=100). The engine computes the
+    exact references itself, distributed:
+
+    - exact distinct per source via the hash-range reduce
+      (``_distinct_by_source`` — unique (id-hash, source-hash) pairs per
+      range, driver sees per-range counts);
+    - exact n_tok quantiles from per-source value-count combiners (n_tok is
+      small-domain, so the full histogram is O(sources × 2k) integers);
+
+    and emits booleans the ORACLE asserts structurally (TRUE per source,
+    the ``doc_simhash_recall`` grading pattern): a sketch regression
+    surfaces as FALSE → driver hash mismatch. Output: (source, rows,
+    hll_ok, p50_ok, p90_ok, p99_ok)."""
+    from ..core.hashing import hash_strings
+
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok", "doc_id"])
+    merged = _merge_sketch_partials(
+        ds.map_batches(_sketch_partial, batch_format="pyarrow").take_all()
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pandas().fillna("\x00null")
+        nt = np.asarray(
+            pc.fill_null(t.column("n_tok"), -1).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        df = pd.DataFrame({"source": src, "v": nt, "n": np.int64(1)})
+        g = df[df["v"] >= 0].groupby(["source", "v"], as_index=False).sum()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    hist: dict[str, dict[int, int]] = {}
+    for bt in (
+        _seq_ds(sf_dir, columns=["source", "n_tok"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for s, v, n in zip(
+            bt.column("source").to_pylist(),
+            bt.column("v").to_pylist(),
+            bt.column("n").to_pylist(),
+        ):
+            hv = hist.setdefault(s, {})
+            hv[v] = hv.get(v, 0) + int(n)
+
+    def id_pairs(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(t.column("source").combine_chunks(), "\x00null")
+        ids = t.column("doc_id").combine_chunks()
+        keep = pc.is_valid(ids)
+        sel = pa.table({"i": ids, "s": src}).filter(keep)
+        if sel.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], type=pa.int64()), "s": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "k": pa.array(hash_strings(sel.column("i")).view(np.int64)),
+                "s": pa.array(hash_strings(sel.column("s")).view(np.int64)),
+            }
+        )
+
+    pair_ds = (
+        _seq_ds(sf_dir, columns=["source", "doc_id"])
+        .map_batches(id_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+    distinct_by_hash = _distinct_by_source(pair_ds)
+
+    def exact_q(counts: dict[int, int], q: float, eps: float) -> tuple[float, float]:
+        vals = np.array(sorted(counts), dtype=np.int64)
+        cnts = np.array([counts[v] for v in vals.tolist()], dtype=np.int64)
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+
+        def at_rank(r: int) -> float:
+            r = min(max(r, 0), n - 1)
+            return float(vals[np.searchsorted(cum, r + 1)])
+
+        lo = at_rank(int(np.floor((q - eps) * (n - 1))))
+        hi = at_rank(int(np.ceil((q + eps) * (n - 1))))
+        return lo, hi
+
+    rows = []
+    for s in sorted(merged):
+        a = merged[s]
+        sh = int(hash_strings([s]).view(np.int64)[0])
+        exact_d = distinct_by_hash.get(sh, 0)
+        est_d = a["hll"].estimate()
+        hll_ok = (
+            abs(est_d - exact_d) <= SKETCH_HLL_BOUND * exact_d if exact_d else est_d < 1.0
+        )
+        counts = hist.get(s, {})
+        q_ok = {}
+        for name, q in (("p50_ok", 0.5), ("p90_ok", 0.9), ("p99_ok", 0.99)):
+            if not counts:
+                q_ok[name] = True
+                continue
+            lo, hi = exact_q(counts, q, SKETCH_TD_RANK_EPS)
+            est = a["td"].quantile(q)
+            q_ok[name] = (lo - 1e-9) <= est <= (hi + 1e-9)
+        rows.append(
+            {
+                "source": None if s == "\x00null" else s,
+                "rows": a["n"],
+                "hll_ok": bool(hll_ok),
+                **{k: bool(v) for k, v in q_ok.items()},
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("source", pa.string()),
+                ("rows", pa.int64()),
+                ("hll_ok", pa.bool_()),
+                ("p50_ok", pa.bool_()),
+                ("p90_ok", pa.bool_()),
+                ("p99_ok", pa.bool_()),
+            ]
+        ),
+    )
 
 
 def seq_repaired(sf_dir: str) -> rd.Dataset:

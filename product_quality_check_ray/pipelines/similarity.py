@@ -748,6 +748,237 @@ def kmeans_fit(
 
 
 # ---------------------------------------------------------------------------
+# Integer-lattice k-means: the SQL-replayable graded companion of kmeans_fit
+# ---------------------------------------------------------------------------
+
+KML_Q = 4096       # quantization scale: q = round(x·4096) + 4096 (positive)
+KML_OFF = 4096
+KML_K = 8
+KML_ITERS = 2
+KML_DIM = 64
+
+
+def embedding_kmeans_lattice(
+    sf_dir: str, k: int = KML_K, iters: int = KML_ITERS, dim: int = KML_DIM
+) -> pa.Table:
+    """Fixed-iteration Lloyd's k-means on the INTEGER lattice — every step
+    engine-exact and SQL-replayable, making the iterative-kmeans family
+    oracle-gradable (VERDICT r3 item 3; the ``knn_ivf``-vs-``knn_ivf_kmeans``
+    treatment applied to ``embedding_kmeans``):
+
+    - vectors quantize to positive integers q = round(x·{Q}) + {Q}
+      (round-half-away, the DuckDB ``round()`` parity helper);
+    - init = the hash-ranked seed vectors (``_seed_matrix`` — the same
+      deterministic selection the seeded IVF oracle replays);
+    - assignment = argmin of the INTEGER squared distance (ties → lowest
+      centroid id), update = per-dimension floor-divided integer mean
+      (positive by construction, so ``//`` agrees everywhere); empty
+      clusters keep their previous centroid;
+    - output = per-centroid (centroid_id, size, inertia) of the final
+      assignment — all int64, no float ever compared.
+
+    Same distributed shape as ``kmeans_fit``: each iteration is ONE
+    streaming ``map_batches`` pass emitting k×(d+2) integer partials per
+    batch with centroids broadcast via ``ray.put``; the driver folds
+    partials and never sees a vector. Rows with a null / wrong-dimension /
+    non-finite vector are excluded everywhere, seeds included (mirrored in
+    the oracle's valid-row view)."""
+
+    def valid_rows(t: pa.Table) -> pa.Table:
+        col = t.column("embedding")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ok = pc.and_(pc.is_valid(arr), pc.equal(pc.list_value_length(arr), dim))
+        sel = t.filter(ok)
+        if sel.num_rows == 0:
+            return sel
+        m = _list_col_to_matrix(sel.column("embedding")).astype(np.float64)
+        return sel.filter(pa.array(np.isfinite(m).all(axis=1)))
+
+    # hash-ranked seed selection over VALID rows (the _seed_matrix
+    # selection with the validity filter the oracle's `ve` view applies)
+    def seed_partial(t: pa.Table) -> pa.Table:
+        sel = valid_rows(t)
+        ids = sel.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * IVF_HASH_MULT) % IVF_HASH_MOD
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "h": pa.array(h[order]),
+                "embedding": sel.column("embedding").combine_chunks().take(
+                    pa.array(order, type=pa.int64())
+                ),
+            }
+        )
+
+    stbl = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+            seed_partial, batch_format="pyarrow"
+        )
+    )
+    sids = stbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    sh = stbl.column("h").to_numpy(zero_copy_only=False)
+    sorder = np.lexsort((sids, sh))[:k]
+    seeds = _list_col_to_matrix(stbl.column("embedding"))[sorder]
+    k = min(k, len(seeds))
+    cent = (
+        _rha(seeds.astype(np.float64) * KML_Q, 0).astype(np.int64) + KML_OFF
+    )
+
+    def quant(t: pa.Table) -> "np.ndarray | None":
+        sel = valid_rows(t)
+        if sel.num_rows == 0:
+            return None
+        m = _list_col_to_matrix(sel.column("embedding")).astype(np.float64)
+        return _rha(m * KML_Q, 0).astype(np.int64) + KML_OFF
+
+    for it in range(max(1, iters) + 1):
+        final = it == max(1, iters)
+        cref = ray.put(cent)
+
+        def partials(t: pa.Table, _final=final) -> pa.Table:
+            cents = ray.get(cref)
+            q = quant(t)
+            kk, dd = cents.shape
+            if q is None:
+                return pa.table(
+                    {
+                        "centroid_id": pa.array([], type=pa.int64()),
+                        "count": pa.array([], type=pa.int64()),
+                        "inertia": pa.array([], type=pa.int64()),
+                        "sum_vec": pa.array([], type=pa.list_(pa.int64())),
+                    }
+                )
+            # ||q-c||² = ||q||² - 2q·c + ||c||², all int64 (bounded by
+            # d·(2·4096)² ≈ 2³², far under int64)
+            cross = q @ cents.T
+            c2 = (cents * cents).sum(axis=1)
+            assign = (c2[None, :] - 2 * cross).argmin(axis=1)
+            q2 = (q * q).sum(axis=1)
+            d2 = q2 + c2[assign] - 2 * cross[np.arange(len(q)), assign]
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            inertia = np.bincount(
+                assign, weights=d2.astype(np.float64), minlength=kk
+            ).astype(np.int64)  # exact: per-batch sums < 2^53
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            return pa.table(
+                {
+                    "centroid_id": pa.array(np.arange(kk, dtype=np.int64)),
+                    "count": pa.array(counts),
+                    "inertia": pa.array(inertia),
+                    "sum_vec": pa.array([r.tolist() for r in sums], type=pa.list_(pa.int64())),
+                }
+            )
+
+        parts = _collect(
+            _emb(sf_dir, columns=["embedding"]).map_batches(
+                partials, batch_format="pyarrow"
+            )
+        ).to_pandas()
+        g = parts.groupby("centroid_id")
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, cent.shape[1]), dtype=np.int64)
+        for cid, grp in g:
+            counts[int(cid)] = grp["count"].sum()
+            inertia[int(cid)] = grp["inertia"].sum()
+            sums[int(cid)] = np.sum(
+                np.array(grp["sum_vec"].tolist(), dtype=np.int64), axis=0
+            )
+        if final:
+            return pa.table(
+                {
+                    "centroid_id": pa.array(np.arange(k, dtype=np.int64)),
+                    "size": pa.array(counts),
+                    "inertia": pa.array(inertia),
+                }
+            )
+        nonempty = counts > 0
+        cent = cent.copy()
+        cent[nonempty] = sums[nonempty] // counts[nonempty, None]
+    raise AssertionError("unreachable")
+
+
+def embedding_kmeans_lattice_oracle_sql(
+    k: int = KML_K, iters: int = KML_ITERS, dim: int = KML_DIM
+) -> str:
+    """SQL twin of ``embedding_kmeans_lattice``: quantize → hash-ranked
+    seeds → ``iters`` chained assignment/update CTE pairs (integer floor
+    division, ties to lowest centroid id, empty clusters keep the previous
+    centroid) → final-assignment stats."""
+    valid = (
+        "embedding IS NOT NULL AND len(embedding) = {d} AND "
+        "len(list_filter(embedding, x -> x IS NULL OR isnan(x) "
+        "OR NOT isfinite(x))) = 0"
+    ).format(d=dim)
+    sql = f"""
+        WITH ve AS MATERIALIZED (
+          SELECT vec_id, embedding FROM embeddings WHERE {valid}
+        ),
+        v AS MATERIALIZED (
+          SELECT vec_id, i.i AS dim,
+                 CAST(round(embedding[i.i + 1]::DOUBLE * {KML_Q}) AS BIGINT)
+                   + {KML_OFF} AS q
+          FROM ve, unnest(range({dim})) AS i(i)
+        ),
+        seedrank AS (
+          SELECT vec_id, rn - 1 AS cid FROM (
+            SELECT vec_id, row_number() OVER (
+              ORDER BY (vec_id * {IVF_HASH_MULT}) % {IVF_HASH_MOD}, vec_id
+            ) AS rn FROM ve
+          ) WHERE rn <= {k}
+        ),
+        c0 AS (SELECT s.cid, v.dim, v.q AS c FROM seedrank s JOIN v USING (vec_id))
+    """
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+        d{it} AS (
+          SELECT v.vec_id, c.cid, sum((v.q - c.c) * (v.q - c.c)) AS dist
+          FROM v JOIN {prev} c USING (dim) GROUP BY v.vec_id, c.cid
+        ),
+        a{it} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cid
+            ) AS rn FROM d{it}
+          ) WHERE rn = 1
+        ),
+        u{it} AS (
+          SELECT a.cid, v.dim, sum(v.q) // count(*) AS c
+          FROM a{it} a JOIN v USING (vec_id) GROUP BY a.cid, v.dim
+        ),
+        c{it} AS (
+          SELECT p.cid, p.dim, coalesce(u.c, p.c) AS c
+          FROM {prev} p LEFT JOIN u{it} u ON u.cid = p.cid AND u.dim = p.dim
+        )"""
+        prev = f"c{it}"
+    sql += f""",
+        df AS (
+          SELECT v.vec_id, c.cid, sum((v.q - c.c) * (v.q - c.c)) AS dist
+          FROM v JOIN {prev} c USING (dim) GROUP BY v.vec_id, c.cid
+        ),
+        af AS (
+          SELECT vec_id, cid, dist FROM (
+            SELECT vec_id, cid, dist, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cid
+            ) AS rn FROM df
+          ) WHERE rn = 1
+        ),
+        stats AS (
+          SELECT cid, count(*)::BIGINT AS size, sum(dist)::BIGINT AS inertia
+          FROM af GROUP BY cid
+        )
+        SELECT k.cid AS centroid_id, coalesce(s.size, 0)::BIGINT AS size,
+               coalesce(s.inertia, 0)::BIGINT AS inertia
+        FROM (SELECT DISTINCT cid FROM seedrank) k LEFT JOIN stats s USING (cid)
+        ORDER BY centroid_id
+    """
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: clustered partitioned index + nprobe search
 # ---------------------------------------------------------------------------
 

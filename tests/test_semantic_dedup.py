@@ -44,3 +44,20 @@ def test_semantic_dedup_matches_brute_force(ray_session):
     assert out["dropped"].any()
     kept = out[~out["dropped"]]
     assert set(out["cluster_id"]) == set(kept["cluster_id"])
+
+
+def test_embedding_kmeans_lattice_invariants(ray_session):
+    """Integer-lattice kmeans: sizes partition the corpus, inertia is a
+    positive int64, and the run is exactly deterministic (int math)."""
+    from product_quality_check_ray.pipelines.similarity import (
+        embedding_kmeans_lattice,
+    )
+
+    a = embedding_kmeans_lattice("/root/testdata/sf0.001")
+    b = embedding_kmeans_lattice("/root/testdata/sf0.001")
+    assert a.equals(b)
+    df = a.to_pandas()
+    assert df["size"].sum() == 500
+    assert (df["size"] > 0).all()  # 8 seeds over 500 spread vectors
+    assert df["inertia"].sum() > 0
+    assert list(df["centroid_id"]) == list(range(8))
