@@ -322,6 +322,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_mixture_sample",
     "seq_prefix_dups",
     "seq_minhash_recall",
+    "seq_bpe_merges",
     "seq_sampled_check_counts",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
@@ -646,6 +647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edit-anywhere complement head-anchor blocking misses)
         "seq_minhash_recall": lambda sf: tk.seq_minhash_recall(sf),
         "seq_bigram_topk": lambda sf: tk.seq_bigram_topk(sf),  # exact BPE merge-candidate mining
+        # the merge-candidate miner iterated into vocabulary induction:
+        # N provably-exact merges with leftmost-greedy application
+        "seq_bpe_merges": lambda sf: tk.seq_bpe_merges(sf),
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "events_validate": lambda sf: rel.events_validate(sf),  # row checks generalized to the events table
@@ -723,6 +727,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _canary_sql() -> str:
     """The tokens.py canary as a DuckDB int32-list literal."""
     return "[" + ", ".join(str(v) for v in tk.CANARY) + "]"
+
+
+def _bpe_oracle_sql(seq: str, n_merges: int) -> str:
+    """SQL twin of ``seq_bpe_merges``: the sampled canary-patched view is
+    exploded once, then each merge step chains window-function CTEs —
+    top pair (count DESC, a, b), gaps-and-islands parity selection
+    (leftmost-greedy non-overlap, exact for a==b runs), rebuild with dense
+    re-numbered positions — no recursion. Early exhaustion matches the
+    engine: an empty t{i} propagates an unchanged state and emits no row."""
+    sql = f"""
+        WITH raw AS (
+          SELECT doc_id, tokens, len(tokens) AS tlen,
+                 try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+          FROM {seq}
+          WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+        ),
+        samp AS (
+          SELECT * FROM raw WHERE sfx IS NULL OR sfx % {tk.BPE_SAMPLE_MOD} = 0
+        ),
+        pat AS MATERIALIZED (
+          SELECT row_number() OVER () AS rid,
+                 CASE WHEN sfx IS NOT NULL
+                           AND sfx % {tk.DECON_PATCH_MOD} = {tk.DECON_PATCH_RES}
+                      THEN list_cat(
+                             {_canary_sql()}[1:least({tk.CANARY_LEN}, tlen)],
+                             tokens[least({tk.CANARY_LEN}, tlen) + 1:])
+                      ELSE tokens END AS ptok
+          FROM samp
+        ),
+        s0 AS MATERIALIZED (
+          SELECT rid, i.i + 1 AS pos, coalesce(ptok[i.i + 1], -1) AS tok
+          FROM pat, unnest(range(len(ptok))) AS i(i)
+        )"""
+    prev = "s0"
+    tops = []
+    for i in range(n_merges):
+        nid = VOCAB + i
+        sql += f""",
+        p{i} AS MATERIALIZED (
+          SELECT rid, pos, tok,
+                 lead(tok) OVER (PARTITION BY rid ORDER BY pos) AS nxt
+          FROM {prev}
+        ),
+        t{i} AS MATERIALIZED (
+          SELECT tok AS a, nxt AS b, count(*)::BIGINT AS c
+          FROM p{i} WHERE nxt IS NOT NULL
+          GROUP BY tok, nxt ORDER BY c DESC, a, b LIMIT 1
+        ),
+        h{i} AS (
+          SELECT p.rid, p.pos,
+                 p.pos - row_number() OVER (PARTITION BY p.rid ORDER BY p.pos) AS grp
+          FROM p{i} p, t{i} t WHERE p.tok = t.a AND p.nxt = t.b
+        ),
+        sel{i} AS MATERIALIZED (
+          SELECT rid, pos FROM (
+            SELECT rid, pos, pos - min(pos) OVER (PARTITION BY rid, grp) AS off
+            FROM h{i}
+          ) WHERE off % 2 = 0
+        ),
+        s{i + 1} AS MATERIALIZED (
+          SELECT s.rid,
+                 row_number() OVER (PARTITION BY s.rid ORDER BY s.pos) AS pos,
+                 CASE WHEN x.pos IS NOT NULL THEN {nid} ELSE s.tok END AS tok
+          FROM {prev} s
+          LEFT JOIN sel{i} x ON x.rid = s.rid AND x.pos = s.pos
+          LEFT JOIN sel{i} y ON y.rid = s.rid AND y.pos = s.pos - 1
+          WHERE y.pos IS NULL
+        )"""
+        prev = f"s{i + 1}"
+        tops.append(
+            f"SELECT {i}::BIGINT AS merge_idx, a::BIGINT AS tok_a, "
+            f"b::BIGINT AS tok_b, {nid}::BIGINT AS new_id, c AS cnt FROM t{i}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(tops) + "\nORDER BY merge_idx"
+
+
+def _vocab_dim_sql() -> str:
+    """Path of the (idempotently written) vocab dimension parquet — the
+    oracle joins the SAME file the engine broadcasts."""
+    from product_quality_check_ray.sources.dimensions import ensure_vocab_dim
+
+    return ensure_vocab_dim()
 
 
 def _mixseq_weights_sql() -> str:
@@ -1770,6 +1856,8 @@ def oracle_sql() -> dict[str, str]:
             FROM bg GROUP BY a, b
             ORDER BY cnt DESC, a, b LIMIT {tk.BIGRAM_TOPK}
         """,
+        # BPE merge loop: chained window-function CTEs replay every step
+        "seq_bpe_merges": _bpe_oracle_sql(seq, tk.BPE_N_MERGES),
         # token-level near-dup pairs: planted-family generation, head-anchor
         # self-join, exact distinct-gram Jaccard — constants interpolated
         "seq_neardup_pairs": f"""
@@ -2646,23 +2734,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ptok[en] AS BIGINT) AS tok_last
             FROM c
         """,
-        # detokenization audit columns: stub vocab id → 'w<id>', OOV (and
-        # null elements, the engine's -1 sentinel) → '<unk>'; empty lists
-        # decode to '' (Arrow binary_join), null lists stay NULL
+        # detokenization audit columns against the vocab DIMENSION parquet
+        # (the same file the engine broadcasts): OOV = out-of-range ids,
+        # null elements (the engine's -1 sentinel) and ids absent from the
+        # vocab; empty lists decode to '', null lists stay NULL
         "seq_detokenize": f"""
-            WITH d AS (
+            WITH pieces AS MATERIALIZED (
+              -- dense [0, VOCAB) piece list from the dimension parquet:
+              -- absent slots read '<unk>' (no real piece contains '<', so
+              -- the sentinel is unambiguous); ONE 32k-string list shared by
+              -- every row — no per-token join, no row explosion
+              SELECT list(p ORDER BY i) AS pl FROM (
+                SELECT i.i AS i, coalesce(v.piece, '<unk>') AS p
+                FROM unnest(range({VOCAB})) AS i(i)
+                LEFT JOIN read_parquet('{_vocab_dim_sql()}') v
+                  ON v.token_id = i.i
+              )
+            ),
+            d AS (
               SELECT doc_id, source, n_tok, tokens,
                      CASE WHEN tokens IS NULL THEN NULL
                           ELSE coalesce(list_aggregate(list_transform(tokens,
                                  x -> CASE WHEN x IS NULL OR x < 0 OR x >= {VOCAB}
-                                           THEN '<unk>' ELSE 'w' || x END),
-                               'string_agg', ' '), '') END AS txt
-              FROM {seq}
+                                           THEN '<unk>' ELSE pl[x + 1] END),
+                               'string_agg', ' '), '') END AS txt,
+                     CASE WHEN tokens IS NULL THEN NULL
+                          ELSE CAST(len(list_filter(tokens,
+                               x -> x IS NULL OR x < 0 OR x >= {VOCAB}
+                                    OR pl[x + 1] = '<unk>')) AS BIGINT) END AS n_oov
+              FROM {seq}, pieces
             )
             SELECT doc_id, source, n_tok,
                    CAST(len(tokens) AS BIGINT) AS tlen,
-                   CAST(len(list_filter(tokens,
-                        x -> x IS NULL OR x < 0 OR x >= {VOCAB})) AS BIGINT) AS n_oov,
+                   n_oov,
                    CAST(length(txt) AS BIGINT) AS text_len,
                    left(txt, {tk.DETOK_PREFIX_CHARS}) AS text_prefix
             FROM d

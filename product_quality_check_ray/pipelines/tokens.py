@@ -930,26 +930,36 @@ def seq_dup_token_arrays(sf_dir: str, augment: bool | None = None) -> pa.Table:
 
 DETOK_PREFIX_CHARS = 64  # driver-hashed text prefix length
 
-def seq_detokenize(sf_dir: str, with_text: bool = False) -> rd.Dataset:
+def seq_detokenize(
+    sf_dir: str, with_text: bool = False, vocab_path: "str | None" = None
+) -> rd.Dataset:
     """Decode token ids back to text — the audit/inspection step every
     training-data pipeline needs (sample rows, eyeball the decode).
 
-    The sandbox vocabulary is the deterministic stub ``id → "w<id>"`` with
-    ``"<unk>"`` for out-of-vocabulary ids (anything outside [0, VOCAB); the
-    -1 null-element sentinel is OOV by construction), so the decode is pure
-    Arrow kernels — int→string cast, elementwise concat, ``binary_join``
-    over the original list offsets — with NO per-row Python and no lookup
-    table to ship. A real tokenizer vocab swaps the cast for one broadcast
-    ``np.ndarray`` gather (``ray.put`` once, index per batch); the stage
-    shape is identical.
+    The vocabulary is a genuine DIMENSION TABLE (``sources/dimensions``:
+    (token_id, piece) parquet, written deterministically when no
+    ``vocab_path`` is given): the dense piece array is loaded once on the
+    driver, ``ray.put`` ONCE, and each batch decodes by one vectorized
+    Arrow ``take`` gather — never re-shipped per task, no per-row Python.
+    OOV counts against the dimension: ids outside [0, VOCAB), null
+    elements (the -1 sentinel) AND ids absent from the vocab (dropped
+    slots) all decode to ``"<unk>"`` — a range check alone would miss the
+    absent slots.
 
     Default output keeps the driver-hashable audit columns (oov count,
     decoded length, 64-char prefix — the prefix pins token order, the
     length pins the whole decode); ``with_text=True`` adds the full decoded
     string column. One streaming pass, no shuffle.
     """
+    from ..sources.dimensions import ensure_vocab_dim, load_vocab_pieces
 
-    def decode(t: pa.Table) -> pa.Table:
+    vp = ensure_vocab_dim() if vocab_path is None else vocab_path
+    pieces_ref = ray.put(load_vocab_pieces(vp))
+
+    def decode(t: pa.Table, _cache={}) -> pa.Table:
+        pieces = _cache.get("p")
+        if pieces is None:
+            pieces = _cache["p"] = ray.get(pieces_ref)
         toks = t.column("tokens")
         toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
         n = len(toks)
@@ -958,13 +968,17 @@ def seq_detokenize(sf_dir: str, with_text: bool = False) -> rd.Dataset:
         # re-base to the row span so flat strings, offsets and masks align
         rel = vals[offs[0] : offs[-1]]
         offs = offs - offs[0]
-        oov = (rel < 0) | (rel >= VOCAB)
-        flat = pc.if_else(
-            pa.array(oov),
-            pa.scalar("<unk>"),
-            pc.binary_join_element_wise(
-                pa.scalar("w"), pc.cast(pa.array(rel), pa.string()), pa.scalar("")
-            ),
+        in_range = (rel >= 0) & (rel < VOCAB)
+        gathered = pieces.take(
+            pa.array(np.where(in_range, rel, 0).astype(np.int64))
+        )
+        # OOV = out-of-range OR absent from the vocab dimension (null piece)
+        oov = ~in_range | np.asarray(
+            pc.is_null(gathered).to_numpy(zero_copy_only=False), dtype=bool
+        )
+        flat = pc.fill_null(
+            pc.if_else(pa.array(~oov), gathered, pa.scalar(None, pa.string())),
+            "<unk>",
         )
         # large_list: a block's flat token count may exceed 2^31 at design
         # scale — int64 offsets end-to-end, same as the pack-execute path
@@ -2413,6 +2427,21 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
         prows = np.flatnonzero((sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES))
         return offs, _patch_prefix(offs, vals, prows)
 
+    ta, tb, cnt = _bigram_top_exact(sf_dir, view, int(k))
+    if ta.size == 0:
+        return _BIGRAM_SCHEMA.empty_table()
+    return pa.table(
+        {"tok_a": pa.array(ta), "tok_b": pa.array(tb), "cnt": pa.array(cnt)}
+    )
+
+
+def _bigram_top_exact(sf_dir: str, view, k: int):
+    """The two-pass checked-exact bigram heavy hitter behind
+    ``seq_bigram_topk``, parameterized by the (offs, vals) view so the BPE
+    merge loop can re-run it per step over merge-rewritten sequences.
+    Returns (tok_a, tok_b, cnt) int64 arrays of the exact top-k (empty when
+    the view holds no pairs); raises when exactness is not provable."""
+
     def candidates_batch(t: pa.Table) -> pa.Table:
         offs, vals = view(t)
         keys = _bigram_keys(offs, vals)
@@ -2436,14 +2465,19 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
             candidates_batch, batch_format="pyarrow", batch_size=None
         )
     )
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
     if cand_tbl.num_rows == 0 or "key" not in cand_tbl.column_names:
-        return _BIGRAM_SCHEMA.empty_table()  # 0-row corpus: no blocks reach the map
+        return empty  # 0-row corpus: no blocks reach the map
     raw = cand_tbl.column("key").to_numpy(zero_copy_only=False)
     sent = cand_tbl.column("sent").to_numpy(zero_copy_only=False)
     n_blocks = int(sent.sum())
     cand = np.unique(raw[~sent])
     if cand.size == 0:
-        return _BIGRAM_SCHEMA.empty_table()
+        return empty
     cand_ref = ray.put(cand)
 
     def recount(t: pa.Table, _cache={}) -> pa.Table:
@@ -2482,13 +2516,140 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
             "lower k or raise BIGRAM_CAND_MIN with block size"
         )
     tok_a, tok_b = _bigram_unpack(cand[order])
-    return pa.table(
-        {
-            "tok_a": pa.array(tok_a),
-            "tok_b": pa.array(tok_b),
-            "cnt": pa.array(total[order]),
-        }
-    )
+    return tok_a, tok_b, total[order]
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction: iterate the exact bigram heavy hitter into an
+# N-merge loop (the end-to-end tokenizer-training story)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 6
+BPE_SAMPLE_MOD = 7  # deterministic training sample: sfx % 7 == 0 (or no sfx)
+
+_BPE_SCHEMA = pa.schema(
+    [
+        ("merge_idx", pa.int64()),
+        ("tok_a", pa.int64()),
+        ("tok_b", pa.int64()),
+        ("new_id", pa.int64()),
+        ("cnt", pa.int64()),
+    ]
+)
+
+
+def _apply_bpe_merges(offs: np.ndarray, vals: np.ndarray, merges) -> tuple:
+    """Apply merge rules in order to 0-based (offs, vals) sequences: each
+    rule replaces every LEFTMOST-GREEDY non-overlapping (a, b) adjacency
+    with ``new_id`` in one pass (a≠b occurrences are disjoint by
+    construction; a==b runs take every other match — the standard BPE
+    application, mirrored by the oracle's gaps-and-islands parity rule).
+    A pass cannot create new occurrences of its own pair (new_id differs
+    from a and b), so one pass per rule is complete."""
+    vals = vals.astype(np.int32, copy=True)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    for a, b, nid in merges:
+        n = vals.size
+        if n < 2:
+            continue
+        m = np.zeros(n, dtype=bool)
+        m[:-1] = (vals[:-1] == a) & (vals[1:] == b)
+        ends = np.cumsum(lens)[lens > 0] - 1  # last token index per row
+        m[ends] = False
+        idx = np.flatnonzero(m)
+        if idx.size == 0:
+            continue
+        if a == b and idx.size > 1:
+            new_run = np.empty(idx.size, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = idx[1:] != idx[:-1] + 1
+            run_id = np.cumsum(new_run) - 1
+            run_start = idx[new_run][run_id]
+            idx = idx[((idx - run_start) % 2) == 0]
+        sel = np.zeros(n, dtype=bool)
+        sel[idx] = True
+        drop = np.zeros(n, dtype=bool)
+        drop[idx + 1] = True
+        vals = np.where(sel, np.int32(nid), vals)[~drop]
+        row_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        lens = lens - np.bincount(row_of[idx], minlength=lens.size)
+    return np.concatenate(([0], np.cumsum(lens))), vals
+
+
+def _bpe_view(t: pa.Table, aug: bool, merges):
+    """(offs, vals) of the BPE training view: valid rows in the
+    deterministic sample (numeric suffix % {MOD} == 0, or any row without a
+    numeric suffix — user corpora train on everything), canary-patched like
+    ``seq_bigram_topk`` when augmented, with the merge rules so far
+    applied."""
+    ids = t.column("doc_id").combine_chunks()
+    toks = t.column("tokens")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    keep = pc.and_(pc.is_valid(ids), pc.is_valid(toks))
+    sel = pa.table({"doc_id": ids, "tokens": toks}).filter(keep)
+    if sel.num_rows == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32)
+    sfx = _suffix_i64(sel.column("doc_id"))
+    samp = (sfx < 0) | (sfx % BPE_SAMPLE_MOD == 0)
+    sel = sel.filter(pa.array(samp))
+    if sel.num_rows == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32)
+    sfx = sfx[samp]
+    offs, vals = _tokens_parts(sel.column("tokens"))
+    if aug:
+        prows = np.flatnonzero(
+            (sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES)
+        )
+        vals = _patch_prefix(offs, vals, prows)
+    span = vals[offs[0] : offs[-1]]
+    return _apply_bpe_merges(offs - offs[0], span, merges)
+
+
+def seq_bpe_merges(
+    sf_dir: str, n_merges: int = BPE_N_MERGES, augment: "bool | None" = None
+) -> pa.Table:
+    """BPE vocabulary induction over the sequences corpus (VERDICT r3
+    item 4): iterate the provably-exact bigram heavy hitter into an N-merge
+    loop producing the merge table — (merge_idx, tok_a, tok_b,
+    new_id=VOCAB+idx, cnt), the tokenizer-training capstone.
+
+    Each step is two streaming passes over the deterministic training
+    sample (``_bigram_top_exact``: per-block candidate combiner + broadcast
+    recount, exactness ASSERTED via the miss bound — never a silently
+    approximate merge choice; ties break to the smallest (a, b)). Merge
+    application is vectorized leftmost-greedy replacement re-derived from
+    the raw view each step (rules are order-dependent state, the only state
+    the loop carries — a dozen ints). The canary-patched slice gives the
+    fixture a real merge cascade (the canary prefix merges left-to-right);
+    the oracle replays every step in chained window-function CTEs — explode
+    → top pair → islands-parity selection → rebuild — with no recursion.
+
+    Stops early (fewer rows) only when the view runs out of adjacent pairs,
+    which the oracle reproduces (its per-step top-1 is empty then too)."""
+    aug = _aug(sf_dir, augment)
+    merges: list[tuple[int, int, int]] = []
+    rows = []
+    for i in range(int(n_merges)):
+        ms = list(merges)
+
+        def view(t: pa.Table, _ms=ms):
+            return _bpe_view(t, aug, _ms)
+
+        ta, tb, cnt = _bigram_top_exact(sf_dir, view, 1)
+        if ta.size == 0:
+            break
+        nid = VOCAB + i
+        merges.append((int(ta[0]), int(tb[0]), nid))
+        rows.append(
+            {
+                "merge_idx": i,
+                "tok_a": int(ta[0]),
+                "tok_b": int(tb[0]),
+                "new_id": nid,
+                "cnt": int(cnt[0]),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=_BPE_SCHEMA)
 
 
 # --- split-assignment constants (mirrored verbatim into the SQL oracle) ----

@@ -142,3 +142,73 @@ def load_reference_histograms(path: str) -> "dict[str, np.ndarray]":
         s: np.asarray(c, dtype=np.int64)
         for s, c in zip(t.column("source").to_pylist(), t.column("bin_counts").to_pylist())
     }
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary dimension (seq_detokenize's genuine lookup table)
+# ---------------------------------------------------------------------------
+
+VOCAB_DIM_DROP_MOD = 1009  # ids ≡ RES (mod MOD) are ABSENT from the vocab —
+VOCAB_DIM_DROP_RES = 7     # unused slots, so OOV counting must consult the
+#                            dimension, not a [0, VOCAB) range check
+
+
+def _vocab_piece(i: int) -> str:
+    """Deterministic variable-length piece string for a token id (base-26
+    letters, least-significant digit first) — 1-4 chars at VOCAB=32k, so
+    decoded lengths genuinely depend on the lookup."""
+    s = []
+    while True:
+        s.append(chr(ord("a") + i % 26))
+        i //= 26
+        if i == 0:
+            return "".join(s)
+
+
+def vocab_dim_table() -> pa.Table:
+    """(token_id:int32, piece:string) for every id in the vocabulary —
+    all of [0, VOCAB) except the deterministic dropped slots."""
+    ids = [i for i in range(VOCAB) if i % VOCAB_DIM_DROP_MOD != VOCAB_DIM_DROP_RES]
+    return pa.table(
+        {
+            "token_id": pa.array(ids, type=pa.int32()),
+            "piece": pa.array([_vocab_piece(i) for i in ids], type=pa.string()),
+        }
+    )
+
+
+def ensure_vocab_dim(path: "str | None" = None) -> str:
+    """Write (idempotently) the vocab dimension parquet; returns its path.
+    Default location sits next to the generated fixture corpora so the SQL
+    oracle reads the SAME file the engine broadcasts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if path is None:
+        base = os.path.join(__import__("tempfile").gettempdir(), "pqcray_data")
+        os.makedirs(base, exist_ok=True)
+        path = os.path.join(base, "vocab_dim.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(vocab_dim_table(), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def load_vocab_pieces(path: str) -> pa.Array:
+    """Dense length-VOCAB piece array (null at ids absent from the vocab) —
+    the broadcast gather form of the dimension. Validates required columns
+    like the other dimension loaders."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    missing = {"token_id", "piece"} - set(t.column_names)
+    if missing:
+        raise ValueError(f"vocab dimension missing required columns {sorted(missing)}")
+    ids = t.column("token_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if ids.size and (ids.min() < 0 or ids.max() >= VOCAB):
+        raise ValueError("vocab dimension token_id outside [0, VOCAB)")
+    pieces = np.full(VOCAB, None, dtype=object)
+    pieces[ids] = np.asarray(t.column("piece").to_pylist(), dtype=object)
+    return pa.array(pieces, type=pa.string())

@@ -203,9 +203,21 @@ def test_seq_length_batches_range_invariance(ray_session, monkeypatch):
 
 def test_seq_detokenize_differential(ray_session, rows):
     from product_quality_check_ray.core.schema import VOCAB
+    from product_quality_check_ray.sources.dimensions import (
+        VOCAB_DIM_DROP_MOD,
+        VOCAB_DIM_DROP_RES,
+        _vocab_piece,
+    )
+
+    def in_vocab(x):
+        return (
+            x is not None
+            and 0 <= x < VOCAB
+            and x % VOCAB_DIM_DROP_MOD != VOCAB_DIM_DROP_RES
+        )
 
     def dec(x):
-        return "<unk>" if x is None or x < 0 or x >= VOCAB else f"w{x}"
+        return _vocab_piece(x) if in_vocab(x) else "<unk>"
 
     expected = []
     for r in rows:
@@ -214,7 +226,7 @@ def test_seq_detokenize_differential(ray_session, rows):
             expected.append((r["doc_id"], None, None, None, None))
             continue
         txt = " ".join(dec(x) for x in toks)
-        oov = sum(1 for x in toks if x is None or x < 0 or x >= VOCAB)
+        oov = sum(1 for x in toks if not in_vocab(x))
         expected.append((r["doc_id"], len(toks), oov, len(txt), txt[:64]))
     out = tk.seq_detokenize(SF).to_pandas()
     got = [
@@ -1916,3 +1928,117 @@ def test_seq_minhash_recall_user_corpus_and_complement(ray_session, tmp_path):
         zip(nd.column("doc_id_a").to_pylist(), nd.column("doc_id_b").to_pylist())
     )
     assert ("u/rot_a", "u/rot_b") not in pairs
+
+
+# ---------------------------------------------------------------------------
+# seq_bpe_merges (BPE vocabulary induction)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_bpe_merges_hand_cases():
+    """Leftmost-greedy merge application pinned by hand: a==b runs take
+    every other match, a!=b occurrences are disjoint, pairs never cross row
+    boundaries, and rules cascade in order."""
+    import numpy as np
+
+    from product_quality_check_ray.pipelines.tokens import _apply_bpe_merges
+
+    def run(rows, merges):
+        lens = [len(r) for r in rows]
+        offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        vals = np.array([t for r in rows for t in r], dtype=np.int32)
+        o, v = _apply_bpe_merges(offs, vals, merges)
+        return [v[o[i] : o[i + 1]].tolist() for i in range(len(o) - 1)]
+
+    C = 900
+    # a==b runs: aaaa → CC; aaa → Ca; aaaaa → CCa
+    assert run([[7, 7, 7, 7]], [(7, 7, C)]) == [[C, C]]
+    assert run([[7, 7, 7]], [(7, 7, C)]) == [[C, 7]]
+    assert run([[7, 7, 7, 7, 7]], [(7, 7, C)]) == [[C, C, 7]]
+    # a!=b: all disjoint occurrences replaced in one pass
+    assert run([[1, 2, 1, 2, 3]], [(1, 2, C)]) == [[C, C, 3]]
+    # no cross-row merging: row1 ends in 1, row2 starts with 2
+    assert run([[3, 1], [2, 4]], [(1, 2, C)]) == [[3, 1], [2, 4]]
+    # cascade: (1,2)→C then (C,3)→D
+    assert run([[1, 2, 3, 1, 2]], [(1, 2, C), (C, 3, 901)]) == [[901, C]]
+    # replacing (a,b) cannot create a new (a,b): a b b → C b (not C→ again)
+    assert run([[1, 2, 2]], [(1, 2, C)]) == [[C, 2]]
+
+
+def test_seq_bpe_merges_user_corpus(ray_session, tmp_path):
+    """On a plant-free user corpus the induced merge table is exactly the
+    hand-computed BPE trajectory of the repeated phrase."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines import tokens as tk
+
+    d = str(tmp_path / "user")
+    os.makedirs(d)
+    # 50 copies of phrase [10, 11, 12] embedded in unique noise: merge 0
+    # must be (10,11)→32000 cnt 50, merge 1 (32000,12)→32001 cnt 50
+    rng = np.random.default_rng(9)
+    toks = []
+    for i in range(50):
+        noise1 = rng.integers(2000, 31000, size=3).tolist()
+        noise2 = rng.integers(2000, 31000, size=3).tolist()
+        toks.append(noise1 + [10, 11, 12] + noise2)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"u/{i}" for i in range(50)], type=pa.string()),
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+            "source": pa.array(["web"] * 50, type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    out = tk.seq_bpe_merges(d, n_merges=2).to_pandas()
+    assert out.iloc[0][["tok_a", "tok_b", "new_id", "cnt"]].tolist() == [10, 11, 32000, 50]
+    assert out.iloc[1][["tok_a", "tok_b", "new_id", "cnt"]].tolist() == [32000, 12, 32001, 50]
+
+
+def test_seq_detokenize_vocab_dim_absent_slots(ray_session, tmp_path):
+    """OOV counts against the vocab DIMENSION: an id inside [0, VOCAB) but
+    absent from the vocab (dropped slot) decodes to <unk> — a range check
+    would miss it. Also exercises a custom vocab_path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.sources.dimensions import (
+        VOCAB_DIM_DROP_MOD,
+        VOCAB_DIM_DROP_RES,
+        _vocab_piece,
+    )
+
+    dropped = VOCAB_DIM_DROP_RES  # id 7 ≡ RES (mod 1009) → absent
+    assert dropped % VOCAB_DIM_DROP_MOD == VOCAB_DIM_DROP_RES
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array(["x-000000000001"], type=pa.string()),
+            "tokens": pa.array([[dropped, 8, 9]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([3], type=pa.int32()),
+            "source": pa.array(["web"], type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    out = tk.seq_detokenize(d, with_text=True).to_pandas()
+    assert int(out["n_oov"][0]) == 1
+    assert out["text"][0] == f"<unk> {_vocab_piece(8)} {_vocab_piece(9)}"
+
+    # custom vocab dim: only id 8 known → two <unk>
+    vp = str(tmp_path / "v.parquet")
+    pq.write_table(
+        pa.table({"token_id": pa.array([8], type=pa.int32()),
+                  "piece": pa.array(["EIGHT"], type=pa.string())}),
+        vp,
+    )
+    out2 = tk.seq_detokenize(d, with_text=True, vocab_path=vp).to_pandas()
+    assert int(out2["n_oov"][0]) == 2
+    assert out2["text"][0] == "<unk> EIGHT <unk>"
