@@ -403,6 +403,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_simhash_dups",
     "embedding_kmeans",
     "embedding_kmeans_lattice",
+    "knn_ivfpq",
+    "knn_ivfpq_recall",
     "knn_ivf_kmeans",
 )
 
@@ -694,6 +696,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_lsh": sim.knn_lsh,  # multi-table LSH — full SQL oracle (literal planes)
         "knn_ivf": sim.knn_ivf,  # seeded-quantizer IVF — full SQL oracle
+        # compressed ANN: IVF + integer-lattice product quantization (ADC)
+        "knn_ivfpq": lambda sf: sim.knn_ivfpq(sf),
+        "knn_ivfpq_recall": lambda sf: sim.knn_ivfpq_recall(sf),
         "knn_ivf_kmeans": sim.knn_ivf_kmeans,  # Lloyd-trained lists — rows-only (recall in pytest)
         "embedding_label_stats": sim.embedding_label_stats,
         "embedding_validate": sim.embedding_validate,  # row checks generalized to the embeddings table
@@ -727,6 +732,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _canary_sql() -> str:
     """The tokens.py canary as a DuckDB int32-list literal."""
     return "[" + ", ".join(str(v) for v in tk.CANARY) + "]"
+
+
+# exact cosine top-k (shared by the knn_bruteforce oracle and the
+# knn_ivfpq_recall composition)
+_KNN_BF_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
 
 
 def _bpe_oracle_sql(seq: str, n_merges: int) -> str:
@@ -3162,23 +3189,23 @@ def oracle_sql() -> dict[str, str]:
                    g.vec_id IN (SELECT idb FROM pairs) AS dropped
             FROM asg g ORDER BY g.vec_id
         """,
-        "knn_bruteforce": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 8
-            ),
-            scored AS (
-                SELECT q.query_id, e.vec_id AS neighbor_id,
-                       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
-                FROM embeddings e CROSS JOIN q
-                WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, neighbor_id, cosine, rank FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-                ) AS rank FROM scored
-            ) WHERE rank <= 10
-            ORDER BY query_id, rank
+        "knn_bruteforce": _KNN_BF_SQL,
+        "knn_ivfpq": sim.knn_ivfpq_oracle_sql(),
+        # recall of the compressed path vs exact brute force — both sides
+        # deterministic, so the intersection replays exactly
+        "knn_ivfpq_recall": f"""
+            WITH approx AS (SELECT * FROM ({sim.knn_ivfpq_oracle_sql()})),
+                 exact AS (SELECT * FROM ({_KNN_BF_SQL})),
+                 hits AS (
+                   SELECT a.query_id, count(*) AS n
+                   FROM approx a JOIN exact e USING (query_id, neighbor_id)
+                   GROUP BY a.query_id
+                 )
+            SELECT q.query_id, coalesce(h.n, 0)::BIGINT AS n_hits,
+                   round(coalesce(h.n, 0) / 10.0, 6) AS recall
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN hits h USING (query_id)
+            ORDER BY q.query_id
         """,
         "customer_running_totals": """
             SELECT o_custkey, o_orderkey,

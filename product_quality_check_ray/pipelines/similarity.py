@@ -1259,6 +1259,383 @@ def _sql_array(vec: np.ndarray) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vec) + "]"
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ (compressed ANN, Jégou et al. "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): coarse seeded quantizer + product-quantized
+# integer-lattice residuals + asymmetric-distance (ADC) search.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8              # subspaces (d=64 → 8 dims each); 8 codes = 8 B/vector
+PQ_K = 256            # codewords per subspace (1 byte/subspace — standard PQ)
+PQ_HASH_MULT2 = 2246822519  # codebook-training selection hash (≠ coarse seed)
+
+
+def _quant_int(m: np.ndarray) -> np.ndarray:
+    """float matrix → int64 lattice (round-half-away ·4096, the DuckDB
+    ``CAST(round(x*{Q}) AS BIGINT)`` parity used by embedding_kmeans_lattice)."""
+    return _rha(m.astype(np.float64) * KML_Q, 0).astype(np.int64)
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """L2-normalized rows (zero vectors pass through): on the unit sphere
+    euclidean ranking ≡ cosine ranking, so the integer ADC distance
+    approximates the brute-force COSINE truth — without this the PQ index
+    ranks by raw L2 and recall vs cosine truth collapses (measured 0.2)."""
+    n = np.sqrt((m * m).sum(axis=1))
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def _pq_state(sf_dir: str, n_lists: int):
+    """(seeds float (L,d), seed_int (L,d), codebooks int64 (M, K, d/M)).
+
+    Codewords are the integer residual subvectors of the PQ_K
+    hash2-ranked vectors (each w.r.t. its OWN coarse list) — the seeded,
+    Lloyd-free PQ variant, fully deterministic and SQL-replayable (the
+    ``ivf_build_seeded``-vs-``ivf_build`` treatment applied to codebook
+    training; swap in sampled k-means per subspace when quantization
+    error matters more than exact reproducibility)."""
+    seeds = _unit_rows(_seed_matrix(sf_dir, n_lists))
+    seed_int = _quant_int(seeds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        h = (ids * PQ_HASH_MULT2) % IVF_HASH_MOD
+        order = np.lexsort((ids, h))[:PQ_K]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "h": pa.array(h[order]),
+                "embedding": t.column("embedding").combine_chunks().take(
+                    pa.array(order, type=pa.int64())
+                ),
+            }
+        )
+
+    tbl = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    )
+    ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    h = tbl.column("h").to_numpy()
+    order = np.lexsort((ids, h))[:PQ_K]
+    tm = _unit_rows(_list_col_to_matrix(tbl.column("embedding"))[order])
+    assign = _seed_distances(tm, seeds).argmin(axis=1)
+    resid = _quant_int(tm) - seed_int[assign]
+    d = seeds.shape[1]
+    sub = d // PQ_M
+    codebooks = np.stack(
+        [resid[:, m * sub : (m + 1) * sub] for m in range(PQ_M)]
+    )  # (M, K, sub)
+    return seeds, seed_int, codebooks
+
+
+def _pq_encode(em: np.ndarray, seeds, seed_int, codebooks) -> tuple:
+    """(list assignment, (n, M) int8-range codes) for a float batch —
+    vectors are unit-normalized first (see ``_unit_rows``)."""
+    em = _unit_rows(em)
+    lst = _seed_distances(em, seeds).argmin(axis=1)
+    r = _quant_int(em) - seed_int[lst]
+    sub = seeds.shape[1] // PQ_M
+    codes = np.empty((len(em), PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        diff = r[:, None, m * sub : (m + 1) * sub] - codebooks[m][None, :, :]
+        codes[:, m] = (diff * diff).sum(axis=2).argmin(axis=1)
+    return lst.astype(np.int64), codes
+
+
+def ivfpq_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
+    """Build (idempotently) the IVF-PQ index: list-partitioned parquet of
+    (lst, vec_id, code0..code{M-1}) — 8 small ints per vector instead of a
+    256-byte float32 payload (the raw-float storage wall at 10⁹ vectors is
+    exactly what PQ removes). Queries read ONLY probed lists' code columns;
+    embeddings never load at query time."""
+    import shutil
+
+    root = _ivf_root(sf_dir, n_lists, kind="pq")
+    marker = os.path.join(root, "_IVFPQ_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    seeds, seed_int, codebooks = _pq_state(sf_dir, n_lists)
+    np.save(os.path.join(root, "seeds.npy"), seeds)
+    np.save(os.path.join(root, "seed_int.npy"), seed_int)
+    np.save(os.path.join(root, "codebooks.npy"), codebooks)
+    sref = ray.put((seeds, seed_int, codebooks))
+
+    def encode_batch(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(sref)
+        em = _list_col_to_matrix(t.column("embedding"))
+        lst, codes = _pq_encode(em, *st)
+        cols = {
+            "list_id": pa.array(lst),
+            # lst duplicates the partition key INSIDE the file: hive
+            # partition columns are path-only and ADC needs each row's list
+            "lst": pa.array(lst),
+            "vec_id": t.column("vec_id"),
+        }
+        for m in range(PQ_M):
+            cols[f"code{m}"] = pa.array(codes[:, m])
+        return pa.table(cols)
+
+    _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        encode_batch, batch_format="pyarrow"
+    ).write_parquet(root, partition_cols=["list_id"])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return root
+
+
+def knn_ivfpq(
+    sf_dir: str, k: int = 10, num_queries: int = 8, nprobe: int = 3,
+    n_lists: int = IVF_DEFAULT_LISTS,
+) -> pa.Table:
+    """ANN top-k via the IVF-PQ index: probe the ``nprobe`` nearest lists
+    per query and rank members by the ASYMMETRIC integer ADC distance —
+    Σ_m ||query_residual_m − codeword(code_m)||², looked up from a
+    per-(query, list) distance table computed once on the driver (Q×L×M×K
+    ints) and broadcast. Every quantity is integer-lattice int64, so the
+    whole pipeline — coarse probe, codes, ADC ranking with (dist, vec_id)
+    ties — replays exactly in SQL (``knn_ivfpq_oracle_sql``). Returns
+    (query_id, neighbor_id, adc_dist, rank)."""
+    import glob as _glob
+
+    root = ivfpq_build(sf_dir, n_lists)
+    seeds = np.load(os.path.join(root, "seeds.npy"))
+    seed_int = np.load(os.path.join(root, "seed_int.npy"))
+    codebooks = np.load(os.path.join(root, "codebooks.npy"))
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    if len(qids) == 0:
+        return _EMPTY_PQ
+    qm = _unit_rows(qm)
+    dq = _seed_distances(qm, seeds)
+    probe_lists = sorted(
+        {int(l) for row in dq for l in np.argsort(row, kind="stable")[:nprobe]}
+    )
+    files = [
+        f
+        for l in probe_lists
+        for f in sorted(_glob.glob(os.path.join(root, f"list_id={l}", "*.parquet")))
+    ]
+    if not files:
+        return _EMPTY_PQ
+    # ADC table T[q, l, m, c] (tiny: 8×16×8×16 ints), computed once
+    sub = seeds.shape[1] // PQ_M
+    L = seeds.shape[0]
+    T = np.zeros((len(qids), L, PQ_M, PQ_K), dtype=np.int64)
+    qint = _quant_int(qm)
+    for li in probe_lists:
+        rq = qint - seed_int[li][None, :]  # (Q, d)
+        for m in range(PQ_M):
+            diff = rq[:, None, m * sub : (m + 1) * sub] - codebooks[m][None, :, :]
+            T[:, li, m, :] = (diff * diff).sum(axis=2)
+    state_ref = ray.put((qids.astype(np.int64), T))
+    code_cols = [f"code{m}" for m in range(PQ_M)]
+
+    def adc_task(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(state_ref)
+        qids_, T_ = st
+        lst = t.column("lst").to_numpy().astype(np.int64)
+        vids = t.column("vec_id").to_numpy().astype(np.int64)
+        codes = np.stack(
+            [t.column(c).to_numpy().astype(np.int64) for c in code_cols], axis=1
+        )
+        dist = np.zeros((len(qids_), len(vids)), dtype=np.int64)
+        for m in range(PQ_M):
+            dist += T_[:, lst, m, codes[:, m]]
+        out_q, out_n, out_d = [], [], []
+        for j, qid in enumerate(qids_):
+            mask = vids != qid
+            cand_ids = vids[mask]
+            cand_d = dist[j][mask]
+            idx = np.lexsort((cand_ids, cand_d))[:k]
+            out_q.extend([int(qid)] * len(idx))
+            out_n.extend(cand_ids[idx].tolist())
+            out_d.extend(cand_d[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "adc_dist": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    partials = rd.read_parquet(files, columns=["lst", "vec_id", *code_cols]).map_batches(
+        adc_task, batch_format="pyarrow"
+    )
+    df = _collect(partials).to_pandas()
+    if df.empty:
+        return _EMPTY_PQ
+    df = df.sort_values(
+        ["query_id", "adc_dist", "neighbor_id"], ascending=[True, True, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(_PQ_SCHEMA)
+
+
+_PQ_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("neighbor_id", pa.int64()),
+        ("adc_dist", pa.int64()),
+        ("rank", pa.int64()),
+    ]
+)
+_EMPTY_PQ = _PQ_SCHEMA.empty_table()
+
+
+def knn_ivfpq_recall(
+    sf_dir: str, k: int = 10, num_queries: int = 8, nprobe: int = 3,
+    n_lists: int = IVF_DEFAULT_LISTS,
+) -> pa.Table:
+    """Per-query recall of the compressed IVF-PQ path against the exact
+    cosine brute force — the aggregate recall row that grades the
+    approximate path exactly (the knn_ivf treatment): both sides are
+    deterministic, so the oracle recomputes the SAME intersection."""
+    approx = knn_ivfpq(sf_dir, k, num_queries, nprobe, n_lists).to_pandas()
+    exact = knn_bruteforce(sf_dir, k, num_queries).to_pandas()
+    rows = []
+    for qid in sorted(set(exact["query_id"])):
+        a = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        e = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        hits = len(a & e)
+        rows.append(
+            {
+                "query_id": int(qid),
+                "n_hits": hits,
+                "recall": float(_rha(np.array([hits / k]), 6)[0]),
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("n_hits", pa.int64()), ("recall", pa.float64())]
+        ),
+    )
+
+
+def knn_ivfpq_oracle_sql(
+    dim: int = 64, k: int = 10, num_queries: int = 8, nprobe: int = 3,
+    n_lists: int = IVF_DEFAULT_LISTS,
+) -> str:
+    """Exact SQL twin of ``knn_ivfpq``: quantized dims, hash-ranked seeds,
+    float-rounded coarse assignment/probing (the knn_ivf contract), integer
+    residuals, hash2-ranked codebook rows, per-subspace code argmin with
+    (dist, c) ties, ADC sum, (adc_dist, neighbor_id) ranking."""
+    sub = dim // PQ_M
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])) = 0
+                        THEN embedding::DOUBLE[]
+                        ELSE list_transform(embedding::DOUBLE[],
+                               x -> x / sqrt(list_dot_product(
+                                      embedding::DOUBLE[], embedding::DOUBLE[])))
+                   END AS emb
+            FROM embeddings
+        ),
+        vq AS MATERIALIZED (
+            SELECT vec_id, i.i AS dim,
+                   CAST(round(emb[i.i + 1] * {KML_Q}) AS BIGINT) AS q
+            FROM base, unnest(range({dim})) AS i(i)
+        ),
+        seeds AS (
+            SELECT emb AS semb, vec_id AS svid,
+                   row_number() OVER (
+                       ORDER BY (vec_id * {IVF_HASH_MULT}) % {IVF_HASH_MOD}, vec_id
+                   ) AS rn
+            FROM base QUALIFY rn <= {n_lists}
+        ),
+        sq AS MATERIALIZED (
+            SELECT s.rn, v.dim, v.q AS sqv
+            FROM seeds s JOIN vq v ON v.vec_id = s.svid
+        ),
+        assign AS (
+            SELECT b.vec_id, s.rn AS list_rn,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round(list_distance(b.emb, s.semb), 6), s.rn
+                   ) AS arn
+            FROM base b CROSS JOIN seeds s
+        ),
+        member AS (SELECT vec_id, list_rn FROM assign WHERE arn = 1),
+        resid AS MATERIALIZED (
+            SELECT v.vec_id, v.dim, v.q - sq.sqv AS r
+            FROM vq v JOIN member m USING (vec_id)
+            JOIN sq ON sq.rn = m.list_rn AND sq.dim = v.dim
+        ),
+        train AS (
+            SELECT vec_id, rn - 1 AS c FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY (vec_id * {PQ_HASH_MULT2}) % {IVF_HASH_MOD}, vec_id
+                ) AS rn FROM base
+            ) WHERE rn <= {PQ_K}
+        ),
+        cb AS MATERIALIZED (
+            SELECT t.c, r.dim, r.dim // {sub} AS m, r.r AS w
+            FROM train t JOIN resid r USING (vec_id)
+        ),
+        codes AS MATERIALIZED (
+            SELECT vec_id, m, c FROM (
+                SELECT r.vec_id, cb.m, cb.c,
+                       row_number() OVER (
+                           PARTITION BY r.vec_id, cb.m
+                           ORDER BY sum((r.r - cb.w) * (r.r - cb.w)), cb.c
+                       ) AS rn
+                FROM resid r JOIN cb ON cb.dim = r.dim
+                GROUP BY r.vec_id, cb.m, cb.c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, emb AS qemb FROM base
+              WHERE vec_id < {num_queries}),
+        qprobe AS (
+            SELECT q.query_id, s.rn AS list_rn,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_distance(q.qemb, s.semb), 6), s.rn
+                   ) AS prn
+            FROM q CROSS JOIN seeds s
+        ),
+        probed AS (SELECT DISTINCT list_rn FROM qprobe WHERE prn <= {nprobe}),
+        qresid AS (
+            SELECT qq.query_id, p.list_rn, v.dim, v.q - sq.sqv AS r
+            FROM q qq JOIN vq v ON v.vec_id = qq.query_id
+            CROSS JOIN probed p
+            JOIN sq ON sq.rn = p.list_rn AND sq.dim = v.dim
+        ),
+        tbl AS MATERIALIZED (
+            SELECT qr.query_id, qr.list_rn, cb.m, cb.c,
+                   sum((qr.r - cb.w) * (qr.r - cb.w)) AS t
+            FROM qresid qr JOIN cb ON cb.dim = qr.dim
+            GROUP BY qr.query_id, qr.list_rn, cb.m, cb.c
+        ),
+        adc AS (
+            SELECT t.query_id, mem.vec_id AS neighbor_id,
+                   sum(t.t) AS adc_dist
+            FROM member mem
+            JOIN probed p ON p.list_rn = mem.list_rn
+            JOIN codes c ON c.vec_id = mem.vec_id
+            JOIN tbl t ON t.list_rn = mem.list_rn AND t.m = c.m AND t.c = c.c
+            WHERE mem.vec_id <> t.query_id
+            GROUP BY t.query_id, mem.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist::BIGINT AS adc_dist, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+            ) AS rank FROM adc
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def _sig_sql_cols(dim: int, n_planes: int, n_tables: int) -> list[str]:
     """``b{i}`` signature expressions with the hyperplane matrices embedded
     as double literals — the SQL twin of ``LshBucketStage``/``_signatures``."""

@@ -61,3 +61,38 @@ def test_embedding_kmeans_lattice_invariants(ray_session):
     assert (df["size"] > 0).all()  # 8 seeds over 500 spread vectors
     assert df["inertia"].sum() > 0
     assert list(df["centroid_id"]) == list(range(8))
+
+
+def test_knn_ivfpq_index_and_recall(ray_session):
+    """IVF-PQ: the compressed index stores 8 small codes per vector (no
+    embedding payload in the index files), the query path is deterministic,
+    and recall@10 vs exact cosine clears a floor far above the random
+    baseline (10/499 ≈ 0.02) on the weakly-separated random fixture."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    root = sim.ivfpq_build(sf)
+    files = glob.glob(os.path.join(root, "list_id=*", "*.parquet"))
+    assert files
+    sch = pq.read_schema(files[0])
+    assert "embedding" not in sch.names  # compressed: codes only
+    assert {"lst", "vec_id"} <= set(sch.names)
+    t = pq.read_table(files[0])
+    for m in range(sim.PQ_M):
+        col = t.column(f"code{m}").to_numpy()
+        assert (col >= 0).all() and (col < sim.PQ_K).all()
+
+    a = sim.knn_ivfpq(sf)
+    b = sim.knn_ivfpq(sf)
+    assert a.equals(b)  # integer pipeline: exactly deterministic
+
+    rec = sim.knn_ivfpq_recall(sf).to_pandas()
+    assert len(rec) == 8
+    assert rec["recall"].mean() >= 0.3  # measured 0.475 at both sf
+    # n_hits consistent with recall
+    assert (rec["recall"] * 10).round().astype(int).tolist() == rec["n_hits"].tolist()
