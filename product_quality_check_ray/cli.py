@@ -383,7 +383,9 @@ def cmd_audit(args: argparse.Namespace) -> int:
                 }
             )
         )
-        return 2
+        # --gate distinguishes unreadable shards (3) from content findings
+        # (2) so ingest automation can retry the upload vs reject the batch
+        return 3 if getattr(args, "gate", False) else 2
 
     schema = seq_shard_schema_audit(args.input)
     stats = seq_shard_stats(args.input)
@@ -553,15 +555,29 @@ def cmd_audit(args: argparse.Namespace) -> int:
         summary["n_twin_fragments"] = int(
             sum(1 for n in man.column("n_twin_fragments").to_pylist() if n > 1)
         )
-    print(json.dumps(summary))
     baseline_drifted = bool(
         args.baseline and not summary["baseline"]["identical"]
     )
-    return (
-        0
-        if not deviant and not outliers and not oversized and not baseline_drifted
-        else 2
-    )
+    content_bad = bool(deviant or outliers or oversized or baseline_drifted)
+    if getattr(args, "gate", False):
+        # ingest gate (see the --gate help for the full contract): content
+        # findings keep the classic code 2; a clean-content corpus whose
+        # fragment key ranges are unknown/overlapping (multi-writer
+        # collision — the reference's wrong-file detection at corpus
+        # scale, app.py:478-481) is rejected with 5, because resolve-back
+        # and shuffle-free uniqueness assume writer-disjoint ranges
+        layout_ok = bool(summary["id_ranges_disjoint"])
+        rc = 2 if content_bad else (0 if layout_ok else 5)
+        summary["gate"] = {
+            "exit": rc,
+            "content_ok": not content_bad,
+            "layout_ok": layout_ok,
+            "baseline_checked": bool(args.baseline),
+        }
+        print(json.dumps(summary))
+        return rc
+    print(json.dumps(summary))
+    return 0 if not content_bad else 2
 
 
 def cmd_locate(args: argparse.Namespace) -> int:
@@ -760,6 +776,19 @@ def main(argv: list[str] | None = None) -> int:
         help="also scan doc_id physical order per fragment (projected "
         "one-column read) and report unsorted fragments plus the decisive "
         "corpus_id_sorted bit (ranges disjoint AND every fragment sorted)",
+    )
+    a.add_argument(
+        "--gate",
+        action="store_true",
+        help="multi-writer ingest gate: one invocation composes the "
+        "readability, schema-uniformity, length-outlier, rowgroup-size, "
+        "key-range-disjointness and (with --baseline) manifest checks into "
+        "a documented exit contract — 0 = corpus accepted; 3 = unreadable "
+        "shards (names reported); 2 = content findings (schema deviants / "
+        "length outliers / oversized rowgroups / baseline drift); 5 = "
+        "ingest-layout violation (fragment doc_id ranges unknown or "
+        "overlapping — two writers emitted the same key range). Precedence "
+        "3 > 2 > 5; without --gate the exit contract stays 0/2",
     )
     a.set_defaults(fn=cmd_audit)
 

@@ -1051,3 +1051,78 @@ def test_cli_report_compare_unknown_verdict(ray_session, tmp_path):
     assert line["unknown_verdict"] == [pid]
     assert line["regressed"] == [] and line["fixed"] == []
     assert not line["identical_verdicts"]
+
+
+def test_cli_audit_gate_contract(tmp_path):
+    """audit --gate: one invocation, documented exit contract (VERDICT r3
+    item 7) — 0 accepted; 2 content findings (schema deviants / baseline
+    drift); 3 unreadable shards; 5 layout violation (overlapping fragment
+    key ranges from two writers). Precedence 3 > 2 > 5."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+
+    def tbl(ids):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "tokens": pa.array([[1, 2]] * len(ids), type=pa.list_(pa.int32())),
+                "n_tok": pa.array([2] * len(ids), type=pa.int32()),
+                "source": pa.array(["web"] * len(ids), type=pa.string()),
+            }
+        )
+
+    ids = [f"d-{i:012d}" for i in range(64)]
+    f0, f1 = os.path.join(d, "frag-00000.parquet"), os.path.join(d, "frag-00001.parquet")
+    pq.write_table(tbl(ids[:32]), f0)
+    pq.write_table(tbl(ids[32:]), f1)
+    mpath = str(tmp_path / "manifest.parquet")
+
+    def audit(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "audit",
+             "--input", d, "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    # disjoint writer ranges, uniform schema → accepted (0)
+    r0 = audit("--gate", "--manifest-out", mpath)
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    line = _json.loads(r0.stdout.strip().splitlines()[-1])
+    assert line["gate"] == {
+        "exit": 0, "content_ok": True, "layout_ok": True, "baseline_checked": False,
+    }
+
+    # overlapping key ranges (a second writer re-emitted ids 16..47) → 5
+    pq.write_table(tbl(ids[16:48]), f1)
+    r5 = audit("--gate")
+    assert r5.returncode == 5, r5.stderr[-2000:]
+    line5 = _json.loads(r5.stdout.strip().splitlines()[-1])
+    assert line5["gate"]["layout_ok"] is False and line5["gate"]["content_ok"]
+
+    # content finding wins over layout: baseline drift → 2 even while
+    # ranges overlap
+    r2 = audit("--gate", "--baseline", mpath)
+    assert r2.returncode == 2
+    line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert not line2["gate"]["content_ok"] and line2["baseline"]["n_changed"] == 1
+
+    # schema deviant → 2 as well
+    pq.write_table(tbl(ids[32:]), f1)  # restore disjoint
+    bad = tbl(ids[48:56]).append_column("extra", pa.array([1.0] * 8))
+    f2 = os.path.join(d, "frag-00002.parquet")
+    pq.write_table(bad, f2)
+    r2b = audit("--gate")
+    assert r2b.returncode == 2
+    os.remove(f2)
+
+    # unreadable shard → 3 under --gate (2 without, back-compat)
+    good = open(f0, "rb").read()
+    with open(f2, "wb") as f:
+        f.write(good[:-50])
+    assert audit("--gate").returncode == 3
+    assert audit().returncode == 2
