@@ -253,7 +253,9 @@ QUERY_ORDER: tuple[str, ...] = (
     "prepare_training_sequences",
     "seq_pack_execute",
     "seq_neardup_pairs",
+    "seq_minhash_recall",
     "seq_bigram_topk",
+    "seq_bpe_merges",
     "seq_decontaminate",
     "seq_dup_token_arrays",
     "seq_strip_dup_spans",
@@ -270,10 +272,15 @@ QUERY_ORDER: tuple[str, ...] = (
     # validation engine (reference's core loop)
     "seq_row_violations",
     "seq_check_counts",
+    "seq_sketch_accuracy",
     "seq_repaired",
     "seq_adjudicated",
     "seq_npm_scores",
-    # documents-axis capstones + dedup/quality family
+    # documents-axis capstones + dedup/quality family (round-4 rotation:
+    # doc_normalized / doc_words / doc_best_dict_match / doc_quality_scores
+    # / part_sku_parse / knn_bruteforce — green since r1/r2 — moved past
+    # the marker so fresh round-4 surface is driver-graded; all stay in the
+    # local gate)
     "clean_documents_full",
     "prepare_training_corpus",
     "doc_minhash_dups",
@@ -283,33 +290,35 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_near_dup_clusters",
     "doc_simhash_recall",
     "corpus_lifecycle_suite",
-    "doc_quality_scores",
     # per-table validator family rep (documents/events/embeddings share the
     # fused-kernel + combiner + tiny-groupby shape; the other two sit just
-    # past the marker). doc_lang_id demoted — quality family stays
-    # represented by doc_quality_scores.
+    # past the marker)
     "table_validators_suite",
     "doc_pii_redact",
-    # normalize → explode → dict-match spine
-    "doc_normalized",
-    "doc_words",
+    # normalize → explode → dict-match spine rep
     "doc_dict_matches_lang",
-    "doc_best_dict_match",
     "doc_stats_suite",
     # relational / catalog-join family (suites fold the micro-queries)
-    "part_sku_parse",
     "part_catalog_match",
     "relational_core_suite",
     "events_suite",
     "lookup_match_suite",
-    # similarity search / embedding dedup / multimodal
+    # similarity search / embedding dedup / compressed ANN / multimodal
     "embedding_near_dups",
     "embedding_semantic_dedup",
-    "knn_bruteforce",
+    "embedding_kmeans_lattice",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivfpq",
+    "knn_ivfpq_recall",
     "multimodal_suite",
     # --- end of graded window (position 50) ---
+    "knn_bruteforce",
+    "doc_normalized",
+    "doc_words",
+    "doc_best_dict_match",
+    "doc_quality_scores",
+    "part_sku_parse",
     "seq_pack_plan",
     "embedding_near_dups_lsh",
     "seq_cross_source_dups",
@@ -321,8 +330,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_boundary_audit",
     "seq_mixture_sample",
     "seq_prefix_dups",
-    "seq_minhash_recall",
-    "seq_bpe_merges",
     "seq_sampled_check_counts",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
@@ -357,7 +364,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_ntok_histogram",
     "seq_drift_verdicts",
     "seq_sketch_report",
-    "seq_sketch_accuracy",
     "seq_token_topk",
     "doc_dict_matches",
     "doc_dict_matches_tsr",
@@ -402,9 +408,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "clean_documents_exact",
     "doc_simhash_dups",
     "embedding_kmeans",
-    "embedding_kmeans_lattice",
-    "knn_ivfpq",
-    "knn_ivfpq_recall",
     "knn_ivf_kmeans",
 )
 

@@ -187,6 +187,12 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("knn_bruteforce", sim.knn_bruteforce),
         ("knn_lsh", sim.knn_lsh),
         ("knn_ivf", sim.knn_ivf),
+        ("knn_ivfpq", lambda sf: sim.knn_ivfpq(sf)),
+        ("knn_ivfpq_recall", lambda sf: sim.knn_ivfpq_recall(sf)),
+        ("embedding_kmeans_lattice", lambda sf: sim.embedding_kmeans_lattice(sf)),
+        ("seq_minhash_recall", lambda sf: tk.seq_minhash_recall(sf)),
+        ("seq_bpe_merges", lambda sf: tk.seq_bpe_merges(sf)),
+        ("seq_sketch_accuracy", lambda sf: sq.seq_sketch_accuracy(sf)),
         ("embedding_near_dups", lambda sf: sim.embedding_near_dups(sf, threshold=0.4)),
         ("embedding_semantic_dedup", sim.embedding_semantic_dedup),
         ("multimodal_decode", mm.multimodal_decode),

@@ -40,9 +40,16 @@ MUST_BE_IN_WINDOW = [
     "doc_near_dup_clusters",
     "embedding_near_dups",
     "embedding_semantic_dedup",
-    "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    # round-4 additions (fresh driver-graded surface; knn_bruteforce /
+    # doc_words and friends rotated past the marker, still locally gated)
+    "seq_minhash_recall",
+    "seq_bpe_merges",
+    "seq_sketch_accuracy",
+    "embedding_kmeans_lattice",
+    "knn_ivfpq",
+    "knn_ivfpq_recall",
     "part_catalog_match",
     "relational_core_suite",
     "events_suite",
@@ -54,7 +61,6 @@ MUST_BE_IN_WINDOW = [
     "seq_row_violations",
     "seq_npm_scores",
     "seq_adjudicated",
-    "doc_words",
     "doc_dict_matches_lang",
     "doc_pii_redact",
     "table_validators_suite",  # all three table validators in one slot
