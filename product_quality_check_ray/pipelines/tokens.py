@@ -2101,8 +2101,11 @@ SEQMH_ROT = 32    # member-1 rotation offset — heads differ by construction
 SEQMH_A = 23      # generation constants (< VOCAB ⇒ BIGINT-exact in DuckDB)
 SEQMH_B = 29
 SEQMH_GEN_LEN = SEQMH_L + DECON_K - 1  # 71: linear grams = circular grams
-SEQMH_K = 64      # minhash permutations
-SEQMH_BANDS = 16  # 16 bands × 4 rows
+SEQMH_K = 16      # minhash permutations (8 bands × 2 rows — identical
+#                   sets still share every band, and random-pair false
+#                   positives at r=2 are J²-suppressed; 64 perms were 4× the
+#                   signature cost for no recall-contract gain)
+SEQMH_BANDS = 8
 SEQMH_MAX_BUCKET = 1024
 
 _SEQMH_RECALL_SCHEMA = pa.schema(
@@ -2143,12 +2146,17 @@ def _seqmh_seeds() -> np.ndarray:
 
 def _seqmh_grams(t: pa.Table, aug: bool):
     """(ids, row gram-hash segments): per-row 8-gram uint64 hashes of the
-    minhash-augmented view — (doc_ids, gram hashes flat, per-row counts)."""
+    minhash-augmented view — (doc_ids, gram hashes flat, per-row counts).
+    Hashes come from the gather-free shifted-slice polynomial
+    (``_window_hash64`` over the flat buffer, within-row starts selected
+    after) — materializing the (n, 8) int32 window matrix was the measured
+    wall of all three passes at sf0.1."""
     ids, offs, vals = _seqmh_view(t, aug)
     if offs.size <= 1:
         return ids, np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
-    win, _gdoc, m = _gram_windows(offs, vals, DECON_K)
-    return ids, _key_hash64(win), m
+    starts, _gdoc, m = _window_starts(offs, DECON_K)
+    allh = _window_hash64(vals, DECON_K)
+    return ids, allh[starts], m
 
 
 def _seqmh_setfp64(gh: np.ndarray, m: np.ndarray) -> np.ndarray:
@@ -2427,7 +2435,9 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
         prows = np.flatnonzero((sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES))
         return offs, _patch_prefix(offs, vals, prows)
 
-    ta, tb, cnt = _bigram_top_exact(sf_dir, view, int(k))
+    ta, tb, cnt = _bigram_top_exact(
+        _seq_ds(sf_dir, columns=["doc_id", "tokens"]), view, int(k)
+    )
     if ta.size == 0:
         return _BIGRAM_SCHEMA.empty_table()
     return pa.table(
@@ -2435,12 +2445,15 @@ def seq_bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK) -> pa.Table:
     )
 
 
-def _bigram_top_exact(sf_dir: str, view, k: int):
+def _bigram_top_exact(ds: rd.Dataset, view, k: int):
     """The two-pass checked-exact bigram heavy hitter behind
-    ``seq_bigram_topk``, parameterized by the (offs, vals) view so the BPE
-    merge loop can re-run it per step over merge-rewritten sequences.
-    Returns (tok_a, tok_b, cnt) int64 arrays of the exact top-k (empty when
-    the view holds no pairs); raises when exactness is not provable."""
+    ``seq_bigram_topk``, parameterized by the input dataset and the
+    (offs, vals) view so the BPE merge loop can re-run it per step over a
+    MATERIALIZED sample with merge-rewritten sequences. ``ds`` is consumed
+    twice (pass 1 candidates, pass 2 recount) — pass a materialized
+    dataset when re-reading is expensive. Returns (tok_a, tok_b, cnt)
+    int64 arrays of the exact top-k (empty when the view holds no pairs);
+    raises when exactness is not provable."""
 
     def candidates_batch(t: pa.Table) -> pa.Table:
         offs, vals = view(t)
@@ -2459,11 +2472,8 @@ def _bigram_top_exact(sf_dir: str, view, k: int):
             }
         )
 
-    cols = ["doc_id", "tokens"]
     cand_tbl = _collect(
-        _seq_ds(sf_dir, columns=cols).map_batches(
-            candidates_batch, batch_format="pyarrow", batch_size=None
-        )
+        ds.map_batches(candidates_batch, batch_format="pyarrow", batch_size=None)
     )
     empty = (
         np.empty(0, dtype=np.int64),
@@ -2496,9 +2506,7 @@ def _bigram_top_exact(sf_dir: str, view, k: int):
         return pa.table({"cnt": pa.array(cnt)})
 
     parts = _collect(
-        _seq_ds(sf_dir, columns=cols).map_batches(
-            recount, batch_format="pyarrow", batch_size=None
-        )
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=None)
     )
     total = (
         parts.column("cnt")
@@ -2576,24 +2584,28 @@ def _apply_bpe_merges(offs: np.ndarray, vals: np.ndarray, merges) -> tuple:
     return np.concatenate(([0], np.cumsum(lens))), vals
 
 
-def _bpe_view(t: pa.Table, aug: bool, merges):
-    """(offs, vals) of the BPE training view: valid rows in the
+def _bpe_project(t: pa.Table, aug: bool) -> pa.Table:
+    """One-time projection of the BPE training view: valid rows in the
     deterministic sample (numeric suffix % {MOD} == 0, or any row without a
     numeric suffix — user corpora train on everything), canary-patched like
-    ``seq_bigram_topk`` when augmented, with the merge rules so far
-    applied."""
+    ``seq_bigram_topk`` when augmented. Emitted as a single patched
+    ``tokens`` large_list column so the merge loop's 2N passes run over a
+    MATERIALIZED ~1/{MOD} sample instead of re-reading and re-filtering
+    the corpus each pass (measured: the re-reads dominated the loop wall
+    at sf0.1)."""
+    empty = pa.table({"tokens": pa.array([], type=pa.large_list(pa.int32()))})
     ids = t.column("doc_id").combine_chunks()
     toks = t.column("tokens")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     keep = pc.and_(pc.is_valid(ids), pc.is_valid(toks))
     sel = pa.table({"doc_id": ids, "tokens": toks}).filter(keep)
     if sel.num_rows == 0:
-        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32)
+        return empty
     sfx = _suffix_i64(sel.column("doc_id"))
     samp = (sfx < 0) | (sfx % BPE_SAMPLE_MOD == 0)
     sel = sel.filter(pa.array(samp))
     if sel.num_rows == 0:
-        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32)
+        return empty
     sfx = sfx[samp]
     offs, vals = _tokens_parts(sel.column("tokens"))
     if aug:
@@ -2601,8 +2613,22 @@ def _bpe_view(t: pa.Table, aug: bool, merges):
             (sfx >= 0) & (sfx % DECON_PATCH_MOD == DECON_PATCH_RES)
         )
         vals = _patch_prefix(offs, vals, prows)
-    span = vals[offs[0] : offs[-1]]
-    return _apply_bpe_merges(offs - offs[0], span, merges)
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(offs - offs[0], type=pa.int64()),
+        pa.array(vals[offs[0] : offs[-1]], type=pa.int32()),
+    )
+    return pa.table({"tokens": lists})
+
+
+def _bpe_step_view(t: pa.Table, merges):
+    """(offs, vals) of a projected-sample block with the merge rules so far
+    applied."""
+    toks = t.column("tokens")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    if len(toks) == 0:
+        return np.zeros(1, dtype=np.int64), np.empty(0, dtype=np.int32)
+    offs, vals = _tokens_parts(toks)
+    return _apply_bpe_merges(offs - offs[0], vals[offs[0] : offs[-1]], merges)
 
 
 def seq_bpe_merges(
@@ -2627,15 +2653,22 @@ def seq_bpe_merges(
     Stops early (fewer rows) only when the view runs out of adjacent pairs,
     which the oracle reproduces (its per-step top-1 is empty then too)."""
     aug = _aug(sf_dir, augment)
+    sampled = (
+        _seq_ds(sf_dir, columns=["doc_id", "tokens"])
+        .map_batches(
+            lambda t: _bpe_project(t, aug), batch_format="pyarrow", batch_size=None
+        )
+        .materialize()
+    )
     merges: list[tuple[int, int, int]] = []
     rows = []
     for i in range(int(n_merges)):
         ms = list(merges)
 
         def view(t: pa.Table, _ms=ms):
-            return _bpe_view(t, aug, _ms)
+            return _bpe_step_view(t, _ms)
 
-        ta, tb, cnt = _bigram_top_exact(sf_dir, view, 1)
+        ta, tb, cnt = _bigram_top_exact(sampled, view, 1)
         if ta.size == 0:
             break
         nid = VOCAB + i
