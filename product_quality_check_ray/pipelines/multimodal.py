@@ -660,3 +660,129 @@ def multimodal_video_frames(sf_dir: str) -> rd.Dataset:
         batch_size=128,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL fetch → base64 (reference S7: app.py:353-361 fetch_image_as_base64)
+# ---------------------------------------------------------------------------
+
+FETCH_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("payload_b64", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("ok", pa.bool_()),
+        ("error", pa.string()),
+    ]
+)
+
+
+class UrlFetchStage:
+    """Actor-pool fetch stage: a ``url`` column → base64 payload + status
+    columns. Reference analog S7 (``app.py:353-361`` —
+    ``requests.get`` → ``base64.b64encode``, None on failure), re-expressed
+    as a per-batch stage with the client held once per actor and per-ROW
+    error isolation (one bad URL never fails a batch; the reference's
+    None-on-failure contract, with the reason kept in ``error``).
+
+    The sandbox has no network, so the DEFAULT opener performs REAL I/O for
+    ``file://`` paths and ``data:`` URIs (base64 and percent-plain forms)
+    and records a per-row error for ``http(s)`` — exactly like the
+    reference it treats a bare scheme-less URL as https. Inject
+    ``opener=`` (``url -> bytes``) in production for an HTTP client; the
+    Ray-side plumbing — actor state, batching, output schema, size cap —
+    is identical either way.
+    """
+
+    def __init__(
+        self,
+        url_col: str = "url",
+        opener=None,
+        max_bytes: int = 16 << 20,
+    ):
+        self.url_col = url_col
+        self.opener = opener
+        self.max_bytes = int(max_bytes)
+
+    def _fetch(self, url: str) -> bytes:
+        import base64 as _b64
+        import urllib.parse as _up
+
+        if url.startswith("data:"):
+            head, _, body = url.partition(",")
+            if not _ or len(url) > 4 * self.max_bytes:
+                raise ValueError("malformed or oversized data: URI")
+            raw = (
+                _b64.b64decode(body, validate=True)
+                if head.endswith(";base64")
+                else _up.unquote_to_bytes(body)
+            )
+        elif url.startswith("file://") or url.startswith("/"):
+            path = url[len("file://"):] if url.startswith("file://") else url
+            import os as _os
+
+            if _os.path.getsize(path) > self.max_bytes:
+                raise ValueError(f"payload exceeds max_bytes={self.max_bytes}")
+            with open(path, "rb") as f:
+                raw = f.read(self.max_bytes + 1)
+        else:
+            # reference behavior: a scheme-less URL is https
+            if not url.startswith("http"):
+                url = "https://" + url.strip().lstrip("/")
+            if self.opener is None:
+                raise ValueError(
+                    "http(s) fetch requires an injected opener "
+                    "(no network in this environment)"
+                )
+            raw = self.opener(url)
+        if len(raw) > self.max_bytes:
+            raise ValueError(f"payload exceeds max_bytes={self.max_bytes}")
+        return raw
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import base64 as _b64
+
+        rows = []
+        for url in t.column(self.url_col).to_pylist():
+            if url is None:
+                rows.append(
+                    {"url": None, "payload_b64": None, "n_bytes": 0,
+                     "ok": False, "error": "null url"}
+                )
+                continue
+            try:
+                raw = self._fetch(url)
+                rows.append(
+                    {
+                        "url": url,
+                        "payload_b64": _b64.b64encode(raw).decode("ascii"),
+                        "n_bytes": len(raw),
+                        "ok": True,
+                        "error": None,
+                    }
+                )
+            except Exception as exc:  # per-row isolation (reference contract)
+                rows.append(
+                    {"url": url, "payload_b64": None, "n_bytes": 0,
+                     "ok": False, "error": f"{type(exc).__name__}: {exc}"[:200]}
+                )
+        return pa.Table.from_pylist(rows, schema=FETCH_SCHEMA)
+
+
+def fetch_urls(
+    ds: rd.Dataset,
+    url_col: str = "url",
+    *,
+    opener=None,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Fetch every row's URL into a base64 payload column (actor pool —
+    I/O-bound stage, small batches so stragglers re-balance)."""
+    return ds.map_batches(
+        UrlFetchStage,
+        fn_constructor_kwargs={"url_col": url_col, "opener": opener},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

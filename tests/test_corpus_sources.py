@@ -74,3 +74,61 @@ def test_csv_corpus_through_pipeline_stage(format_dir):
 
     out = ds.map_batches(f, batch_format="pyarrow").to_pandas().sort_values("doc_id")
     assert list(out["n_words"]) == [4, 3, 3]
+
+
+# ---------------------------------------------------------------------------
+# URL fetch → base64 (reference S7 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_url_fetch_stage_offline_sources(ray_session, tmp_path):
+    """file:// and data: URIs fetch with REAL I/O; http(s) and bad rows
+    record per-row errors (never failing the batch); a custom opener makes
+    http work — the production injection point."""
+    import base64
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from product_quality_check_ray.pipelines.multimodal import (
+        UrlFetchStage,
+        fetch_urls,
+    )
+
+    payload = b"\x89PNG-ish bytes \x00\x01\x02"
+    p = tmp_path / "img.bin"
+    p.write_bytes(payload)
+    urls = [
+        f"file://{p}",
+        "data:application/octet-stream;base64," + base64.b64encode(b"hi!").decode(),
+        "data:text/plain,hello%20world",
+        "example.com/x.png",          # scheme-less → https → no network
+        f"file://{tmp_path}/missing.bin",
+        None,
+    ]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, type=pa.string())}))
+    out = fetch_urls(ds, concurrency=(1, 2), batch_size=3).to_pandas()
+    out = out.set_index("url", drop=False)
+
+    row = out.loc[f"file://{p}"]
+    assert row.ok and base64.b64decode(row.payload_b64) == payload
+    assert row.n_bytes == len(payload)
+    assert base64.b64decode(out.iloc[1].payload_b64) == b"hi!"
+    assert base64.b64decode(out.iloc[2].payload_b64) == b"hello world"
+    assert not out.loc["example.com/x.png"].ok
+    assert "opener" in out.loc["example.com/x.png"].error
+    assert not out.iloc[4].ok and "FileNotFoundError" in out.iloc[4].error
+    assert not out.iloc[5].ok and out.iloc[5].error == "null url"
+
+    # injected opener: the stage fetches over "http" via the client it holds
+    fake_store = {"https://example.com/x.png": b"NETBYTES"}
+    st = UrlFetchStage(opener=lambda u: fake_store[u])
+    got = st(pa.table({"url": pa.array(["example.com/x.png"])})).to_pylist()[0]
+    assert got["ok"] and base64.b64decode(got["payload_b64"]) == b"NETBYTES"
+
+    # size cap: an oversized file is an error row, not a batch failure
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * 1024)
+    st2 = UrlFetchStage(max_bytes=100)
+    got2 = st2(pa.table({"url": pa.array([f"file://{big}"])})).to_pylist()[0]
+    assert not got2["ok"] and "max_bytes" in got2["error"]
