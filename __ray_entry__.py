@@ -330,6 +330,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_boundary_audit",
     "seq_mixture_sample",
     "seq_prefix_dups",
+    "seq_neardup_clusters",
     "seq_sampled_check_counts",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
@@ -647,6 +648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokens-axis capstone: validate → holdout → dedup → decontaminate → pack
         "prepare_training_sequences": lambda sf: tk.prepare_training_sequences(sf),
         "seq_neardup_pairs": lambda sf: tk.seq_neardup_pairs(sf),  # head-anchor near-dup, exact verify
+        # verified pairs merged into components (state/components)
+        "seq_neardup_clusters": lambda sf: tk.seq_neardup_clusters(sf),
         # token-level MinHash banding recall over identical-gram-set ground
         # truth (rotated-twin plant: heads differ, sets identical — the
         # edit-anywhere complement head-anchor blocking misses)
@@ -839,6 +842,54 @@ def _vocab_dim_sql() -> str:
     from product_quality_check_ray.sources.dimensions import ensure_vocab_dim
 
     return ensure_vocab_dim()
+
+
+def _seqnd_scored_cte(seq: str) -> str:
+    """The seq_neardup_pairs pipeline up through per-pair Jaccard scoring
+    (planted-family view → head-anchor self-join → exact distinct-gram
+    Jaccard) — shared by the pairs and clusters oracles."""
+    return f"""raw AS (
+              SELECT doc_id, tokens,
+                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
+              FROM {seq}
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+            ),
+            aug AS (
+              SELECT doc_id,
+                     CASE WHEN sfx % {tk.SEQND_MOD} = {tk.SEQND_RES}
+                          THEN list_transform(range({tk.SEQND_L}), j -> CAST(
+                                 ({tk.SEQND_A} * ((sfx // {2 * tk.SEQND_MOD}) % {VOCAB} + 1)
+                                  + {tk.SEQND_B} * (j + 1)
+                                  + CASE WHEN j >= {tk.SEQND_L - tk.SEQND_TAIL}
+                                         THEN {tk.SEQND_C} * ((sfx // {tk.SEQND_MOD}) % 2 + 1)
+                                         ELSE 0 END) % {VOCAB} AS INTEGER))
+                          ELSE list_transform(tokens, x -> coalesce(x, -1)) END AS ptok
+              FROM raw
+            ),
+            ok AS (SELECT doc_id, ptok FROM aug WHERE len(ptok) >= {tk.DECON_K}),
+            p AS MATERIALIZED (
+              SELECT row_number() OVER () AS pid,
+                     a.doc_id AS da, b.doc_id AS db, a.ptok AS ta, b.ptok AS tb
+              FROM ok a JOIN ok b
+                ON a.ptok[1:{tk.DECON_K}] = b.ptok[1:{tk.DECON_K}]
+               AND a.doc_id < b.doc_id
+            ),
+            ga AS (SELECT DISTINCT pid, ta[i + 1:i + {tk.DECON_K}] AS g
+                   FROM p, unnest(range(len(ta) - {tk.DECON_K - 1})) AS t(i)),
+            gb AS (SELECT DISTINCT pid, tb[i + 1:i + {tk.DECON_K}] AS g
+                   FROM p, unnest(range(len(tb) - {tk.DECON_K - 1})) AS t(i)),
+            na AS (SELECT pid, count(*) AS n FROM ga GROUP BY pid),
+            nb AS (SELECT pid, count(*) AS n FROM gb GROUP BY pid),
+            sh AS (SELECT pid, count(*) AS s FROM ga JOIN gb USING (pid, g) GROUP BY pid),
+            scored AS (
+              SELECT p.da, p.db,
+                     coalesce(sh.s, 0)::BIGINT AS shared,
+                     (na.n + nb.n - coalesce(sh.s, 0))::BIGINT AS n_union,
+                     round(coalesce(sh.s, 0) * 1.0
+                           / (na.n + nb.n - coalesce(sh.s, 0)), 6) AS jaccard
+              FROM p JOIN na USING (pid) JOIN nb USING (pid)
+              LEFT JOIN sh USING (pid)
+            )"""
 
 
 def _mixseq_weights_sql() -> str:
@@ -1891,50 +1942,28 @@ def oracle_sql() -> dict[str, str]:
         # token-level near-dup pairs: planted-family generation, head-anchor
         # self-join, exact distinct-gram Jaccard — constants interpolated
         "seq_neardup_pairs": f"""
-            WITH raw AS (
-              SELECT doc_id, tokens,
-                     try_cast(right(doc_id, 12) AS BIGINT) AS sfx
-              FROM {seq}
-              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
-            ),
-            aug AS (
-              SELECT doc_id,
-                     CASE WHEN sfx % {tk.SEQND_MOD} = {tk.SEQND_RES}
-                          THEN list_transform(range({tk.SEQND_L}), j -> CAST(
-                                 ({tk.SEQND_A} * ((sfx // {2 * tk.SEQND_MOD}) % {VOCAB} + 1)
-                                  + {tk.SEQND_B} * (j + 1)
-                                  + CASE WHEN j >= {tk.SEQND_L - tk.SEQND_TAIL}
-                                         THEN {tk.SEQND_C} * ((sfx // {tk.SEQND_MOD}) % 2 + 1)
-                                         ELSE 0 END) % {VOCAB} AS INTEGER))
-                          ELSE list_transform(tokens, x -> coalesce(x, -1)) END AS ptok
-              FROM raw
-            ),
-            ok AS (SELECT doc_id, ptok FROM aug WHERE len(ptok) >= {tk.DECON_K}),
-            p AS MATERIALIZED (
-              SELECT row_number() OVER () AS pid,
-                     a.doc_id AS da, b.doc_id AS db, a.ptok AS ta, b.ptok AS tb
-              FROM ok a JOIN ok b
-                ON a.ptok[1:{tk.DECON_K}] = b.ptok[1:{tk.DECON_K}]
-               AND a.doc_id < b.doc_id
-            ),
-            ga AS (SELECT DISTINCT pid, ta[i + 1:i + {tk.DECON_K}] AS g
-                   FROM p, unnest(range(len(ta) - {tk.DECON_K - 1})) AS t(i)),
-            gb AS (SELECT DISTINCT pid, tb[i + 1:i + {tk.DECON_K}] AS g
-                   FROM p, unnest(range(len(tb) - {tk.DECON_K - 1})) AS t(i)),
-            na AS (SELECT pid, count(*) AS n FROM ga GROUP BY pid),
-            nb AS (SELECT pid, count(*) AS n FROM gb GROUP BY pid),
-            sh AS (SELECT pid, count(*) AS s FROM ga JOIN gb USING (pid, g) GROUP BY pid),
-            scored AS (
-              SELECT p.da, p.db,
-                     coalesce(sh.s, 0)::BIGINT AS shared,
-                     (na.n + nb.n - coalesce(sh.s, 0))::BIGINT AS n_union,
-                     round(coalesce(sh.s, 0) * 1.0
-                           / (na.n + nb.n - coalesce(sh.s, 0)), 6) AS jaccard
-              FROM p JOIN na USING (pid) JOIN nb USING (pid)
-              LEFT JOIN sh USING (pid)
-            )
+            WITH {_seqnd_scored_cte(seq)}
             SELECT da AS doc_id_a, db AS doc_id_b, shared, n_union, jaccard
             FROM scored WHERE jaccard >= {tk.SEQND_THRESHOLD}
+        """,
+        # verified pairs merged into components: bounded-hop closure is
+        # exact because head-anchor components are cliques (each row
+        # belongs to exactly one head group)
+        "seq_neardup_clusters": f"""
+            WITH {_seqnd_scored_cte(seq)},
+            np AS (SELECT da AS u, db AS v FROM scored
+                   WHERE jaccard >= {tk.SEQND_THRESHOLD}),
+            edges AS (
+                SELECT u, v FROM np
+                UNION SELECT v, u FROM np
+                UNION SELECT u, u FROM np
+                UNION SELECT v, v FROM np
+            ),
+            e2 AS (SELECT DISTINCT a.u, b.v FROM edges a JOIN edges b ON a.v = b.u),
+            e4 AS (SELECT DISTINCT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u)
+            SELECT u AS doc_id, min(v) AS cluster_id,
+                   (u = min(v)) AS is_keeper
+            FROM e4 GROUP BY u ORDER BY cluster_id, doc_id
         """,
         # minhash-banding recall: identical distinct-gram sets ⇒ identical
         # signatures ⇒ every band matches, so found == truth structurally

@@ -2089,6 +2089,67 @@ def seq_neardup_pairs(
     )
 
 
+def seq_neardup_clusters(
+    sf_dir: str,
+    threshold: float = SEQND_THRESHOLD,
+    augment: "bool | None" = None,
+    *,
+    driver_cap: "int | None" = None,
+) -> pa.Table:
+    """Near-duplicate CLUSTERS over the sequences table: the verified
+    head-anchor pairs merged into components (``state/components`` —
+    union-find under the pair cap, hash-partitioned label propagation
+    above it), keeper = min doc_id per component. The tokens-axis
+    ``doc_near_dup_clusters``: rows are vertices under their 64-bit id
+    hash; the min-STRING representative is recovered from the (cap-bounded)
+    pair id set after labeling, so cluster ids match the SQL oracle's
+    ``min(doc_id)`` exactly. Head-anchor components are cliques (every row
+    has ONE head group), so the oracle's bounded-hop closure is exact."""
+    from ..core.hashing import hash_strings
+    from ..state.components import connected_component_refs
+
+    pairs = seq_neardup_pairs(sf_dir, threshold, augment)
+    empty = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("cluster_id", pa.string()),
+            ("is_keeper", pa.bool_()),
+        ]
+    ).empty_table()
+    if pairs.num_rows == 0:
+        return empty
+    da = pairs.column("doc_id_a").to_pylist()
+    db = pairs.column("doc_id_b").to_pylist()
+    ha = hash_strings(pa.array(da)).view(np.int64)
+    hb = hash_strings(pa.array(db)).view(np.int64)
+    rid_to_id: dict[int, str] = {}
+    for r, d in zip(np.concatenate([ha, hb]).tolist(), da + db):
+        if rid_to_id.setdefault(r, d) != d:
+            raise ValueError(f"64-bit doc_id hash collision on rid {r}")
+    comp = pa.concat_tables(
+        ray.get(connected_component_refs(ha, hb, driver_cap=driver_cap))
+    )
+    labels = dict(
+        zip(comp.column("doc_id").to_pylist(), comp.column("cluster_id").to_pylist())
+    )
+    # component representative = min STRING id among members
+    rep: dict[int, str] = {}
+    for r, root in labels.items():
+        d = rid_to_id[r]
+        if root not in rep or d < rep[root]:
+            rep[root] = d
+    rows = sorted(
+        (rid_to_id[r], rep[root]) for r, root in labels.items()
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], type=pa.string()),
+            "cluster_id": pa.array([c for _, c in rows], type=pa.string()),
+            "is_keeper": pa.array([d == c for d, c in rows], type=pa.bool_()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token-level MinHash banding recall (the edit-anywhere complement to
 # seq_neardup_pairs' head-anchor blocking)

@@ -2042,3 +2042,46 @@ def test_seq_detokenize_vocab_dim_absent_slots(ray_session, tmp_path):
     out2 = tk.seq_detokenize(d, with_text=True, vocab_path=vp).to_pandas()
     assert int(out2["n_oov"][0]) == 2
     assert out2["text"][0] == "<unk> EIGHT <unk>"
+
+
+def test_seq_neardup_clusters_paths_and_semantics(ray_session, tmp_path):
+    """Cluster merge over head-anchor pairs: cluster_id = min STRING doc_id
+    per component (hand-built chain A~B, B~C merges to one cluster rooted
+    at the smallest id), and the distributed label-propagation path
+    (driver_cap=0) matches the union-find path byte-for-byte."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "u")
+    os.makedirs(d)
+    rng = np.random.default_rng(4)
+    head = rng.integers(0, 32000, size=8).astype(np.int32)
+    # A and B share a 56-token body; B and C share the head + most grams —
+    # one clique via the common head anchor
+    body = rng.integers(0, 32000, size=56).astype(np.int32)
+    a = np.concatenate([head, body])
+    b = np.concatenate([head, body[:-2], rng.integers(0, 32000, 2).astype(np.int32)])
+    c = np.concatenate([head, body[:-4], rng.integers(0, 32000, 4).astype(np.int32)])
+    fillers = [rng.integers(0, 32000, size=30).astype(np.int32) for _ in range(10)]
+    toks = [a, b, c, *fillers]
+    ids = ["z/a", "m/b", "a/c"] + [f"f/{i}" for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.string()),
+            "tokens": pa.array([x.tolist() for x in toks], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([len(x) for x in toks], type=pa.int32()),
+            "source": pa.array(["web"] * len(ids), type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+
+    out = tk.seq_neardup_clusters(d).to_pandas().set_index("doc_id")
+    assert set(out.index) == {"z/a", "m/b", "a/c"}
+    assert (out["cluster_id"] == "a/c").all()  # min string id roots the cluster
+    assert out.loc["a/c", "is_keeper"] and not out.loc["z/a", "is_keeper"]
+
+    dist = tk.seq_neardup_clusters(d, driver_cap=0).to_pandas().set_index("doc_id")
+    assert dist.equals(out)
