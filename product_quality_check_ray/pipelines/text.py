@@ -815,7 +815,11 @@ def exact_loser_ids(ds: rd.Dataset) -> set:
     fingerprint aggregate finds duplicate CANDIDATES, a second scan
     collects full fingerprints for candidates only and verifies exactly —
     the corpus itself is never shuffled and the driver only ever sees the
-    candidate set."""
+    candidate set.
+
+    NOTE: driver-SET variant, kept as the differential reference for
+    tests; every production path routes through ``exact_loser_ids_ds``
+    (the Dataset form whose loser set never touches the driver)."""
 
     from ..core.hashing import hash_strings
 

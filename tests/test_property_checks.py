@@ -371,3 +371,87 @@ def test_footer_prescreen_sound_on_arbitrary_corpora(ray_session, rows, stats_on
             assert not fired[check], (check, rows)
     if not stats_on and t.num_rows:
         assert not any(flags)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 property tests: BPE merge application + connected components
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_naive(rows, merges):
+    """Reference leftmost-greedy BPE application: per row, scan left to
+    right consuming two tokens when they match the rule."""
+    out_rows = []
+    for row in rows:
+        cur = list(row)
+        for a, b, nid in merges:
+            nxt, i = [], 0
+            while i < len(cur):
+                if i + 1 < len(cur) and cur[i] == a and cur[i + 1] == b:
+                    nxt.append(nid)
+                    i += 2
+                else:
+                    nxt.append(cur[i])
+                    i += 1
+            cur = nxt
+        out_rows.append(cur)
+    return out_rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4), st.integers(min_value=0, max_value=4)
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_apply_bpe_merges_matches_naive(rows, pairs):
+    """Vectorized merge application == the per-row scanning reference, on
+    tiny-vocab rows engineered to hit a==b runs and cascades constantly."""
+    import numpy as np
+
+    from product_quality_check_ray.pipelines.tokens import _apply_bpe_merges
+
+    merges = [(a, b, 100 + i) for i, (a, b) in enumerate(pairs)]
+    lens = [len(r) for r in rows]
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+    vals = np.array([t for r in rows for t in r], dtype=np.int32)
+    o, v = _apply_bpe_merges(offs, vals, merges)
+    got = [v[o[i] : o[i + 1]].tolist() for i in range(len(o) - 1)]
+    assert got == _bpe_apply_naive(rows, merges)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(ray_session, edges):
+    """Distributed label propagation == driver union-find on arbitrary
+    small random graphs (self-loops, duplicate edges, both orientations)."""
+    import numpy as np
+
+    from product_quality_check_ray.state.components import (
+        connected_components,
+        union_find_labels,
+    )
+
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    want = union_find_labels(a, b)
+    got = connected_components(a, b, driver_cap=0, ranges=3)
+    assert got.equals(want)
