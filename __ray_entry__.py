@@ -1560,7 +1560,7 @@ def oracle_sql() -> dict[str, str]:
         # non-keepers (same 4-hop component SQL as doc_near_dup_clusters —
         # exact for the fixture's component diameters) ∪ quality fails.
         "clean_documents": r"""
-            WITH w AS (
+            WITH RECURSIVE w AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
                 FROM documents
             ),
@@ -1591,10 +1591,13 @@ def oracle_sql() -> dict[str, str]:
                 UNION SELECT u, u FROM pairs
                 UNION SELECT v, v FROM pairs
             ),
-            e2 AS (SELECT DISTINCT a.u, b.v FROM edges a JOIN edges b ON a.v = b.u),
-            e4 AS (SELECT DISTINCT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u),
+            reach AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
             near_losers AS (
-                SELECT u AS doc_id FROM e4 GROUP BY u HAVING u <> min(v)
+                SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
             ),
             f AS (
                 SELECT doc_id,
@@ -1950,7 +1953,7 @@ def oracle_sql() -> dict[str, str]:
         # exact because head-anchor components are cliques (each row
         # belongs to exactly one head group)
         "seq_neardup_clusters": f"""
-            WITH {_seqnd_scored_cte(seq)},
+            WITH RECURSIVE {_seqnd_scored_cte(seq)},
             np AS (SELECT da AS u, db AS v FROM scored
                    WHERE jaccard >= {tk.SEQND_THRESHOLD}),
             edges AS (
@@ -1959,11 +1962,14 @@ def oracle_sql() -> dict[str, str]:
                 UNION SELECT u, u FROM np
                 UNION SELECT v, v FROM np
             ),
-            e2 AS (SELECT DISTINCT a.u, b.v FROM edges a JOIN edges b ON a.v = b.u),
-            e4 AS (SELECT DISTINCT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u)
+            reach AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
             SELECT u AS doc_id, min(v) AS cluster_id,
                    (u = min(v)) AS is_keeper
-            FROM e4 GROUP BY u ORDER BY cluster_id, doc_id
+            FROM reach GROUP BY u ORDER BY cluster_id, doc_id
         """,
         # minhash-banding recall: identical distinct-gram sets ⇒ identical
         # signatures ⇒ every band matches, so found == truth structurally
@@ -3585,7 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         # diameter via driver union-find over verified pairs, this is an
         # oracle-side limitation only).
         "doc_near_dup_clusters": r"""
-            WITH w AS (
+            WITH RECURSIVE w AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
                 FROM documents
             ),
@@ -3616,12 +3622,15 @@ def oracle_sql() -> dict[str, str]:
                 UNION SELECT u, u FROM pairs
                 UNION SELECT v, v FROM pairs
             ),
-            e2 AS (SELECT DISTINCT a.u, b.v FROM edges a JOIN edges b ON a.v = b.u),
-            e4 AS (SELECT DISTINCT a.u, b.v FROM e2 a JOIN e2 b ON a.v = b.u)
+            reach AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
             SELECT CAST(min(v) AS BIGINT) AS cluster_id,
                    CAST(u AS BIGINT) AS doc_id,
                    (u = min(v)) AS is_keeper
-            FROM e4 GROUP BY u
+            FROM reach GROUP BY u
             ORDER BY 1, 2
         """,
         "doc_ngram_jaccard_pairs": f"""

@@ -583,7 +583,13 @@ def seq_sketch_accuracy(sf_dir: str) -> pa.Table:
         return lo, hi
 
     rows = []
-    for s in sorted(merged):
+    # null source LAST (the na_position='last' convention of the sibling
+    # check-view queries and the oracle's ASC NULLS LAST ordering — the
+    # \x00 sentinel would otherwise sort FIRST)
+    order = sorted(s for s in merged if s != "\x00null")
+    if "\x00null" in merged:
+        order.append("\x00null")
+    for s in order:
         a = merged[s]
         sh = int(hash_strings([s]).view(np.int64)[0])
         exact_d = distinct_by_hash.get(sh, 0)

@@ -756,6 +756,12 @@ KML_OFF = 4096
 KML_K = 8
 KML_ITERS = 2
 KML_DIM = 64
+# validity cap on |x|: keeps every quantized quantity (q ≈ 2^20, squared
+# distances ×d ≈ 2^47, lattice sums) far inside int64/BIGINT so numpy can
+# never wrap where DuckDB would raise Overflow — mirrored in the oracle's
+# valid-row view (code-review finding: unbounded magnitudes diverged as
+# silent-wrap vs hard-error)
+KML_MAX_ABS = 256.0
 
 
 def embedding_kmeans_lattice(
@@ -792,7 +798,8 @@ def embedding_kmeans_lattice(
         if sel.num_rows == 0:
             return sel
         m = _list_col_to_matrix(sel.column("embedding")).astype(np.float64)
-        return sel.filter(pa.array(np.isfinite(m).all(axis=1)))
+        good = np.isfinite(m).all(axis=1) & (np.abs(m) <= KML_MAX_ABS).all(axis=1)
+        return sel.filter(pa.array(good))
 
     # hash-ranked seed selection over VALID rows (the _seed_matrix
     # selection with the validity filter the oracle's `ve` view applies)
@@ -857,9 +864,10 @@ def embedding_kmeans_lattice(
             q2 = (q * q).sum(axis=1)
             d2 = q2 + c2[assign] - 2 * cross[np.arange(len(q)), assign]
             counts = np.bincount(assign, minlength=kk).astype(np.int64)
-            inertia = np.bincount(
-                assign, weights=d2.astype(np.float64), minlength=kk
-            ).astype(np.int64)  # exact: per-batch sums < 2^53
+            # int64 add.at, not a float64-weighted bincount: per-batch
+            # inertia sums can pass 2^53 at the KML_MAX_ABS magnitude cap
+            inertia = np.zeros(kk, dtype=np.int64)
+            np.add.at(inertia, assign, d2)
             sums = np.zeros((kk, dd), dtype=np.int64)
             np.add.at(sums, assign, q)
             return pa.table(
@@ -910,8 +918,8 @@ def embedding_kmeans_lattice_oracle_sql(
     valid = (
         "embedding IS NOT NULL AND len(embedding) = {d} AND "
         "len(list_filter(embedding, x -> x IS NULL OR isnan(x) "
-        "OR NOT isfinite(x))) = 0"
-    ).format(d=dim)
+        "OR NOT isfinite(x) OR abs(x) > {cap})) = 0"
+    ).format(d=dim, cap=KML_MAX_ABS)
     sql = f"""
         WITH ve AS MATERIALIZED (
           SELECT vec_id, embedding FROM embeddings WHERE {valid}
@@ -1423,7 +1431,9 @@ def knn_ivfpq(
     ]
     if not files:
         return _EMPTY_PQ
-    # ADC table T[q, l, m, c] (tiny: 8×16×8×16 ints), computed once
+    # ADC table T[q, l, m, c] = (Q×L×M×K) = 8×16×8×256 int64 ≈ 2 MB at the
+    # defaults — one driver allocation, broadcast once; grows linearly in
+    # n_lists and num_queries
     sub = seeds.shape[1] // PQ_M
     L = seeds.shape[0]
     T = np.zeros((len(qids), L, PQ_M, PQ_K), dtype=np.int64)

@@ -2254,10 +2254,16 @@ def seq_minhash_recall(sf_dir: str, augment: "bool | None" = None) -> pa.Table:
     complement to ``seq_neardup_pairs``' head-anchor blocking (whose
     documented assumption misses near-dups that disagree on their first
     8-gram): every pair of rows with IDENTICAL distinct-8-gram sets has
-    identical 64-perm minhash signatures, so the 16-band × 4-row index MUST
-    emit it — recall over that ground truth is exactly 1.0 and the truth
-    count is plain SQL (group rows by their distinct-gram set), the
-    ``doc_simhash_recall`` grading pattern on the tokens axis.
+    identical minhash signatures, so the 8-band × 2-row index (SEQMH_K=16
+    perms) MUST emit it — recall over that ground truth is exactly 1.0 and
+    the truth count is plain SQL (group rows by their distinct-gram set),
+    the ``doc_simhash_recall`` grading pattern on the tokens axis. As with
+    every LSH cap in this repo, ``SEQMH_MAX_BUCKET`` bounds pair
+    explosion: a corpus with more than that many rows sharing ONE gram set
+    truncates the bucket and the reported recall honestly drops below 1.0
+    — the ==1.0 contract is for corpora whose identical-set groups stay
+    under the cap (the fixture guarantee, the ``doc_simhash_recall``
+    caveat).
 
     Ground truth is non-vacuous at every scale via a planted ROTATED-twin
     family (suffix % {MOD} == {RES}): members are rotations of one circular

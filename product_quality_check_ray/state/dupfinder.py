@@ -257,11 +257,17 @@ def _dup_group_ids_range(drop_min: bool, *parts) -> pa.Table:
     change = np.empty(k.size, dtype=bool)
     change[0] = True
     change[1:] = k[1:] != k[:-1]
-    sizes = np.diff(np.r_[np.flatnonzero(change), k.size])
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, k.size])
     mask = np.repeat(sizes, sizes) >= 2
     if drop_min:
-        # sorted by (key, id) → each group's first row IS its min id
-        mask &= ~change
+        # sorted by (key, id) → each group's first row holds its min id;
+        # drop EVERY row carrying that id, not just the first occurrence —
+        # a keeper id that appears twice in the group (fully duplicated
+        # row, the multi-writer re-upload case) must never land in the
+        # loser set, or the anti-join would drop the whole group
+        groupmin = np.repeat(i[starts], sizes)
+        mask &= i != groupmin
     if not mask.any():
         return empty
     return pa.table({"doc_id": pa.array(i[mask].astype(np.int64))})

@@ -154,3 +154,39 @@ def test_dupheavy_corpus_losers_never_on_driver(ray_session, tmp_path, monkeypat
     full = tx.clean_documents_full(d, loser_cap=0).to_pandas()
     assert 0 < len(full) <= 400
     assert full["doc_id"].between(0, 399).all()
+
+
+def test_loser_ds_keeper_id_duplicated_rows(ray_session, tmp_path):
+    """A fingerprint group whose MIN doc_id appears twice (fully duplicated
+    row — the multi-writer re-upload case) must keep the min id OUT of the
+    loser set; both paths must match the driver-set reference (code-review
+    finding: drop_min removed only the first row of the sorted group, so
+    the keeper id itself became a loser and the anti-join dropped the whole
+    group)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines import text as tx
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 5, 9, 7], type=pa.int64()),
+            "text": pa.array(["same text x", "same text x", "same text x", "unique y"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["web"] * 4),
+            "n_chars": pa.array([11, 11, 11, 8], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    ref = tx.exact_loser_ids(tx._docs(d, columns=["doc_id", "text"]))
+    assert ref == {9}
+    got = sorted(
+        tx.exact_loser_ids_ds(tx._docs(d, columns=["doc_id", "text"]))
+        .to_pandas()["doc_id"]
+    )
+    assert got == [9]
+    kept = sorted(tx.dedup_exact(tx._docs(d)).to_pandas()["doc_id"])
+    assert kept == [5, 5, 7]  # both keeper rows survive, loser 9 dropped

@@ -2085,3 +2085,68 @@ def test_seq_neardup_clusters_paths_and_semantics(ray_session, tmp_path):
 
     dist = tk.seq_neardup_clusters(d, driver_cap=0).to_pandas().set_index("doc_id")
     assert dist.equals(out)
+
+
+def test_seq_neardup_clusters_long_chain_oracle_parity(ray_session, tmp_path):
+    """A 12-row drifting chain in ONE head group (adjacent Jaccard ≥ 0.8,
+    distant pairs below) has component diameter > 4 — the code-review
+    scenario where a bounded 4-hop oracle closure mislabels the far
+    endpoints. The oracle now takes the exact recursive transitive closure;
+    engine and oracle must agree on arbitrary chain depth."""
+    import os
+    import re
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(12)
+    L, n_rows, spacing = 220, 12, 16
+    base = rng.integers(0, 30000, size=L).astype(np.int32)
+    rows = []
+    for i in range(n_rows):
+        cur = base.copy()
+        for j in range(i):  # cumulative drift: rows d apart differ in d tokens
+            cur[20 + spacing * j] = np.int32(31000 + j)
+        rows.append(cur)
+    # rows ≤2 apart share ≥0.86 Jaccard; 3 apart fall to ~0.797 (< 0.8)
+    ids = [f"u/r{i:02d}" for i in range(n_rows)]
+    d = str(tmp_path / "chain")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "tokens": pa.array([r.tolist() for r in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([L] * n_rows, type=pa.int32()),
+                "source": pa.array(["web"] * n_rows, type=pa.string()),
+            }
+        ),
+        os.path.join(d, "frag-00000.parquet"),
+    )
+
+    got = tk.seq_neardup_clusters(d).to_pandas()
+    assert len(got) == n_rows  # the whole chain is one component...
+    assert (got["cluster_id"] == "u/r00").all()  # ...rooted at the min id
+    # sanity: pairs themselves stop at distance 2 (a genuine chain)
+    pairs = tk.seq_neardup_pairs(d)
+    dists = [
+        abs(int(a[-2:]) - int(b[-2:]))
+        for a, b in zip(pairs.column("doc_id_a").to_pylist(),
+                        pairs.column("doc_id_b").to_pylist())
+    ]
+    assert max(dists) == 2 and len(dists) == 11 + 10
+
+    # oracle parity on THIS corpus: rebind the fixture glob to the chain dir
+    sql = e.oracle_sql()["seq_neardup_clusters"]
+    sql = re.sub(r"read_parquet\('[^']*'\)", f"read_parquet('{d}/frag-*.parquet')", sql)
+    con = duckdb.connect()
+    want = con.sql(sql).df()
+    merged = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(merged["doc_id"]) == list(want["doc_id"])
+    assert list(merged["cluster_id"]) == list(want["cluster_id"])
+    assert list(merged["is_keeper"]) == list(want["is_keeper"])
