@@ -410,6 +410,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_simhash_dups",
     "embedding_kmeans",
     "knn_ivf_kmeans",
+    "knn_ivfpq_kmeans",
 )
 
 SF001 = "/root/testdata/sf0.001"
@@ -705,6 +706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compressed ANN: IVF + integer-lattice product quantization (ADC)
         "knn_ivfpq": lambda sf: sim.knn_ivfpq(sf),
         "knn_ivfpq_recall": lambda sf: sim.knn_ivfpq_recall(sf),
+        # k-means-codebook PQ (quality path at scale) — Lloyd float
+        # means make it rows-only; the seeded twin is oracle-graded
+        "knn_ivfpq_kmeans": lambda sf: sim.knn_ivfpq_kmeans(sf),
         "knn_ivf_kmeans": sim.knn_ivf_kmeans,  # Lloyd-trained lists — rows-only (recall in pytest)
         "embedding_label_stats": sim.embedding_label_stats,
         "embedding_validate": sim.embedding_validate,  # row checks generalized to the embeddings table

@@ -1353,6 +1353,131 @@ def _pq_encode(em: np.ndarray, seeds, seed_int, codebooks) -> tuple:
     return lst.astype(np.int64), codes
 
 
+def _pq_state_kmeans(sf_dir: str, n_lists: int, iters: int = 8):
+    """The quality path ``_pq_state``'s docstring promises: per-subspace
+    codebooks trained with Lloyd iterations over a deterministic stride
+    sample of residuals (numpy k-means on the driver-side sample, the
+    ``ivf_build`` treatment) instead of hash-ranked rows. Better
+    quantization on real corpora; float means make it rows-only
+    (``knn_ivfpq_kmeans``), the seeded ``_pq_state`` stays the
+    SQL-graded twin."""
+    seeds = _unit_rows(_seed_matrix(sf_dir, n_lists))
+    seed_int = _quant_int(seeds)
+
+    def stride(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id")
+        return t.filter(pc.equal(pc.bit_wise_and(ids, 3), 0))  # 1-in-4
+
+    sample_tbl = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"])
+        .map_batches(stride, batch_format="pyarrow")
+        .limit(IVF_SAMPLE_CAP)
+    )
+    sm = _unit_rows(_list_col_to_matrix(sample_tbl.column("embedding")))
+    assign = _seed_distances(sm, seeds).argmin(axis=1)
+    resid = (_quant_int(sm) - seed_int[assign]).astype(np.float64)
+    sub = seeds.shape[1] // PQ_M
+    rng = np.random.default_rng(99)
+    codebooks = np.empty((PQ_M, PQ_K, sub), dtype=np.int64)
+    for m in range(PQ_M):
+        x = resid[:, m * sub : (m + 1) * sub]
+        k = min(PQ_K, len(x))
+        cents = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        cb = np.rint(cents).astype(np.int64)
+        if k < PQ_K:  # pad with repeats so the code range stays [0, PQ_K)
+            cb = np.concatenate([cb, np.repeat(cb[-1:], PQ_K - k, axis=0)])
+        codebooks[m] = cb
+    return seeds, seed_int, codebooks
+
+
+def knn_ivfpq_kmeans(
+    sf_dir: str, k: int = 10, num_queries: int = 8, nprobe: int = 3,
+    n_lists: int = IVF_DEFAULT_LISTS,
+) -> pa.Table:
+    """ANN top-k via IVF-PQ with K-MEANS-trained codebooks (the
+    quantization-quality path; Lloyd iterations make it rows-only — the
+    seeded ``knn_ivfpq`` is the oracle-graded twin, the
+    ``knn_ivf``/``knn_ivf_kmeans`` relationship one level down). Measured
+    recall\\@10 vs brute force: 0.125 vs seeded 0.113 at 800k vectors
+    (the regime the variant exists for — the Lloyd sample ≫ K) but 0.36
+    vs 0.48 at the 500-row fixture, where 256 SEEDED codewords memorize
+    half the corpus's residuals outright. The index
+    is built in-memory per call (members encode on the fly from a broadcast
+    state ref; assignments, probing and codes all use the same normalized
+    seed space) — same ADC machinery, one streaming scan with non-probed
+    rows filtered inside the task instead of a second on-disk index."""
+    seeds_f, seed_int, codebooks = _pq_state_kmeans(sf_dir, n_lists)
+    qids, qm = _query_matrix(sf_dir, num_queries)
+    if len(qids) == 0:
+        return _EMPTY_PQ
+    qm = _unit_rows(qm)
+    dq = _seed_distances(qm, seeds_f)
+    probe_lists = sorted(
+        {int(l) for row in dq for l in np.argsort(row, kind="stable")[:nprobe]}
+    )
+    probe_set = np.zeros(seeds_f.shape[0], dtype=bool)
+    probe_set[probe_lists] = True
+    sub = seeds_f.shape[1] // PQ_M
+    T = np.zeros((len(qids), seeds_f.shape[0], PQ_M, PQ_K), dtype=np.int64)
+    qint = _quant_int(qm)
+    for li in probe_lists:
+        rq = qint - seed_int[li][None, :]
+        for m in range(PQ_M):
+            diff = rq[:, None, m * sub : (m + 1) * sub] - codebooks[m][None, :, :]
+            T[:, li, m, :] = (diff * diff).sum(axis=2)
+    state_ref = ray.put(
+        (qids.astype(np.int64), T, seeds_f, seed_int, codebooks, probe_set)
+    )
+
+    def adc_task(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(state_ref)
+        qids_, T_, seeds_, sint_, cb_, probe_ = st
+        em = _list_col_to_matrix(t.column("embedding"))
+        vids = t.column("vec_id").to_numpy().astype(np.int64)
+        lst, codes = _pq_encode(em, seeds_, sint_, cb_)
+        keep = probe_[lst]
+        vids, lst, codes = vids[keep], lst[keep], codes[keep]
+        dist = np.zeros((len(qids_), len(vids)), dtype=np.int64)
+        for m in range(PQ_M):
+            dist += T_[:, lst, m, codes[:, m]]
+        out_q, out_n, out_d = [], [], []
+        for j, qid in enumerate(qids_):
+            mask = vids != qid
+            cand_ids = vids[mask]
+            cand_d = dist[j][mask]
+            idx = np.lexsort((cand_ids, cand_d))[:k]
+            out_q.extend([int(qid)] * len(idx))
+            out_n.extend(cand_ids[idx].tolist())
+            out_d.extend(cand_d[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "adc_dist": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    partials = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        adc_task, batch_format="pyarrow"
+    )
+    df = _collect(partials).to_pandas()
+    if df.empty:
+        return _EMPTY_PQ
+    df = df.sort_values(["query_id", "adc_dist", "neighbor_id"])
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(_PQ_SCHEMA)
+
+
 def ivfpq_build(sf_dir: str, n_lists: int = IVF_DEFAULT_LISTS) -> str:
     """Build (idempotently) the IVF-PQ index: list-partitioned parquet of
     (lst, vec_id, code0..code{M-1}) — 8 small ints per vector instead of a

@@ -96,3 +96,32 @@ def test_knn_ivfpq_index_and_recall(ray_session):
     assert rec["recall"].mean() >= 0.3  # measured 0.475 at both sf
     # n_hits consistent with recall
     assert (rec["recall"] * 10).round().astype(int).tolist() == rec["n_hits"].tolist()
+
+
+def test_knn_ivfpq_kmeans_quality_path(ray_session):
+    """The Lloyd-codebook PQ variant: deterministic, self-consistent
+    (assignment/probe/codes all in the normalized seed space — the raw-seed
+    index-layout mismatch that zeroed every ADC distance is pinned here by
+    requiring nonzero distances and real recall), recall ≫ the 0.02 random
+    baseline."""
+    import numpy as np
+
+    from product_quality_check_ray.pipelines import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    a = sim.knn_ivfpq_kmeans(sf)
+    b = sim.knn_ivfpq_kmeans(sf)
+    assert a.equals(b)
+    df = a.to_pandas()
+    assert len(df) == 80
+    assert (df["adc_dist"] > 0).any()  # distances are real, not a zeroed table
+    bf = sim.knn_bruteforce(sf).to_pandas()
+    recs = [
+        len(
+            set(df[df.query_id == q].neighbor_id)
+            & set(bf[bf.query_id == q].neighbor_id)
+        )
+        / 10
+        for q in sorted(set(bf.query_id))
+    ]
+    assert np.mean(recs) >= 0.2
