@@ -331,6 +331,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_mixture_sample",
     "seq_prefix_dups",
     "seq_neardup_clusters",
+    "seq_bpe_apply",
     "seq_sampled_check_counts",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
@@ -659,6 +660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the merge-candidate miner iterated into vocabulary induction:
         # N provably-exact merges with leftmost-greedy application
         "seq_bpe_merges": lambda sf: tk.seq_bpe_merges(sf),
+        # the train→apply closure: per-source compression of the sample
+        "seq_bpe_apply": lambda sf: tk.seq_bpe_apply(sf),
         "doc_tfidf_topk": lambda sf: tp.doc_tfidf_topk(sf),  # DF combiner + broadcast idf
         "events_range_counts": lambda sf: rel.events_range_counts(sf),  # trailing-window range join
         "events_validate": lambda sf: rel.events_validate(sf),  # row checks generalized to the events table
@@ -775,7 +778,7 @@ def _bpe_oracle_sql(seq: str, n_merges: int) -> str:
     engine: an empty t{i} propagates an unchanged state and emits no row."""
     sql = f"""
         WITH raw AS (
-          SELECT doc_id, tokens, len(tokens) AS tlen,
+          SELECT doc_id, tokens, source, len(tokens) AS tlen,
                  try_cast(right(doc_id, 12) AS BIGINT) AS sfx
           FROM {seq}
           WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
@@ -784,7 +787,7 @@ def _bpe_oracle_sql(seq: str, n_merges: int) -> str:
           SELECT * FROM raw WHERE sfx IS NULL OR sfx % {tk.BPE_SAMPLE_MOD} = 0
         ),
         pat AS MATERIALIZED (
-          SELECT row_number() OVER () AS rid,
+          SELECT row_number() OVER () AS rid, source,
                  CASE WHEN sfx IS NOT NULL
                            AND sfx % {tk.DECON_PATCH_MOD} = {tk.DECON_PATCH_RES}
                       THEN list_cat(
@@ -838,6 +841,40 @@ def _bpe_oracle_sql(seq: str, n_merges: int) -> str:
             f"b::BIGINT AS tok_b, {nid}::BIGINT AS new_id, c AS cnt FROM t{i}"
         )
     return sql + "\n" + "\nUNION ALL\n".join(tops) + "\nORDER BY merge_idx"
+
+
+def _bpe_apply_oracle_sql(seq: str, n_merges: int) -> str:
+    """SQL twin of ``seq_bpe_apply``: the same merge-chain CTEs, then a
+    per-source aggregate of token totals before (s0) and after (s{N}) the
+    rules, with the integer saved_ppm. Null sources sort last."""
+    chain = _bpe_oracle_sql(seq, n_merges)
+    # strip the merges-table final SELECT (everything from the first top)
+    cut = chain.index("\nSELECT 0::BIGINT")
+    body = chain[:cut]
+    last = f"s{n_merges}"
+    return body + f"""
+        , bef AS (
+          SELECT rid, count(*) AS n FROM s0 GROUP BY rid
+        ),
+        aft AS (
+          SELECT rid, count(*) AS n FROM {last} GROUP BY rid
+        ),
+        per AS (
+          SELECT p.source,
+                 count(*)::BIGINT AS rows,
+                 coalesce(sum(b.n), 0)::BIGINT AS tok_before,
+                 coalesce(sum(a.n), 0)::BIGINT AS tok_after
+          FROM pat p
+          LEFT JOIN bef b USING (rid)
+          LEFT JOIN aft a USING (rid)
+          GROUP BY p.source
+        )
+        SELECT source, rows, tok_before, tok_after,
+               CASE WHEN tok_before > 0
+                    THEN ((tok_before - tok_after) * 1000000) // tok_before
+                    ELSE 0 END::BIGINT AS saved_ppm
+        FROM per ORDER BY source NULLS LAST
+    """
 
 
 def _vocab_dim_sql() -> str:
@@ -1946,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BPE merge loop: chained window-function CTEs replay every step
         "seq_bpe_merges": _bpe_oracle_sql(seq, tk.BPE_N_MERGES),
+        "seq_bpe_apply": _bpe_apply_oracle_sql(seq, tk.BPE_N_MERGES),
         # token-level near-dup pairs: planted-family generation, head-anchor
         # self-join, exact distinct-gram Jaccard — constants interpolated
         "seq_neardup_pairs": f"""

@@ -2660,12 +2660,18 @@ def _bpe_project(t: pa.Table, aug: bool) -> pa.Table:
     MATERIALIZED ~1/{MOD} sample instead of re-reading and re-filtering
     the corpus each pass (measured: the re-reads dominated the loop wall
     at sf0.1)."""
-    empty = pa.table({"tokens": pa.array([], type=pa.large_list(pa.int32()))})
+    empty = pa.table(
+        {
+            "tokens": pa.array([], type=pa.large_list(pa.int32())),
+            "source": pa.array([], type=pa.string()),
+        }
+    )
     ids = t.column("doc_id").combine_chunks()
     toks = t.column("tokens")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    src = t.column("source").combine_chunks()
     keep = pc.and_(pc.is_valid(ids), pc.is_valid(toks))
-    sel = pa.table({"doc_id": ids, "tokens": toks}).filter(keep)
+    sel = pa.table({"doc_id": ids, "tokens": toks, "source": src}).filter(keep)
     if sel.num_rows == 0:
         return empty
     sfx = _suffix_i64(sel.column("doc_id"))
@@ -2684,7 +2690,19 @@ def _bpe_project(t: pa.Table, aug: bool) -> pa.Table:
         pa.array(offs - offs[0], type=pa.int64()),
         pa.array(vals[offs[0] : offs[-1]], type=pa.int32()),
     )
-    return pa.table({"tokens": lists})
+    return pa.table({"tokens": lists, "source": sel.column("source")})
+
+
+def _bpe_sampled_ds(sf_dir: str, aug: bool) -> rd.Dataset:
+    """The materialized (tokens, source) training sample shared by the
+    merge loop and the apply pass."""
+    return (
+        _seq_ds(sf_dir, columns=["doc_id", "tokens", "source"])
+        .map_batches(
+            lambda t: _bpe_project(t, aug), batch_format="pyarrow", batch_size=None
+        )
+        .materialize()
+    )
 
 
 def _bpe_step_view(t: pa.Table, merges):
@@ -2720,13 +2738,7 @@ def seq_bpe_merges(
     Stops early (fewer rows) only when the view runs out of adjacent pairs,
     which the oracle reproduces (its per-step top-1 is empty then too)."""
     aug = _aug(sf_dir, augment)
-    sampled = (
-        _seq_ds(sf_dir, columns=["doc_id", "tokens"])
-        .map_batches(
-            lambda t: _bpe_project(t, aug), batch_format="pyarrow", batch_size=None
-        )
-        .materialize()
-    )
+    sampled = _bpe_sampled_ds(sf_dir, aug)
     merges: list[tuple[int, int, int]] = []
     rows = []
     for i in range(int(n_merges)):
@@ -2750,6 +2762,89 @@ def seq_bpe_merges(
             }
         )
     return pa.Table.from_pylist(rows, schema=_BPE_SCHEMA)
+
+
+def seq_bpe_apply(
+    sf_dir: str, n_merges: int = BPE_N_MERGES, augment: "bool | None" = None
+) -> pa.Table:
+    """Apply the induced merge table back to the training sample — the
+    train→apply closure of the tokenizer capstone: per source, rows and
+    token totals before/after the ``seq_bpe_merges`` rules, plus the
+    integer compression rate saved_ppm = (before − after)·10⁶ // before.
+    One extra streaming pass over the SAME materialized sample the merge
+    loop used (per-batch (source, before, after) integer partials, driver
+    rollup); the oracle replays the merge chain and aggregates per source.
+    Null sources fold last like the other per-source views."""
+    aug = _aug(sf_dir, augment)
+    m_tbl = seq_bpe_merges(sf_dir, n_merges, augment)
+    merges = list(
+        zip(
+            m_tbl.column("tok_a").to_pylist(),
+            m_tbl.column("tok_b").to_pylist(),
+            m_tbl.column("new_id").to_pylist(),
+        )
+    )
+    sampled = _bpe_sampled_ds(sf_dir, aug)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = t.column("tokens")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "rows": pa.array([], type=pa.int64()),
+                    "tok_before": pa.array([], type=pa.int64()),
+                    "tok_after": pa.array([], type=pa.int64()),
+                }
+            )
+        offs, vals = _tokens_parts(toks)
+        before = offs[1:] - offs[:-1]
+        offs2, _vals2 = _apply_bpe_merges(
+            offs - offs[0], vals[offs[0] : offs[-1]], merges
+        )
+        after = offs2[1:] - offs2[:-1]
+        src = t.column("source").to_pandas().fillna("\x00null")
+        df = pd.DataFrame(
+            {"source": src, "rows": np.int64(1),
+             "tok_before": before, "tok_after": after}
+        )
+        g = df.groupby("source", as_index=False).sum()
+        for c in ("rows", "tok_before", "tok_after"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = _collect(sampled.map_batches(partial, batch_format="pyarrow")).to_pandas()
+    if parts.empty:
+        return pa.schema(
+            [
+                ("source", pa.string()),
+                ("rows", pa.int64()),
+                ("tok_before", pa.int64()),
+                ("tok_after", pa.int64()),
+                ("saved_ppm", pa.int64()),
+            ]
+        ).empty_table()
+    g = parts.groupby("source", as_index=False).sum()
+    g["__null"] = g["source"] == "\x00null"
+    g = g.sort_values(["__null", "source"], kind="mergesort").reset_index(drop=True)
+    before = g["tok_before"].astype(np.int64).to_numpy()
+    after = g["tok_after"].astype(np.int64).to_numpy()
+    saved = np.where(
+        before > 0, (before - after) * 1_000_000 // np.maximum(before, 1), 0
+    )
+    return pa.table(
+        {
+            "source": pa.array(
+                [None if n else s for s, n in zip(g["source"], g["__null"])],
+                type=pa.string(),
+            ),
+            "rows": pa.array(g["rows"].astype(np.int64), type=pa.int64()),
+            "tok_before": pa.array(before, type=pa.int64()),
+            "tok_after": pa.array(after, type=pa.int64()),
+            "saved_ppm": pa.array(saved.astype(np.int64), type=pa.int64()),
+        }
+    )
 
 
 # --- split-assignment constants (mirrored verbatim into the SQL oracle) ----

@@ -2150,3 +2150,38 @@ def test_seq_neardup_clusters_long_chain_oracle_parity(ray_session, tmp_path):
     assert list(merged["doc_id"]) == list(want["doc_id"])
     assert list(merged["cluster_id"]) == list(want["cluster_id"])
     assert list(merged["is_keeper"]) == list(want["is_keeper"])
+
+
+def test_seq_bpe_apply_compression(ray_session, tmp_path):
+    """Applying the induced rules to the phrase corpus shrinks every
+    phrase occurrence from 3 tokens to 1: hand-computable totals."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "user")
+    os.makedirs(d)
+    rng = np.random.default_rng(9)
+    toks = []
+    for i in range(50):
+        noise1 = rng.integers(2000, 31000, size=3).tolist()
+        noise2 = rng.integers(2000, 31000, size=3).tolist()
+        toks.append(noise1 + [10, 11, 12] + noise2)
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"u/{i}" for i in range(50)], type=pa.string()),
+            "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([9] * 50, type=pa.int32()),
+            "source": pa.array(["web"] * 50, type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    out = tk.seq_bpe_apply(d, n_merges=2).to_pandas()
+    assert len(out) == 1 and out["source"][0] == "web"
+    assert out["rows"][0] == 50
+    assert out["tok_before"][0] == 450
+    # two merges collapse [10,11,12] → one token per row: 450 - 2*50 = 350
+    assert out["tok_after"][0] == 350
+    assert out["saved_ppm"][0] == (100 * 1_000_000) // 450
