@@ -192,6 +192,8 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("embedding_kmeans_lattice", lambda sf: sim.embedding_kmeans_lattice(sf)),
         ("seq_minhash_recall", lambda sf: tk.seq_minhash_recall(sf)),
         ("seq_bpe_merges", lambda sf: tk.seq_bpe_merges(sf)),
+        ("seq_bpe_apply", lambda sf: tk.seq_bpe_apply(sf)),
+        ("seq_neardup_clusters", lambda sf: tk.seq_neardup_clusters(sf)),
         ("seq_sketch_accuracy", lambda sf: sq.seq_sketch_accuracy(sf)),
         ("embedding_near_dups", lambda sf: sim.embedding_near_dups(sf, threshold=0.4)),
         ("embedding_semantic_dedup", sim.embedding_semantic_dedup),
