@@ -60,7 +60,7 @@ ALLOWED_SOURCES: frozenset[str] = frozenset(r["source"] for r in SOURCE_ALLOWLIS
 # source moves mass across many bins (width 256 hides it entirely).
 HIST_BIN_WIDTH: int = 32
 HIST_MAX: int = 8192
-HIST_NUM_BINS: int = HIST_MAX // HIST_BIN_WIDTH  # 32 bins; +1 overflow bin
+HIST_NUM_BINS: int = HIST_MAX // HIST_BIN_WIDTH  # 256 bins; +1 overflow bin
 
 
 def hist_bin_edges() -> list[int]:

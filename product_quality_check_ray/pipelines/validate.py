@@ -61,7 +61,7 @@ except Exception:
     pass
 
 from ..checks.drift import drift_verdicts
-from ..checks.row_checks import ROW_CHECK_NAMES, annotate_batch
+from ..checks.row_checks import ROW_CHECK_NAMES, annotate_batch, conform_schema
 from ..core.schema import HIST_BIN_WIDTH, HIST_NUM_BINS, SOURCE_ALLOWLIST
 from ..sources.dimensions import build_check_ctx, reference_histograms_dim
 from ..state import dupfinder
@@ -165,7 +165,7 @@ class RowCheckStage:
 
     def _process_group(self, path: str, t: pa.Table) -> list[dict]:
         ctx = self.ctx
-        proven = self.prescreen.get(path)
+        proven = self.prescreen.get(os.path.abspath(path)) if self.prescreen else None
         if proven:
             # drop footer-proven checks for this fragment; proofs are SOUND
             # (a proven check cannot fire on any row here), so the output is
@@ -440,9 +440,10 @@ def run_validation(
     parts_done = len(files) - len(todo)
     if fail_fast_violations is not None and parts_done:
         recs = lin.all_lineage(out_dir)
+        todo_set = set(todo)  # hoisted: rebuilding this per file is O(n²)
         viol_so_far = sum(
             recs[pid]["viol_rows"]
-            for pid in (lin.part_id_for(f) for f in files if f not in set(todo))
+            for pid in (lin.part_id_for(f) for f in files if f not in todo_set)
             if pid in recs
         )
         if viol_so_far > fail_fast_violations:
@@ -454,8 +455,11 @@ def run_validation(
 
         t0 = time.time()
         scan = stats_prescreen_files(todo, allowlist_rows=allow)
+        # keys normalized to absolute paths: Ray's include_paths yields
+        # resolved paths, so a RELATIVE input_path would otherwise never
+        # match and the footer scan would be paid for zero benefit
         proven_map = {
-            p: frozenset(
+            os.path.abspath(p): frozenset(
                 name[len("prove_") :]
                 for name, flag in zip(_PRESCREEN_CHECKS, flags)
                 if flag
@@ -529,6 +533,17 @@ def run_validation(
         _phase_log("uniqueness reduce", t0)
         t0 = time.time()
         dup_rows = 0
+        if write_violations:
+            # the duplicate phase is GLOBAL and recomputed from scratch each
+            # run, but its files live in per-partition dirs that resume
+            # keeps — clear every dup-* sink first or a kept partition would
+            # resurface duplicate rows that no longer exist in the corpus
+            # (and re-runs with different block splits would accumulate
+            # differently-digested dup files alongside the old ones)
+            for p in glob.glob(
+                os.path.join(lin.violations_dir(out_dir), "part=*", "dup-*.parquet")
+            ):
+                os.remove(p)
         if dups:
             dup_rows = materialize_duplicates(
                 files, dups, out_dir, write_violations=write_violations
@@ -818,7 +833,10 @@ def materialize_duplicates(
     are clustered/sorted within files so whole row groups can be skipped;
     for uniformly distributed ids the scanner-side isin is measurably slower
     than the broadcast filter, so it is off by default.
-    Rows keep their input columns byte-identical (token-array invariant).
+    Rows keep their input columns byte-identical (token-array invariant)
+    modulo the same declared-schema cast the rc- sink applies
+    (``conform_schema``) — so every file under ``violations/`` shares ONE
+    schema and ``violations_dataset()`` always reads.
     """
     if not write_violations:
         # no rows to materialize — the exact counts are already known
@@ -848,7 +866,10 @@ def materialize_duplicates(
         for path in pc.unique(sel.column("path")).to_pylist():
             g = sel.filter(pc.equal(sel.column("path"), path))
             pid = lin.part_id_for(path)
-            t = g.drop_columns(["path"])
+            # conform like the rc- sink: without the cast, a corpus stored
+            # with (say) int64 n_tok would mix schemas inside violations/
+            # and make violations_dataset() unreadable
+            t = conform_schema(g.drop_columns(["path"]))
             n = t.num_rows
             t = t.append_column("ok", pa.array([False] * n))
             t = t.append_column(

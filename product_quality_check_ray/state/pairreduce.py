@@ -49,7 +49,14 @@ def _map_blocks(block_refs: list, key_col: str, id_col: str, ranges: int, size_c
     # them), which poison concat_tables — drop them
     tables = [t for t in tables if t.num_rows > 0]
     if not tables:
-        e = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), None)
+        # the sizes slot must be an ARRAY (not None) when size_col rides the
+        # exchange — a reduce range mixing this sentinel with non-empty
+        # parts np.concatenate()s the slot
+        e = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64) if size_col is not None else None,
+        )
         return e if ranges == 1 else tuple(e for _ in range(ranges))
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     keys = t.column(key_col).combine_chunks()

@@ -55,12 +55,15 @@ def _route_payloads(block_refs: list, id_col: str, hash_col: str, ranges: int, i
     t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
     ids = np.asarray(t.column(id_col).to_numpy(zero_copy_only=False), dtype=np.int64)
     col = t.column(hash_col).combine_chunks()
+    # ABSOLUTE offsets throughout: a sliced ListArray has offs[0] > 0 while
+    # its values buffer stays absolutely indexed, so gathering with
+    # zero-rebased offsets would read the NEXT row's window (the
+    # row_checks._list_min_max convention)
     offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     vals = np.asarray(
         col.values.to_numpy(zero_copy_only=False), dtype=np.uint64
     )[: offs[-1]]
-    base = offs - offs[0]
-    lens = base[1:] - base[:-1]
+    lens = offs[1:] - offs[:-1]
     pos = np.searchsorted(docs_sorted, ids)
     pos = np.minimum(pos, max(docs_sorted.size - 1, 0))
     present = docs_sorted.size > 0
@@ -86,7 +89,7 @@ def _route_payloads(block_refs: list, id_col: str, hash_col: str, ranges: int, i
             continue
         lr = lens[rows]
         tot = int(lr.sum())
-        gather = np.repeat(base[:-1][rows], lr) + (
+        gather = np.repeat(offs[:-1][rows], lr) + (
             np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(lr) - lr, lr)
         )
         parts.append(

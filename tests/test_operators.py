@@ -2381,3 +2381,70 @@ def test_locate_ids_long_id_stats_dropped(ray_session, tmp_path):
     assert [f.split("/")[-1] for f in skip] == ["frag-001.parquet"]
     out = tk.seq_locate_ids(str(d), targets=[target]).to_pylist()
     assert out == [{"doc_id": target, "fragment": "frag-000.parquet", "n_rows": 1}]
+
+
+def test_pairreduce_size_col_survives_empty_blocks(ray_session):
+    """An all-empty block bundle must not poison a size_col reduce (review
+    finding: the empty sentinel carried None in the sizes slot and
+    np.concatenate died in ranges mixing it with real parts)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from product_quality_check_ray.state.pairreduce import cooccurrence_pairs
+
+    full = pa.table(
+        {
+            "key": pa.array(["k1", "k1", "k2", "k2"], type=pa.string()),
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "n": pa.array([10, 20, 30, 40], type=pa.int64()),
+        }
+    )
+    empty = full.slice(0, 0)
+    ds = rd.from_arrow([full, empty, empty]).materialize()
+    out = cooccurrence_pairs(
+        ds, "key", "doc_id", size_col="n", blocks_per_task=1
+    ).sort_values(["id_a"]).reset_index(drop=True)
+    assert out["id_a"].tolist() == [1, 3]
+    assert out["id_b"].tolist() == [2, 4]
+    assert out["size_a"].tolist() == [10, 30] and out["size_b"].tolist() == [20, 40]
+
+
+def test_pairverify_offset_shifted_list_blocks(ray_session):
+    """A payload block whose list column carries a LEADING offset (offsets
+    buffer starting past 0 over an absolutely-indexed values buffer — the
+    shape a sliced single-chunk array keeps through the object store) must
+    route the correct hash windows (review finding: zero-rebased gather
+    shifted every window by offsets[0])."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from product_quality_check_ray.state.pairverify import (
+        _route_payloads,
+        _verify_range,
+    )
+
+    # values buffer has 4 junk leading slots; rows index it ABSOLUTELY
+    values = pa.array(
+        [99, 98, 97, 96, 10, 11, 12, 13, 10, 11, 12, 14], type=pa.uint64()
+    )
+    hashes = pa.ListArray.from_arrays(pa.array([4, 8, 12], type=pa.int32()), values)
+    assert hashes.offsets.to_pylist()[0] == 4  # genuinely offset-shifted
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()), "hashes": hashes}
+    )
+    id_a = np.array([1], dtype=np.int64)
+    id_b = np.array([2], dtype=np.int64)
+    # jaccard(1,2) over {10,11,12,13} vs {10,11,12,14} = 3/5 = 0.6
+    rg = np.zeros(1, dtype=np.int64)
+    docs = np.array([1, 2], dtype=np.int64)
+    off = np.array([0, 1, 2], dtype=np.int64)
+    inc_ref = ray.put((docs, off, np.array([0, 0], dtype=np.int64)))
+    pairs_ref = ray.put((id_a, id_b, rg))
+    part = ray.get(
+        _route_payloads.remote([ray.put(t)], "doc_id", "hashes", 1, inc_ref)
+    )
+    out = ray.get(_verify_range.remote(pairs_ref, 0, 0.0, part)).to_pylist()[0]
+    assert out["shared"] == 3 and out["n_a"] == 4 and out["n_b"] == 4
+    assert out["jaccard"] == 0.6

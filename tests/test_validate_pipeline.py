@@ -525,3 +525,86 @@ def test_resume_invalidates_on_config_change(ray_session, small_corpus, tmp_path
     # and switching BACK also re-validates (digest mismatch, not ordering)
     rep4 = run_validation(small_corpus, out, resume=True)
     assert sum(v["viol_rows"] for v in rep4.partitions.values()) == v1
+
+
+def test_resume_clears_stale_duplicate_files(ray_session, tmp_path):
+    """The duplicate phase is global-per-run: after a resumed run whose
+    corpus no longer contains a duplicate, the KEPT partition's old dup-*
+    files must not resurface phantom duplicate violations (review finding:
+    violations_dataset / report read the out_dir as truth)."""
+    import glob as _g
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.validate import (
+        run_validation,
+        violations_dataset,
+    )
+
+    def tbl(ids):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "tokens": pa.array([[1, 2]] * len(ids), type=pa.list_(pa.int32())),
+                "n_tok": pa.array([2] * len(ids), type=pa.int32()),
+                "source": pa.array(["web"] * len(ids), type=pa.string()),
+            }
+        )
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    fa, fb = os.path.join(d, "frag-00000.parquet"), os.path.join(d, "frag-00001.parquet")
+    pq.write_table(tbl([f"a-{i:012d}" for i in range(8)] + ["x-000000000001"]), fa)
+    pq.write_table(tbl([f"b-{i:012d}" for i in range(8)] + ["x-000000000001"]), fb)
+    out = str(tmp_path / "out")
+    rep1 = run_validation(d, out)
+    assert rep1.duplicates == {"x-000000000001": 2}
+    assert len(_g.glob(os.path.join(out, "violations", "part=*", "dup-*.parquet"))) == 2
+
+    # rewrite B without the duplicate; A is untouched → kept on resume
+    pq.write_table(tbl([f"b-{i:012d}" for i in range(8)]), fb)
+    rep2 = run_validation(d, out)
+    assert rep2.duplicates == {}
+    assert _g.glob(os.path.join(out, "violations", "part=*", "dup-*.parquet")) == []
+    v = violations_dataset(out)
+    assert v is None or v.count() == 0
+
+
+def test_duplicate_sink_conforms_schema(ray_session, tmp_path):
+    """dup-* files share the rc- sink's declared schema: a corpus stored
+    with int64 n_tok must still yield a readable violations dataset (review
+    finding: mixed int32/int64 schemas broke the read)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.validate import (
+        run_validation,
+        violations_dataset,
+    )
+
+    d = str(tmp_path / "c")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"d-{i:012d}" for i in range(8)] + ["x-000000000001", "x-000000000001"],
+                type=pa.string(),
+            ),
+            # int64 n_tok + a null doc_id-free rc violation via mismatch
+            "tokens": pa.array([[1, 2]] * 9 + [[1, 2, 3]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 9 + [9], type=pa.int64()),
+            "source": pa.array(["web"] * 10, type=pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "frag-00000.parquet"))
+    out = str(tmp_path / "out")
+    rep = run_validation(d, out)
+    assert rep.duplicates == {"x-000000000001": 2}
+    v = violations_dataset(out).to_pandas()  # must not raise on mixed schemas
+    assert len(v) == 3  # 2 dup rows + 1 ntok_mismatch row
+    checks = sorted(c for row in v["checks_failed"] for c in row)
+    assert checks == ["dup_doc_id", "dup_doc_id", "ntok_mismatch"]
