@@ -1707,7 +1707,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ws[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_WORDS}], ' ') AS chunk_text,
                    (((w.doc_id::HUGEINT * {SHARD_MULT1}) % 4294967296) % {N_SHARDS})::BIGINT AS shard
             FROM w JOIN kept USING (doc_id),
-                 UNNEST(range(0, (len(ws)-1)//{CHUNK_STRIDE} + 1)) AS t(i)
+                 UNNEST(range(0, (greatest(len(ws) - {CHUNK_WORDS}, 0) + {CHUNK_STRIDE} - 1)//{CHUNK_STRIDE} + 1)) AS t(i)
         """,
         # sliding-window example packing: DuckDB list slices are 1-based and
         # end-inclusive, so window i covers ws[i*stride+1 .. i*stride+chunk]
@@ -1721,7 +1721,7 @@ def oracle_sql() -> dict[str, str]:
                    i AS chunk_id,
                    least(len(ws) - i*{CHUNK_STRIDE}, {CHUNK_WORDS})::BIGINT AS n_words,
                    array_to_string(ws[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_WORDS}], ' ') AS chunk_text
-            FROM w, UNNEST(range(0, (len(ws)-1)//{CHUNK_STRIDE} + 1)) AS t(i)
+            FROM w, UNNEST(range(0, (greatest(len(ws) - {CHUNK_WORDS}, 0) + {CHUNK_STRIDE} - 1)//{CHUNK_STRIDE} + 1)) AS t(i)
         """,
         # PII scrub over the deterministically-augmented corpus; the CASE
         # expressions mirror textprep._augment_pii and the replacement order
@@ -2120,7 +2120,11 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN sfx IS NOT NULL
                                AND sfx % {tk.DUPSEQ_MOD} = {tk.DUPSEQ_RES}
                           THEN {_canary_sql()}[1:{tk.DUPSEQ_LEN_BASE} + sfx % {tk.DUPSEQ_LEN_CHOICES}]
-                          ELSE tokens END AS ptok
+                          -- null lists ≡ [], null elements ≡ -1: the
+                          -- engine's _tokens_parts sentinel view (same
+                          -- coalesce as the sibling dedup oracles)
+                          ELSE list_transform(coalesce(tokens, []),
+                                              x -> coalesce(x, -1)) END AS ptok
               FROM raw
             )
             SELECT doc_id, source, n_tok,

@@ -27,3 +27,20 @@ def collect_table(ds: rd.Dataset, schema: "pa.Schema | None" = None) -> pa.Table
             return pa.table({})
         return pa.table({f.name: pa.array([], type=f.type) for f in schema})
     return pa.concat_tables(tables, promote_options="default").combine_chunks()
+
+
+def reset_incomplete_sink(out_dir: str, marker: str) -> bool:
+    """Marker-sink crash safety (shared by every resumable parquet sink
+    with a `_*_SUCCESS` marker): returns True when the marker exists (sink
+    complete — read it back); otherwise REMOVES any partial output first,
+    because Ray's ``write_parquet`` appends UUID-named files and a rerun
+    over a killed run's partial directory would silently duplicate rows
+    under a fresh success marker."""
+    import os
+    import shutil
+
+    if os.path.exists(marker):
+        return True
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return False

@@ -96,4 +96,8 @@ def cluster_range_count(cap: int, floor: int = 8) -> int:
         ranges = max(floor, int(ray.cluster_resources().get("CPU", floor)))
     except Exception:
         ranges = floor
-    return int(min(max(2, ranges), cap))
+    # never below 2: `num_returns=1` makes Ray hand back a BARE ObjectRef
+    # instead of a list, and every caller indexes `mapped[r]` — a cap of 1
+    # (n_shards=1) just leaves the second range empty, which the split and
+    # reduce tasks already handle
+    return int(max(2, min(max(2, ranges), cap)))

@@ -251,12 +251,14 @@ def seq_source_stats(sf_dir: str) -> pa.Table:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("source", as_index=False, dropna=False).agg(
             rows=("n_tok", "size"),
+            n_vals=("n_tok", "count"),  # non-null count: SQL-NULL parity below
             sum_n_tok=("n_tok", "sum"),
             min_n_tok=("n_tok", "min"),
             max_n_tok=("n_tok", "max"),
         )
         g["rows"] = g["rows"].astype(np.int64)
-        g["sum_n_tok"] = g["sum_n_tok"].astype(np.int64)
+        g["n_vals"] = g["n_vals"].astype(np.int64)
+        g["sum_n_tok"] = g["sum_n_tok"].astype(np.float64)
         return g
 
     df = (
@@ -264,9 +266,18 @@ def seq_source_stats(sf_dir: str) -> pa.Table:
         .materialize()  # tiny combiner output; see core/batches.py note
         .to_pandas()
     )
+    if len(df) == 0:
+        # zero-row corpus: the partials are column-less (the
+        # seq_check_counts guard) — typed empty table
+        return pa.schema(
+            [("source", pa.string()), ("rows", pa.int64()),
+             ("sum_n_tok", pa.int64()), ("min_n_tok", pa.int32()),
+             ("max_n_tok", pa.int32()), ("mean_n_tok", pa.float64())]
+        ).empty_table()
     # driver rollup over O(tasks × sources) partial rows (see seq_check_counts)
     g = df.groupby("source", dropna=False, as_index=False).agg(
         rows=("rows", "sum"),
+        n_vals=("n_vals", "sum"),
         sum_n_tok=("sum_n_tok", "sum"),
         min_n_tok=("min_n_tok", "min"),
         max_n_tok=("max_n_tok", "max"),
@@ -274,15 +285,28 @@ def seq_source_stats(sf_dir: str) -> pa.Table:
     g = g.sort_values("source", na_position="last", kind="mergesort").reset_index(
         drop=True
     )
+    # a source whose n_tok values are ALL null reports NULL aggregates (the
+    # SQL sum/min/max-skip-nulls convention) instead of 0 / a NaN int cast
+    has = g["n_vals"].to_numpy() > 0
+
+    def _nullable(col, np_type, pa_type):
+        vals = g[col].to_numpy(dtype=np.float64)
+        return pa.array(
+            [np_type(v) if h else None for v, h in zip(vals, has)], type=pa_type
+        )
+
+    mean = np.where(
+        has, _rha(g["sum_n_tok"].to_numpy(dtype=np.float64) / g["rows"], 6), np.nan
+    )
     return pa.table(
         {
             "source": pa.array(g["source"].astype(object).where(g["source"].notna(), None), type=pa.string()),
             "rows": pa.array(g["rows"].astype(np.int64), type=pa.int64()),
-            "sum_n_tok": pa.array(g["sum_n_tok"].astype(np.int64), type=pa.int64()),
-            "min_n_tok": pa.array(g["min_n_tok"].astype(np.int32), type=pa.int32()),
-            "max_n_tok": pa.array(g["max_n_tok"].astype(np.int32), type=pa.int32()),
+            "sum_n_tok": _nullable("sum_n_tok", int, pa.int64()),
+            "min_n_tok": _nullable("min_n_tok", int, pa.int32()),
+            "max_n_tok": _nullable("max_n_tok", int, pa.int32()),
             "mean_n_tok": pa.array(
-                _rha(g["sum_n_tok"].astype(np.float64) / g["rows"], 6),
+                [float(m) if h else None for m, h in zip(mean, has)],
                 type=pa.float64(),
             ),
         }
@@ -296,21 +320,42 @@ def seq_ntok_histogram(sf_dir: str) -> pa.Table:
     w = HIST_BIN_WIDTH
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        b = (df["n_tok"].to_numpy(dtype=np.int64) // w).astype(np.int64)
-        g = pd.DataFrame({"bin": b, "n": np.int64(1)}).groupby("bin", as_index=False).sum()
+        v = df["n_tok"]
+        valid = v.notna().to_numpy()
+        # NULL n_tok rows keep a NULL bin (the oracle's floor(NULL) group);
+        # the old to_numpy(dtype=int64) over a NaN column emitted
+        # platform-dependent garbage bins. Vectorized: bin counts over the
+        # valid rows, one NULL-bin row for the rest.
+        bv = (v.to_numpy(dtype=np.float64)[valid] // w).astype(np.int64)
+        ub, uc = np.unique(bv, return_counts=True)
+        bins = pd.array(ub, dtype="Int64")
+        counts = uc.astype(np.int64)
+        n_null = int((~valid).sum())
+        g = pd.DataFrame({"bin": bins, "n": counts})
+        if n_null:
+            g = pd.concat(
+                [g, pd.DataFrame({"bin": pd.array([None], dtype="Int64"),
+                                  "n": [np.int64(n_null)]})],
+                ignore_index=True,
+            )
         g["n"] = g["n"].astype(np.int64)
         return g
 
     df = ds.map_batches(_aout(partial), batch_format="pandas").to_pandas()
+    if len(df) == 0:
+        # zero-row corpus (the seq_check_counts guard)
+        return pa.schema([("bin", pa.int64()), ("n", pa.int64())]).empty_table()
     # driver rollup over O(tasks × bins) partial rows (see seq_check_counts)
     g = (
-        df.groupby("bin", as_index=False)["n"].sum()
-        .sort_values("bin", kind="mergesort")
+        df.groupby("bin", as_index=False, dropna=False)["n"].sum()
+        .sort_values("bin", na_position="last", kind="mergesort")
         .reset_index(drop=True)
     )
     return pa.table(
         {
-            "bin": pa.array(g["bin"].astype(np.int64), type=pa.int64()),
+            "bin": pa.array(
+                [None if pd.isna(x) else int(x) for x in g["bin"]], type=pa.int64()
+            ),
             "n": pa.array(g["n"].astype(np.int64), type=pa.int64()),
         }
     )
@@ -680,15 +725,16 @@ def seq_token_topk(sf_dir: str, k: int = 100) -> pa.Table:
     #fragments × 256 KB through the object store, log-depth, driver holds
     only ObjectRefs.
     """
-    import glob as _glob
-
     import ray
 
     from ..core.schema import VOCAB
-    from ..datagen import ensure_sequences, sequences_glob
+    from ..datagen import resolve_sequences
 
-    ensure_sequences(sf_dir)
-    files = sorted(_glob.glob(sequences_glob(sf_dir)))
+    # resolve_sequences, NOT ensure_sequences: a user directory of
+    # frag-*.parquet is read directly, and anything else fails loudly —
+    # the fixture generator must never fabricate data for user input
+    # (the resolve_sequences contract every other seq op follows)
+    files = resolve_sequences(sf_dir)
 
     @ray.remote
     def count_frag(paths: list[str]) -> np.ndarray:

@@ -1811,10 +1811,13 @@ def clean_documents(
         import json as _json
         import os as _os
 
+        from ..core.collect import reset_incomplete_sink
+
         marker = _os.path.join(out_dir, "_CLEAN_SUCCESS.json")
-        if _os.path.exists(marker):
+        if reset_incomplete_sink(out_dir, marker):
             # resumable output contract: a completed clean corpus is not
-            # rewritten (delete the marker to force)
+            # rewritten (delete the marker to force); an incomplete one is
+            # cleared first so the rewrite cannot append onto partial files
             return rd.read_parquet(out_dir)
         # partitioned by source: a failed run resumes by re-running (writes
         # are directory-partitioned, never one giant file), and downstream
@@ -1935,8 +1938,10 @@ def clean_documents_full(
         import json as _json
         import os as _os
 
+        from ..core.collect import reset_incomplete_sink
+
         marker = _os.path.join(out_dir, "_CLEAN_FULL_SUCCESS.json")
-        if _os.path.exists(marker):
+        if reset_incomplete_sink(out_dir, marker):
             return rd.read_parquet(out_dir)
         cleaned.write_parquet(out_dir, partition_cols=["source"])
         with open(marker, "w") as f:

@@ -45,7 +45,11 @@ def _chunk_batch(t: pa.Table, chunk: int, stride: int) -> pa.Table:
     _, off, flat, lens = _split_words(texts)
     doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     # lens >= 1 always (_split_words maps empty text to the single token "")
-    nc = ((lens - 1) // stride + 1).astype(np.int64)
+    # window count 1 + ceil(max(len - chunk, 0)/stride): windows are emitted
+    # until one REACHES the end, so no trailing window is a strict subset of
+    # its predecessor (the seq_chunk_windows convention; the old
+    # (len-1)//stride + 1 emitted duplicate tail text as extra examples)
+    nc = ((np.maximum(lens - chunk, 0) + stride - 1) // stride + 1).astype(np.int64)
     doc_idx = np.repeat(np.arange(len(lens)), nc)
     cum = np.concatenate(([0], np.cumsum(nc)))
     chunk_id = np.arange(cum[-1], dtype=np.int64) - cum[doc_idx]
@@ -210,8 +214,10 @@ def shard_corpus(
     import json
     import os
 
+    from ..core.collect import reset_incomplete_sink
+
     marker = os.path.join(out_dir, "_SHARDS_SUCCESS.json")
-    if os.path.exists(marker):
+    if reset_incomplete_sink(out_dir, marker):
         return rd.read_parquet(out_dir)
     ds = (
         _docs(sf_dir)
@@ -735,8 +741,10 @@ def prepare_training_corpus(
         import json
         import os
 
+        from ..core.collect import reset_incomplete_sink
+
         marker = os.path.join(out_dir, "_CORPUS_SUCCESS.json")
-        if os.path.exists(marker):
+        if reset_incomplete_sink(out_dir, marker):
             return rd.read_parquet(out_dir)
         out.sort(["shard", "doc_id", "chunk_id"]).write_parquet(
             out_dir, partition_cols=["shard"]

@@ -2738,10 +2738,15 @@ def seq_bpe_merges(
     Stops early (fewer rows) only when the view runs out of adjacent pairs,
     which the oracle reproduces (its per-step top-1 is empty then too)."""
     aug = _aug(sf_dir, augment)
-    sampled = _bpe_sampled_ds(sf_dir, aug)
+    return _bpe_merges_over(_bpe_sampled_ds(sf_dir, aug), int(n_merges))
+
+
+def _bpe_merges_over(sampled: rd.Dataset, n_merges: int) -> pa.Table:
+    """The merge loop over an already-materialized sample (shared with
+    ``seq_bpe_apply`` so the sample is built exactly once)."""
     merges: list[tuple[int, int, int]] = []
     rows = []
-    for i in range(int(n_merges)):
+    for i in range(n_merges):
         ms = list(merges)
 
         def view(t: pa.Table, _ms=ms):
@@ -2776,7 +2781,8 @@ def seq_bpe_apply(
     rollup); the oracle replays the merge chain and aggregates per source.
     Null sources fold last like the other per-source views."""
     aug = _aug(sf_dir, augment)
-    m_tbl = seq_bpe_merges(sf_dir, n_merges, augment)
+    sampled = _bpe_sampled_ds(sf_dir, aug)  # built ONCE, shared with the loop
+    m_tbl = _bpe_merges_over(sampled, int(n_merges))
     merges = list(
         zip(
             m_tbl.column("tok_a").to_pylist(),
@@ -2784,7 +2790,6 @@ def seq_bpe_apply(
             m_tbl.column("new_id").to_pylist(),
         )
     )
-    sampled = _bpe_sampled_ds(sf_dir, aug)
 
     def partial(t: pa.Table) -> pa.Table:
         toks = t.column("tokens")

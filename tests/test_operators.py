@@ -1202,10 +1202,14 @@ def test_doc_chunks_matches_python_reference(ray_session):
     expect = []
     for _, r in docs.iterrows():
         ws = (r["text"] or "").lower().split() or [""]
+        # windows are emitted until one REACHES the end — no trailing
+        # window that is a strict subset of its predecessor
         j = 0
-        while j * CHUNK_STRIDE < len(ws):
+        while True:
             w = ws[j * CHUNK_STRIDE : j * CHUNK_STRIDE + CHUNK_WORDS]
             expect.append((int(r["doc_id"]), j, len(w), " ".join(w)))
+            if j * CHUNK_STRIDE + CHUNK_WORDS >= len(ws):
+                break
             j += 1
     exp = pd.DataFrame(expect, columns=["doc_id", "chunk_id", "n_words", "chunk_text"])
     key = ["doc_id", "chunk_id"]

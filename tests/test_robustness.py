@@ -1126,3 +1126,153 @@ def test_cli_audit_gate_contract(tmp_path):
         f.write(good[:-50])
     assert audit("--gate").returncode == 3
     assert audit().returncode == 2
+
+
+def _user_seq_dir(tmp_path, name, cols):
+    import os
+
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    pq.write_table(pa.table(cols), os.path.join(d, "frag-00000.parquet"))
+    return d
+
+
+def test_marker_sinks_clear_partial_output(ray_session, tmp_path):
+    """A killed sink run (files written, no success marker) must not leave
+    rows that a rerun appends onto — every marker sink clears partial
+    output first (review finding: Ray write_parquet appends UUID files)."""
+    import os
+
+    from product_quality_check_ray.pipelines.textprep import shard_corpus
+
+    out = str(tmp_path / "shards")
+    full = shard_corpus("/root/testdata/sf0.001", out)
+    n = full.count()
+    assert n > 0
+    # simulate the kill: drop the marker, leave the parquet files behind
+    os.remove(os.path.join(out, "_SHARDS_SUCCESS.json"))
+    again = shard_corpus("/root/testdata/sf0.001", out)
+    assert again.count() == n  # no duplicated rows from the stale partials
+
+
+def test_seq_token_topk_reads_user_corpus(ray_session, tmp_path):
+    """seq_token_topk must read a user directory directly — never fabricate
+    a synthetic fixture corpus for it (review finding: it bypassed
+    resolve_sequences)."""
+    from product_quality_check_ray.pipelines.seq_queries import seq_token_topk
+
+    d = _user_seq_dir(
+        tmp_path, "c",
+        {
+            "doc_id": pa.array([f"u/{i}" for i in range(10)], type=pa.string()),
+            "tokens": pa.array([[7, 7, 7, 9]] * 10, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([4] * 10, type=pa.int32()),
+            "source": pa.array(["web"] * 10, type=pa.string()),
+        },
+    )
+    top = seq_token_topk(d, k=2).to_pandas()
+    assert top["token"].tolist() == [7, 9]
+    assert top["n"].tolist() == [30, 10]
+
+
+def test_null_ntok_stats_and_histogram_match_oracle(ray_session, tmp_path):
+    """NULL n_tok rows: the histogram gets a NULL bin (not an int-cast
+    garbage bin) and a source whose n_tok is ALL null reports NULL
+    aggregates instead of crashing — both matching the SQL oracle on the
+    same corpus (review findings)."""
+    import re
+
+    import duckdb
+
+    import __ray_entry__ as e
+    from product_quality_check_ray.pipelines.seq_queries import (
+        seq_ntok_histogram,
+        seq_source_stats,
+    )
+
+    d = _user_seq_dir(
+        tmp_path, "c",
+        {
+            "doc_id": pa.array([f"u/{i}" for i in range(6)], type=pa.string()),
+            "tokens": pa.array([[1, 2]] * 6, type=pa.list_(pa.int32())),
+            "n_tok": pa.array([64, 64, None, 1, None, None], type=pa.int32()),
+            # 'ghost' rows carry ONLY null n_tok → all-NULL aggregates
+            "source": pa.array(
+                ["web", "web", "web", "code", "ghost", "ghost"], type=pa.string()
+            ),
+        },
+    )
+    con = duckdb.connect()
+
+    def oracle(name):
+        sql = re.sub(
+            r"read_parquet\('[^']*'\)",
+            f"read_parquet('{d}/frag-*.parquet')",
+            e.oracle_sql()[name],
+        )
+        return con.sql(sql).df()
+
+    hist = seq_ntok_histogram(d).to_pandas()
+    want_h = oracle("seq_ntok_histogram")
+    assert hist["n"].tolist() == want_h["n"].tolist()
+    assert [None if pd_isna(x) else int(x) for x in hist["bin"]] == [
+        None if pd_isna(x) else int(x) for x in want_h["bin"]
+    ]
+    assert hist["n"].sum() == 6  # null rows counted in the NULL bin
+
+    stats = seq_source_stats(d).to_pandas().set_index("source")
+    want_s = oracle("seq_source_stats").set_index("source")
+    assert stats.loc["ghost", "rows"] == 2
+    for c in ("sum_n_tok", "min_n_tok", "max_n_tok", "mean_n_tok"):
+        assert pd_isna(stats.loc["ghost", c]) and pd_isna(want_s.loc["ghost", c]), c
+    assert stats.loc["web", "sum_n_tok"] == want_s.loc["web", "sum_n_tok"] == 128
+    assert stats.loc["web", "min_n_tok"] == 64
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+def test_seq_pack_plan_single_shard(ray_session, tmp_path):
+    """n_shards=1 must run (review finding: num_returns=1 returned a bare
+    ObjectRef and the range indexing raised TypeError)."""
+    from product_quality_check_ray.pipelines.textprep import seq_pack_plan
+
+    out = seq_pack_plan("/root/testdata/sf0.001", n_shards=1).to_pandas()
+    assert len(out) > 0 and (out["shard"] == 0).all()
+
+
+def test_seq_dup_token_arrays_null_list_matches_oracle(ray_session, tmp_path):
+    """NULL token lists dedupe with [] rows (the engine's sentinel view),
+    and the oracle now coalesces identically (review finding)."""
+    import re
+
+    import duckdb
+
+    import __ray_entry__ as e
+    from product_quality_check_ray.pipelines.tokens import seq_dup_token_arrays
+
+    d = _user_seq_dir(
+        tmp_path, "c",
+        {
+            "doc_id": pa.array(["u/a", "u/b", "u/c", "u/d"], type=pa.string()),
+            "tokens": pa.array([None, [], [], [5]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([0, 0, 0, 1], type=pa.int32()),
+            "source": pa.array(["web"] * 4, type=pa.string()),
+        },
+    )
+    got = seq_dup_token_arrays(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == ["u/a", "u/b", "u/c"]
+    assert (got["group_size"] == 3).all() and (got["tlen"] == 0).all()
+    sql = re.sub(
+        r"read_parquet\('[^']*'\)",
+        f"read_parquet('{d}/frag-*.parquet')",
+        e.oracle_sql()["seq_dup_token_arrays"],
+    )
+    con = duckdb.connect()
+    want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["group_size"].tolist() == want["group_size"].tolist()
+    assert got["tlen"].tolist() == [int(x) for x in want["tlen"]]
