@@ -321,6 +321,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "part_sku_parse",
     "seq_pack_plan",
     "embedding_near_dups_lsh",
+    "embedding_decontaminate",
     "seq_cross_source_dups",
     "seq_chunk_windows",
     "seq_source_stats",
@@ -702,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": lambda sf: sim.embedding_near_dups(sf, threshold=0.4),
         "embedding_near_dups_lsh": lambda sf: sim.embedding_near_dups_lsh(sf, threshold=0.4),
         "embedding_semantic_dedup": sim.embedding_semantic_dedup,  # SemDeDup-style cluster prune
+        # semantic complement of the n-gram decontaminators: per-corpus-vector
+        # nearest held-out benchmark vector + contamination verdict
+        "embedding_decontaminate": sim.embedding_decontaminate,
         # --- similarity search over embeddings
         "knn_bruteforce": sim.knn_bruteforce,
         "knn_lsh": sim.knn_lsh,  # multi-table LSH — full SQL oracle (literal planes)
@@ -3233,6 +3237,30 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
             ORDER BY vec_id_a, vec_id_b
+        """,
+        # per-corpus-vector argmax over the held-out benchmark subset; the
+        # engine scans bench ids ascending so first-max argmax == the
+        # (cosine DESC, bench_id) rank; both sides rank on round(cos, 6)
+        "embedding_decontaminate": f"""
+            WITH bench AS (
+                SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bv
+                FROM embeddings WHERE vec_id % {sim.DECON_BENCH_MOD} = 0
+            ),
+            scored AS (
+                SELECT e.vec_id, b.bench_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], b.bv), 6) AS cos,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                                        e.embedding::DOUBLE[], b.bv), 6) DESC,
+                                    b.bench_id
+                       ) AS rk
+                FROM embeddings e CROSS JOIN bench b
+                WHERE e.vec_id % {sim.DECON_BENCH_MOD} <> 0
+            )
+            SELECT vec_id, bench_id AS best_bench_id, cos AS best_cosine,
+                   cos >= {sim.DECON_TAU} AS contaminated
+            FROM scored WHERE rk = 1 ORDER BY vec_id
         """,
         # exact twin of the LSH path: shared-bucket-in-any-table ∧ cosine ≥ T
         # (signatures as literal hyperplanes — same generator as knn_lsh);

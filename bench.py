@@ -197,6 +197,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_sketch_accuracy", lambda sf: sq.seq_sketch_accuracy(sf)),
         ("embedding_near_dups", lambda sf: sim.embedding_near_dups(sf, threshold=0.4)),
         ("embedding_semantic_dedup", sim.embedding_semantic_dedup),
+        ("embedding_decontaminate", sim.embedding_decontaminate),
         ("multimodal_decode", mm.multimodal_decode),
     ]
 

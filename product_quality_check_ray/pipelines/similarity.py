@@ -2023,3 +2023,133 @@ def embedding_validate(sf_dir: str, dim: int = EMB_DIM) -> pa.Table:
             + [("viol_rows", pa.int64()), ("passed", pa.bool_())]
         ).empty_table()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 25  # every 25th vector plays the held-out benchmark suite
+# fixture-scaled like SEMDEDUP_TAU: the synthetic embeddings' cross-pair
+# cosines top out ~0.5, so the published 0.9+ contamination bands would be
+# vacuous here; real corpora set this to their contamination band
+DECON_TAU = 0.35
+
+_DECON_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("best_bench_id", pa.int64()),
+        ("best_cosine", pa.float64()),
+        ("contaminated", pa.bool_()),
+    ]
+)
+
+
+def embedding_decontaminate(
+    sf_dir: str, bench_mod: int = DECON_BENCH_MOD, threshold: float = DECON_TAU
+) -> pa.Table:
+    """Semantic (embedding-cosine) benchmark decontamination: one verdict row
+    per CORPUS vector — its nearest held-out benchmark vector and whether it
+    crosses the contamination band.
+
+    The n-gram decontaminators (``doc_decontaminate``/``seq_decontaminate``)
+    catch verbatim and near-verbatim test-set leakage; this is the semantic
+    complement (the embedding-similarity contamination check of Yang et al.
+    2023, arXiv:2311.04850 "Rethinking Benchmark and Contamination" —
+    paraphrased test items that share no n-grams still sit next to the
+    benchmark in embedding space). Benchmark = the seeded deterministic
+    subset ``vec_id % bench_mod == 0`` (a stand-in for the real benchmark
+    embedding table); corpus = everything else. For each corpus vector the
+    verdict is its max rounded-cosine over the benchmark, the LOWEST bench
+    id achieving it (bench ids scanned ascending, first-max argmax — the
+    oracle's (cosine DESC, bench_id) rank), and ``contaminated = best_cosine
+    >= threshold``.
+
+    Scale shape: a real benchmark suite is tiny relative to the corpus
+    (thousands of rows vs 10^9), so the bench matrix is ``ray.put`` ONCE and
+    every corpus batch does a single float64 matmul against it — one
+    streaming pass, no shuffle, the exact ``knn_bruteforce`` broadcast
+    pattern. Reference analog: prescreen-against-dictionary semantics
+    (prompts/banningredients.py:146-276) with the dictionary replaced by a
+    benchmark embedding table; oracle: DuckDB cross-join argmax (see
+    __ray_entry__.oracle_sql).
+    """
+    mod = int(bench_mod)
+
+    def _mod_mask(vid: pa.ChunkedArray, want_zero: bool) -> pa.Array:
+        v = vid.to_numpy().astype(np.int64)
+        m = (v % mod == 0) if want_zero else (v % mod != 0)
+        return pa.array(m)
+
+    def pick_bench(t: pa.Table) -> pa.Table:
+        return t.filter(_mod_mask(t.column("vec_id").combine_chunks(), True))
+
+    # the benchmark is tiny next to the corpus (a real deployment reads it
+    # from its own table); here it is sliced out of the synthetic embeddings
+    # in one projected streaming pass
+    bench = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+            pick_bench, batch_format="pyarrow"
+        )
+    )
+    if bench.num_rows == 0:
+        # no benchmark rows → every corpus row is trivially clean (NULL best)
+        def pick_corpus_ids(t: pa.Table) -> pa.Table:
+            return t.filter(_mod_mask(t.column("vec_id").combine_chunks(), False))
+
+        corpus = _collect(
+            _emb(sf_dir, columns=["vec_id"]).map_batches(
+                pick_corpus_ids, batch_format="pyarrow"
+            )
+        )
+        n = corpus.num_rows
+        return pa.table(
+            {
+                "vec_id": pc.cast(corpus.column("vec_id"), pa.int64()),
+                "best_bench_id": pa.nulls(n, type=pa.int64()),
+                "best_cosine": pa.nulls(n, type=pa.float64()),
+                "contaminated": pa.array([False] * n, type=pa.bool_()),
+            }
+        ).take(pc.sort_indices(corpus.column("vec_id")))
+    order = np.argsort(bench.column("vec_id").to_numpy())
+    bids = bench.column("vec_id").to_numpy().astype(np.int64)[order]
+    bm = _list_col_to_matrix(bench.column("embedding"))[order]
+    bnorm = np.linalg.norm(bm, axis=1)
+    bnorm[bnorm == 0] = 1.0
+    bench_ref = ray.put((bids, bm, bnorm))
+
+    def score(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(bench_ref)
+        bids_, bm_, bn_ = st
+        em = _list_col_to_matrix(t.column("embedding"))
+        en = np.linalg.norm(em, axis=1)
+        en[en == 0] = 1.0
+        cos = _rha((em @ bm_.T) / np.outer(en, bn_), 6)  # (n, B)
+        if len(cos):
+            best = cos.argmax(axis=1)  # first max → lowest bench id
+            bc = cos[np.arange(len(cos)), best]
+        else:
+            best = np.empty(0, dtype=np.int64)
+            bc = np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t.column("vec_id"), pa.int64()),
+                "best_bench_id": pa.array(bids_[best], type=pa.int64()),
+                "best_cosine": pa.array(bc, type=pa.float64()),
+                "contaminated": pa.array(bc >= threshold, type=pa.bool_()),
+            }
+        )
+
+    def score_corpus(t: pa.Table, _cache={}) -> pa.Table:
+        return score(
+            t.filter(_mod_mask(t.column("vec_id").combine_chunks(), False)), _cache
+        )
+
+    out = _collect(
+        _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+            score_corpus, batch_format="pyarrow", batch_size=None
+        )
+    )
+    return out.take(pc.sort_indices(out.column("vec_id"))).cast(_DECON_SCHEMA)

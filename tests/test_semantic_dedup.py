@@ -125,3 +125,52 @@ def test_knn_ivfpq_kmeans_quality_path(ray_session):
         for q in sorted(set(bf.query_id))
     ]
     assert np.mean(recs) >= 0.2
+
+
+def test_embedding_decontaminate_matches_brute_force(ray_session):
+    """Per-corpus-vector argmax over the bench subset, lowest-id tie-break."""
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = np.vstack(
+        [np.asarray(x, dtype=np.float64) for x in t.column("embedding").to_pylist()]
+    )
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    bsel = ids % sim.DECON_BENCH_MOD == 0
+    bids, bm, bn = ids[bsel], m[bsel], n[bsel]
+    cos = rha((m[~bsel] @ bm.T) / np.outer(n[~bsel], bn), 6)
+    best = cos.argmax(axis=1)  # bids ascending → first max = lowest bench id
+    expected = {
+        int(v): (int(bids[best[i]]), float(cos[i, best[i]]))
+        for i, v in enumerate(ids[~bsel])
+    }
+    out = sim.embedding_decontaminate(SF).to_pandas()
+    assert len(out) == len(expected)
+    got = {
+        int(r.vec_id): (int(r.best_bench_id), float(r.best_cosine))
+        for r in out.itertuples(index=False)
+    }
+    assert got == expected
+    assert (
+        out["contaminated"] == (out["best_cosine"] >= sim.DECON_TAU)
+    ).all()
+    # fixture non-vacuity: both verdicts appear
+    assert out["contaminated"].any() and (~out["contaminated"]).any()
+
+
+def test_embedding_decontaminate_empty_bench(ray_session, tmp_path):
+    """A corpus with no vec_id divisible by bench_mod (no vec 0) → no
+    benchmark rows → typed NULL best columns, every row clean."""
+    import pyarrow as pa
+
+    ids = np.arange(1, 11, dtype=np.int64)  # no 0, mod 1000 never hits
+    vecs = [np.full(4, float(i)).tolist() for i in ids]
+    tbl = pa.table({"vec_id": ids, "embedding": pa.array(vecs, type=pa.list_(pa.float32()))})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = sim.embedding_decontaminate(str(tmp_path), bench_mod=1000).to_pandas()
+    assert len(out) == 10
+    assert out["best_bench_id"].isna().all()
+    assert out["best_cosine"].isna().all()
+    assert not out["contaminated"].any()
