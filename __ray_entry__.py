@@ -354,6 +354,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_split_assign",
     "seq_detokenize",
     "doc_exact_dup_groups",
+    "doc_boilerplate_strip",
     "documents_lang_drift",
     "events_type_drift",
     "embedding_label_stats",
@@ -611,6 +612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_safety_hints": lambda sf: tx.doc_safety_hints(sf),  # M9 pattern-bank hinter
 
         "doc_segment_dedupe": tx.doc_segment_dedupe,  # M8 cross-row statement dedupe
+        # CCNet-style cross-doc boilerplate strip (candidate→verify→cap-aware removal)
+        "doc_boilerplate_strip": tx.doc_boilerplate_strip,
         "doc_exact_dup_groups": tx.doc_exact_dup_groups,
         # --- training-data preparation (pipelines/textprep.py)
         "doc_chunks": lambda sf: tp.doc_chunks(sf),  # sliding-window example packing
@@ -3192,6 +3195,36 @@ def oracle_sql() -> dict[str, str]:
             FROM seg WHERE statement <> ''
             GROUP BY statement HAVING count(*) > 1
             ORDER BY statement
+        """,
+        # CCNet-style boilerplate removal: same window-segment CTE; a
+        # statement in ≥ min_df DISTINCT docs is stripped everywhere and
+        # each doc is re-emitted (empty string when fully boilerplate)
+        "doc_boilerplate_strip": rf"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents
+            ),
+            seg AS (
+              SELECT doc_id, i::BIGINT AS seg_idx,
+                     array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') AS statement
+              FROM w, UNNEST(range((len(ws) + {W - 1}) // {W})) AS t(i)
+              WHERE array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') <> ''
+            ),
+            bp AS (
+              SELECT statement FROM seg GROUP BY statement
+              HAVING count(DISTINCT doc_id) >= {tx.BOILERPLATE_MIN_DF}
+            ),
+            marked AS (
+              SELECT s.doc_id, s.seg_idx, s.statement,
+                     s.statement IN (SELECT statement FROM bp) AS is_bp
+              FROM seg s
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(statement, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE NOT is_bp), '') AS clean_text,
+                   (count(*) FILTER (WHERE NOT is_bp))::BIGINT AS n_kept,
+                   (count(*) FILTER (WHERE is_bp))::BIGINT AS n_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
         """,
         # overlap pairs: inverted-index self-join over the winnow
         # fingerprints; the > hot_cap stop-list mirrors the engine's

@@ -134,6 +134,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("doc_winnow_fingerprints", tx.doc_winnow_fingerprints),
         ("doc_overlap_pairs", tx.doc_overlap_pairs),
         ("doc_segment_dedupe", tx.doc_segment_dedupe),
+        ("doc_boilerplate_strip", lambda sf: tx.doc_boilerplate_strip(sf)),
         ("clean_documents", lambda sf: tx.clean_documents(sf)),
         ("clean_documents_full", lambda sf: tx.clean_documents_full(sf)),
         ("doc_chunks", lambda sf: tp.doc_chunks(sf)),

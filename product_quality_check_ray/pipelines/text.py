@@ -2125,3 +2125,211 @@ def documents_lang_drift(sf_dir: str, ks_ppm: int = DOC_LANG_KS_PPM) -> pa.Table
     return _ks_verdicts(
         ha, hb, ks_ppm, count_cols=("rows_lang", "rows_rest"), key_col="lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document boilerplate removal
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_MIN_DF = 2
+
+_BOILERPLATE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("clean_text", pa.string()),
+        ("n_kept", pa.int64()),
+        ("n_removed", pa.int64()),
+    ]
+)
+
+
+def _boilerplate_reassemble(
+    doc_ids: np.ndarray, statements: pd.Series, is_bp: np.ndarray
+) -> pa.Table:
+    """Per-batch reassembly: docs are contiguous and segments in order, so a
+    sort=False pandas groupby rebuilds each doc's cleaned text in one pass.
+    Docs whose every segment was boilerplate stay in the output with
+    ``clean_text=''`` (the CCNet contract: the doc row survives, emptied)."""
+    df = pd.DataFrame({"doc_id": doc_ids, "statement": statements})
+    totals = df.groupby("doc_id", sort=False).size()
+    kept_g = df[~is_bp].groupby("doc_id", sort=False)
+    clean = kept_g["statement"].agg(" ".join).reindex(totals.index, fill_value="")
+    n_kept = kept_g.size().reindex(totals.index, fill_value=0)
+    return pa.table(
+        {
+            "doc_id": pa.array(totals.index.to_numpy().astype(np.int64)),
+            "clean_text": pa.array(clean.to_numpy(), type=pa.string()),
+            "n_kept": pa.array(n_kept.to_numpy().astype(np.int64)),
+            "n_removed": pa.array(
+                (totals.to_numpy() - n_kept.to_numpy()).astype(np.int64)
+            ),
+        }
+    )
+
+
+def doc_boilerplate_strip(
+    sf_dir: str,
+    min_df: int = BOILERPLATE_MIN_DF,
+    width: int = SEGMENT_WIDTH,
+    cap: int | None = None,
+) -> rd.Dataset:
+    """Cross-document boilerplate removal (the CCNet line-dedup shape,
+    Wenzek et al. 2020, arXiv:1911.00359 §3.1, applied at statement
+    granularity): any W-word statement occurring in ≥ ``min_df`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license footers);
+    every document is re-emitted with those statements removed —
+    (doc_id, clean_text, n_kept, n_removed), one row per document that
+    produced at least one statement. ``clean_text`` is the normalized
+    rejoined segment stream (trim→lower→\\s+ split), the same
+    normalization every statement-family oracle uses.
+
+    Within-doc repeats are NOT boilerplate (df counts distinct docs):
+    a chorus repeated inside one song survives; the same chorus pasted
+    across ten lyric pages does not.
+
+    Scale shape (candidate→verify, then cap-aware removal):
+      1. statements travel as 64-bit hashes through the
+         ``state/dupfinder`` hash-range tree reduce — only hashes seen ≥2
+         times anywhere become candidates (no full-corpus string shuffle);
+      2. candidate statements are verified by EXACT string groupby over
+         per-batch-distinct (statement, doc_id) pairs (each doc's segments
+         live in one batch, so local distinct == global distinct), giving
+         the true distinct-doc frequency — 64-bit collisions can only
+         inflate the candidate set, never a verdict;
+      3. the verified boilerplate set is removed via the
+         ``core/joins`` policy: ≤cap distinct statements → ``ray.put``
+         once + vectorized ``is_in`` per batch (doc locality preserved,
+         reassembly is batch-local); above cap → distributed anti-join +
+         per-doc groupby reassembly (the drop set never touches the
+         driver — the clean_documents lesson, VERDICT r3 §What's wrong).
+
+    Reference analog: cross-row segment dedupe (app.py:982 failed-row
+    machinery composed with banningredients.py:170-183 bulk segment
+    dedupe); oracle: DuckDB window-segment CTE + HAVING count(DISTINCT
+    doc_id) (see __ray_entry__.oracle_sql).
+    """
+    from ..core.batches import arrow_out, strip_schema_metadata
+    from ..core.hashing import hash_strings
+    from ..core.joins import BROADCAST_KEY_CAP, probe_keys, semi_join
+    from ..state.dupfinder import find_dup_hash_values
+
+    cap = BROADCAST_KEY_CAP if cap is None else cap
+    segs = doc_statements(sf_dir, mode="window", width=width)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = hash_strings(t.column("statement").combine_chunks()).view(np.int64)
+        return t.append_column("h", pa.array(h, type=pa.int64()))
+
+    hashed = segs.map_batches(add_hash, batch_format="pyarrow").materialize()
+    dup_h = find_dup_hash_values(hashed, "h")
+    bp_ds = None
+    if dup_h.size:
+        dup_set = pa.array(np.asarray(dup_h, dtype=np.int64))
+
+        def candidates(t: pa.Table) -> pa.Table:
+            mask = pc.fill_null(pc.is_in(t.column("h"), value_set=dup_set), False)
+            sel = t.filter(mask).select(["statement", "doc_id"])
+            # per-batch distinct (statement, doc_id) == global distinct pairs
+            return sel.group_by(["statement", "doc_id"]).aggregate([])
+
+        cand = (
+            hashed.map_batches(candidates, batch_format="pyarrow").materialize()
+        )
+        bp_ds = (
+            cand.groupby("statement")
+            .aggregate(Count(alias_name="n_docs"))
+            .filter(expr=f"n_docs >= {int(min_df)}")
+        )
+
+    if bp_ds is None:
+        # no duplicate hash anywhere → nothing to strip; reassemble directly
+        def passthrough(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _BOILERPLATE_SCHEMA.empty_table()
+            return _boilerplate_reassemble(
+                t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                t.column("statement").to_pandas(),
+                np.zeros(t.num_rows, dtype=bool),
+            )
+
+        return hashed.map_batches(passthrough, batch_format="pyarrow")
+
+    bp_keys = probe_keys(bp_ds, "statement", cap)
+    if bp_keys is not None:
+        bp_keys = bp_keys.drop_null()
+        ref = ray.put(bp_keys)
+
+        def strip(t: pa.Table, _cache={}) -> pa.Table:
+            if t.num_rows == 0:
+                return _BOILERPLATE_SCHEMA.empty_table()
+            ks = _cache.get("ks")
+            if ks is None:
+                ks = _cache["ks"] = ray.get(ref)
+            is_bp = pc.fill_null(
+                pc.is_in(t.column("statement"), value_set=ks), False
+            ).to_numpy(zero_copy_only=False)
+            return _boilerplate_reassemble(
+                t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                t.column("statement").to_pandas(),
+                np.asarray(is_bp, dtype=bool),
+            )
+
+        return hashed.map_batches(strip, batch_format="pyarrow")
+
+    # --- distributed path: the boilerplate set exceeds the broadcast cap ---
+    kept = semi_join(
+        hashed.select_columns(["doc_id", "seg_idx", "statement"]),
+        "statement",
+        bp_ds,
+        "statement",
+        anti=True,
+        cap=cap,
+    )
+
+    @arrow_out
+    def reasm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seg_idx", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": [np.int64(df["doc_id"].iloc[0])],
+                "clean_text": [" ".join(df["statement"])],
+                "n_kept": [np.int64(len(df))],
+            }
+        )
+
+    kept_agg = kept.groupby("doc_id").map_groups(reasm, batch_format="pandas")
+
+    def totals(t: pa.Table) -> pa.Table:
+        vid = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, counts = np.unique(vid, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_seg": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    # one row per doc (docs are batch-local, so per-batch totals are final)
+    tot = hashed.map_batches(totals, batch_format="pyarrow")
+    joined = strip_schema_metadata(tot).join(
+        strip_schema_metadata(kept_agg),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_seg = t.column("n_seg").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_kept = pc.fill_null(t.column("n_kept"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "clean_text": pc.fill_null(t.column("clean_text"), ""),
+                "n_kept": pa.array(n_kept),
+                "n_removed": pa.array(n_seg - n_kept),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -190,3 +190,54 @@ def test_loser_ds_keeper_id_duplicated_rows(ray_session, tmp_path):
     assert got == [9]
     kept = sorted(tx.dedup_exact(tx._docs(d)).to_pandas()["doc_id"])
     assert kept == [5, 5, 7]  # both keeper rows survive, loser 9 dropped
+
+
+def test_boilerplate_strip_path_equivalence(ray_session):
+    """doc_boilerplate_strip: cap=0 forces the distributed anti-join +
+    per-doc groupby reassembly; must match the broadcast path exactly."""
+    from product_quality_check_ray.pipelines.text import doc_boilerplate_strip
+
+    a = _sorted_df(doc_boilerplate_strip(SF).to_pandas())
+    b = _sorted_df(doc_boilerplate_strip(SF, cap=0).to_pandas())
+    assert a.equals(b), "distributed path diverges from broadcast path"
+    # non-vacuous: the fixture has cross-doc duplicated statements
+    assert (a["n_removed"] > 0).any()
+    assert (a["n_kept"] > 0).any()
+
+
+def test_boilerplate_strip_within_doc_repeats_survive(ray_session, tmp_path):
+    """df counts DISTINCT docs: a statement repeated only inside one doc is
+    kept; the same statement across two docs is stripped from both."""
+    from product_quality_check_ray.pipelines.text import doc_boilerplate_strip
+
+    w = 12
+    chorus = " ".join(f"c{i}" for i in range(w))
+    versea = " ".join(f"a{i}" for i in range(w))
+    verseb = " ".join(f"b{i}" for i in range(w))
+    footer = " ".join(f"f{i}" for i in range(w))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    f"{chorus} {versea} {chorus}",  # within-doc repeat only
+                    f"{verseb} {footer}",
+                    f"{footer}",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        doc_boilerplate_strip(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # chorus repeats only within doc 1 → kept; footer is in docs 2+3 → stripped
+    assert out.loc[1, "clean_text"] == f"{chorus} {versea} {chorus}"
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == verseb
+    assert out.loc[2, "n_removed"] == 1
+    assert out.loc[3, "clean_text"] == ""  # fully boilerplate, row survives
+    assert out.loc[3, "n_kept"] == 0 and out.loc[3, "n_removed"] == 1
