@@ -355,6 +355,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_detokenize",
     "doc_exact_dup_groups",
     "doc_boilerplate_strip",
+    "doc_dsir_select",
     "documents_lang_drift",
     "events_type_drift",
     "embedding_label_stats",
@@ -673,6 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_validate": lambda sf: tx.documents_validate(sf),  # row checks generalized to the documents table
         "documents_lang_drift": lambda sf: tx.documents_lang_drift(sf),  # per-lang length-KS vs corpus complement
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
+        # DSIR-style importance selection: target-vs-raw LM weight, exact
+        # global top-k via distributed radix select (state/orderstats)
+        "doc_dsir_select": lambda sf: tp.doc_dsir_select(sf),
         "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
         # capstone: clean → mixture → shard → chunk in ONE fused pass
         "prepare_training_corpus": lambda sf: tp.prepare_training_corpus(sf),
@@ -3178,6 +3182,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, seg_idx, pattern, statement
             FROM seg, pats WHERE regexp_matches(statement, rex)
         """,
+        # DSIR: two mirrored LM CTEs + window rank (generated next to the
+        # engine so the mods/fraction can never drift)
+        "doc_dsir_select": tp.dsir_oracle_sql(),
         # M11 unit-normalization layer: closed-form generated oracle
         "part_measurements": rel.part_measurements_oracle_sql(),
         # M12 pack-size multi-format parser: closed-form generated oracle

@@ -1128,3 +1128,221 @@ def _seq_packx_reduce(budget: int, with_payload: bool, *parts) -> pa.Table:
             pa.array(flat, type=pa.int32()),
         )
     return pa.table(cols)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance-resampling data selection
+# --------------------------------------------------------------------------
+
+DSIR_TARGET_MOD = 7  # target-domain slice: doc_id % 7 == 0 (the "Wikipedia")
+DSIR_KEEP_NUM = 1  # keep the top keep_num/keep_den of docs by weight
+DSIR_KEEP_DEN = 4
+
+_DSIR_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_bigrams", pa.int64()),
+        ("weight_millibits", pa.int64()),
+        ("selected", pa.bool_()),
+    ]
+)
+
+
+def doc_dsir_select(
+    sf_dir: str,
+    target_mod: int = DSIR_TARGET_MOD,
+    raw_mod: int = LM_REF_MOD,
+    keep_num: int = DSIR_KEEP_NUM,
+    keep_den: int = DSIR_KEEP_DEN,
+) -> rd.Dataset:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 "Data
+    Selection for Language Models via Importance Resampling"), made exact
+    and oracle-checkable: per-doc importance weight = log p_target(doc) −
+    log p_raw(doc) under two add-one-smoothed bigram LMs (the paper's
+    hashed-ngram features become exact bigram features — hashing is a
+    memory optimization, not a semantic one), and the top
+    ceil(n·keep_num/keep_den) docs by (weight DESC, doc_id ASC) are
+    selected.  The paper's Gumbel-top-k resampling is replaced by
+    deterministic top-k (the same replacement every seeded op in this repo
+    makes); weights stay INTEGER MILLIBITS (difference of two
+    order-independent integer sums — exact under any execution order in
+    both engines, the doc_lm_score contract).
+
+    Output: one verdict row per doc — (doc_id, n_bigrams,
+    weight_millibits, selected).
+
+    Scale shape: two reference-slice LM builds (bounded by language, not
+    corpus size — build_bigram_lm's contract), ONE fused scoring pass
+    (single split, two sorted-array lookups), then the global top-k
+    threshold via ``state/orderstats.kth_stats`` — distributed radix
+    select, ≤3 histogram passes over the materialized 24-byte/row
+    projection, driver holds a 2^16-int histogram, never a value list.
+    Tie-break at the threshold weight resolves with a second radix select
+    over doc_id WITHIN the tie group, so even a fully-degenerate corpus
+    (all weights equal) never ships ids to the driver.
+
+    Reference analog: rule-scored classification → keep/drop routing
+    (app.py:1435-1448 verdict aggregation); oracle: two mirrored LM CTEs +
+    window rank (see __ray_entry__.oracle_sql).
+    """
+    from ..core.rounding import round_half_away
+    from ..state.orderstats import kth_stats
+
+    lm_t = build_bigram_lm(sf_dir, target_mod)
+    lm_r = build_bigram_lm(sf_dir, raw_mod)
+    state_ref = ray.put((lm_t, lm_r))
+
+    def score(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(state_ref)
+        (Vt, w1t, c1t, bgt, c2t), (Vr, w1r, c1r, bgr, c2r) = st
+        texts = pc.fill_null(t.column("text").combine_chunks(), "")
+        _, off, flat, lens = _split_words(texts)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(doc_ids)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        n = len(doc_idx)
+        keep = np.zeros(n, dtype=bool)
+        if n > 1:
+            keep[:-1] = doc_idx[:-1] == doc_idx[1:]
+        d = doc_idx[keep]
+        keep_arr = pa.array(keep[:-1]) if n > 1 else pa.array([], type=pa.bool_())
+        bg_all = (
+            pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+            if n > 1
+            else pa.array([], type=pa.string())
+        )
+        bg = np.asarray(bg_all.filter(keep_arr).to_numpy(zero_copy_only=False), dtype=object)
+        first = np.asarray(
+            flat.slice(0, max(n - 1, 0)).filter(keep_arr).to_numpy(zero_copy_only=False),
+            dtype=object,
+        )
+
+        def lookup(keys, sorted_keys, vals):
+            if len(sorted_keys) == 0 or len(keys) == 0:
+                return np.zeros(len(keys), dtype=np.int64)
+            pos = np.searchsorted(sorted_keys, keys)
+            pos_c = np.minimum(pos, len(sorted_keys) - 1)
+            hit = (pos < len(sorted_keys)) & (sorted_keys[pos_c] == keys)
+            return np.where(hit, vals[pos_c], 0)
+
+        def millibits(V, w1, c1, bigrams, c2):
+            cc2 = lookup(bg, bigrams, c2)
+            cc1 = lookup(first, w1, c1)
+            return round_half_away(
+                -np.log2((cc2 + 1) * 1.0 / (cc1 + V)) * 1000, 0
+            ).astype(np.int64)
+
+        mt = millibits(Vt, w1t, c1t, bgt, c2t)
+        mr = millibits(Vr, w1r, c1r, bgr, c2r)
+        tot_t = np.zeros(n_docs, dtype=np.int64)
+        tot_r = np.zeros(n_docs, dtype=np.int64)
+        cntb = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(tot_t, d, mt)
+        np.add.at(tot_r, d, mr)
+        np.add.at(cntb, d, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "n_bigrams": pa.array(cntb),
+                "weight_millibits": pa.array(tot_r - tot_t),
+            }
+        )
+
+    scored = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .materialize()
+    )
+    n = scored.count()
+    if n == 0:
+        return rd.from_arrow(_DSIR_SCHEMA.empty_table())
+    k = (n * keep_num + keep_den - 1) // keep_den  # ceil(n·num/den)
+    st = kth_stats(scored, "weight_millibits", k, descending=True)
+    thr = st.value
+    n_greater = st.n_total - st.n_less - st.n_equal
+    slots_at_thr = k - n_greater  # ≥ 1 by construction of the kth
+    ties = scored.filter(expr=f"weight_millibits == {thr}")
+    tie_cut = kth_stats(ties, "doc_id", slots_at_thr).value
+
+    def verdict(t: pa.Table) -> pa.Table:
+        w = t.column("weight_millibits").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (w > thr) | ((w == thr) & (ids <= tie_cut))
+        return t.append_column("selected", pa.array(sel))
+
+    return scored.map_batches(verdict, batch_format="pyarrow")
+
+
+def dsir_oracle_sql(
+    target_mod: int = DSIR_TARGET_MOD,
+    raw_mod: int = LM_REF_MOD,
+    keep_num: int = DSIR_KEEP_NUM,
+    keep_den: int = DSIR_KEEP_DEN,
+) -> str:
+    """DuckDB oracle for doc_dsir_select: two mirrored add-one bigram-LM
+    CTEs (doc_lm_score's oracle shape, parameterized by ref mod), weight =
+    raw − target integer millibits, selected = rank ≤ ceil(n·num/den)
+    over (weight DESC, doc_id ASC)."""
+
+    def lm(tag: str, mod: int) -> str:
+        return f"""
+            ref{tag} AS (SELECT ws FROM w WHERE doc_id % {mod} = 0),
+            rb{tag} AS (
+              SELECT ws[i] AS w1, ws[i+1] AS w2
+              FROM ref{tag}, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+            ),
+            cb2{tag} AS (SELECT w1, w2, count(*) AS c FROM rb{tag} GROUP BY w1, w2),
+            cb1{tag} AS (SELECT w1, count(*) AS c FROM rb{tag} GROUP BY w1),
+            v{tag} AS (
+              SELECT count(DISTINCT x) AS vs
+              FROM (SELECT unnest(ws) AS x FROM ref{tag}) u
+            )"""
+
+    return f"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS ws
+              FROM documents
+            ),
+            {lm('t', target_mod)},
+            {lm('r', raw_mod)},
+            db AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+            ),
+            mb AS (
+              SELECT d.doc_id,
+                     round(-log2((coalesce(c2t.c, 0) + 1) * 1.0
+                                 / (coalesce(c1t.c, 0) + vt.vs)) * 1000, 0)::BIGINT AS mt,
+                     round(-log2((coalesce(c2r.c, 0) + 1) * 1.0
+                                 / (coalesce(c1r.c, 0) + vr.vs)) * 1000, 0)::BIGINT AS mr
+              FROM db d
+              LEFT JOIN cb2t c2t ON d.w1 = c2t.w1 AND d.w2 = c2t.w2
+              LEFT JOIN cb1t c1t ON d.w1 = c1t.w1
+              LEFT JOIN cb2r c2r ON d.w1 = c2r.w1 AND d.w2 = c2r.w2
+              LEFT JOIN cb1r c1r ON d.w1 = c1r.w1
+              CROSS JOIN vt CROSS JOIN vr
+            ),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n,
+                     sum(mt)::BIGINT AS tt, sum(mr)::BIGINT AS tr
+              FROM mb GROUP BY doc_id
+            ),
+            base AS (
+              SELECT w.doc_id,
+                     coalesce(s.n, 0)::BIGINT AS n_bigrams,
+                     (coalesce(s.tr, 0) - coalesce(s.tt, 0))::BIGINT AS weight_millibits
+              FROM w LEFT JOIN s USING (doc_id)
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (ORDER BY weight_millibits DESC, doc_id) AS rk,
+                     count(*) OVER () AS nn
+              FROM base
+            )
+            SELECT doc_id, n_bigrams, weight_millibits,
+                   rk <= (nn * {keep_num} + {keep_den - 1}) // {keep_den} AS selected
+            FROM ranked ORDER BY doc_id
+    """

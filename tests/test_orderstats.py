@@ -1,0 +1,117 @@
+"""state/orderstats radix select: differential vs numpy sort.
+
+Covers wide spans (multi-pass refinement), heavy ties, all-equal columns,
+negative values, nulls, descending ranks, and out-of-range errors.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from product_quality_check_ray.state.orderstats import kth_stats
+
+
+def _ds(vals):
+    return (
+        rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.int64())}))
+        .repartition(13)
+        .materialize()
+    )
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        lambda rng: rng.integers(-(10**9), 10**9, 20000),  # wide span, 2 passes
+        lambda rng: rng.integers(-5, 5, 8000),  # heavy ties, single pass
+        lambda rng: np.full(1000, 42),  # degenerate all-equal
+        lambda rng: rng.normal(0, 1e12, 10000).astype(np.int64),  # ~3 passes
+        lambda rng: np.array([7]),
+    ],
+)
+def test_kth_stats_matches_numpy(ray_session, gen):
+    rng = np.random.default_rng(7)
+    vals = gen(rng)
+    ds = _ds(vals)
+    s = np.sort(vals)
+    n = len(vals)
+    for k in sorted({1, max(1, n // 3), max(1, n // 2), n}):
+        st = kth_stats(ds, "v", k)
+        exp = int(s[k - 1])
+        assert st.value == exp
+        assert st.n_less == int((s < exp).sum())
+        assert st.n_equal == int((s == exp).sum())
+        assert st.n_total == n
+        std = kth_stats(ds, "v", k, descending=True)
+        assert std.value == int(s[n - k])
+
+
+def test_kth_stats_nulls_and_errors(ray_session):
+    ds = _ds([None, 5, None, 1, 3])
+    assert kth_stats(ds, "v", 1).value == 1
+    assert kth_stats(ds, "v", 2).value == 3
+    assert kth_stats(ds, "v", 3).value == 5
+    assert kth_stats(ds, "v", 1, descending=True).value == 5
+    with pytest.raises(ValueError):
+        kth_stats(ds, "v", 4)  # only 3 non-null values
+    with pytest.raises(ValueError):
+        kth_stats(ds, "v", 0)
+    with pytest.raises(ValueError):
+        kth_stats(_ds([None, None]), "v", 1)
+
+
+def test_kth_stats_small_bits_forces_deep_refinement(ray_session):
+    """bits=4 (16 buckets) on a wide-span column exercises many refinement
+    rounds; result must still be exact."""
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-(10**15), 10**15, 5000)
+    ds = _ds(vals)
+    s = np.sort(vals)
+    for k in (1, 1700, 5000):
+        assert kth_stats(ds, "v", k, bits=4).value == int(s[k - 1])
+
+
+# ---------------------------------------------------------------------------
+# doc_dsir_select: the radix-select consumer
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_selects_exactly_ceil_fraction(ray_session):
+    from product_quality_check_ray.pipelines.textprep import doc_dsir_select
+
+    out = doc_dsir_select(SF).to_pandas()
+    n = len(out)
+    k = (n * 1 + 3) // 4
+    assert int(out["selected"].sum()) == k
+    # every selected doc dominates every unselected doc under
+    # (weight DESC, doc_id ASC)
+    sel = out[out["selected"]]
+    uns = out[~out["selected"]]
+    worst_sel = sel.sort_values(["weight_millibits", "doc_id"], ascending=[True, False]).iloc[0]
+    best_uns = uns.sort_values(["weight_millibits", "doc_id"], ascending=[False, True]).iloc[0]
+    assert (worst_sel.weight_millibits, -worst_sel.doc_id) > (
+        best_uns.weight_millibits,
+        -best_uns.doc_id,
+    )
+
+
+def test_dsir_degenerate_ties_keep_lowest_doc_ids(ray_session, tmp_path):
+    """All docs identical → all weights equal → the tie-break radix select
+    must admit exactly the ceil(n/4) LOWEST doc_ids."""
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.textprep import doc_dsir_select
+
+    ids = np.arange(100, dtype=np.int64) * 3 + 5  # sparse, none divisible pattern-free
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = pa.table({"doc_id": ids, "text": pa.array([text] * 100)})
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = doc_dsir_select(str(tmp_path)).to_pandas().sort_values("doc_id")
+    k = (100 + 3) // 4
+    assert int(out["selected"].sum()) == k
+    assert out["weight_millibits"].nunique() == 1
+    assert set(out[out["selected"]]["doc_id"]) == set(sorted(ids)[:k])
