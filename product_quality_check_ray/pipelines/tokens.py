@@ -2220,10 +2220,23 @@ def _seqmh_grams(t: pa.Table, aug: bool):
     return ids, allh[starts], m
 
 
-def _seqmh_setfp64(gh: np.ndarray, m: np.ndarray) -> np.ndarray:
-    """Order-free 64-bit DISTINCT-gram-set hash per row: sort+dedup each
-    row's gram hashes, then a commutative splitmix sum (collisions are
-    candidates only — pass 2 verifies with exact md5 fingerprints)."""
+# second independent set-hash tweak (any odd 64-bit constant): (fp1, fp2)
+# together verify set equality at the 128-bit level — the same hash-level
+# exactness the old per-candidate md5 pass provided, but vectorized and
+# computable in the SAME scan as fp1 (random collision ≈ 2^-128 per pair;
+# every dedup op in this repo verifies through the same splitmix family)
+_SEQMH_FP2C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _seqmh_row_features(
+    gh: np.ndarray, m: np.ndarray, seeds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ONE lexsort per batch → per-row DISTINCT gram arrays → (fp1, fp2,
+    (n, K) minhash signature).  fp1/fp2 are order-free commutative splitmix
+    sums over the distinct set (fp1 bit-identical to the former
+    ``_seqmh_setfp64``); the signature mins run over the deduped grams —
+    min over a multiset equals min over its support, so banding is
+    unchanged while every per-row reduction shares the single sort."""
     n = m.size
     gdoc = np.repeat(np.arange(n, dtype=np.int64), m)
     order = np.lexsort((gh, gdoc))
@@ -2233,20 +2246,13 @@ def _seqmh_setfp64(gh: np.ndarray, m: np.ndarray) -> np.ndarray:
     first[1:] = (gd[1:] != gd[:-1]) | (gs[1:] != gs[:-1])
     gd, gs = gd[first], gs[first]
     starts = np.searchsorted(gd, np.arange(n))
+    sig = np.empty((n, len(seeds)), dtype=_U64)
     with np.errstate(over="ignore"):
-        return np.add.reduceat(splitmix64(gs), starts)
-
-
-def _seqmh_fp_md5(gh_row: np.ndarray) -> str:
-    """Exact canonical fingerprint of one row's distinct-gram set: md5 of
-    the sorted unique 8-byte gram hashes (hash-level exactness suffices —
-    the 64-bit gram hash is the same injective-in-practice polynomial every
-    dedup op verifies through; set equality at the md5 level ⇔ equal
-    distinct-gram-hash sets)."""
-    import hashlib as _hl
-
-    u = np.unique(gh_row)
-    return _hl.md5(np.ascontiguousarray(u).tobytes()).hexdigest()
+        fp1 = np.add.reduceat(splitmix64(gs), starts)
+        fp2 = np.add.reduceat(splitmix64(gs ^ _SEQMH_FP2C), starts)
+        for s in range(len(seeds)):
+            sig[:, s] = np.minimum.reduceat(splitmix64(gs ^ seeds[s]), starts)
+    return fp1, fp2, sig
 
 
 def seq_minhash_recall(sf_dir: str, augment: "bool | None" = None) -> pa.Table:
@@ -2273,12 +2279,18 @@ def seq_minhash_recall(sf_dir: str, augment: "bool | None" = None) -> pa.Table:
     token-array duplicates under distinct ids) counts too; pairs are
     distinct (doc_id_a < doc_id_b) pairs, mirrored in the oracle.
 
-    Scale shape (candidate→recover throughout): pass 1 ships one 64-bit
-    set-hash per row into the ``dupfinder`` tree reduce (8 B/row); pass 2
-    recovers exact md5 set fingerprints for DUP-hash rows only; pass 3
-    emits 16 (band key, row id hash) rows per sequence into the
-    ``pairreduce`` co-occurrence reduce. The driver sees candidate rows
-    and verified pairs only — never signatures or gram sets of the corpus.
+    Scale shape (candidate→recover, ONE gram scan): the single corpus scan
+    computes each row's distinct-gram set once (one lexsort) and emits 1
+    set-hash row — (fp1, fp2, rid, doc_id), two INDEPENDENT commutative
+    64-bit set-hashes = 128-bit verification, the former md5 pass's
+    hash-level exactness without its second scan — plus 16 (band key, rid)
+    rows, all into one materialized exchange (~9 small rows/seq). The
+    ``dupfinder`` tree reduce then finds duplicated fp1 on that
+    materialized stream (no recompute), candidates are recovered by a
+    cheap filter over the same stream, and banding pairs come from the
+    ``pairreduce`` co-occurrence reduce over the kind-1 rows. The driver
+    sees candidate rows and verified pairs only — never signatures or
+    gram sets of the corpus.
     """
     from ..core.hashing import hash_strings
     from ..state.dupfinder import find_dup_hash_values
@@ -2288,19 +2300,56 @@ def seq_minhash_recall(sf_dir: str, augment: "bool | None" = None) -> pa.Table:
     cols = ["doc_id", "tokens"]
     seeds = _seqmh_seeds()
 
-    # ---- pass 1: 64-bit set-hash per row → dup candidates ----
-    def setfp(t: pa.Table) -> pa.Table:
-        _ids, gh, m = _seqmh_grams(t, aug)
+    # ---- the ONE gram scan: set-hash rows (kind 0) ⊕ band rows (kind 1) ----
+    def features(t: pa.Table) -> pa.Table:
+        ids, gh, m = _seqmh_grams(t, aug)
         if m.size == 0:
-            return pa.table({"fph": pa.array([], type=pa.int64())})
-        return pa.table({"fph": pa.array(_seqmh_setfp64(gh, m).view(np.int64))})
+            return pa.table(
+                {
+                    "kind": pa.array([], type=pa.int64()),
+                    "key": pa.array([], type=pa.int64()),
+                    "rid": pa.array([], type=pa.int64()),
+                    "fp2": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.string()),
+                }
+            )
+        n = m.size
+        fp1, fp2, sig = _seqmh_row_features(gh, m, seeds)
+        ids_arr = ids if isinstance(ids, pa.ChunkedArray) else pa.chunked_array([ids])
+        rid = hash_strings(ids_arr).view(np.int64)
+        r = SEQMH_K // SEQMH_BANDS
+        keys = np.empty((n, SEQMH_BANDS), dtype=_U64)
+        for b in range(SEQMH_BANDS):
+            k = splitmix64(np.full(n, b + 1, dtype=_U64))
+            for s in range(b * r, (b + 1) * r):
+                k = splitmix64(k ^ sig[:, s])
+            keys[:, b] = k
+        nb = n * SEQMH_BANDS
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(n, np.int64), np.ones(nb, np.int64)])
+                ),
+                "key": pa.array(
+                    np.concatenate([fp1.view(np.int64), keys.ravel().view(np.int64)])
+                ),
+                "rid": pa.array(np.concatenate([rid, np.repeat(rid, SEQMH_BANDS)])),
+                "fp2": pa.array(
+                    np.concatenate([fp2.view(np.int64), np.zeros(nb, np.int64)])
+                ),
+                "doc_id": pa.concat_arrays(
+                    [ids_arr.combine_chunks(), pa.nulls(nb, type=pa.string())]
+                ),
+            }
+        )
 
-    fp_ds = (
+    feat = (
         _seq_ds(sf_dir, columns=cols)
-        .map_batches(setfp, batch_format="pyarrow", batch_size=2048)
+        .map_batches(features, batch_format="pyarrow", batch_size=2048)
         .materialize()
     )
-    dup_fph = find_dup_hash_values(fp_ds, "fph")
+    fp_ds = feat.filter(expr="kind == 0")
+    dup_fph = find_dup_hash_values(fp_ds, "key")
     empty = pa.table(
         {
             "n_truth_pairs": pa.array([0], type=pa.int64()),
@@ -2310,60 +2359,33 @@ def seq_minhash_recall(sf_dir: str, augment: "bool | None" = None) -> pa.Table:
     )
     if dup_fph.size == 0:
         return empty
-    dup_sorted = np.sort(dup_fph.view(_U64))
+    dup_set = pa.array(np.asarray(dup_fph, dtype=np.int64))
 
-    # ---- pass 2: exact md5 set fingerprints for candidate rows only ----
-    def recover(t: pa.Table) -> pa.Table:
-        ids, gh, m = _seqmh_grams(t, aug)
-        out_empty = pa.table(
-            {
-                "doc_id": pa.array([], type=pa.string()),
-                "rid": pa.array([], type=pa.int64()),
-                "fp": pa.array([], type=pa.string()),
-            }
-        )
-        if m.size == 0:
-            return out_empty
-        h = _seqmh_setfp64(gh, m)
-        pos = np.minimum(np.searchsorted(dup_sorted, h), dup_sorted.size - 1)
-        hit = np.flatnonzero(dup_sorted[pos] == h)
-        if hit.size == 0:
-            return out_empty
-        ids_arr = ids if isinstance(ids, pa.ChunkedArray) else pa.chunked_array([ids])
-        sel = ids_arr.take(pa.array(hit))
-        rid = hash_strings(sel).view(np.int64)
-        starts = np.concatenate(([0], np.cumsum(m)))
-        fps = [_seqmh_fp_md5(gh[starts[i] : starts[i + 1]]) for i in hit]
-        return pa.table(
-            {
-                "doc_id": sel,
-                "rid": pa.array(rid),
-                "fp": pa.array(fps, type=pa.string()),
-            }
-        )
+    # ---- candidate recovery: a filter over the SAME materialized stream ----
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.is_in(t.column("key"), value_set=dup_set), False)
+        return t.filter(mask).select(["doc_id", "rid", "key", "fp2"])
 
-    cand = _collect(
-        _seq_ds(sf_dir, columns=cols).map_batches(
-            recover, batch_format="pyarrow", batch_size=2048
-        )
-    )
-    # exact truth: distinct (id_a < id_b) pairs sharing a set fingerprint
+    cand = _collect(fp_ds.map_batches(pick, batch_format="pyarrow"))
+    # exact truth: distinct (id_a < id_b) pairs sharing BOTH set-hashes
     cids = cand.column("doc_id").to_pylist()
     crids = cand.column("rid").to_pylist()
-    cfps = cand.column("fp").to_pylist()
+    cfp = list(
+        zip(cand.column("key").to_pylist(), cand.column("fp2").to_pylist())
+    )
     rid_to_id: dict[int, str] = {}
     for r, d in zip(crids, cids):
         if rid_to_id.setdefault(r, d) != d:
             raise ValueError(f"64-bit doc_id hash collision on rid {r}")
-    by_fp: dict[str, set] = {}
+    by_fp: dict[tuple, set] = {}
     rid_fps: dict[int, set] = {}
-    for d, r, f in zip(cids, crids, cfps):
+    for d, r, f in zip(cids, crids, cfp):
         by_fp.setdefault(f, set()).add(d)
         rid_fps.setdefault(r, set()).add(f)
     truth: set = set()
     for members in by_fp.values():
         if len(members) < 2:
-            continue  # 64-bit set-hash collision filtered exactly
+            continue  # fp1 collision with fp2 mismatch filtered here
         ms = sorted(members)
         for x in range(len(ms)):
             for y in range(x + 1, len(ms)):
@@ -2372,41 +2394,13 @@ def seq_minhash_recall(sf_dir: str, augment: "bool | None" = None) -> pa.Table:
     if n_truth == 0:
         return empty
 
-    # ---- pass 3: minhash signatures → band keys → candidate pairs ----
-    def band_rows(t: pa.Table) -> pa.Table:
-        ids, gh, m = _seqmh_grams(t, aug)
-        if m.size == 0:
-            return pa.table(
-                {"key": pa.array([], type=pa.int64()), "rid": pa.array([], type=pa.int64())}
-            )
-        n = m.size
-        starts = np.concatenate(([0], np.cumsum(m)))[:-1]
-        sig = np.empty((n, SEQMH_K), dtype=_U64)
-        for s in range(SEQMH_K):
-            sig[:, s] = np.minimum.reduceat(splitmix64(gh ^ seeds[s]), starts)
-        r = SEQMH_K // SEQMH_BANDS
-        ids_arr = ids if isinstance(ids, pa.ChunkedArray) else pa.chunked_array([ids])
-        rid = hash_strings(ids_arr).view(np.int64)
-        keys = np.empty((n, SEQMH_BANDS), dtype=_U64)
-        for b in range(SEQMH_BANDS):
-            k = splitmix64(np.full(n, b + 1, dtype=_U64))
-            for s in range(b * r, (b + 1) * r):
-                k = splitmix64(k ^ sig[:, s])
-            keys[:, b] = k
-        return pa.table(
-            {
-                "key": pa.array(keys.ravel().view(np.int64)),
-                "rid": pa.array(np.repeat(rid, SEQMH_BANDS)),
-            }
-        )
-
-    keyed = (
-        _seq_ds(sf_dir, columns=cols)
-        .map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
-        .materialize()
-    )
+    # ---- banding pairs from the kind-1 rows of the same stream ----
     pairs = cooccurrence_pairs(
-        keyed, "key", "rid", max_bucket=SEQMH_MAX_BUCKET, distinct_ids=True
+        feat.filter(expr="kind == 1"),
+        "key",
+        "rid",
+        max_bucket=SEQMH_MAX_BUCKET,
+        distinct_ids=True,
     )
     found: set = set()
     for ra, rb in zip(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()):
