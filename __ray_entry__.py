@@ -326,6 +326,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_chunk_windows",
     "seq_source_stats",
     "seq_ntok_percentiles",
+    "seq_ntok_exact_quantiles",
     "seq_length_outliers",
     "seq_source_entropy",
     "seq_boundary_audit",
@@ -549,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_dup_doc_ids": lambda sf: sq.seq_dup_doc_ids(sf),
         "seq_source_stats": lambda sf: sq.seq_source_stats(sf),
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
+        # exact corpus-wide discrete quantiles via distributed radix select
+        "seq_ntok_exact_quantiles": sq.seq_ntok_exact_quantiles,
         "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),
         "seq_sketch_report": lambda sf: sq.seq_sketch_report(sf),  # sketches — rows-only
         # sketch-accuracy contract: engine compares HLL/t-digest estimates
@@ -1496,6 +1499,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(floor(n_tok / {HIST_BIN_WIDTH}.0) AS BIGINT) AS bin,
                    count(*) AS n
             FROM {seq} GROUP BY 1 ORDER BY 1
+        """,
+        # exact lower discrete quantiles: value at rank ceil(q·n) ascending,
+        # NULL n_tok excluded — the radix-select (state/orderstats) grade
+        "seq_ntok_exact_quantiles": f"""
+            WITH v AS (SELECT n_tok FROM {seq} WHERE n_tok IS NOT NULL),
+            c AS (SELECT count(*) AS n FROM v),
+            r AS (SELECT n_tok, row_number() OVER (ORDER BY n_tok) AS rk FROM v),
+            qs(quantile, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+            SELECT q.quantile,
+                   ((c.n * q.num + q.den - 1) // q.den)::BIGINT AS k,
+                   r.n_tok::BIGINT AS value
+            FROM qs q CROSS JOIN c
+            JOIN r ON r.rk = (c.n * q.num + q.den - 1) // q.den
+            ORDER BY q.quantile
         """,
         # money aggregates: per-row round-to-cents before SUM, final round
         # after — both engines then sum grid-aligned values, and averages are

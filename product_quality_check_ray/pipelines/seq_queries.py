@@ -908,3 +908,52 @@ def seq_length_outliers(
 
     ds = _seq_ds(sf_dir, columns=["doc_id", "source", "n_tok"])
     return ds.map_batches(_aout(flag), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact n_tok quantiles via distributed radix select
+# ---------------------------------------------------------------------------
+
+EXACT_QUANTILES: tuple[tuple[str, int, int], ...] = (
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+_EXACT_Q_SCHEMA = pa.schema(
+    [("quantile", pa.string()), ("k", pa.int64()), ("value", pa.int64())]
+)
+
+
+def seq_ntok_exact_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT corpus-wide discrete n_tok quantiles (value at rank
+    ceil(q·n), ascending — the lower discrete quantile) via
+    ``state/orderstats`` radix select.
+
+    This is the third point of the order-statistics triangle:
+    ``seq_ntok_percentiles`` is exact but ships a whole source's values
+    into one task; ``seq_sketch_report`` scales but approximates; this is
+    exact AND scale-safe for any integer column — per-batch bincount
+    partials, a 2^16-int driver histogram, ≤4 refinement passes over the
+    full int64 range (n_tok needs 1). NULL n_tok rows are excluded (the
+    null check's finding, not a length datum — the
+    ``seq_ntok_value_counts`` convention); a corpus with no non-null
+    n_tok returns the typed empty table. Reference analog: the summary
+    stats the reference prints per run (app.py:1454-1460 progress
+    aggregates); oracle: row_number rank join (see
+    __ray_entry__.oracle_sql)."""
+    from ..state.orderstats import quantiles_disc
+
+    ds = _seq_ds(sf_dir, columns=["n_tok"]).materialize()
+    got = quantiles_disc(
+        ds, "n_tok", tuple((num, den) for _, num, den in EXACT_QUANTILES)
+    )
+    if not got:
+        return _EXACT_Q_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "quantile": pa.array([name for name, _, _ in EXACT_QUANTILES]),
+            "k": pa.array([k for _, _, k, _ in got], type=pa.int64()),
+            "value": pa.array([st.value for _, _, _, st in got], type=pa.int64()),
+        }
+    )

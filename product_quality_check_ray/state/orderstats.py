@@ -117,6 +117,13 @@ def kth_stats(
         raise ValueError(f"k={k} exceeds non-null count {n}")
     if descending:
         k = n - k + 1  # kth largest == (n - k + 1)th smallest
+    return _refine(ds, col, lo, hi, n, k, bits)
+
+
+def _refine(
+    ds: rd.Dataset, col: str, lo: int, hi: int, n: int, k: int, bits: int
+) -> KthStats:
+    """Radix-refinement loop from a known (lo, hi, n) scan; k is ascending."""
     k_rem = k
     n_less_outside = 0  # values < lo across the whole column
     nbuckets = 1 << bits
@@ -144,3 +151,29 @@ def kth_stats(
         n_less_outside += before
         k_rem -= before
         lo, hi = lo + b * width, min(hi, lo + b * width + width - 1)
+
+
+def quantiles_disc(
+    ds: rd.Dataset,
+    col: str,
+    fracs: "tuple[tuple[int, int], ...]",
+    *,
+    bits: int = 16,
+) -> "list[tuple[int, int, int, KthStats]]":
+    """Exact discrete quantiles: for each (num, den) fraction, the
+    k = ceil(n·num/den)-th smallest value (lower discrete quantile — the
+    SQL ``row_number ... WHERE rk = ceil(n·q)`` contract).  ONE min/max/n
+    scan shared across all fractions, then one radix refinement each.
+    Returns [(num, den, k, KthStats)], empty list when the column has no
+    non-null values (a zero-row corpus is the caller's typed-empty case,
+    not an error)."""
+    lo, hi, n = _scan_stats(ds, col)
+    if n == 0:
+        return []
+    out = []
+    for num, den in fracs:
+        k = (n * num + den - 1) // den  # ceil
+        if k < 1 or k > n:
+            raise ValueError(f"fraction {num}/{den} gives out-of-range k={k}")
+        out.append((num, den, k, _refine(ds, col, lo, hi, n, k, bits)))
+    return out

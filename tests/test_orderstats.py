@@ -115,3 +115,37 @@ def test_dsir_degenerate_ties_keep_lowest_doc_ids(ray_session, tmp_path):
     assert int(out["selected"].sum()) == k
     assert out["weight_millibits"].nunique() == 1
     assert set(out[out["selected"]]["doc_id"]) == set(sorted(ids)[:k])
+
+
+def test_seq_ntok_exact_quantiles_matches_numpy(ray_session):
+    from product_quality_check_ray.datagen import resolve_sequences
+    from product_quality_check_ray.pipelines.seq_queries import (
+        seq_ntok_exact_quantiles,
+    )
+    import pyarrow.parquet as pq
+    import pyarrow as pa_
+
+    out = seq_ntok_exact_quantiles(SF).to_pandas().set_index("quantile")
+    vals = np.sort(
+        np.concatenate(
+            [
+                pq.read_table(f, columns=["n_tok"])
+                .column("n_tok")
+                .drop_null()
+                .to_numpy(zero_copy_only=False)
+                for f in resolve_sequences(SF)
+            ]
+        ).astype(np.int64)
+    )
+    n = len(vals)
+    for name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        k = (n * num + den - 1) // den
+        assert out.loc[name, "k"] == k
+        assert out.loc[name, "value"] == int(vals[k - 1])
+
+
+def test_quantiles_disc_all_null_column(ray_session):
+    from product_quality_check_ray.state.orderstats import quantiles_disc
+
+    ds = _ds([None, None])
+    assert quantiles_disc(ds, "v", ((1, 2),)) == []
