@@ -340,6 +340,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_id_source_fd",
     "seq_corpus_drift",
     "seq_corpus_token_drift",
+    "seq_incremental_dedup",
     "seq_lcs_pairs",
     "seq_length_batches",
     "multimodal_decode",
@@ -639,6 +640,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_id_source_fd": lambda sf: tk.seq_id_source_fd(sf),  # doc_id → source functional-dependency audit
         "seq_corpus_diff": lambda sf: tk.seq_corpus_diff(sf),
         "seq_corpus_drift": lambda sf: tk.seq_corpus_drift(sf),  # two-corpus integer-KS length drift
+        # incremental-ingest gate: new-batch rows whose CONTENT is absent
+        # from the base corpus (16-byte identity join, no payload shuffle)
+        "seq_incremental_dedup": lambda sf: tk.seq_incremental_dedup(sf),
         "seq_corpus_token_drift": lambda sf: tk.seq_corpus_token_drift(sf),  # token-id distribution drift (re-tokenization detector)  # migration diff: added/removed/changed doc_ids
         "seq_split_leakage": lambda sf: tk.seq_split_leakage(sf),  # contents spanning train/val/test splits
         "seq_partition_verdicts": lambda sf: tk.seq_partition_verdicts(sf),  # per-partition pass/fail verdict table
@@ -2714,6 +2718,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # migration diff: per-id MULTISET of content md5s compared across
         # the v1 and derived-v2 corpora (duplicate ids compare as bags)
+        # incremental-ingest gate: NOT EXISTS on the sentinel-coalesced
+        # token list (null list ≡ [], null element ≡ -1 — the dup-family
+        # view); within-new duplicates both admitted (base-relative only)
+        "seq_incremental_dedup": f"""
+            WITH a AS (
+              SELECT list_transform(coalesce(tokens, []), x -> coalesce(x, -1)) AS ptok
+              FROM read_parquet('{seq_glob}')
+            ),
+            b AS (
+              SELECT doc_id, source, n_tok,
+                     list_transform(coalesce(tokens, []), x -> coalesce(x, -1)) AS ptok
+              FROM read_parquet('{seq_v2_glob}')
+            )
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+            FROM b
+            WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.ptok = b.ptok)
+            ORDER BY doc_id
+        """,
         "seq_corpus_diff": f"""
             WITH a AS (
               SELECT doc_id, list_sort(list(md5(

@@ -166,6 +166,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_corpus_manifest", lambda sf: tk.seq_corpus_manifest(sf)),
         ("seq_dup_id_conflicts", lambda sf: tk.seq_dup_id_conflicts(sf)),
         ("seq_corpus_diff", lambda sf: tk.seq_corpus_diff(sf)),
+        ("seq_incremental_dedup", lambda sf: tk.seq_incremental_dedup(sf)),
         ("seq_corpus_drift", lambda sf: tk.seq_corpus_drift(sf)),
         ("seq_id_source_fd", lambda sf: tk.seq_id_source_fd(sf)),
         ("seq_split_leakage", lambda sf: tk.seq_split_leakage(sf)),

@@ -766,14 +766,19 @@ def _lenbatch_aggregate(t, offset: int, batch_rows: int):
 # ---------------------------------------------------------------------------
 
 
-def _content_hash(offs: np.ndarray, vals: np.ndarray) -> np.ndarray:
+def _content_hash(
+    offs: np.ndarray, vals: np.ndarray, tweak: np.uint64 = _U64(0)
+) -> np.ndarray:
     """Order-sensitive 64-bit content hash per row (uint64), fully vectorized.
 
-    h = mix( Σ_j mix(v_j + j·GOLD)  +  mix(len) ): each element is mixed with
-    its INTRA-ROW position before a commutative sum, so permutations differ;
-    segment sums come from a cumsum difference (no reduceat empty-segment
-    pitfall). Candidate-only contract: collisions are filtered by the exact
-    verification pass."""
+    h = mix( Σ_j mix(v_j + j·GOLD ^ tweak)  +  mix(len) ): each element is
+    mixed with its INTRA-ROW position before a commutative sum, so
+    permutations differ; segment sums come from a cumsum difference (no
+    reduceat empty-segment pitfall). ``tweak=0`` (the default) is
+    bit-identical to the historical hash; a nonzero tweak yields an
+    independent second hash for 128-bit content identities
+    (``seq_incremental_dedup``). Candidate-only contract at 64 bits:
+    collisions are filtered by the exact verification pass."""
     lens = offs[1:] - offs[:-1]
     with np.errstate(over="ignore"):
         seg = vals[offs[0] : offs[-1]].astype(_U64)  # -1 → 2^64-1, deterministic
@@ -781,7 +786,7 @@ def _content_hash(offs: np.ndarray, vals: np.ndarray) -> np.ndarray:
         intra = (
             np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
         ).astype(_U64)
-        hv = splitmix64(seg + intra * _GOLD)
+        hv = splitmix64((seg + intra * _GOLD) ^ tweak)
         c = np.zeros(total + 1, dtype=_U64)
         np.cumsum(hv, out=c[1:])
         sums = c[offs[1:] - offs[0]] - c[offs[:-1] - offs[0]]
@@ -4309,6 +4314,129 @@ def seq_corpus_diff(sf_dir: str) -> pa.Table:
     v2 = ensure_sequences_v2(sf_dir)
     files_b = sorted(_g.glob(_os.path.join(v2, "frag-*.parquet")))
     return seq_corpus_diff_files(files_a, files_b)
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest content dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+# second independent content-hash tweak: (h1, h2) = 128-bit content identity
+# for the cross-corpus membership join — the seq_minhash_recall fp1/fp2
+# convention (hash-level exactness without shipping token payloads)
+_INC_TWEAK = _U64(0xD1B54A32D192ED03)
+
+_INCDEDUP_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("source", pa.string()), ("n_tok", pa.int64())]
+)
+
+
+def seq_incremental_dedup_files(files_base: list, files_new: list) -> pa.Table:
+    """Incremental-ingest gate: rows of the NEW corpus whose token CONTENT
+    appears nowhere in the BASE corpus — the rows an incremental ingest
+    should actually admit.  ``seq_corpus_diff`` answers identity ("which
+    doc_ids changed"); this answers CONTENT ("which payloads are genuinely
+    new"): a re-crawled page re-ingested under a fresh doc_id is caught
+    here and missed there.  Within-new duplicates are NOT collapsed (both
+    copies are new relative to base — within-corpus dedup is
+    ``seq_dup_token_arrays``' job); NULL token lists compare as ``[]`` and
+    NULL elements as ``-1`` (the ``_tokens_parts`` sentinel view, the
+    dup-family oracle convention).
+
+    Output: (doc_id, source, n_tok) of the admitted new rows, doc_id-sorted.
+
+    Scale shape: base rows ship ONLY a 16-byte content identity — two
+    independent position-mixed 64-bit hashes packed into one
+    fixed_size_binary(16) key, per-batch distinct; the new side anti-joins
+    against that key set through the cap-aware ``core/joins`` policy
+    (≤2M distinct keys → one ``ray.put`` + vectorized ``is_in`` per batch;
+    above the cap → the distributed hash anti-join — the key set never
+    touches the driver).  No token payload ever shuffles and the driver
+    sees only the admitted rows (at production scale: ``write_parquet``
+    the joined Dataset instead of collecting).  Reference analog: the
+    durability resume skip — "rows already present in the results CSV are
+    not re-processed" (utils/durability.py:20-26) — lifted from row ids to
+    content identity; oracle: NOT EXISTS on the sentinel-coalesced token
+    serialization (see __ray_entry__.oracle_sql)."""
+    from ..core.joins import semi_join
+
+    base = rd.read_parquet(files_base, columns=["tokens"])
+    new = rd.read_parquet(files_new, columns=["doc_id", "tokens", "n_tok", "source"])
+
+    def _packed_keys(t: pa.Table) -> pa.Array:
+        offs, vals = _tokens_parts(t.column("tokens"))
+        h1 = _content_hash(offs, vals)
+        h2 = _content_hash(offs, vals, tweak=_INC_TWEAK)
+        m = np.empty((h1.size, 2), dtype=_U64)
+        m[:, 0], m[:, 1] = h1, h2
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(16), h1.size, [None, pa.py_buffer(np.ascontiguousarray(m))]
+        )
+        # plain binary, not fixed_size_binary: the shuffle-path groupby
+        # re-emits variable binary and Acero refuses mixed key types
+        return pc.cast(fsb, pa.binary())
+
+    def key_base(t: pa.Table) -> pa.Table:
+        # per-batch distinct — shrinks the exchange on dup-heavy bases
+        return pa.table({"ck": pc.unique(_packed_keys(t))})
+
+    def key_new(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
+                "source": pc.cast(t.column("source"), pa.string()),
+                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
+                "ck": _packed_keys(t),
+            }
+        )
+
+    admitted = semi_join(
+        new.map_batches(key_new, batch_format="pyarrow"),
+        "ck",
+        base.map_batches(key_base, batch_format="pyarrow"),
+        "ck",
+        anti=True,
+    )
+    out = _collect(
+        admitted.map_batches(
+            lambda t: t.select(["doc_id", "source", "n_tok"]),
+            batch_format="pyarrow",
+        )
+    )
+    if out.num_rows == 0:
+        return _INCDEDUP_SCHEMA.empty_table()
+    # all three keys: duplicate doc_ids (the planted dup family) would make
+    # a single-key sort order path-dependent
+    idx = pc.sort_indices(
+        out,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("source", "ascending"),
+            ("n_tok", "ascending"),
+        ],
+        null_placement="at_start",
+    )
+    return out.take(idx).cast(_INCDEDUP_SCHEMA)
+
+
+def seq_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Fixture entry: the v2 corpus (``datagen.ensure_sequences_v2``) as the
+    incoming batch deduped against the v1 base.  Real ingests call
+    ``seq_incremental_dedup_files(files_base, files_new)``."""
+    import glob as _g
+    import os as _os
+
+    from ..datagen import _is_fixture_tag, ensure_sequences_v2, resolve_sequences
+
+    if not _is_fixture_tag(sf_dir):
+        raise ValueError(
+            "seq_incremental_dedup(sf_dir) derives its incoming batch only "
+            "for fixture tags; gate real ingests with "
+            "seq_incremental_dedup_files(files_base, files_new)"
+        )
+    files_base = resolve_sequences(sf_dir)
+    v2 = ensure_sequences_v2(sf_dir)
+    files_new = sorted(_g.glob(_os.path.join(v2, "frag-*.parquet")))
+    return seq_incremental_dedup_files(files_base, files_new)
 
 
 # ---------------------------------------------------------------------------

@@ -2185,3 +2185,87 @@ def test_seq_bpe_apply_compression(ray_session, tmp_path):
     # two merges collapse [10,11,12] → one token per row: 450 - 2*50 = 350
     assert out["tok_after"][0] == 350
     assert out["saved_ppm"][0] == (100 * 1_000_000) // 450
+
+
+# ---------------------------------------------------------------------------
+# seq_incremental_dedup (incremental-ingest content gate)
+# ---------------------------------------------------------------------------
+
+
+def test_seq_incremental_dedup_hand_corpus(ray_session, tmp_path):
+    """Content decides, not ids: re-ided duplicates are rejected, new
+    contents admitted (twice if the new batch repeats them), null list ≡ []
+    and null element ≡ -1 under the sentinel view."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.tokens import (
+        seq_incremental_dedup_files,
+    )
+
+    def corpus(d, rows):
+        d.mkdir(parents=True, exist_ok=True)
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+                "tokens": pa.array([r[1] for r in rows], type=pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [len(r[1]) if r[1] is not None else None for r in rows],
+                    type=pa.int32(),
+                ),
+                "source": pa.array(["s"] * len(rows), type=pa.string()),
+            }
+        )
+        f = str(d / "frag-000.parquet")
+        pq.write_table(t, f)
+        return [f]
+
+    base = corpus(
+        tmp_path / "base",
+        [
+            ("b0", [1, 2, 3]),
+            ("b1", [4, None, 6]),  # sentinel: [4, -1, 6]
+            ("b2", []),
+        ],
+    )
+    new = corpus(
+        tmp_path / "new",
+        [
+            ("n0", [1, 2, 3]),       # re-ided dup of b0 → rejected
+            ("n1", [4, -1, 6]),      # equals b1 under the sentinel view → rejected
+            ("n2", None),            # null list ≡ [] ≡ b2 → rejected
+            ("n3", [7, 8]),          # new → admitted
+            ("n4", [7, 8]),          # within-new repeat → ALSO admitted
+            ("n5", [1, 2, 3, 4]),    # superset content is new → admitted
+        ],
+    )
+    out = seq_incremental_dedup_files(base, new).to_pydict()
+    assert out["doc_id"] == ["n3", "n4", "n5"]
+    assert out["n_tok"] == [2, 2, 4]
+
+
+def test_seq_incremental_dedup_fixture_vs_diff(ray_session):
+    """Fixture invariant: every admitted row's doc_id must be an
+    added/changed id in seq_corpus_diff (new content ⇒ new-or-changed id;
+    the converse is false — a changed row may duplicate existing content)."""
+    import product_quality_check_ray.pipelines.tokens as tk
+
+    adm = tk.seq_incremental_dedup("/root/testdata/sf0.001")
+    diff = tk.seq_corpus_diff("/root/testdata/sf0.001").to_pydict()
+    changed = {
+        d for d, s in zip(diff["doc_id"], diff["status"]) if s in ("added", "changed")
+    }
+    assert len(adm) > 0
+    assert set(adm.column("doc_id").to_pylist()) <= changed
+
+
+def test_seq_incremental_dedup_shuffle_path_equivalence(ray_session, monkeypatch):
+    """cap=0 forces the distributed hash anti-join over the binary(16)
+    content keys; must match the broadcast path exactly."""
+    import product_quality_check_ray.core.joins as joins
+    import product_quality_check_ray.pipelines.tokens as tk
+
+    a = tk.seq_incremental_dedup("/root/testdata/sf0.001").to_pydict()
+    monkeypatch.setattr(joins, "BROADCAST_KEY_CAP", 0)
+    b = tk.seq_incremental_dedup("/root/testdata/sf0.001").to_pydict()
+    assert a == b
