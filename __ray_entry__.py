@@ -358,6 +358,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_exact_dup_groups",
     "doc_boilerplate_strip",
     "doc_dsir_select",
+    "doc_ccnet_buckets",
     "documents_lang_drift",
     "events_type_drift",
     "embedding_label_stats",
@@ -684,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR-style importance selection: target-vs-raw LM weight, exact
         # global top-k via distributed radix select (state/orderstats)
         "doc_dsir_select": lambda sf: tp.doc_dsir_select(sf),
+        # CCNet head/middle/tail perplexity terciles (radix-select bounds)
+        "doc_ccnet_buckets": lambda sf: tp.doc_ccnet_buckets(sf),
         "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
         # capstone: clean → mixture → shard → chunk in ONE fused pass
         "prepare_training_corpus": lambda sf: tp.prepare_training_corpus(sf),
@@ -3224,6 +3227,8 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: two mirrored LM CTEs + window rank (generated next to the
         # engine so the mods/fraction can never drift)
         "doc_dsir_select": tp.dsir_oracle_sql(),
+        # CCNet terciles: LM CTE + integer microbits key + window rank
+        "doc_ccnet_buckets": tp.ccnet_oracle_sql(),
         # M11 unit-normalization layer: closed-form generated oracle
         "part_measurements": rel.part_measurements_oracle_sql(),
         # M12 pack-size multi-format parser: closed-form generated oracle

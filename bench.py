@@ -183,6 +183,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("doc_tfidf_topk", lambda sf: tp.doc_tfidf_topk(sf)),
         ("doc_lm_score", lambda sf: tp.doc_lm_score(sf)),
         ("doc_dsir_select", lambda sf: tp.doc_dsir_select(sf)),
+        ("doc_ccnet_buckets", lambda sf: tp.doc_ccnet_buckets(sf)),
         ("events_range_counts", lambda sf: rel.events_range_counts(sf)),
         ("events_validate", lambda sf: rel.events_validate(sf)),
         ("embedding_validate", lambda sf: sim.embedding_validate(sf)),

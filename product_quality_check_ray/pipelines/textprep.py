@@ -1346,3 +1346,171 @@ def dsir_oracle_sql(
                    rk <= (nn * {keep_num} + {keep_den - 1}) // {keep_den} AS selected
             FROM ranked ORDER BY doc_id
     """
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# --------------------------------------------------------------------------
+
+_CCNET_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_bigrams", pa.int64()),
+        ("score_ubits", pa.int64()),
+        ("bucket", pa.string()),
+    ]
+)
+
+
+def doc_ccnet_buckets(sf_dir: str, ref_mod: int = LM_REF_MOD) -> rd.Dataset:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, arXiv:1911.00359
+    §3.3): every document bucketed by reference-LM perplexity terciles —
+    'head' = the best-scoring (lowest cross-entropy) third, the slice CCNet
+    feeds to training first.  Exact and integer-only: the per-doc key is
+    ``score_ubits = (total_millibits · 1000) // n_bigrams`` (microbits per
+    bigram, floor — both sides nonnegative, so floor division agrees
+    between numpy and SQL), ranked by (score ASC, doc_id ASC); tercile
+    boundaries sit at ranks ceil(n/3) and ceil(2n/3) over the docs WITH
+    bigrams; docs without bigrams get bucket 'none' and a NULL score.
+
+    Scale shape: one ``doc_lm_score`` scoring pass (reference-slice LM,
+    broadcast once) materialized as a 24-byte/row projection; the two
+    tercile boundaries AND their doc_id tie cutoffs come from
+    ``state/orderstats`` radix select (the ``doc_dsir_select`` treatment),
+    so the driver only ever holds 2^16-int histograms — no sort, no value
+    list, no shipped group.  Reference analog: rule-scored classification
+    routing (M18, app.py:1435-1448); oracle: LM CTE + window rank (see
+    __ray_entry__.oracle_sql)."""
+    from ..state.orderstats import kth_stats
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = (
+            t.column("total_millibits").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        score = np.where(n > 0, (tot * 1000) // np.maximum(n, 1), np.int64(-1))
+        has = pa.array(n > 0)
+        # nullable copy for the radix select (kth_stats drops nulls)
+        ranked = pc.if_else(
+            has, pa.array(np.where(n > 0, score, 0)), pa.nulls(len(n), pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_bigrams": pa.array(n),
+                "score": pa.array(score),
+                "ranked_score": ranked,
+                "is_ranked": pc.cast(has, pa.int64()),
+            }
+        )
+
+    scored = (
+        doc_lm_score(sf_dir, ref_mod)
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()
+    )
+    n_ranked = int(scored.sum("is_ranked") or 0) if scored.count() else 0
+    if n_ranked == 0:
+        def all_none(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_bigrams": t.column("n_bigrams"),
+                    "score_ubits": pa.nulls(t.num_rows, type=pa.int64()),
+                    "bucket": pa.array(["none"] * t.num_rows, type=pa.string()),
+                }
+            )
+
+        return scored.map_batches(all_none, batch_format="pyarrow")
+
+    def boundary(k: int) -> tuple[int, int]:
+        st = kth_stats(scored, "ranked_score", k)
+        slots = k - st.n_less
+        ties = scored.filter(expr=f"ranked_score == {st.value}")
+        d = kth_stats(ties, "doc_id", slots)
+        return st.value, d.value
+
+    k1 = (n_ranked + 2) // 3  # ceil(n/3)
+    k2 = (2 * n_ranked + 2) // 3  # ceil(2n/3)
+    t1, d1 = boundary(k1)
+    t2, d2 = boundary(k2)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        n = t.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        in_head = (s < t1) | ((s == t1) & (ids <= d1))
+        in_mid = (s < t2) | ((s == t2) & (ids <= d2))
+        bucket = np.where(
+            n == 0, "none", np.where(in_head, "head", np.where(in_mid, "middle", "tail"))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_bigrams": pa.array(n),
+                "score_ubits": pa.array(
+                    [None if nn == 0 else int(sv) for nn, sv in zip(n, s)],
+                    type=pa.int64(),
+                ),
+                "bucket": pa.array(bucket.tolist(), type=pa.string()),
+            }
+        )
+
+    return scored.map_batches(verdict, batch_format="pyarrow")
+
+
+def ccnet_oracle_sql(ref_mod: int = LM_REF_MOD) -> str:
+    """DuckDB oracle for doc_ccnet_buckets: the doc_lm_score LM CTE, the
+    integer microbits-per-bigram key, and a window rank into terciles."""
+    return f"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS ws
+              FROM documents
+            ),
+            ref AS (SELECT ws FROM w WHERE doc_id % {ref_mod} = 0),
+            rb AS (
+              SELECT ws[i] AS w1, ws[i+1] AS w2
+              FROM ref, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+            ),
+            cb2 AS (SELECT w1, w2, count(*) AS c FROM rb GROUP BY w1, w2),
+            cb1 AS (SELECT w1, count(*) AS c FROM rb GROUP BY w1),
+            v AS (
+              SELECT count(DISTINCT x) AS vs
+              FROM (SELECT unnest(ws) AS x FROM ref) u
+            ),
+            db AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+            ),
+            mb AS (
+              SELECT d.doc_id,
+                     round(-log2((coalesce(cb2.c, 0) + 1) * 1.0
+                                 / (coalesce(cb1.c, 0) + v.vs)) * 1000, 0)::BIGINT AS m
+              FROM db d
+              LEFT JOIN cb2 ON d.w1 = cb2.w1 AND d.w2 = cb2.w2
+              LEFT JOIN cb1 ON d.w1 = cb1.w1
+              CROSS JOIN v
+            ),
+            s AS (
+              SELECT doc_id, count(*)::BIGINT AS n, sum(m)::BIGINT AS tot
+              FROM mb GROUP BY doc_id
+            ),
+            base AS (
+              SELECT w.doc_id, coalesce(s.n, 0)::BIGINT AS n_bigrams,
+                     CASE WHEN s.n > 0 THEN (s.tot * 1000) // s.n END AS score
+              FROM w LEFT JOIN s USING (doc_id)
+            ),
+            ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score, doc_id) AS rk,
+                     count(*) OVER () AS nn
+              FROM base WHERE score IS NOT NULL
+            )
+            SELECT b.doc_id, b.n_bigrams, b.score::BIGINT AS score_ubits,
+                   CASE WHEN b.score IS NULL THEN 'none'
+                        WHEN r.rk <= (r.nn + 2) // 3 THEN 'head'
+                        WHEN r.rk <= (2 * r.nn + 2) // 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM base b LEFT JOIN ranked r USING (doc_id)
+            ORDER BY b.doc_id
+    """

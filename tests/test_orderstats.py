@@ -149,3 +149,52 @@ def test_quantiles_disc_all_null_column(ray_session):
 
     ds = _ds([None, None])
     assert quantiles_disc(ds, "v", ((1, 2),)) == []
+
+
+def test_ccnet_buckets_tercile_counts(ray_session):
+    from product_quality_check_ray.pipelines.textprep import doc_ccnet_buckets
+
+    out = doc_ccnet_buckets(SF).to_pandas()
+    ranked = out[out["bucket"] != "none"]
+    n = len(ranked)
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    counts = ranked["bucket"].value_counts()
+    assert counts.get("head", 0) == k1
+    assert counts.get("middle", 0) == k2 - k1
+    assert counts.get("tail", 0) == n - k2
+    # ordering invariant: every head score <= every middle score <= tail
+    assert ranked[ranked.bucket == "head"]["score_ubits"].max() <= (
+        ranked[ranked.bucket == "middle"]["score_ubits"].min()
+    )
+    assert ranked[ranked.bucket == "middle"]["score_ubits"].max() <= (
+        ranked[ranked.bucket == "tail"]["score_ubits"].min()
+    )
+    # 'none' ⇔ no bigrams ⇔ NULL score
+    none = out[out["bucket"] == "none"]
+    assert (none["n_bigrams"] == 0).all() and none["score_ubits"].isna().all()
+
+
+def test_ccnet_buckets_degenerate_ties_and_none(ray_session, tmp_path):
+    """Identical docs → one shared score → tie cutoffs split terciles by
+    doc_id; a one-word doc (no bigrams) lands in 'none'."""
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.textprep import doc_ccnet_buckets
+
+    ids = np.arange(30, dtype=np.int64)
+    text = ["alpha beta gamma delta"] * 29 + ["solo"]
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": pa.array(text)}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        doc_ccnet_buckets(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[29, "bucket"] == "none"
+    ranked = out.drop(index=29)
+    assert ranked["score_ubits"].nunique() == 1
+    n = 29
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    assert list(ranked.index[ranked.bucket == "head"]) == list(range(k1))
+    assert list(ranked.index[ranked.bucket == "middle"]) == list(range(k1, k2))
+    assert list(ranked.index[ranked.bucket == "tail"]) == list(range(k2, 29))
