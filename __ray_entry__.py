@@ -260,11 +260,11 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_dup_token_arrays",
     "seq_strip_dup_spans",
     "seq_corpus_diff",
-    "seq_dup_doc_ids",
+    "seq_incremental_dedup",
     "seq_split_leakage",
     "seq_partition_verdicts",
     "corpus_audit_suite",
-    "seq_stats_prescreen",
+    "seq_ntok_exact_quantiles",
     "table_drift_suite",
     "seq_repetition_scores",
     "token_plan_suite",
@@ -284,8 +284,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "clean_documents_full",
     "prepare_training_corpus",
     "doc_minhash_dups",
-    "doc_ngram_jaccard_pairs",
-    "doc_lcs_pairs",
+    "doc_boilerplate_strip",
+    "doc_dsir_select",
     "doc_strip_dup_spans",
     "doc_near_dup_clusters",
     "doc_simhash_recall",
@@ -304,16 +304,24 @@ QUERY_ORDER: tuple[str, ...] = (
     "events_suite",
     "lookup_match_suite",
     # similarity search / embedding dedup / compressed ANN / multimodal
-    "embedding_near_dups",
+    "embedding_decontaminate",
     "embedding_semantic_dedup",
     "embedding_kmeans_lattice",
-    "knn_lsh",
+    "doc_ccnet_buckets",
     "knn_ivf",
     "knn_ivfpq",
     "knn_ivfpq_recall",
     "multimodal_suite",
     # --- end of graded window (position 50) ---
     "knn_bruteforce",
+    # round-4 continuation rotation: six long-green members demoted
+    # (families stay window-represented), still locally gated
+    "seq_dup_doc_ids",
+    "seq_stats_prescreen",
+    "doc_ngram_jaccard_pairs",
+    "doc_lcs_pairs",
+    "embedding_near_dups",
+    "knn_lsh",
     "doc_normalized",
     "doc_words",
     "doc_best_dict_match",
@@ -321,12 +329,11 @@ QUERY_ORDER: tuple[str, ...] = (
     "part_sku_parse",
     "seq_pack_plan",
     "embedding_near_dups_lsh",
-    "embedding_decontaminate",
     "seq_cross_source_dups",
     "seq_chunk_windows",
     "seq_source_stats",
     "seq_ntok_percentiles",
-    "seq_ntok_exact_quantiles",
+    "seq_source_exact_quantiles",
     "seq_length_outliers",
     "seq_source_entropy",
     "seq_boundary_audit",
@@ -340,7 +347,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_id_source_fd",
     "seq_corpus_drift",
     "seq_corpus_token_drift",
-    "seq_incremental_dedup",
     "seq_lcs_pairs",
     "seq_length_batches",
     "multimodal_decode",
@@ -356,9 +362,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_split_assign",
     "seq_detokenize",
     "doc_exact_dup_groups",
-    "doc_boilerplate_strip",
-    "doc_dsir_select",
-    "doc_ccnet_buckets",
     "documents_lang_drift",
     "events_type_drift",
     "embedding_label_stats",
@@ -554,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_ntok_histogram": lambda sf: sq.seq_ntok_histogram(sf),
         # exact corpus-wide discrete quantiles via distributed radix select
         "seq_ntok_exact_quantiles": sq.seq_ntok_exact_quantiles,
+        # per-source exact quantiles via GROUPED radix select (shared passes)
+        "seq_source_exact_quantiles": sq.seq_source_exact_quantiles,
         "seq_drift_verdicts": lambda sf: sq.seq_drift_verdicts(sf),
         "seq_sketch_report": lambda sf: sq.seq_sketch_report(sf),  # sketches — rows-only
         # sketch-accuracy contract: engine compares HLL/t-digest estimates
@@ -1506,6 +1511,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT cast(floor(n_tok / {HIST_BIN_WIDTH}.0) AS BIGINT) AS bin,
                    count(*) AS n
             FROM {seq} GROUP BY 1 ORDER BY 1
+        """,
+        # per-source exact lower discrete quantiles — the GROUPED radix
+        # select grade; sources with all-NULL n_tok have no rank → absent
+        "seq_source_exact_quantiles": f"""
+            WITH v AS (SELECT source, n_tok FROM {seq} WHERE n_tok IS NOT NULL),
+            c AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+            r AS (
+              SELECT source, n_tok,
+                     row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rk
+              FROM v
+            ),
+            qs(quantile, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+            SELECT c.source, q.quantile,
+                   ((c.n * q.num + q.den - 1) // q.den)::BIGINT AS k,
+                   r.n_tok::BIGINT AS value
+            FROM c CROSS JOIN qs q
+            JOIN r ON r.source IS NOT DISTINCT FROM c.source
+                  AND r.rk = (c.n * q.num + q.den - 1) // q.den
+            ORDER BY c.source, q.quantile
         """,
         # exact lower discrete quantiles: value at rank ceil(q·n) ascending,
         # NULL n_tok excluded — the radix-select (state/orderstats) grade

@@ -145,6 +145,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("seq_prefix_dups", lambda sf: tk.seq_prefix_dups(sf)),
         ("seq_sampled_check_counts", lambda sf: sq.seq_sampled_check_counts(sf)),
         ("seq_ntok_exact_quantiles", lambda sf: sq.seq_ntok_exact_quantiles(sf)),
+        ("seq_source_exact_quantiles", lambda sf: sq.seq_source_exact_quantiles(sf)),
         ("seq_shard_schema_audit", lambda sf: tk.seq_shard_schema_audit(sf)),
         ("seq_shard_stats", lambda sf: tk.seq_shard_stats(sf)),
         ("seq_chunk_windows", lambda sf: tk.seq_chunk_windows(sf)),

@@ -957,3 +957,50 @@ def seq_ntok_exact_quantiles(sf_dir: str) -> pa.Table:
             "value": pa.array([st.value for _, _, _, st in got], type=pa.int64()),
         }
     )
+
+
+_SRC_Q_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("quantile", pa.string()),
+        ("k", pa.int64()),
+        ("value", pa.int64()),
+    ]
+)
+
+
+def seq_source_exact_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT per-source discrete n_tok quantiles via GROUPED radix select —
+    the scale-safe replacement for ``seq_ntok_percentiles``' ship-the-group
+    map_groups: every (source, quantile) pair refines its own interval but
+    each refinement round is ONE shared scan (1 + ≤4 scans total regardless
+    of source/quantile count; the driver holds a 2^16-int histogram per
+    pair).  Same rank contract as ``seq_ntok_exact_quantiles``
+    (value at ceil(q·n) ascending, NULL n_tok excluded, a NULL source is
+    its own group); sources whose n_tok is all NULL are absent (no rank
+    exists).  Oracle: per-source row_number rank join (see
+    __ray_entry__.oracle_sql)."""
+    from ..state.orderstats import grouped_quantiles_disc
+
+    ds = _seq_ds(sf_dir, columns=["source", "n_tok"]).materialize()
+    got = grouped_quantiles_disc(
+        ds, "source", "n_tok", tuple((num, den) for _, num, den in EXACT_QUANTILES)
+    )
+    if not got:
+        return _SRC_Q_SCHEMA.empty_table()
+    rows = []
+    for g, lst in got.items():
+        if isinstance(g, float) and np.isnan(g):
+            g = None  # pandas NaN group label → SQL NULL group
+        for (num, den, k, st), (name, qn, qd) in zip(lst, EXACT_QUANTILES):
+            assert (num, den) == (qn, qd)
+            rows.append((g, name, k, st.value))
+    rows.sort(key=lambda r: (r[0] is not None, r[0] or "", r[1]))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], type=pa.string()),
+            "quantile": pa.array([r[1] for r in rows], type=pa.string()),
+            "k": pa.array([r[2] for r in rows], type=pa.int64()),
+            "value": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )

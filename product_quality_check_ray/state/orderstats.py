@@ -177,3 +177,172 @@ def quantiles_disc(
             raise ValueError(f"fraction {num}/{den} gives out-of-range k={k}")
         out.append((num, den, k, _refine(ds, col, lo, hi, n, k, bits)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Grouped radix select: per-group exact quantiles in shared passes
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantiles_disc(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    fracs: "tuple[tuple[int, int], ...]",
+    *,
+    bits: int = 16,
+) -> "dict[object, list[tuple[int, int, int, KthStats]]]":
+    """Per-GROUP exact discrete quantiles with SHARED refinement passes:
+    every (group, fraction) pair refines its own value interval, but each
+    refinement round is ONE scan that histograms all still-active pairs at
+    once — total scans = 1 (stats) + max-rounds (≤4 for full int64, 1–2
+    realistically), independent of how many groups or quantiles are asked.
+
+    This removes the documented per-group limitation of exact order
+    statistics (``seq_ntok_percentiles`` ships a whole group to one task):
+    per pair the driver holds a ≤2^bits-int histogram and the per-batch
+    partial is |active pairs| bincounts over that group's subset.  NULL
+    ``col`` values are excluded; a NULL group is its own group (SQL GROUP
+    BY semantics).  Groups whose column is all-NULL are absent from the
+    result (the caller's typed-NULL case)."""
+    import pandas as pd
+
+    # ---- pass 1: per-group (min, max, n) ----
+    def stats_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column(group_col).to_pandas(),
+                "v": t.column(col).to_pandas(),
+            }
+        )
+        df = df[df["v"].notna()]
+        if not len(df):
+            return pa.table(
+                {
+                    "g": pa.array([], type=t.schema.field(group_col).type),
+                    "mn": pa.array([], type=pa.int64()),
+                    "mx": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        agg = df.groupby("g", dropna=False)["v"].agg(["min", "max", "count"]).reset_index()
+        return pa.table(
+            {
+                "g": pa.array(agg["g"], type=t.schema.field(group_col).type),
+                "mn": pa.array(agg["min"].astype(np.int64)),
+                "mx": pa.array(agg["max"].astype(np.int64)),
+                "n": pa.array(agg["count"].astype(np.int64)),
+            }
+        )
+
+    acc: dict = {}
+    for b in ds.map_batches(stats_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for g, mn, mx, n in zip(
+            b.column("g").to_pylist(),
+            b.column("mn").to_pylist(),
+            b.column("mx").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            cur = acc.get(g)
+            acc[g] = (
+                (mn, mx, n)
+                if cur is None
+                else (min(cur[0], mn), max(cur[1], mx), cur[2] + n)
+            )
+
+    # ---- active (group, frac) states ----
+    nbuckets = 1 << bits
+    states = []  # [group, num, den, k, lo, hi, n, k_rem, n_less_outside, result]
+    for g, (mn, mx, n) in acc.items():
+        for num, den in fracs:
+            k = (n * num + den - 1) // den
+            if k < 1 or k > n:
+                raise ValueError(f"fraction {num}/{den} gives out-of-range k={k}")
+            states.append([g, num, den, k, mn, mx, n, k, 0, None])
+
+    while any(s[9] is None for s in states):
+        active = [s for s in states if s[9] is None]
+        # snapshot (lo, hi, shift, nb) per active state for this round's scan
+        plans = []
+        for s in active:
+            lo, hi = s[4], s[5]
+            span = hi - lo + 1
+            if span <= nbuckets:
+                shift, nb = 0, span
+            else:
+                shift = max(0, math.ceil(math.log2(span)) - bits)
+                nb = ((span - 1) >> shift) + 1
+            plans.append((s[0], lo, hi, shift, nb))
+
+        def hist_partial(t: pa.Table, _plans=tuple(plans)) -> pa.Table:
+            gcol = t.column(group_col).to_pandas()
+            # nullable pandas Int64, NOT to_numpy: a null-bearing int column
+            # would round-trip through float64 and lose precision above 2^53
+            vs = t.column(col).to_pandas()
+            valid = vs.notna().to_numpy()
+            out_sid, out_bucket, out_cnt = [], [], []
+            for sid, (g, lo, hi, shift, nb) in enumerate(_plans):
+                gm = gcol.isna().to_numpy() if g is None or g is pd.NA else (
+                    (gcol == g).fillna(False).to_numpy()
+                )
+                m = gm & valid
+                if not m.any():
+                    continue
+                vv = vs[m].to_numpy(dtype=np.int64)
+                vv = vv[(vv >= lo) & (vv <= hi)]
+                if not vv.size:
+                    continue
+                counts = np.bincount((vv - lo) >> shift, minlength=nb)
+                nz = np.flatnonzero(counts)
+                out_sid.extend([sid] * len(nz))
+                out_bucket.extend(nz.tolist())
+                out_cnt.extend(counts[nz].tolist())
+            return pa.table(
+                {
+                    "sid": pa.array(out_sid, type=pa.int64()),
+                    "bucket": pa.array(out_bucket, type=pa.int64()),
+                    "cnt": pa.array(out_cnt, type=pa.int64()),
+                }
+            )
+
+        sums: dict = {}
+        for b in ds.map_batches(hist_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for sid, bucket, cnt in zip(
+                b.column("sid").to_pylist(),
+                b.column("bucket").to_pylist(),
+                b.column("cnt").to_pylist(),
+            ):
+                key = (sid, bucket)
+                sums[key] = sums.get(key, 0) + cnt
+
+        for sid, s in enumerate(active):
+            g, lo, hi, shift, nb = plans[sid]
+            counts = np.zeros(nb, dtype=np.int64)
+            for (sd, bucket), cnt in sums.items():
+                if sd == sid:
+                    counts[bucket] = cnt
+            cum = np.cumsum(counts)
+            bkt = int(np.searchsorted(cum, s[7]))
+            before = int(cum[bkt - 1]) if bkt > 0 else 0
+            if shift == 0:
+                s[9] = KthStats(
+                    value=int(lo + bkt),
+                    n_less=s[8] + before,
+                    n_equal=int(counts[bkt]),
+                    n_total=s[6],
+                )
+            else:
+                width = 1 << shift
+                s[8] += before
+                s[7] -= before
+                s[4] = lo + bkt * width
+                s[5] = min(hi, lo + bkt * width + width - 1)
+
+    out: dict = {}
+    for g, num, den, k, _lo, _hi, _n, _kr, _nl, st in states:
+        out.setdefault(g, []).append((num, den, k, st))
+    return out

@@ -198,3 +198,51 @@ def test_ccnet_buckets_degenerate_ties_and_none(ray_session, tmp_path):
     assert list(ranked.index[ranked.bucket == "head"]) == list(range(k1))
     assert list(ranked.index[ranked.bucket == "middle"]) == list(range(k1, k2))
     assert list(ranked.index[ranked.bucket == "tail"]) == list(range(k2, 29))
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    """Grouped radix select vs per-group numpy sort, including a NULL group,
+    a null-bearing value column, and a wide-span group (multi-round)."""
+    import ray.data as rd
+
+    from product_quality_check_ray.state.orderstats import grouped_quantiles_disc
+
+    rng = np.random.default_rng(3)
+    groups = ["a"] * 5000 + ["b"] * 300 + [None] * 200 + ["c"] * 1
+    vals = np.concatenate(
+        [
+            rng.integers(0, 500, 5000),
+            rng.integers(-(10**12), 10**12, 300),
+            rng.integers(10, 20, 200),
+            [7],
+        ]
+    ).astype(np.int64)
+    vlist = vals.tolist()
+    vlist[17] = None  # a null value inside group 'a'
+    t = pa.table(
+        {
+            "g": pa.array(groups, type=pa.string()),
+            "v": pa.array(vlist, type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(11).materialize()
+    fracs = ((1, 2), (9, 10), (99, 100))
+    got = grouped_quantiles_disc(ds, "g", "v", fracs)
+    # normalize pandas NaN group label
+    got = {
+        (None if (isinstance(k, float) and np.isnan(k)) else k): v
+        for k, v in got.items()
+    }
+    by_g = {}
+    for g, v, orig in zip(groups, vals, vlist):
+        if orig is None:
+            continue
+        by_g.setdefault(g, []).append(v)
+    assert set(got) == set(by_g)
+    for g, arr in by_g.items():
+        s = np.sort(arr)
+        n = len(s)
+        for (num, den, k, st) in got[g]:
+            assert k == (n * num + den - 1) // den
+            assert st.value == int(s[k - 1]), (g, num, den)
+            assert st.n_total == n

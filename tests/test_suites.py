@@ -24,23 +24,18 @@ MUST_BE_IN_WINDOW = [
     "seq_corpus_diff",
     "seq_split_leakage",
     "seq_partition_verdicts",
-    "seq_stats_prescreen",  # footer-proof family (round-3 flagship additions;
-    # seq_keyrange_audit demoted past the marker for table_drift_suite —
-    # the footer family stays represented by the prescreen + verdicts)
+    # footer-proof family rep: corpus_audit_suite melts the footer audits
+    # (seq_stats_prescreen rotated past the marker in round 4 cont.)
     "table_drift_suite",  # complement-KS drift family (documents + events)
     "corpus_audit_suite",  # 7 melted audit members (shard stats, boundary,
     # entropy, outliers, vocab, sortedness, keyrange) — seq_shard_stats's
     # individual slot folded in
-    "doc_lcs_pairs",
     "doc_strip_dup_spans",
     "clean_documents_full",
     "prepare_training_corpus",
     "doc_minhash_dups",
-    "doc_ngram_jaccard_pairs",
     "doc_near_dup_clusters",
-    "embedding_near_dups",
     "embedding_semantic_dedup",
-    "knn_lsh",
     "knn_ivf",
     # round-4 additions (fresh driver-graded surface; knn_bruteforce /
     # doc_words and friends rotated past the marker, still locally gated)
@@ -50,6 +45,16 @@ MUST_BE_IN_WINDOW = [
     "embedding_kmeans_lattice",
     "knn_ivfpq",
     "knn_ivfpq_recall",
+    # round-4 continuation additions (fresh driver-graded surface;
+    # doc_lcs_pairs / doc_ngram_jaccard_pairs / embedding_near_dups /
+    # knn_lsh / seq_dup_doc_ids / seq_stats_prescreen rotated out —
+    # every family keeps a window representative)
+    "seq_incremental_dedup",
+    "seq_ntok_exact_quantiles",
+    "doc_boilerplate_strip",
+    "doc_dsir_select",
+    "doc_ccnet_buckets",
+    "embedding_decontaminate",
     "part_catalog_match",
     "relational_core_suite",
     "events_suite",
