@@ -612,6 +612,51 @@ def cmd_locate(args: argparse.Namespace) -> int:
     return 0 if not missing else 2
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """Incremental-ingest content gate: report (and optionally write) the
+    new-batch rows whose token content is absent from the base corpus.
+    Exit 0 with admitted rows; exit 2 when NOTHING is new (the automation
+    tripwire: the whole batch is already ingested — same convention as
+    ``diff``'s exit-2-on-difference).  ``--out`` writes the admitted FULL
+    rows (original schema) as parquet via the streaming payload path."""
+    import glob as g
+    import os
+
+    _init_ray(args.num_cpus)
+    from .pipelines.tokens import seq_incremental_dedup_files
+
+    fb = sorted(g.glob(os.path.join(args.base, "frag-*.parquet")))
+    fn = sorted(g.glob(os.path.join(args.new, "frag-*.parquet")))
+    if not fb or not fn:
+        print(json.dumps({"error": "no frag-*.parquet in --base or --new"}))
+        return 1
+    import ray.data as rd
+
+    total_new = rd.read_parquet(fn).count()
+    if args.out:
+        ds = seq_incremental_dedup_files(fb, fn, payload=True)
+        os.makedirs(args.out, exist_ok=True)
+        ds = ds.materialize()
+        admitted = ds.count()
+        if admitted:
+            ds.write_parquet(args.out)
+    else:
+        admitted = seq_incremental_dedup_files(fb, fn).num_rows
+    dups = total_new - admitted
+    print(
+        json.dumps(
+            {
+                "total_new_rows": total_new,
+                "admitted": admitted,
+                "duplicates": dups,
+                "dup_rate_ppm": (dups * 1_000_000) // total_new if total_new else 0,
+                "out": args.out,
+            }
+        )
+    )
+    return 0 if admitted else 2
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Migration diff between two corpus dirs: which doc_ids were added,
     removed, or changed (content compared as per-id bags of md5s). Equal
@@ -833,6 +878,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_diff)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="incremental-ingest content gate: admit only new-batch rows "
+        "whose token content is absent from the base corpus",
+    )
+    ing.add_argument("--base", required=True, help="base corpus dir (frag-*.parquet)")
+    ing.add_argument("--new", required=True, help="incoming batch dir (frag-*.parquet)")
+    ing.add_argument(
+        "--out", default=None, help="optional dir: write admitted FULL rows as parquet"
+    )
+    ing.add_argument("--num-cpus", type=int, default=None)
+    ing.set_defaults(fn=cmd_ingest)
 
     lc = sub.add_parser(
         "locate",

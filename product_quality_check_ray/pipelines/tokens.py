@@ -4330,7 +4330,9 @@ _INCDEDUP_SCHEMA = pa.schema(
 )
 
 
-def seq_incremental_dedup_files(files_base: list, files_new: list) -> pa.Table:
+def seq_incremental_dedup_files(
+    files_base: list, files_new: list, *, payload: bool = False
+) -> "pa.Table | rd.Dataset":
     """Incremental-ingest gate: rows of the NEW corpus whose token CONTENT
     appears nowhere in the BASE corpus — the rows an incremental ingest
     should actually admit.  ``seq_corpus_diff`` answers identity ("which
@@ -4342,7 +4344,13 @@ def seq_incremental_dedup_files(files_base: list, files_new: list) -> pa.Table:
     NULL elements as ``-1`` (the ``_tokens_parts`` sentinel view, the
     dup-family oracle convention).
 
-    Output: (doc_id, source, n_tok) of the admitted new rows, doc_id-sorted.
+    Output: (doc_id, source, n_tok) of the admitted new rows, doc_id-sorted;
+    with ``payload=True`` instead a streaming ``Dataset`` of the admitted
+    FULL rows (original schema incl. tokens, unsorted) for the caller to
+    ``write_parquet`` — the ``ingest`` CLI's sink mode.  In payload mode
+    above the broadcast cap the new side's rows (tokens included) flow
+    through the distributed anti-join — O(new batch), never O(base); the
+    summary mode keeps the join side down to 34 B/row.
 
     Scale shape: base rows ship ONLY a 16-byte content identity — two
     independent position-mixed 64-bit hashes packed into one
@@ -4380,6 +4388,11 @@ def seq_incremental_dedup_files(files_base: list, files_new: list) -> pa.Table:
         return pa.table({"ck": pc.unique(_packed_keys(t))})
 
     def key_new(t: pa.Table) -> pa.Table:
+        if payload:
+            # full rows ride the join; original dtypes preserved
+            return t.append_column("ck", _packed_keys(t)).replace_schema_metadata(
+                None
+            )
         return pa.table(
             {
                 "doc_id": pc.cast(t.column("doc_id"), pa.string()),
@@ -4396,6 +4409,11 @@ def seq_incremental_dedup_files(files_base: list, files_new: list) -> pa.Table:
         "ck",
         anti=True,
     )
+    if payload:
+        return admitted.map_batches(
+            lambda t: t.select(["doc_id", "tokens", "n_tok", "source"]),
+            batch_format="pyarrow",
+        )
     out = _collect(
         admitted.map_batches(
             lambda t: t.select(["doc_id", "source", "n_tok"]),

@@ -1276,3 +1276,71 @@ def test_seq_dup_token_arrays_null_list_matches_oracle(ray_session, tmp_path):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["group_size"].tolist() == want["group_size"].tolist()
     assert got["tlen"].tolist() == [int(x) for x in want["tlen"]]
+
+
+def test_cli_ingest_subcommand(tmp_path):
+    """Content gate e2e: duplicated-content rows rejected (even under fresh
+    ids), new rows admitted and written verbatim via --out; an all-duplicate
+    batch exits 2 (automation tripwire)."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    db, dn = str(tmp_path / "base"), str(tmp_path / "new")
+    os.makedirs(db), os.makedirs(dn)
+    base = pa.table(
+        {
+            "doc_id": pa.array([f"b-{i:012d}" for i in range(32)]),
+            "tokens": pa.array([[1, i] for i in range(32)], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * 32, type=pa.int32()),
+            "source": pa.array(["web"] * 32),
+        }
+    )
+    pq.write_table(base, os.path.join(db, "frag-00000.parquet"))
+    new = pa.table(
+        {
+            "doc_id": pa.array(["n-000000000000", "n-000000000001", "n-000000000002"]),
+            "tokens": pa.array([[1, 5], [7, 7, 7], [8]], type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 3, 1], type=pa.int32()),
+            "source": pa.array(["web", "books", "web"]),
+        }
+    )
+    pq.write_table(new, os.path.join(dn, "frag-00000.parquet"))
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "product_quality_check_ray", "ingest",
+             "--base", db, "--new", dn, "--num-cpus", "4", *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+
+    outd = str(tmp_path / "admitted")
+    r = run("--out", outd)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line == {
+        "total_new_rows": 3,
+        "admitted": 2,
+        "duplicates": 1,
+        "dup_rate_ppm": 333333,
+        "out": outd,
+    }
+    import glob as _glob
+
+    got = pa.concat_tables(
+        [pq.read_table(f) for f in _glob.glob(os.path.join(outd, "*.parquet"))]
+    ).sort_by("doc_id")
+    assert got.column("doc_id").to_pylist() == ["n-000000000001", "n-000000000002"]
+    assert got.column("tokens").to_pylist() == [[7, 7, 7], [8]]
+    assert got.schema.field("n_tok").type == pa.int32()  # original dtype kept
+
+    # an all-duplicate batch: the base itself re-submitted → exit 2
+    r2 = subprocess.run(
+        [sys.executable, "-m", "product_quality_check_ray", "ingest",
+         "--base", db, "--new", db, "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 2, r2.stderr[-2000:]
+    line2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert line2["admitted"] == 0 and line2["duplicates"] == 32
