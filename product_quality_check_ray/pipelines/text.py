@@ -2208,7 +2208,6 @@ def doc_boilerplate_strip(
     dedupe); oracle: DuckDB window-segment CTE + HAVING count(DISTINCT
     doc_id) (see __ray_entry__.oracle_sql).
     """
-    from ..core.batches import arrow_out, strip_schema_metadata
     from ..core.hashing import hash_strings
     from ..core.joins import BROADCAST_KEY_CAP, probe_keys, semi_join
     from ..state.dupfinder import find_dup_hash_values
@@ -2277,6 +2276,11 @@ def doc_boilerplate_strip(
         return hashed.map_batches(strip, batch_format="pyarrow")
 
     # --- distributed path: the boilerplate set exceeds the broadcast cap ---
+    # Reassembly is a raw-task hash-range reduce on doc_id (the dupfinder
+    # idiom), NOT groupby(doc_id).map_groups: per-doc map_groups over
+    # millions of tiny groups is the documented pathology (measured 167 s
+    # vs 11 s broadcast at 500k docs); one exchange + R vectorized range
+    # reducers brings the fallback back to the same complexity class.
     kept = semi_join(
         hashed.select_columns(["doc_id", "seg_idx", "statement"]),
         "statement",
@@ -2284,52 +2288,105 @@ def doc_boilerplate_strip(
         "statement",
         anti=True,
         cap=cap,
-    )
-
-    @arrow_out
-    def reasm(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("seg_idx", kind="mergesort")
-        return pd.DataFrame(
-            {
-                "doc_id": [np.int64(df["doc_id"].iloc[0])],
-                "clean_text": [" ".join(df["statement"])],
-                "n_kept": [np.int64(len(df))],
-            }
-        )
-
-    kept_agg = kept.groupby("doc_id").map_groups(reasm, batch_format="pandas")
+    ).materialize()
 
     def totals(t: pa.Table) -> pa.Table:
         vid = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ids, counts = np.unique(vid, return_counts=True)
         return pa.table(
-            {
-                "doc_id": pa.array(ids),
-                "n_seg": pa.array(counts.astype(np.int64)),
-            }
+            {"doc_id": pa.array(ids), "n_seg": pa.array(counts.astype(np.int64))}
         )
 
     # one row per doc (docs are batch-local, so per-batch totals are final)
-    tot = hashed.map_batches(totals, batch_format="pyarrow")
-    joined = strip_schema_metadata(tot).join(
-        strip_schema_metadata(kept_agg),
-        join_type="left_outer",
-        num_partitions=8,
-        on=("doc_id",),
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        n_seg = t.column("n_seg").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_kept = pc.fill_null(t.column("n_kept"), 0).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-                "clean_text": pc.fill_null(t.column("clean_text"), ""),
-                "n_kept": pa.array(n_kept),
-                "n_removed": pa.array(n_seg - n_kept),
-            }
+    tot = hashed.map_batches(totals, batch_format="pyarrow").materialize()
+    try:
+        ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # pragma: no cover - no cluster
+        ranges = 8
+    kept_refs = [r for b in kept.iter_internal_ref_bundles() for r in b.block_refs]
+    tot_refs = [r for b in tot.iter_internal_ref_bundles() for r in b.block_refs]
+    maps_t = [
+        _bp_split_blocks.options(num_returns=ranges).remote(
+            tot_refs[i : i + 8], ranges, ["doc_id", "n_seg"]
         )
+        for i in range(0, len(tot_refs), 8)
+    ]
+    maps_k = [
+        _bp_split_blocks.options(num_returns=ranges).remote(
+            kept_refs[i : i + 8], ranges, ["doc_id", "seg_idx", "statement"]
+        )
+        for i in range(0, len(kept_refs), 8)
+    ]
+    if ranges == 1:  # num_returns=1 hands back a bare ObjectRef
+        maps_t = [[m] for m in maps_t]
+        maps_k = [[m] for m in maps_k]
+    out_refs = [
+        _bp_reduce_range.remote(
+            len(maps_t), *[m[r] for m in maps_t], *[m[r] for m in maps_k]
+        )
+        for r in range(ranges)
+    ]
+    return rd.from_arrow_refs(out_refs)
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+
+@ray.remote
+def _bp_split_blocks(block_refs: list, ranges: int, cols: list) -> tuple:
+    """Split blocks' rows into doc_id-hash ranges (tuple of ``ranges``
+    tables). Column-wise concat: block schema metadata may differ."""
+    from ..core.hashing import splitmix64
+
+    blocks = ray.get(list(block_refs))
+    tables = [
+        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b])).select(cols)
+        for b in blocks
+    ]
+    tables = [t.replace_schema_metadata(None) for t in tables if t.num_rows]
+    if not tables:
+        empty = pa.concat_tables(
+            [
+                (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+                .select(cols)
+                .replace_schema_metadata(None)
+                .slice(0, 0)
+                for b in blocks[:1]
+            ]
+        )
+        return tuple(empty for _ in range(ranges))
+    t = pa.concat_tables(tables)
+    vid = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    rng = (splitmix64(vid.view(np.uint64)) % np.uint64(ranges)).astype(np.int64)
+    return tuple(t.filter(pa.array(rng == r)) for r in range(ranges))
+
+
+@ray.remote
+def _bp_reduce_range(n_tot: int, *parts) -> pa.Table:
+    """One doc_id-hash range: merge totals + kept segments, reassemble each
+    doc's cleaned text with ONE vectorized sort + pandas groupby agg."""
+    tot = pa.concat_tables([p for p in parts[:n_tot] if p.num_rows])
+    if tot.num_rows == 0:
+        return _BOILERPLATE_SCHEMA.empty_table()
+    kept_parts = [p for p in parts[n_tot:] if p.num_rows]
+    tdf = (
+        tot.to_pandas()
+        .groupby("doc_id", sort=True)["n_seg"]
+        .sum()  # a doc lives in one block, but sum is harmless + robust
+    )
+    if kept_parts:
+        kp = pa.concat_tables(kept_parts).to_pandas()
+        kp = kp.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        g = kp.groupby("doc_id", sort=True)
+        clean = g["statement"].agg(" ".join).reindex(tdf.index, fill_value="")
+        n_kept = g.size().reindex(tdf.index, fill_value=0)
+    else:
+        clean = pd.Series("", index=tdf.index)
+        n_kept = pd.Series(0, index=tdf.index)
+    return pa.table(
+        {
+            "doc_id": pa.array(tdf.index.to_numpy().astype(np.int64)),
+            "clean_text": pa.array(clean.to_numpy(), type=pa.string()),
+            "n_kept": pa.array(n_kept.to_numpy().astype(np.int64)),
+            "n_removed": pa.array(
+                (tdf.to_numpy() - n_kept.to_numpy()).astype(np.int64)
+            ),
+        }
+    )

@@ -4330,8 +4330,98 @@ _INCDEDUP_SCHEMA = pa.schema(
 )
 
 
+@ray.remote
+def _inc_map_base(paths: list, ranges: int) -> tuple:
+    """Per content-hash range: sorted (h1, h2) identity-pair arrays for
+    this base fragment group (read in-task — base payloads never enter the
+    object store)."""
+    import pyarrow.parquet as pq
+
+    from ..core.hashing import range_edges
+
+    parts: list = [[] for _ in range(ranges)]
+    for p in paths:
+        t = pq.read_table(p, columns=["tokens"])
+        offs, vals = _tokens_parts(t.column("tokens"))
+        h1 = _content_hash(offs, vals)
+        h2 = _content_hash(offs, vals, tweak=_INC_TWEAK)
+        order = np.lexsort((h2, h1))
+        h1, h2 = h1[order], h2[order]
+        cuts = np.searchsorted(h1, range_edges(ranges))
+        for r, (a, b) in enumerate(zip(np.r_[0, cuts], np.r_[cuts, h1.size])):
+            parts[r].append((h1[a:b], h2[a:b]))
+    return tuple(
+        tuple(np.concatenate(c) for c in zip(*part))
+        if part
+        else (np.empty(0, _U64),) * 2
+        for part in parts
+    )
+
+
+@ray.remote
+def _inc_map_new(paths: list, ranges: int, cols: tuple) -> tuple:
+    """Per content-hash range: this new fragment group's rows (selected
+    columns) with (h1, h2) identity columns appended."""
+    import pyarrow.parquet as pq
+
+    from ..core.hashing import range_edges
+
+    read_cols = list(dict.fromkeys(list(cols) + ["tokens"]))
+    parts: list = [[] for _ in range(ranges)]
+    schema = None
+    for p in paths:
+        t = pq.read_table(p, columns=read_cols).replace_schema_metadata(None)
+        offs, vals = _tokens_parts(t.column("tokens"))
+        h1 = _content_hash(offs, vals)
+        h2 = _content_hash(offs, vals, tweak=_INC_TWEAK)
+        sel = (
+            t.select(list(cols))
+            .append_column("__h1", pa.array(h1.view(np.int64)))
+            .append_column("__h2", pa.array(h2.view(np.int64)))
+        )
+        schema = sel.schema
+        order = np.argsort(h1, kind="stable")
+        sel = sel.take(pa.array(order))
+        hs = h1[order]
+        cuts = np.searchsorted(hs, range_edges(ranges))
+        for r, (a, b) in enumerate(zip(np.r_[0, cuts], np.r_[cuts, hs.size])):
+            if b > a:
+                parts[r].append(sel.slice(a, b - a))
+    empty = schema.empty_table()
+    return tuple(pa.concat_tables(part) if part else empty for part in parts)
+
+
+@ray.remote
+def _inc_reduce(n_base: int, *parts) -> pa.Table:
+    """One content-hash range: membership test of new rows' (h1, h2) against
+    the base pair set (structured-array searchsorted); returns the ADMITTED
+    rows with the identity columns dropped."""
+    h1 = np.concatenate([p[0] for p in parts[:n_base]])
+    h2 = np.concatenate([p[1] for p in parts[:n_base]])
+    key = np.empty(h1.size, dtype=[("a", "<u8"), ("b", "<u8")])
+    key["a"], key["b"] = h1, h2
+    key = np.sort(key)  # lexicographic by field order
+    news = [p for p in parts[n_base:]]
+    t = pa.concat_tables([p for p in news if p.num_rows] or news[:1])
+    if t.num_rows == 0:
+        return t.drop_columns(["__h1", "__h2"])
+    q = np.empty(t.num_rows, dtype=key.dtype)
+    q["a"] = t.column("__h1").to_numpy(zero_copy_only=False).view(_U64)
+    q["b"] = t.column("__h2").to_numpy(zero_copy_only=False).view(_U64)
+    found = np.zeros(len(q), dtype=bool)
+    if key.size:
+        pos = np.minimum(np.searchsorted(key, q), key.size - 1)
+        found = key[pos] == q
+    return t.filter(pa.array(~found)).drop_columns(["__h1", "__h2"])
+
+
 def seq_incremental_dedup_files(
-    files_base: list, files_new: list, *, payload: bool = False
+    files_base: list,
+    files_new: list,
+    *,
+    payload: bool = False,
+    cap: "int | None" = None,
+    ranges: "int | None" = None,
 ) -> "pa.Table | rd.Dataset":
     """Incremental-ingest gate: rows of the NEW corpus whose token CONTENT
     appears nowhere in the BASE corpus — the rows an incremental ingest
@@ -4353,22 +4443,34 @@ def seq_incremental_dedup_files(
     summary mode keeps the join side down to 34 B/row.
 
     Scale shape: base rows ship ONLY a 16-byte content identity — two
-    independent position-mixed 64-bit hashes packed into one
-    fixed_size_binary(16) key, per-batch distinct; the new side anti-joins
-    against that key set through the cap-aware ``core/joins`` policy
-    (≤2M distinct keys → one ``ray.put`` + vectorized ``is_in`` per batch;
-    above the cap → the distributed hash anti-join — the key set never
-    touches the driver).  No token payload ever shuffles and the driver
-    sees only the admitted rows (at production scale: ``write_parquet``
-    the joined Dataset instead of collecting).  Reference analog: the
-    durability resume skip — "rows already present in the results CSV are
-    not re-processed" (utils/durability.py:20-26) — lifted from row ids to
-    content identity; oracle: NOT EXISTS on the sentinel-coalesced token
-    serialization (see __ray_entry__.oracle_sql)."""
-    from ..core.joins import semi_join
+    independent position-mixed 64-bit hashes; the removal policy is
+    broadcast-or-range-reduce (the ``core/joins`` cap logic with the
+    dupfinder exchange in place of ``Dataset.join``):
 
-    base = rd.read_parquet(files_base, columns=["tokens"])
-    new = rd.read_parquet(files_new, columns=["doc_id", "tokens", "n_tok", "source"])
+    - base identity set ≤ cap (2M) → ``ray.put`` once, vectorized ``is_in``
+      per new batch — no shuffle at all;
+    - above the cap → a file-fed hash-range reduce: base fragments are read
+      IN-TASK and ship only per-range sorted (h1, h2) pair arrays, new rows
+      ride the same ranges with their output columns, and each range task
+      does one structured-array searchsorted membership test.  Measured at
+      12.8M-vs-12.8M rows: 206.8 s through the Dataset hash anti-join →
+      this path (the documented ~25× groupby-vs-tree-reduce gap).  At real
+      scale the base NEVER fits the cap, so this IS the main path.
+
+    The driver sees only the admitted rows (at production scale:
+    ``write_parquet`` the returned Dataset instead of collecting).
+    Reference analog: the durability resume skip — "rows already present
+    in the results CSV are not re-processed" (utils/durability.py:20-26) —
+    lifted from row ids to content identity; oracle: NOT EXISTS on the
+    sentinel-coalesced token serialization (see __ray_entry__.oracle_sql)."""
+    from ..core import joins as _joins
+
+    cap = _joins.BROADCAST_KEY_CAP if cap is None else cap
+    out_cols = (
+        ("doc_id", "tokens", "n_tok", "source")
+        if payload
+        else ("doc_id", "source", "n_tok")
+    )
 
     def _packed_keys(t: pa.Table) -> pa.Array:
         offs, vals = _tokens_parts(t.column("tokens"))
@@ -4379,47 +4481,57 @@ def seq_incremental_dedup_files(
         fsb = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(16), h1.size, [None, pa.py_buffer(np.ascontiguousarray(m))]
         )
-        # plain binary, not fixed_size_binary: the shuffle-path groupby
-        # re-emits variable binary and Acero refuses mixed key types
         return pc.cast(fsb, pa.binary())
 
     def key_base(t: pa.Table) -> pa.Table:
-        # per-batch distinct — shrinks the exchange on dup-heavy bases
+        # per-batch distinct — shrinks the probe on dup-heavy bases
         return pa.table({"ck": pc.unique(_packed_keys(t))})
 
-    def key_new(t: pa.Table) -> pa.Table:
-        if payload:
-            # full rows ride the join; original dtypes preserved
-            return t.append_column("ck", _packed_keys(t)).replace_schema_metadata(
-                None
-            )
-        return pa.table(
-            {
-                "doc_id": pc.cast(t.column("doc_id"), pa.string()),
-                "source": pc.cast(t.column("source"), pa.string()),
-                "n_tok": pc.cast(t.column("n_tok"), pa.int64()),
-                "ck": _packed_keys(t),
-            }
-        )
+    base = rd.read_parquet(files_base, columns=["tokens"])
+    keys = _joins.probe_keys(
+        base.map_batches(key_base, batch_format="pyarrow"), "ck", cap
+    )
+    if keys is not None:
+        ref = ray.put(keys.drop_null())
 
-    admitted = semi_join(
-        new.map_batches(key_new, batch_format="pyarrow"),
-        "ck",
-        base.map_batches(key_base, batch_format="pyarrow"),
-        "ck",
-        anti=True,
-    )
+        def filt(t: pa.Table, _cache={}) -> pa.Table:
+            ks = _cache.get("ks")
+            if ks is None:
+                ks = _cache["ks"] = ray.get(ref)
+            mask = pc.fill_null(pc.is_in(_packed_keys(t), value_set=ks), False)
+            return t.filter(pc.invert(mask)).select(list(out_cols)).replace_schema_metadata(None)
+
+        admitted = rd.read_parquet(
+            files_new, columns=list(dict.fromkeys(list(out_cols) + ["tokens"]))
+        ).map_batches(filt, batch_format="pyarrow")
+    else:
+        if ranges is None:
+            try:
+                ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
+            except Exception:  # pragma: no cover - no cluster
+                ranges = 8
+        ranges = max(2, ranges)
+        fpt = max(1, _cpu_files_per_task(max(len(files_base), len(files_new))))
+        groups_b = [files_base[i : i + fpt] for i in range(0, len(files_base), fpt)]
+        groups_n = [files_new[i : i + fpt] for i in range(0, len(files_new), fpt)]
+        maps_b = [
+            _inc_map_base.options(num_returns=ranges).remote(g, ranges)
+            for g in groups_b
+        ]
+        maps_n = [
+            _inc_map_new.options(num_returns=ranges).remote(g, ranges, out_cols)
+            for g in groups_n
+        ]
+        out_refs = [
+            _inc_reduce.remote(
+                len(maps_b), *[m[r] for m in maps_b], *[m[r] for m in maps_n]
+            )
+            for r in range(ranges)
+        ]
+        admitted = rd.from_arrow_refs(out_refs)
     if payload:
-        return admitted.map_batches(
-            lambda t: t.select(["doc_id", "tokens", "n_tok", "source"]),
-            batch_format="pyarrow",
-        )
-    out = _collect(
-        admitted.map_batches(
-            lambda t: t.select(["doc_id", "source", "n_tok"]),
-            batch_format="pyarrow",
-        )
-    )
+        return admitted
+    out = _collect(admitted)
     if out.num_rows == 0:
         return _INCDEDUP_SCHEMA.empty_table()
     # all three keys: duplicate doc_ids (the planted dup family) would make
