@@ -2143,9 +2143,13 @@ def embedding_decontaminate(
         )
 
     def score_corpus(t: pa.Table, _cache={}) -> pa.Table:
-        return score(
-            t.filter(_mod_mask(t.column("vec_id").combine_chunks(), False)), _cache
-        )
+        sel = t.filter(_mod_mask(t.column("vec_id").combine_chunks(), False))
+        if sel.num_rows == 0:
+            # a block of ONLY benchmark vectors: _list_col_to_matrix's
+            # reshape(-1, 0) raises on an empty selection — return typed
+            # empty instead of crashing the pipeline
+            return _DECON_SCHEMA.empty_table()
+        return score(sel, _cache)
 
     out = _collect(
         _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(

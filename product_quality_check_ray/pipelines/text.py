@@ -2192,16 +2192,18 @@ def doc_boilerplate_strip(
          ``state/dupfinder`` hash-range tree reduce — only hashes seen ≥2
          times anywhere become candidates (no full-corpus string shuffle);
       2. candidate statements are verified by EXACT string groupby over
-         per-batch-distinct (statement, doc_id) pairs (each doc's segments
-         live in one batch, so local distinct == global distinct), giving
-         the true distinct-doc frequency — 64-bit collisions can only
+         per-batch-distinct (statement, doc_id) pairs — segments are
+         derived from the doc ROWS inside each batch (Ray never splits a
+         row), so local distinct == global distinct and the true
+         distinct-doc frequency is exact; 64-bit collisions can only
          inflate the candidate set, never a verdict;
       3. the verified boilerplate set is removed via the
          ``core/joins`` policy: ≤cap distinct statements → ``ray.put``
-         once + vectorized ``is_in`` per batch (doc locality preserved,
-         reassembly is batch-local); above cap → distributed anti-join +
-         per-doc groupby reassembly (the drop set never touches the
-         driver — the clean_documents lesson, VERDICT r3 §What's wrong).
+         once + vectorized ``is_in`` per batch (row-derived segments keep
+         reassembly batch-local); above cap → distributed anti-join + a
+         doc_id hash-range reduce reassembly (the drop set never touches
+         the driver — the clean_documents lesson, VERDICT r3 §What's
+         wrong).
 
     Reference analog: cross-row segment dedupe (app.py:982 failed-row
     machinery composed with banningredients.py:170-183 bulk segment
@@ -2213,45 +2215,59 @@ def doc_boilerplate_strip(
     from ..state.dupfinder import find_dup_hash_values
 
     cap = BROADCAST_KEY_CAP if cap is None else cap
-    segs = doc_statements(sf_dir, mode="window", width=width)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = hash_strings(t.column("statement").combine_chunks()).view(np.int64)
-        return t.append_column("h", pa.array(h, type=pa.int64()))
+    # Every stage that needs doc-locality (distinct-doc counting, batch-local
+    # reassembly) derives segments from the DOC ROWS inside its own batch:
+    # Ray never splits a single row across blocks, so a doc's segments are
+    # always complete within one batch.  A materialized SEGMENT stream does
+    # not have that guarantee (dynamic block splitting can slice mid-doc at
+    # scale), so it is used only where order/locality is irrelevant (the
+    # dupfinder hash count, the distributed range reduce which re-groups by
+    # doc_id globally).  Assumes unique doc_ids (the documents validator's
+    # invariant).
+    def seg_hash(t: pa.Table) -> pa.Table:
+        seg = _window_segments(t, width)
+        h = hash_strings(seg.column("statement").combine_chunks()).view(np.int64)
+        return seg.append_column("h", pa.array(h, type=pa.int64()))
 
-    hashed = segs.map_batches(add_hash, batch_format="pyarrow").materialize()
-    dup_h = find_dup_hash_values(hashed, "h")
+    dup_h = find_dup_hash_values(
+        docs.map_batches(seg_hash, batch_format="pyarrow"), "h"
+    )
     bp_ds = None
     if dup_h.size:
         dup_set = pa.array(np.asarray(dup_h, dtype=np.int64))
 
         def candidates(t: pa.Table) -> pa.Table:
-            mask = pc.fill_null(pc.is_in(t.column("h"), value_set=dup_set), False)
-            sel = t.filter(mask).select(["statement", "doc_id"])
-            # per-batch distinct (statement, doc_id) == global distinct pairs
+            seg = seg_hash(t)
+            mask = pc.fill_null(pc.is_in(seg.column("h"), value_set=dup_set), False)
+            sel = seg.filter(mask).select(["statement", "doc_id"])
+            # rows in this batch are whole docs → per-batch distinct
+            # (statement, doc_id) pairs are globally distinct
             return sel.group_by(["statement", "doc_id"]).aggregate([])
 
-        cand = (
-            hashed.map_batches(candidates, batch_format="pyarrow").materialize()
-        )
+        cand = docs.map_batches(candidates, batch_format="pyarrow").materialize()
         bp_ds = (
             cand.groupby("statement")
             .aggregate(Count(alias_name="n_docs"))
             .filter(expr=f"n_docs >= {int(min_df)}")
+            .materialize()  # probed below AND consumed by semi_join — without
+            # this the candidate groupby would re-execute per consumer
         )
 
     if bp_ds is None:
         # no duplicate hash anywhere → nothing to strip; reassemble directly
         def passthrough(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
+            seg = _window_segments(t, width)
+            if seg.num_rows == 0:
                 return _BOILERPLATE_SCHEMA.empty_table()
             return _boilerplate_reassemble(
-                t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
-                t.column("statement").to_pandas(),
-                np.zeros(t.num_rows, dtype=bool),
+                seg.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                seg.column("statement").to_pandas(),
+                np.zeros(seg.num_rows, dtype=bool),
             )
 
-        return hashed.map_batches(passthrough, batch_format="pyarrow")
+        return docs.map_batches(passthrough, batch_format="pyarrow")
 
     bp_keys = probe_keys(bp_ds, "statement", cap)
     if bp_keys is not None:
@@ -2259,30 +2275,36 @@ def doc_boilerplate_strip(
         ref = ray.put(bp_keys)
 
         def strip(t: pa.Table, _cache={}) -> pa.Table:
-            if t.num_rows == 0:
+            seg = _window_segments(t, width)
+            if seg.num_rows == 0:
                 return _BOILERPLATE_SCHEMA.empty_table()
             ks = _cache.get("ks")
             if ks is None:
                 ks = _cache["ks"] = ray.get(ref)
             is_bp = pc.fill_null(
-                pc.is_in(t.column("statement"), value_set=ks), False
+                pc.is_in(seg.column("statement"), value_set=ks), False
             ).to_numpy(zero_copy_only=False)
             return _boilerplate_reassemble(
-                t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
-                t.column("statement").to_pandas(),
+                seg.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                seg.column("statement").to_pandas(),
                 np.asarray(is_bp, dtype=bool),
             )
 
-        return hashed.map_batches(strip, batch_format="pyarrow")
+        return docs.map_batches(strip, batch_format="pyarrow")
 
     # --- distributed path: the boilerplate set exceeds the broadcast cap ---
     # Reassembly is a raw-task hash-range reduce on doc_id (the dupfinder
     # idiom), NOT groupby(doc_id).map_groups: per-doc map_groups over
     # millions of tiny groups is the documented pathology (measured 167 s
     # vs 11 s broadcast at 500k docs); one exchange + R vectorized range
-    # reducers brings the fallback back to the same complexity class.
+    # reducers brings the fallback back to the same complexity class.  The
+    # range reduce re-groups by doc_id globally, so mid-doc block splits
+    # in this segment stream are harmless here.
+    seg_stream = docs.map_batches(
+        lambda t: _window_segments(t, width), batch_format="pyarrow"
+    )
     kept = semi_join(
-        hashed.select_columns(["doc_id", "seg_idx", "statement"]),
+        seg_stream,
         "statement",
         bp_ds,
         "statement",
@@ -2291,14 +2313,16 @@ def doc_boilerplate_strip(
     ).materialize()
 
     def totals(t: pa.Table) -> pa.Table:
-        vid = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = _window_segments(t, width)
+        vid = seg.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ids, counts = np.unique(vid, return_counts=True)
         return pa.table(
             {"doc_id": pa.array(ids), "n_seg": pa.array(counts.astype(np.int64))}
         )
 
-    # one row per doc (docs are batch-local, so per-batch totals are final)
-    tot = hashed.map_batches(totals, batch_format="pyarrow").materialize()
+    # one row per doc (rows are whole docs; the reducer's sum would also
+    # tolerate splits)
+    tot = docs.map_batches(totals, batch_format="pyarrow").materialize()
     try:
         ranges = max(8, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:  # pragma: no cover - no cluster

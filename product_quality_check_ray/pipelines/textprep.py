@@ -1447,9 +1447,8 @@ def doc_ccnet_buckets(sf_dir: str, ref_mod: int = LM_REF_MOD) -> rd.Dataset:
             {
                 "doc_id": pa.array(ids),
                 "n_bigrams": pa.array(n),
-                "score_ubits": pa.array(
-                    [None if nn == 0 else int(sv) for nn, sv in zip(n, s)],
-                    type=pa.int64(),
+                "score_ubits": pc.if_else(
+                    pa.array(n > 0), pa.array(s), pa.nulls(len(n), pa.int64())
                 ),
                 "bucket": pa.array(bucket.tolist(), type=pa.string()),
             }

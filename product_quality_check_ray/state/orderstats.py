@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -77,15 +78,28 @@ def _scan_stats(ds: rd.Dataset, col: str) -> tuple[int, int, int]:
     return mn, mx, n
 
 
+_BIAS = 1 << 63  # int64 → biased uint64 (x ^ 2^63), order-isomorphic
+
+
 def _histogram_pass(
     ds: rd.Dataset, col: str, lo: int, hi: int, shift: int, nbuckets: int
 ) -> np.ndarray:
-    """Sum of per-batch bincounts of ``(v - lo) >> shift`` for v ∈ [lo, hi]."""
+    """Sum of per-batch bincounts of ``(v - lo) >> shift`` for v ∈ [lo, hi].
+
+    Bucket arithmetic runs in the BIASED uint64 domain: a raw ``v - lo``
+    overflows int64 whenever the column spans more than half the int64
+    range (lo deeply negative, v large positive), yielding negative bucket
+    indices and a bincount ValueError.  ``x ^ 2^63`` maps int64
+    order-isomorphically onto uint64, where the difference always fits."""
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column(col).drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
-        v = v[(v >= lo) & (v <= hi)]
-        counts = np.bincount((v - lo) >> shift, minlength=nbuckets).astype(np.int64)
+        vu = v.view(np.uint64) ^ np.uint64(_BIAS)
+        ulo, uhi = np.uint64(lo + _BIAS), np.uint64(hi + _BIAS)
+        vu = vu[(vu >= ulo) & (vu <= uhi)]
+        counts = np.bincount(
+            ((vu - ulo) >> np.uint64(shift)).astype(np.int64), minlength=nbuckets
+        ).astype(np.int64)
         return pa.table({"h": pa.array([counts])})
 
     total = np.zeros(nbuckets, dtype=np.int64)
@@ -209,14 +223,11 @@ def grouped_quantiles_disc(
 
     # ---- pass 1: per-group (min, max, n) ----
     def stats_partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "g": t.column(group_col).to_pandas(),
-                "v": t.column(col).to_pandas(),
-            }
-        )
-        df = df[df["v"].notna()]
-        if not len(df):
+        # drop null VALUES at the Arrow level first: to_pandas on a
+        # null-bearing int64 column yields float64 (NOT nullable Int64) and
+        # silently rounds values above 2^53
+        t = t.filter(pc.is_valid(t.column(col)))
+        if t.num_rows == 0:
             return pa.table(
                 {
                     "g": pa.array([], type=t.schema.field(group_col).type),
@@ -225,6 +236,12 @@ def grouped_quantiles_disc(
                     "n": pa.array([], type=pa.int64()),
                 }
             )
+        df = pd.DataFrame(
+            {
+                "g": t.column(group_col).to_pandas(),
+                "v": t.column(col).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
         agg = df.groupby("g", dropna=False)["v"].agg(["min", "max", "count"]).reset_index()
         return pa.table(
             {
@@ -277,24 +294,28 @@ def grouped_quantiles_disc(
             plans.append((s[0], lo, hi, shift, nb))
 
         def hist_partial(t: pa.Table, _plans=tuple(plans)) -> pa.Table:
+            # drop null values at the Arrow level (the stats_partial
+            # precision note), then biased-uint64 buckets (the
+            # _histogram_pass overflow note)
+            t = t.filter(pc.is_valid(t.column(col)))
             gcol = t.column(group_col).to_pandas()
-            # nullable pandas Int64, NOT to_numpy: a null-bearing int column
-            # would round-trip through float64 and lose precision above 2^53
-            vs = t.column(col).to_pandas()
-            valid = vs.notna().to_numpy()
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            vu_all = v.view(np.uint64) ^ np.uint64(_BIAS)
             out_sid, out_bucket, out_cnt = [], [], []
             for sid, (g, lo, hi, shift, nb) in enumerate(_plans):
                 gm = gcol.isna().to_numpy() if g is None or g is pd.NA else (
                     (gcol == g).fillna(False).to_numpy()
                 )
-                m = gm & valid
-                if not m.any():
+                if not gm.any():
                     continue
-                vv = vs[m].to_numpy(dtype=np.int64)
-                vv = vv[(vv >= lo) & (vv <= hi)]
-                if not vv.size:
+                vu = vu_all[gm]
+                ulo, uhi = np.uint64(lo + _BIAS), np.uint64(hi + _BIAS)
+                vu = vu[(vu >= ulo) & (vu <= uhi)]
+                if not vu.size:
                     continue
-                counts = np.bincount((vv - lo) >> shift, minlength=nb)
+                counts = np.bincount(
+                    ((vu - ulo) >> np.uint64(shift)).astype(np.int64), minlength=nb
+                )
                 nz = np.flatnonzero(counts)
                 out_sid.extend([sid] * len(nz))
                 out_bucket.extend(nz.tolist())

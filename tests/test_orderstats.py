@@ -246,3 +246,49 @@ def test_grouped_quantiles_matches_numpy(ray_session):
             assert k == (n * num + den - 1) // den
             assert st.value == int(s[k - 1]), (g, num, den)
             assert st.n_total == n
+
+
+def test_kth_stats_full_int64_span_no_overflow(ray_session):
+    """Span wider than int64 itself: v - lo would overflow into negative
+    bucket indices (bincount ValueError); the biased-uint64 domain must
+    return the exact order statistics."""
+    vals = np.array(
+        [-(2**62) - 5, -(2**62), -17, 0, 3, 2**62, 2**62 + 9], dtype=np.int64
+    )
+    ds = _ds(vals)
+    s = np.sort(vals)
+    for k in range(1, len(vals) + 1):
+        assert kth_stats(ds, "v", k).value == int(s[k - 1])
+
+
+def test_grouped_quantiles_precision_above_2_53_with_nulls(ray_session):
+    """A null VALUE in the same batch as >2^53 values: the old to_pandas
+    float64 round-trip collapsed 2^62 and 2^62+3; Arrow-level null drop
+    must keep them distinct."""
+    import ray.data as rd
+
+    from product_quality_check_ray.state.orderstats import grouped_quantiles_disc
+
+    t = pa.table(
+        {
+            "g": pa.array(["x", "x", "x", "x"], type=pa.string()),
+            "v": pa.array([2**62, 2**62 + 3, None, 2**62 + 3], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).materialize()
+    got = grouped_quantiles_disc(ds, "g", "v", ((1, 2), (99, 100)))
+    (f1, f2) = got["x"]
+    assert f1[3].value == 2**62 + 3  # ceil(3/2)=2nd of [2^62, 2^62+3, 2^62+3]
+    assert f2[3].value == 2**62 + 3
+    assert f1[3].n_total == 3
+    # and the grouped wide-span case (the overflow regression, per group)
+    t2 = pa.table(
+        {
+            "g": pa.array(["a"] * 3 + ["b"] * 2, type=pa.string()),
+            "v": pa.array([-(2**62) - 1, 5, 2**62, -3, 2**61], type=pa.int64()),
+        }
+    )
+    ds2 = rd.from_arrow(t2).materialize()
+    got2 = grouped_quantiles_disc(ds2, "g", "v", ((1, 2),))
+    assert got2["a"][0][3].value == 5
+    assert got2["b"][0][3].value == -3

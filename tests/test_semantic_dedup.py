@@ -174,3 +174,19 @@ def test_embedding_decontaminate_empty_bench(ray_session, tmp_path):
     assert out["best_bench_id"].isna().all()
     assert out["best_cosine"].isna().all()
     assert not out["contaminated"].any()
+
+
+def test_embedding_decontaminate_all_bench_block(ray_session, tmp_path):
+    """A corpus where every vec_id is a benchmark multiple except one:
+    blocks containing only bench vectors must not crash the matmul pass."""
+    import pyarrow as pa
+
+    ids = np.array([0, 25, 50, 75, 100, 7], dtype=np.int64)
+    vecs = [np.full(4, float(i + 1)).tolist() for i in range(len(ids))]
+    tbl = pa.table(
+        {"vec_id": ids, "embedding": pa.array(vecs, type=pa.list_(pa.float32()))}
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = sim.embedding_decontaminate(str(tmp_path)).to_pandas()
+    assert list(out["vec_id"]) == [7]
+    assert out["contaminated"].all()  # parallel constant vectors → cosine 1
