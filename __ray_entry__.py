@@ -306,7 +306,7 @@ QUERY_ORDER: tuple[str, ...] = (
     # similarity search / embedding dedup / compressed ANN / multimodal
     "embedding_decontaminate",
     "embedding_semantic_dedup",
-    "embedding_kmeans_lattice",
+    "select_training_docs",
     "doc_ccnet_buckets",
     "knn_ivf",
     "knn_ivfpq",
@@ -322,6 +322,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_lcs_pairs",
     "embedding_near_dups",
     "knn_lsh",
+    "embedding_kmeans_lattice",
     "doc_normalized",
     "doc_words",
     "doc_best_dict_match",
@@ -692,6 +693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_select": lambda sf: tp.doc_dsir_select(sf),
         # CCNet head/middle/tail perplexity terciles (radix-select bounds)
         "doc_ccnet_buckets": lambda sf: tp.doc_ccnet_buckets(sf),
+        # selection capstone: strip ⊕ DSIR ⊕ CCNet gates in one verdict
+        "select_training_docs": lambda sf: tp.select_training_docs(sf),
         "corpus_mixture_sample": lambda sf: tp.corpus_mixture_sample(sf),  # deterministic domain reweighting
         # capstone: clean → mixture → shard → chunk in ONE fused pass
         "prepare_training_corpus": lambda sf: tp.prepare_training_corpus(sf),
@@ -3253,6 +3256,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_select": tp.dsir_oracle_sql(),
         # CCNet terciles: LM CTE + integer microbits key + window rank
         "doc_ccnet_buckets": tp.ccnet_oracle_sql(),
+        # capstone: the three component oracles composed on doc_id
+        "select_training_docs": tp.train_select_oracle_sql(),
         # M11 unit-normalization layer: closed-form generated oracle
         "part_measurements": rel.part_measurements_oracle_sql(),
         # M12 pack-size multi-format parser: closed-form generated oracle
@@ -3271,36 +3276,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY statement HAVING count(*) > 1
             ORDER BY statement
         """,
-        # CCNet-style boilerplate removal: same window-segment CTE; a
-        # statement in ≥ min_df DISTINCT docs is stripped everywhere and
-        # each doc is re-emitted (empty string when fully boilerplate)
-        "doc_boilerplate_strip": rf"""
-            WITH w AS (
-              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
-              FROM documents
-            ),
-            seg AS (
-              SELECT doc_id, i::BIGINT AS seg_idx,
-                     array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') AS statement
-              FROM w, UNNEST(range((len(ws) + {W - 1}) // {W})) AS t(i)
-              WHERE array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') <> ''
-            ),
-            bp AS (
-              SELECT statement FROM seg GROUP BY statement
-              HAVING count(DISTINCT doc_id) >= {tx.BOILERPLATE_MIN_DF}
-            ),
-            marked AS (
-              SELECT s.doc_id, s.seg_idx, s.statement,
-                     s.statement IN (SELECT statement FROM bp) AS is_bp
-              FROM seg s
-            )
-            SELECT doc_id,
-                   coalesce(string_agg(statement, ' ' ORDER BY seg_idx)
-                            FILTER (WHERE NOT is_bp), '') AS clean_text,
-                   (count(*) FILTER (WHERE NOT is_bp))::BIGINT AS n_kept,
-                   (count(*) FILTER (WHERE is_bp))::BIGINT AS n_removed
-            FROM marked GROUP BY doc_id ORDER BY doc_id
-        """,
+        # CCNet-style boilerplate removal: window-segment CTE, statement in
+        # ≥ min_df DISTINCT docs stripped everywhere, docs re-emitted
+        # (generator shared with the select_training_docs capstone oracle)
+        "doc_boilerplate_strip": tx.boilerplate_oracle_sql(),
         # overlap pairs: inverted-index self-join over the winnow
         # fingerprints; the > hot_cap stop-list mirrors the engine's
         # drop-hot reduce exactly (drop, never truncate)

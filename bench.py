@@ -185,6 +185,7 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("doc_lm_score", lambda sf: tp.doc_lm_score(sf)),
         ("doc_dsir_select", lambda sf: tp.doc_dsir_select(sf)),
         ("doc_ccnet_buckets", lambda sf: tp.doc_ccnet_buckets(sf)),
+        ("select_training_docs", lambda sf: tp.select_training_docs(sf)),
         ("events_range_counts", lambda sf: rel.events_range_counts(sf)),
         ("events_validate", lambda sf: rel.events_validate(sf)),
         ("embedding_validate", lambda sf: sim.embedding_validate(sf)),

@@ -2167,6 +2167,47 @@ def _boilerplate_reassemble(
     )
 
 
+def _boilerplate_set(
+    docs: rd.Dataset, width: int, min_df: int
+) -> "rd.Dataset | None":
+    """The verified cross-doc boilerplate statement set (Dataset of
+    statements with distinct-doc frequency ≥ min_df), or None when no
+    duplicate hash exists anywhere.  Candidate→verify: hashes through the
+    dupfinder tree reduce, exact-string groupby over per-batch-distinct
+    (statement, doc_id) pairs derived from whole doc rows.  Materialized:
+    callers probe AND consume it."""
+    from ..core.hashing import hash_strings
+    from ..state.dupfinder import find_dup_hash_values
+
+    def seg_hash(t: pa.Table) -> pa.Table:
+        seg = _window_segments(t, width)
+        h = hash_strings(seg.column("statement").combine_chunks()).view(np.int64)
+        return seg.append_column("h", pa.array(h, type=pa.int64()))
+
+    dup_h = find_dup_hash_values(
+        docs.map_batches(seg_hash, batch_format="pyarrow"), "h"
+    )
+    if not dup_h.size:
+        return None
+    dup_set = pa.array(np.asarray(dup_h, dtype=np.int64))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        seg = seg_hash(t)
+        mask = pc.fill_null(pc.is_in(seg.column("h"), value_set=dup_set), False)
+        sel = seg.filter(mask).select(["statement", "doc_id"])
+        # rows in this batch are whole docs → per-batch distinct
+        # (statement, doc_id) pairs are globally distinct
+        return sel.group_by(["statement", "doc_id"]).aggregate([])
+
+    cand = docs.map_batches(candidates, batch_format="pyarrow").materialize()
+    return (
+        cand.groupby("statement")
+        .aggregate(Count(alias_name="n_docs"))
+        .filter(expr=f"n_docs >= {int(min_df)}")
+        .materialize()
+    )
+
+
 def doc_boilerplate_strip(
     sf_dir: str,
     min_df: int = BOILERPLATE_MIN_DF,
@@ -2210,9 +2251,7 @@ def doc_boilerplate_strip(
     dedupe); oracle: DuckDB window-segment CTE + HAVING count(DISTINCT
     doc_id) (see __ray_entry__.oracle_sql).
     """
-    from ..core.hashing import hash_strings
     from ..core.joins import BROADCAST_KEY_CAP, probe_keys, semi_join
-    from ..state.dupfinder import find_dup_hash_values
 
     cap = BROADCAST_KEY_CAP if cap is None else cap
     docs = _docs(sf_dir, columns=["doc_id", "text"])
@@ -2226,34 +2265,7 @@ def doc_boilerplate_strip(
     # dupfinder hash count, the distributed range reduce which re-groups by
     # doc_id globally).  Assumes unique doc_ids (the documents validator's
     # invariant).
-    def seg_hash(t: pa.Table) -> pa.Table:
-        seg = _window_segments(t, width)
-        h = hash_strings(seg.column("statement").combine_chunks()).view(np.int64)
-        return seg.append_column("h", pa.array(h, type=pa.int64()))
-
-    dup_h = find_dup_hash_values(
-        docs.map_batches(seg_hash, batch_format="pyarrow"), "h"
-    )
-    bp_ds = None
-    if dup_h.size:
-        dup_set = pa.array(np.asarray(dup_h, dtype=np.int64))
-
-        def candidates(t: pa.Table) -> pa.Table:
-            seg = seg_hash(t)
-            mask = pc.fill_null(pc.is_in(seg.column("h"), value_set=dup_set), False)
-            sel = seg.filter(mask).select(["statement", "doc_id"])
-            # rows in this batch are whole docs → per-batch distinct
-            # (statement, doc_id) pairs are globally distinct
-            return sel.group_by(["statement", "doc_id"]).aggregate([])
-
-        cand = docs.map_batches(candidates, batch_format="pyarrow").materialize()
-        bp_ds = (
-            cand.groupby("statement")
-            .aggregate(Count(alias_name="n_docs"))
-            .filter(expr=f"n_docs >= {int(min_df)}")
-            .materialize()  # probed below AND consumed by semi_join — without
-            # this the candidate groupby would re-execute per consumer
-        )
+    bp_ds = _boilerplate_set(docs, width, min_df)
 
     if bp_ds is None:
         # no duplicate hash anywhere → nothing to strip; reassemble directly
@@ -2414,3 +2426,39 @@ def _bp_reduce_range(n_tot: int, *parts) -> pa.Table:
             ),
         }
     )
+
+
+def boilerplate_oracle_sql(
+    min_df: int = BOILERPLATE_MIN_DF, width: int = SEGMENT_WIDTH
+) -> str:
+    """DuckDB oracle for doc_boilerplate_strip: window-segment CTE, bp set
+    by HAVING count(DISTINCT doc_id), ordered string_agg reassembly.  Also
+    the boilerplate leg of the select_training_docs capstone oracle."""
+    W = width
+    return rf"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+              FROM documents
+            ),
+            seg AS (
+              SELECT doc_id, i::BIGINT AS seg_idx,
+                     array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') AS statement
+              FROM w, UNNEST(range((len(ws) + {W - 1}) // {W})) AS t(i)
+              WHERE array_to_string(ws[(i*{W}+1):(i*{W}+{W})], ' ') <> ''
+            ),
+            bp AS (
+              SELECT statement FROM seg GROUP BY statement
+              HAVING count(DISTINCT doc_id) >= {min_df}
+            ),
+            marked AS (
+              SELECT s.doc_id, s.seg_idx, s.statement,
+                     s.statement IN (SELECT statement FROM bp) AS is_bp
+              FROM seg s
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(statement, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE NOT is_bp), '') AS clean_text,
+                   (count(*) FILTER (WHERE NOT is_bp))::BIGINT AS n_kept,
+                   (count(*) FILTER (WHERE is_bp))::BIGINT AS n_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+    """

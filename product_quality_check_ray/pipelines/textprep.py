@@ -16,6 +16,7 @@ shard sort, both documented below.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -1138,6 +1139,62 @@ DSIR_TARGET_MOD = 7  # target-domain slice: doc_id % 7 == 0 (the "Wikipedia")
 DSIR_KEEP_NUM = 1  # keep the top keep_num/keep_den of docs by weight
 DSIR_KEEP_DEN = 4
 
+def _dual_lm_totals(t: pa.Table, st) -> tuple:
+    """Per-doc integer-millibit cross-entropy totals under BOTH LMs in one
+    fused pass (single split, two sorted-array lookups): (doc_ids, n_bigrams,
+    total_millibits_target, total_millibits_raw).  Shared by
+    ``doc_dsir_select`` and the ``select_training_docs`` capstone."""
+    from ..core.rounding import round_half_away
+
+    (Vt, w1t, c1t, bgt, c2t), (Vr, w1r, c1r, bgr, c2r) = st
+    texts = pc.fill_null(t.column("text").combine_chunks(), "")
+    _, off, flat, lens = _split_words(texts)
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(doc_ids)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    n = len(doc_idx)
+    keep = np.zeros(n, dtype=bool)
+    if n > 1:
+        keep[:-1] = doc_idx[:-1] == doc_idx[1:]
+    d = doc_idx[keep]
+    keep_arr = pa.array(keep[:-1]) if n > 1 else pa.array([], type=pa.bool_())
+    bg_all = (
+        pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+        if n > 1
+        else pa.array([], type=pa.string())
+    )
+    bg = np.asarray(bg_all.filter(keep_arr).to_numpy(zero_copy_only=False), dtype=object)
+    first = np.asarray(
+        flat.slice(0, max(n - 1, 0)).filter(keep_arr).to_numpy(zero_copy_only=False),
+        dtype=object,
+    )
+
+    def lookup(keys, sorted_keys, vals):
+        if len(sorted_keys) == 0 or len(keys) == 0:
+            return np.zeros(len(keys), dtype=np.int64)
+        pos = np.searchsorted(sorted_keys, keys)
+        pos_c = np.minimum(pos, len(sorted_keys) - 1)
+        hit = (pos < len(sorted_keys)) & (sorted_keys[pos_c] == keys)
+        return np.where(hit, vals[pos_c], 0)
+
+    def millibits(V, w1, c1, bigrams, c2):
+        cc2 = lookup(bg, bigrams, c2)
+        cc1 = lookup(first, w1, c1)
+        return round_half_away(
+            -np.log2((cc2 + 1) * 1.0 / (cc1 + V)) * 1000, 0
+        ).astype(np.int64)
+
+    mt = millibits(Vt, w1t, c1t, bgt, c2t)
+    mr = millibits(Vr, w1r, c1r, bgr, c2r)
+    tot_t = np.zeros(n_docs, dtype=np.int64)
+    tot_r = np.zeros(n_docs, dtype=np.int64)
+    cntb = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(tot_t, d, mt)
+    np.add.at(tot_r, d, mr)
+    np.add.at(cntb, d, 1)
+    return doc_ids, cntb, tot_t, tot_r
+
+
 _DSIR_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -1196,52 +1253,7 @@ def doc_dsir_select(
         st = _cache.get("st")
         if st is None:
             st = _cache["st"] = ray.get(state_ref)
-        (Vt, w1t, c1t, bgt, c2t), (Vr, w1r, c1r, bgr, c2r) = st
-        texts = pc.fill_null(t.column("text").combine_chunks(), "")
-        _, off, flat, lens = _split_words(texts)
-        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        n_docs = len(doc_ids)
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        n = len(doc_idx)
-        keep = np.zeros(n, dtype=bool)
-        if n > 1:
-            keep[:-1] = doc_idx[:-1] == doc_idx[1:]
-        d = doc_idx[keep]
-        keep_arr = pa.array(keep[:-1]) if n > 1 else pa.array([], type=pa.bool_())
-        bg_all = (
-            pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
-            if n > 1
-            else pa.array([], type=pa.string())
-        )
-        bg = np.asarray(bg_all.filter(keep_arr).to_numpy(zero_copy_only=False), dtype=object)
-        first = np.asarray(
-            flat.slice(0, max(n - 1, 0)).filter(keep_arr).to_numpy(zero_copy_only=False),
-            dtype=object,
-        )
-
-        def lookup(keys, sorted_keys, vals):
-            if len(sorted_keys) == 0 or len(keys) == 0:
-                return np.zeros(len(keys), dtype=np.int64)
-            pos = np.searchsorted(sorted_keys, keys)
-            pos_c = np.minimum(pos, len(sorted_keys) - 1)
-            hit = (pos < len(sorted_keys)) & (sorted_keys[pos_c] == keys)
-            return np.where(hit, vals[pos_c], 0)
-
-        def millibits(V, w1, c1, bigrams, c2):
-            cc2 = lookup(bg, bigrams, c2)
-            cc1 = lookup(first, w1, c1)
-            return round_half_away(
-                -np.log2((cc2 + 1) * 1.0 / (cc1 + V)) * 1000, 0
-            ).astype(np.int64)
-
-        mt = millibits(Vt, w1t, c1t, bgt, c2t)
-        mr = millibits(Vr, w1r, c1r, bgr, c2r)
-        tot_t = np.zeros(n_docs, dtype=np.int64)
-        tot_r = np.zeros(n_docs, dtype=np.int64)
-        cntb = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(tot_t, d, mt)
-        np.add.at(tot_r, d, mr)
-        np.add.at(cntb, d, 1)
+        doc_ids, cntb, tot_t, tot_r = _dual_lm_totals(t, st)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids),
@@ -1512,4 +1524,236 @@ def ccnet_oracle_sql(ref_mod: int = LM_REF_MOD) -> str:
                         ELSE 'tail' END AS bucket
             FROM base b LEFT JOIN ranked r USING (doc_id)
             ORDER BY b.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Training-doc selection capstone: strip ⊕ DSIR ⊕ CCNet in one verdict
+# --------------------------------------------------------------------------
+
+_TRAINSEL_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("clean_text", pa.string()),
+        ("weight_millibits", pa.int64()),
+        ("bucket", pa.string()),
+    ]
+)
+
+
+def select_training_docs(
+    sf_dir: str,
+    target_mod: int = DSIR_TARGET_MOD,
+    raw_mod: int = LM_REF_MOD,
+    keep_num: int = DSIR_KEEP_NUM,
+    keep_den: int = DSIR_KEEP_DEN,
+    cap: "int | None" = None,
+) -> rd.Dataset:
+    """The documents-axis selection capstone: one verdict per doc combining
+    the three round-4 quality gates — admitted docs are those that are (a)
+    DSIR-selected (top keep_num/keep_den by target-vs-raw LM importance,
+    ``doc_dsir_select`` semantics), (b) in CCNet's head or middle
+    perplexity tercile (``doc_ccnet_buckets`` semantics), and (c) left with
+    ≥1 statement after cross-doc boilerplate removal
+    (``doc_boilerplate_strip`` semantics) — emitted with their CLEANED
+    text, importance weight and tercile label.  This is the
+    gate-on-multiple-signals composition every production curation
+    pipeline runs (CCNet buckets × importance selection × boilerplate
+    hygiene) with every signal individually oracle-graded.
+
+    Scale shape: both LMs are built once and broadcast; ONE thin scoring
+    projection feeds all FOUR radix selects (DSIR threshold + tie, the two
+    CCNet boundaries + ties); the boilerplate set comes from the shared
+    candidate→verify pipeline.  Under the broadcast cap the final pass is
+    ONE fused map over doc rows (strip + dual-LM score + verdict, no
+    join); above it the strip output joins the selected verdicts on
+    doc_id — a hash join of two row-per-doc projections, never payloads.
+
+    Oracle: the three component oracles composed as CTE subqueries joined
+    on doc_id (see __ray_entry__.oracle_sql)."""
+    from ..core.joins import BROADCAST_KEY_CAP, probe_keys
+    from ..state.orderstats import kth_stats
+    from .text import (
+        BOILERPLATE_MIN_DF,
+        SEGMENT_WIDTH,
+        _boilerplate_reassemble,
+        _boilerplate_set,
+        _window_segments,
+        doc_boilerplate_strip,
+    )
+
+    cap = BROADCAST_KEY_CAP if cap is None else cap
+    width, min_df = SEGMENT_WIDTH, BOILERPLATE_MIN_DF
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    lm_t = build_bigram_lm(sf_dir, target_mod)
+    lm_r = build_bigram_lm(sf_dir, raw_mod)
+    state_ref = ray.put((lm_t, lm_r))
+
+    def project(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(state_ref)
+        doc_ids, cnt, tot_t, tot_r = _dual_lm_totals(t, st)
+        score = np.where(cnt > 0, (tot_r * 1000) // np.maximum(cnt, 1), np.int64(-1))
+        has = pa.array(cnt > 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "weight_millibits": pa.array(tot_r - tot_t),
+                "ranked_score": pc.if_else(
+                    has, pa.array(np.where(cnt > 0, score, 0)),
+                    pa.nulls(len(cnt), pa.int64()),
+                ),
+                "is_ranked": pc.cast(has, pa.int64()),
+            }
+        )
+
+    scored = docs.map_batches(project, batch_format="pyarrow").materialize()
+    n_all = scored.count()
+    if n_all == 0:
+        return rd.from_arrow(_TRAINSEL_SCHEMA.empty_table())
+    n_ranked = int(scored.sum("is_ranked") or 0)
+    if n_ranked == 0:
+        return rd.from_arrow(_TRAINSEL_SCHEMA.empty_table())
+
+    # DSIR threshold over ALL docs (weight desc, doc_id asc)
+    kd = (n_all * keep_num + keep_den - 1) // keep_den
+    sw = kth_stats(scored, "weight_millibits", kd, descending=True)
+    tw = sw.value
+    dw = kth_stats(
+        scored.filter(expr=f"weight_millibits == {tw}"),
+        "doc_id",
+        kd - (sw.n_total - sw.n_less - sw.n_equal),
+    ).value
+
+    # CCNet tercile boundaries over docs WITH bigrams (score asc, doc_id asc)
+    def boundary(k: int) -> tuple:
+        st = kth_stats(scored, "ranked_score", k)
+        d = kth_stats(
+            scored.filter(expr=f"ranked_score == {st.value}"),
+            "doc_id",
+            k - st.n_less,
+        ).value
+        return st.value, d
+
+    t1, d1 = boundary((n_ranked + 2) // 3)
+    t2, d2 = boundary((2 * n_ranked + 2) // 3)
+
+    def verdict_fields(t: pa.Table, st) -> "tuple":
+        doc_ids, cnt, tot_t, tot_r = _dual_lm_totals(t, st)
+        weight = tot_r - tot_t
+        score = np.where(cnt > 0, (tot_r * 1000) // np.maximum(cnt, 1), np.int64(-1))
+        dsir_sel = (weight > tw) | ((weight == tw) & (doc_ids <= dw))
+        in_head = (cnt > 0) & ((score < t1) | ((score == t1) & (doc_ids <= d1)))
+        in_mid = (cnt > 0) & ((score < t2) | ((score == t2) & (doc_ids <= d2)))
+        bucket = np.where(in_head, "head", "middle")
+        return doc_ids, weight, bucket, dsir_sel & in_mid
+
+    bp_ds = _boilerplate_set(docs, width, min_df)
+    bp_keys = probe_keys(bp_ds, "statement", cap) if bp_ds is not None else pa.array(
+        [], type=pa.string()
+    )
+    if bp_keys is not None:
+        ref = ray.put(bp_keys.drop_null())
+
+        def final(t: pa.Table, _cache={}) -> pa.Table:
+            st = _cache.get("st")
+            if st is None:
+                st = _cache["st"] = ray.get(state_ref)
+            ks = _cache.get("ks")
+            if ks is None:
+                ks = _cache["ks"] = ray.get(ref)
+            seg = _window_segments(t, width)
+            if seg.num_rows == 0:
+                return _TRAINSEL_SCHEMA.empty_table()
+            is_bp = pc.fill_null(
+                pc.is_in(seg.column("statement"), value_set=ks), False
+            ).to_numpy(zero_copy_only=False)
+            reasm = _boilerplate_reassemble(
+                seg.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                seg.column("statement").to_pandas(),
+                np.asarray(is_bp, dtype=bool),
+            ).to_pandas()
+            doc_ids, weight, bucket, sel = verdict_fields(t, st)
+            vdf = pd.DataFrame(
+                {
+                    "doc_id": doc_ids[sel],
+                    "weight_millibits": weight[sel],
+                    "bucket": bucket[sel],
+                }
+            )
+            m = vdf.merge(reasm[reasm["n_kept"] >= 1], on="doc_id", how="inner")
+            return pa.table(
+                {
+                    "doc_id": pa.array(m["doc_id"].to_numpy().astype(np.int64)),
+                    "clean_text": pa.array(m["clean_text"], type=pa.string()),
+                    "weight_millibits": pa.array(
+                        m["weight_millibits"].to_numpy().astype(np.int64)
+                    ),
+                    "bucket": pa.array(m["bucket"], type=pa.string()),
+                }
+            )
+
+        return docs.map_batches(final, batch_format="pyarrow")
+
+    # --- above-cap boilerplate set: join strip output with the verdicts ---
+    from ..core.batches import strip_schema_metadata
+
+    def verdicts_only(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = ray.get(state_ref)
+        doc_ids, weight, bucket, sel = verdict_fields(t, st)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[sel]),
+                "weight_millibits": pa.array(weight[sel]),
+                "bucket": pa.array(bucket[sel], type=pa.string()),
+            }
+        )
+
+    strip_ds = doc_boilerplate_strip(sf_dir, min_df, width, cap=cap)
+    joined = strip_schema_metadata(
+        docs.map_batches(verdicts_only, batch_format="pyarrow")
+    ).join(
+        strip_schema_metadata(strip_ds),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keep = t.filter(
+            pc.greater_equal(pc.cast(t.column("n_kept"), pa.int64()), 1)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(keep.column("doc_id"), pa.int64()),
+                "clean_text": keep.column("clean_text"),
+                "weight_millibits": pc.cast(
+                    keep.column("weight_millibits"), pa.int64()
+                ),
+                "bucket": keep.column("bucket"),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def train_select_oracle_sql() -> str:
+    """Composed capstone oracle: the three component oracles as CTE
+    subqueries joined on doc_id."""
+    from .text import boilerplate_oracle_sql
+
+    return f"""
+            WITH d AS ({dsir_oracle_sql()}),
+            c AS ({ccnet_oracle_sql()}),
+            b AS ({boilerplate_oracle_sql()})
+            SELECT d.doc_id, b.clean_text, d.weight_millibits, c.bucket
+            FROM d
+            JOIN c ON c.doc_id = d.doc_id
+            JOIN b ON b.doc_id = d.doc_id
+            WHERE d.selected AND c.bucket IN ('head', 'middle')
+              AND b.n_kept >= 1
+            ORDER BY d.doc_id
     """

@@ -241,3 +241,35 @@ def test_boilerplate_strip_within_doc_repeats_survive(ray_session, tmp_path):
     assert out.loc[2, "n_removed"] == 1
     assert out.loc[3, "clean_text"] == ""  # fully boilerplate, row survives
     assert out.loc[3, "n_kept"] == 0 and out.loc[3, "n_removed"] == 1
+
+
+def test_select_training_docs_consistency_and_path_equivalence(ray_session):
+    """The capstone's admitted set must equal the intersection of its three
+    component verdicts, and the above-cap join path (cap=0) must match the
+    fused broadcast path exactly."""
+    from product_quality_check_ray.pipelines.text import doc_boilerplate_strip
+    from product_quality_check_ray.pipelines.textprep import (
+        doc_ccnet_buckets,
+        doc_dsir_select,
+        select_training_docs,
+    )
+
+    out = _sorted_df(select_training_docs(SF).to_pandas())
+    dsir = doc_dsir_select(SF).to_pandas()
+    ccnet = doc_ccnet_buckets(SF).to_pandas()
+    strip = doc_boilerplate_strip(SF).to_pandas()
+    expect = set(dsir[dsir.selected]["doc_id"]) \
+        & set(ccnet[ccnet.bucket.isin(["head", "middle"])]["doc_id"]) \
+        & set(strip[strip.n_kept >= 1]["doc_id"])
+    assert set(out["doc_id"]) == expect
+    assert len(out) > 0
+    # field fidelity against the components
+    m = out.merge(ccnet, on="doc_id")
+    assert (m["bucket_x"] == m["bucket_y"]).all()
+    m2 = out.merge(strip, on="doc_id")
+    assert (m2["clean_text_x"] == m2["clean_text_y"]).all()
+    m3 = out.merge(dsir, on="doc_id")
+    assert (m3["weight_millibits_x"] == m3["weight_millibits_y"]).all()
+
+    b = _sorted_df(select_training_docs(SF, cap=0).to_pandas())
+    assert out.equals(b), "join path diverges from fused path"

@@ -42,7 +42,8 @@ MUST_BE_IN_WINDOW = [
     "seq_minhash_recall",
     "seq_bpe_merges",
     "seq_sketch_accuracy",
-    "embedding_kmeans_lattice",
+    "select_training_docs",  # strip ⊕ DSIR ⊕ CCNet capstone (r4 cont.;
+    # embedding_kmeans_lattice demoted — embedding family keeps 4 reps)
     "knn_ivfpq",
     "knn_ivfpq_recall",
     # round-4 continuation additions (fresh driver-graded surface;
