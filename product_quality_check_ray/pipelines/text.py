@@ -2213,6 +2213,8 @@ def doc_boilerplate_strip(
     min_df: int = BOILERPLATE_MIN_DF,
     width: int = SEGMENT_WIDTH,
     cap: int | None = None,
+    *,
+    precomputed_bp: "rd.Dataset | None | str" = "auto",
 ) -> rd.Dataset:
     """Cross-document boilerplate removal (the CCNet line-dedup shape,
     Wenzek et al. 2020, arXiv:1911.00359 §3.1, applied at statement
@@ -2265,7 +2267,14 @@ def doc_boilerplate_strip(
     # dupfinder hash count, the distributed range reduce which re-groups by
     # doc_id globally).  Assumes unique doc_ids (the documents validator's
     # invariant).
-    bp_ds = _boilerplate_set(docs, width, min_df)
+    # callers that already ran _boilerplate_set (the select_training_docs
+    # capstone's probe) pass it in so the candidate pipeline — two corpus
+    # scans + a dupfinder reduce + a groupby exchange — never runs twice
+    bp_ds = (
+        _boilerplate_set(docs, width, min_df)
+        if isinstance(precomputed_bp, str)
+        else precomputed_bp
+    )
 
     if bp_ds is None:
         # no duplicate hash anywhere → nothing to strip; reassemble directly

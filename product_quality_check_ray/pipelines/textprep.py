@@ -1242,8 +1242,7 @@ def doc_dsir_select(
     (app.py:1435-1448 verdict aggregation); oracle: two mirrored LM CTEs +
     window rank (see __ray_entry__.oracle_sql).
     """
-    from ..core.rounding import round_half_away
-    from ..state.orderstats import kth_stats
+    from ..state.orderstats import kth_with_tiecut
 
     lm_t = build_bigram_lm(sf_dir, target_mod)
     lm_r = build_bigram_lm(sf_dir, raw_mod)
@@ -1271,12 +1270,7 @@ def doc_dsir_select(
     if n == 0:
         return rd.from_arrow(_DSIR_SCHEMA.empty_table())
     k = (n * keep_num + keep_den - 1) // keep_den  # ceil(n·num/den)
-    st = kth_stats(scored, "weight_millibits", k, descending=True)
-    thr = st.value
-    n_greater = st.n_total - st.n_less - st.n_equal
-    slots_at_thr = k - n_greater  # ≥ 1 by construction of the kth
-    ties = scored.filter(expr=f"weight_millibits == {thr}")
-    tie_cut = kth_stats(ties, "doc_id", slots_at_thr).value
+    thr, tie_cut = kth_with_tiecut(scored, "weight_millibits", k, descending=True)
 
     def verdict(t: pa.Table) -> pa.Table:
         w = t.column("weight_millibits").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1392,7 +1386,7 @@ def doc_ccnet_buckets(sf_dir: str, ref_mod: int = LM_REF_MOD) -> rd.Dataset:
     list, no shipped group.  Reference analog: rule-scored classification
     routing (M18, app.py:1435-1448); oracle: LM CTE + window rank (see
     __ray_entry__.oracle_sql)."""
-    from ..state.orderstats import kth_stats
+    from ..state.orderstats import kth_with_tiecut
 
     def project(t: pa.Table) -> pa.Table:
         n = t.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1435,11 +1429,7 @@ def doc_ccnet_buckets(sf_dir: str, ref_mod: int = LM_REF_MOD) -> rd.Dataset:
         return scored.map_batches(all_none, batch_format="pyarrow")
 
     def boundary(k: int) -> tuple[int, int]:
-        st = kth_stats(scored, "ranked_score", k)
-        slots = k - st.n_less
-        ties = scored.filter(expr=f"ranked_score == {st.value}")
-        d = kth_stats(ties, "doc_id", slots)
-        return st.value, d.value
+        return kth_with_tiecut(scored, "ranked_score", k)
 
     k1 = (n_ranked + 2) // 3  # ceil(n/3)
     k2 = (2 * n_ranked + 2) // 3  # ceil(2n/3)
@@ -1572,7 +1562,7 @@ def select_training_docs(
     Oracle: the three component oracles composed as CTE subqueries joined
     on doc_id (see __ray_entry__.oracle_sql)."""
     from ..core.joins import BROADCAST_KEY_CAP, probe_keys
-    from ..state.orderstats import kth_stats
+    from ..state.orderstats import kth_with_tiecut
     from .text import (
         BOILERPLATE_MIN_DF,
         SEGMENT_WIDTH,
@@ -1616,28 +1606,14 @@ def select_training_docs(
     if n_ranked == 0:
         return rd.from_arrow(_TRAINSEL_SCHEMA.empty_table())
 
-    # DSIR threshold over ALL docs (weight desc, doc_id asc)
+    # DSIR threshold over ALL docs (weight desc, doc_id asc) and the CCNet
+    # tercile boundaries over docs WITH bigrams (score asc, doc_id asc) —
+    # all through the single-sourced selection idiom (kth_with_tiecut), so
+    # tie semantics can never drift from the component ops
     kd = (n_all * keep_num + keep_den - 1) // keep_den
-    sw = kth_stats(scored, "weight_millibits", kd, descending=True)
-    tw = sw.value
-    dw = kth_stats(
-        scored.filter(expr=f"weight_millibits == {tw}"),
-        "doc_id",
-        kd - (sw.n_total - sw.n_less - sw.n_equal),
-    ).value
-
-    # CCNet tercile boundaries over docs WITH bigrams (score asc, doc_id asc)
-    def boundary(k: int) -> tuple:
-        st = kth_stats(scored, "ranked_score", k)
-        d = kth_stats(
-            scored.filter(expr=f"ranked_score == {st.value}"),
-            "doc_id",
-            k - st.n_less,
-        ).value
-        return st.value, d
-
-    t1, d1 = boundary((n_ranked + 2) // 3)
-    t2, d2 = boundary((2 * n_ranked + 2) // 3)
+    tw, dw = kth_with_tiecut(scored, "weight_millibits", kd, descending=True)
+    t1, d1 = kth_with_tiecut(scored, "ranked_score", (n_ranked + 2) // 3)
+    t2, d2 = kth_with_tiecut(scored, "ranked_score", (2 * n_ranked + 2) // 3)
 
     def verdict_fields(t: pa.Table, st) -> "tuple":
         doc_ids, cnt, tot_t, tot_r = _dual_lm_totals(t, st)
@@ -1697,13 +1673,28 @@ def select_training_docs(
         return docs.map_batches(final, batch_format="pyarrow")
 
     # --- above-cap boilerplate set: join strip output with the verdicts ---
+    # Verdicts come from the MATERIALIZED scoring projection (which already
+    # holds every field the gates need), not a redundant LM re-scoring pass
+    # over the raw text; bp_ds is threaded into the strip so its candidate
+    # pipeline never runs twice.
     from ..core.batches import strip_schema_metadata
 
-    def verdicts_only(t: pa.Table, _cache={}) -> pa.Table:
-        st = _cache.get("st")
-        if st is None:
-            st = _cache["st"] = ray.get(state_ref)
-        doc_ids, weight, bucket, sel = verdict_fields(t, st)
+    def verdicts_only(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        weight = (
+            t.column("weight_millibits").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        has = pc.is_valid(t.column("ranked_score")).to_numpy(zero_copy_only=False)
+        score = (
+            pc.fill_null(t.column("ranked_score"), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dsir_sel = (weight > tw) | ((weight == tw) & (doc_ids <= dw))
+        in_head = has & ((score < t1) | ((score == t1) & (doc_ids <= d1)))
+        in_mid = has & ((score < t2) | ((score == t2) & (doc_ids <= d2)))
+        sel = dsir_sel & in_mid
+        bucket = np.where(in_head, "head", "middle")
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids[sel]),
@@ -1712,9 +1703,11 @@ def select_training_docs(
             }
         )
 
-    strip_ds = doc_boilerplate_strip(sf_dir, min_df, width, cap=cap)
+    strip_ds = doc_boilerplate_strip(
+        sf_dir, min_df, width, cap=cap, precomputed_bp=bp_ds
+    )
     joined = strip_schema_metadata(
-        docs.map_batches(verdicts_only, batch_format="pyarrow")
+        scored.map_batches(verdicts_only, batch_format="pyarrow")
     ).join(
         strip_schema_metadata(strip_ds),
         join_type="inner",

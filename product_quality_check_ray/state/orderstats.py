@@ -367,3 +367,28 @@ def grouped_quantiles_disc(
     for g, num, den, k, _lo, _hi, _n, _kr, _nl, st in states:
         out.setdefault(g, []).append((num, den, k, st))
     return out
+
+
+def kth_with_tiecut(
+    ds: rd.Dataset,
+    col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    descending: bool = False,
+    bits: int = 16,
+) -> "tuple[int, int]":
+    """The top-k selection idiom in one place: the kth value of ``col``
+    (the admission threshold) plus the ``id_col`` tie cutoff — among rows
+    whose value EQUALS the threshold, the id of the last admitted row
+    (ids ascending).  A row is selected iff its value beats the threshold,
+    or equals it with id ≤ the cutoff.  Shared by ``doc_dsir_select``,
+    ``doc_ccnet_buckets`` and ``select_training_docs`` so the tie
+    semantics can never drift between a component and the capstone that
+    composes it."""
+    st = kth_stats(ds, col, k, descending=descending, bits=bits)
+    n_beats = (st.n_total - st.n_less - st.n_equal) if descending else st.n_less
+    cut = kth_stats(
+        ds.filter(expr=f"{col} == {st.value}"), id_col, k - n_beats, bits=bits
+    ).value
+    return st.value, cut

@@ -292,3 +292,23 @@ def test_grouped_quantiles_precision_above_2_53_with_nulls(ray_session):
     got2 = grouped_quantiles_disc(ds2, "g", "v", ((1, 2),))
     assert got2["a"][0][3].value == 5
     assert got2["b"][0][3].value == -3
+
+
+def test_kth_with_tiecut_semantics(ray_session):
+    """Selected = value beats threshold, or equals it with id <= cutoff;
+    exactly k rows selected in both directions under heavy ties."""
+    import ray.data as rd
+
+    from product_quality_check_ray.state.orderstats import kth_with_tiecut
+
+    ids = np.arange(100, dtype=np.int64) * 7 + 3
+    vals = np.repeat(np.array([10, 20, 20, 30], dtype=np.int64), 25)
+    t = pa.table({"doc_id": ids, "v": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(7).materialize()
+    for k in (1, 30, 50, 74, 100):
+        thr, cut = kth_with_tiecut(ds, "v", k, descending=True)
+        sel = (vals > thr) | ((vals == thr) & (ids <= cut))
+        assert int(sel.sum()) == k, ("desc", k)
+        thr2, cut2 = kth_with_tiecut(ds, "v", k)
+        sel2 = (vals < thr2) | ((vals == thr2) & (ids <= cut2))
+        assert int(sel2.sum()) == k, ("asc", k)
