@@ -455,3 +455,67 @@ def test_connected_components_matches_union_find(ray_session, edges):
     want = union_find_labels(a, b)
     got = connected_components(a, b, driver_cap=0, ranges=3)
     assert got.equals(want)
+
+
+# ---------------------------------------------------------------------------
+# seq_incremental_dedup: hypothesis differential vs a python reference
+# ---------------------------------------------------------------------------
+
+_tok = st.one_of(st.none(), st.integers(min_value=-2, max_value=6))
+_arr = st.one_of(st.none(), st.lists(_tok, min_size=0, max_size=5))
+
+
+def _sentinel(arr):
+    """The dup-family content view: null list ≡ (), null element ≡ -1."""
+    if arr is None:
+        return ()
+    return tuple(-1 if x is None else int(x) for x in arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    base=st.lists(_arr, min_size=0, max_size=12),
+    new=st.lists(_arr, min_size=1, max_size=12),
+)
+def test_incremental_dedup_matches_python_reference(ray_session, tmp_path_factory, base, new):
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.tokens import (
+        seq_incremental_dedup_files,
+    )
+
+    d = tmp_path_factory.mktemp(f"inc{uuid.uuid4().hex[:8]}")
+
+    def corpus(sub, arrays):
+        p = os.path.join(str(d), sub)
+        os.makedirs(p, exist_ok=True)
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    [f"{sub}-{i:012d}" for i in range(len(arrays))], type=pa.string()
+                ),
+                "tokens": pa.array(arrays, type=pa.list_(pa.int32())),
+                "n_tok": pa.array(
+                    [len(a) if a is not None else None for a in arrays],
+                    type=pa.int32(),
+                ),
+                "source": pa.array(["s"] * len(arrays), type=pa.string()),
+            }
+        )
+        f = os.path.join(p, "frag-000.parquet")
+        pq.write_table(t, f)
+        return [f]
+
+    fb = corpus("b", base if base else [[99]])  # base must have ≥1 file row
+    fn = corpus("n", new)
+    base_eff = base if base else [[99]]
+    base_set = {_sentinel(a) for a in base_eff}
+    expect = [
+        f"n-{i:012d}" for i, a in enumerate(new) if _sentinel(a) not in base_set
+    ]
+    got = seq_incremental_dedup_files(fb, fn).column("doc_id").to_pylist()
+    assert got == expect
