@@ -14,11 +14,17 @@ The policy here (VERDICT r1 item 4):
   ``ray.put`` the distinct key array ONCE and filter with a vectorized
   ``pc.is_in`` inside ``map_batches`` (the array is fetched zero-copy per
   worker, never re-shipped per task);
-- otherwise fall back to the native hash ``Dataset.join`` (distinct keys via
-  groupby, inner for semi, left_outer + null-filter for anti).
+- otherwise (semi/anti) run a hash-range KEY exchange: both sides ship only
+  their per-block-distinct key values (never rows) to R range reducers that
+  compute the exact matched-key intersection; the matched set flows
+  worker→worker through the object store (driver holds refs only) and each
+  block filters in place against the per-worker-cached matched set.  Rows
+  never shuffle — the native ``Dataset.join`` fallback used before round 5
+  moved every ds row through a hash shuffle AND crashed on the zero-column
+  empty partitions Ray's join builds for tiny/skewed inputs (ADVICE r4).
 
 Both paths are exactly equivalent; ``tests/test_operators.py`` forces the
-join path with a tiny cap and compares.
+exchange path with a tiny cap and compares.
 
 Reference analog: exact dictionary semi-join (J2, banningredients.py:131-139)
 generalized with a scale guard.
@@ -28,12 +34,12 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count
 
 from .collect import collect_table as _collect
 
@@ -105,38 +111,104 @@ def semi_join(
 
         return ds.map_batches(filt, batch_format="pyarrow")
 
-    out_cols = list(ds.schema().names)
-    from .batches import strip_schema_metadata
-
-    # BOTH join inputs need the pandas-metadata strip: the keys side feeds
-    # the groupby's hash-shuffle aggregators directly
-    ds = strip_schema_metadata(ds)
-    distinct = (
-        strip_schema_metadata(keys_ds.select_columns([keys_col]))
-        .groupby(keys_col)
-        .aggregate(Count(alias_name="__k_n"))
-    )
-    if not anti:
-        joined = ds.join(
-            distinct,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=(key_col,),
-            right_on=(keys_col,),
+    # --- above-cap fallback: hash-range key exchange, rows never move ---
+    try:
+        ranges = max(int(ray.cluster_resources().get("CPU", 8)), num_partitions)
+    except Exception:  # pragma: no cover - no cluster
+        ranges = max(8, num_partitions)
+    ranges = max(2, ranges)
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    ds_m = ds.materialize()
+    keys_m = keys_ds.materialize()
+    l_refs = [r for b in ds_m.iter_internal_ref_bundles() for r in b.block_refs]
+    r_refs = [r for b in keys_m.iter_internal_ref_bundles() for r in b.block_refs]
+    maps_l = [
+        _sj_split_keys.options(num_returns=ranges).remote(
+            l_refs[i : i + 8], key_col, ranges
         )
-        return joined.select_columns(out_cols)
-    joined = ds.join(
-        distinct,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=(key_col,),
-        right_on=(keys_col,),
+        for i in range(0, len(l_refs), 8)
+    ]
+    maps_r = [
+        _sj_split_keys.options(num_returns=ranges).remote(
+            r_refs[i : i + 8], keys_col, ranges
+        )
+        for i in range(0, len(r_refs), 8)
+    ]
+    matched_refs = [
+        _sj_intersect_range.remote(
+            len(maps_l), *[m[r] for m in maps_l], *[m[r] for m in maps_r]
+        )
+        for r in range(ranges)
+    ]
+
+    def filt_matched(t: pa.Table, _cache={}) -> pa.Table:
+        vals = _cache.get("vals")
+        if vals is None:
+            # empty ranges come back string-typed (the sentinel schema) —
+            # cast every chunk to the ds key type before the one concat
+            parts = [p.column("k") for p in ray.get(list(matched_refs))]
+            vals = pa.concat_arrays(
+                [c.cast(ktype) for p in parts for c in p.chunks]
+                or [pa.array([], type=ktype)]
+            )
+            _cache["vals"] = vals
+        col = t.column(key_col)
+        if len(vals):
+            mask = pc.fill_null(pc.is_in(col, value_set=vals), False)
+        else:
+            mask = pa.array(np.zeros(t.num_rows, dtype=bool))
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(mask).replace_schema_metadata(None)
+
+    return ds_m.map_batches(filt_matched, batch_format="pyarrow")
+
+
+@ray.remote
+def _sj_split_keys(block_refs: list, col: str, ranges: int) -> tuple:
+    """Per-block-group DISTINCT non-null key values, split into uint64
+    hash ranges (``core.hashing`` stable hashes — string or integer keys).
+    Ships values, never rows; tolerates zero-column empty blocks (the
+    groupby→aggregate empty-partition artifact, ADVICE r4)."""
+    from .hashing import hash_ints, hash_strings, range_edges
+
+    blocks = ray.get(list(block_refs))
+    cols = []
+    for b in blocks:
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows and col in t.column_names:
+            cols.append(pc.unique(t.column(col).combine_chunks().drop_null()))
+    if not cols:
+        empty = pa.table({"k": pa.array([], type=pa.string())})
+        return tuple(empty for _ in range(ranges))
+    vals = pc.unique(pa.concat_arrays([c.cast(cols[0].type) for c in cols]))
+    if pa.types.is_integer(vals.type):
+        h = hash_ints(vals.to_numpy(zero_copy_only=False).astype(np.int64))
+    else:
+        h = hash_strings(vals.cast(pa.string()))
+    order = np.argsort(h, kind="stable")
+    vals = vals.take(pa.array(order))
+    idx = np.searchsorted(h[order], range_edges(ranges))
+    bounds = np.r_[0, idx, len(vals)]
+    return tuple(
+        pa.table({"k": vals.slice(bounds[r], bounds[r + 1] - bounds[r])})
+        for r in range(ranges)
     )
 
-    def unmatched(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_null(t.column("__k_n"))).select(out_cols)
 
-    return joined.map_batches(unmatched, batch_format="pyarrow")
+@ray.remote
+def _sj_intersect_range(n_l: int, *parts) -> pa.Table:
+    """One hash range's exact matched-key set: distinct ds-side keys that
+    also appear on the keys side (exact value equality — hashes only route,
+    so the result is collision-free)."""
+    l_parts = [p.column("k") for p in parts[:n_l] if p.num_rows]
+    r_parts = [p.column("k") for p in parts[n_l:] if p.num_rows]
+    if not l_parts or not r_parts:
+        return pa.table({"k": pa.array([], type=pa.string())})
+    lt = l_parts[0].type
+    lv = pc.unique(pa.concat_arrays([c for p in l_parts for c in p.chunks]))
+    rv = pa.concat_arrays([c.cast(lt) for p in r_parts for c in p.chunks])
+    return pa.table({"k": lv.filter(pc.is_in(lv, value_set=rv))})
 
 
 def lookup_join(

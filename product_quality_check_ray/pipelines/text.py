@@ -2350,15 +2350,21 @@ def doc_boilerplate_strip(
         ranges = 8
     kept_refs = [r for b in kept.iter_internal_ref_bundles() for r in b.block_refs]
     tot_refs = [r for b in tot.iter_internal_ref_bundles() for r in b.block_refs]
+    tot_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_seg", pa.int64())]
+    )
+    kept_schema = pa.schema(
+        [("doc_id", pa.int64()), ("seg_idx", pa.int64()), ("statement", pa.string())]
+    )
     maps_t = [
         _bp_split_blocks.options(num_returns=ranges).remote(
-            tot_refs[i : i + 8], ranges, ["doc_id", "n_seg"]
+            tot_refs[i : i + 8], ranges, tot_schema
         )
         for i in range(0, len(tot_refs), 8)
     ]
     maps_k = [
         _bp_split_blocks.options(num_returns=ranges).remote(
-            kept_refs[i : i + 8], ranges, ["doc_id", "seg_idx", "statement"]
+            kept_refs[i : i + 8], ranges, kept_schema
         )
         for i in range(0, len(kept_refs), 8)
     ]
@@ -2375,27 +2381,27 @@ def doc_boilerplate_strip(
 
 
 @ray.remote
-def _bp_split_blocks(block_refs: list, ranges: int, cols: list) -> tuple:
+def _bp_split_blocks(block_refs: list, ranges: int, schema: pa.Schema) -> tuple:
     """Split blocks' rows into doc_id-hash ranges (tuple of ``ranges``
-    tables). Column-wise concat: block schema metadata may differ."""
+    tables). Column-wise concat: block schema metadata may differ.
+    Schema-driven: zero-column empty blocks (the groupby/map_batches
+    empty-partition artifact, ADVICE r4) are skipped and typed empties are
+    built from ``schema``, never from a sampled block."""
     from ..core.hashing import splitmix64
 
+    cols = list(schema.names)
     blocks = ray.get(list(block_refs))
     tables = [
-        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b])).select(cols)
+        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
         for b in blocks
     ]
-    tables = [t.replace_schema_metadata(None) for t in tables if t.num_rows]
+    tables = [
+        t.select(cols).replace_schema_metadata(None).cast(schema)
+        for t in tables
+        if t.num_rows and all(c in t.column_names for c in cols)
+    ]
     if not tables:
-        empty = pa.concat_tables(
-            [
-                (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
-                .select(cols)
-                .replace_schema_metadata(None)
-                .slice(0, 0)
-                for b in blocks[:1]
-            ]
-        )
+        empty = schema.empty_table()
         return tuple(empty for _ in range(ranges))
     t = pa.concat_tables(tables)
     vid = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2407,7 +2413,12 @@ def _bp_split_blocks(block_refs: list, ranges: int, cols: list) -> tuple:
 def _bp_reduce_range(n_tot: int, *parts) -> pa.Table:
     """One doc_id-hash range: merge totals + kept segments, reassemble each
     doc's cleaned text with ONE vectorized sort + pandas groupby agg."""
-    tot = pa.concat_tables([p for p in parts[:n_tot] if p.num_rows])
+    # a doc_id-hash range can receive zero totals rows (doc count small
+    # relative to the range count) — concat the first typed-empty part so
+    # the empty-range early return below still fires (ADVICE r4)
+    if n_tot == 0:
+        return _BOILERPLATE_SCHEMA.empty_table()
+    tot = pa.concat_tables([p for p in parts[:n_tot] if p.num_rows] or [parts[0]])
     if tot.num_rows == 0:
         return _BOILERPLATE_SCHEMA.empty_table()
     kept_parts = [p for p in parts[n_tot:] if p.num_rows]

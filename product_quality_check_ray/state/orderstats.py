@@ -301,14 +301,25 @@ def grouped_quantiles_disc(
             gcol = t.column(group_col).to_pandas()
             v = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
             vu_all = v.view(np.uint64) ^ np.uint64(_BIAS)
+            # factorize the group column ONCE per batch (nulls → -1), then
+            # each plan's member rows come from one code-sorted index slice —
+            # O(batch log batch + Σ|subset|) instead of one full-column
+            # equality scan per active (group, fraction) pair (ADVICE r4:
+            # the old shape degraded sharply for high-cardinality groups)
+            codes, uniques = pd.factorize(gcol, use_na_sentinel=True)
+            gmap = {u: i for i, u in enumerate(uniques)}
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
             out_sid, out_bucket, out_cnt = [], [], []
             for sid, (g, lo, hi, shift, nb) in enumerate(_plans):
-                gm = gcol.isna().to_numpy() if g is None or g is pd.NA else (
-                    (gcol == g).fillna(False).to_numpy()
-                )
-                if not gm.any():
+                c = -1 if g is None or g is pd.NA else gmap.get(g)
+                if c is None:
                     continue
-                vu = vu_all[gm]
+                a = int(np.searchsorted(sc, c, side="left"))
+                z = int(np.searchsorted(sc, c, side="right"))
+                if a == z:
+                    continue
+                vu = vu_all[order[a:z]]
                 ulo, uhi = np.uint64(lo + _BIAS), np.uint64(hi + _BIAS)
                 vu = vu[(vu >= ulo) & (vu <= uhi)]
                 if not vu.size:

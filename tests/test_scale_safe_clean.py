@@ -243,6 +243,33 @@ def test_boilerplate_strip_within_doc_repeats_survive(ray_session, tmp_path):
     assert out.loc[3, "n_kept"] == 0 and out.loc[3, "n_removed"] == 1
 
 
+def test_boilerplate_strip_tiny_corpus_cap0(ray_session, tmp_path):
+    """ADVICE r4 regression: at tiny corpus scale the distributed (cap=0)
+    path sees (a) zero-column empty blocks from empty groupby hash
+    partitions feeding Dataset.join, and (b) doc_id-hash ranges that
+    receive zero totals rows (ranges >> docs).  Both crashed; both must
+    now match the broadcast path exactly."""
+    from product_quality_check_ray.pipelines.text import doc_boilerplate_strip
+
+    w = 12
+    footer = " ".join(f"f{i}" for i in range(w))
+    versea = " ".join(f"a{i}" for i in range(w))
+    verseb = " ".join(f"b{i}" for i in range(w))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [f"{versea} {footer}", f"{verseb} {footer}", footer]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    a = _sorted_df(doc_boilerplate_strip(str(tmp_path)).to_pandas())
+    b = _sorted_df(doc_boilerplate_strip(str(tmp_path), cap=0).to_pandas())
+    assert a.equals(b), "tiny-corpus distributed path diverges"
+    assert (a["n_removed"] > 0).any()
+
+
 def test_select_training_docs_consistency_and_path_equivalence(ray_session):
     """The capstone's admitted set must equal the intersection of its three
     component verdicts, and the above-cap join path (cap=0) must match the
