@@ -314,6 +314,7 @@ QUERY_ORDER: tuple[str, ...] = (
     "multimodal_suite",
     # --- end of graded window (position 50) ---
     "knn_bruteforce",
+    "doc_tokenize",
     # round-4 continuation rotation: six long-green members demoted
     # (families stay window-represented), still locally gated
     "seq_dup_doc_ids",
@@ -688,6 +689,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_validate": lambda sf: tx.documents_validate(sf),  # row checks generalized to the documents table
         "documents_lang_drift": lambda sf: tx.documents_lang_drift(sf),  # per-lang length-KS vs corpus complement
         "doc_lm_score": lambda sf: tp.doc_lm_score(sf),  # bigram-LM perplexity proxy (CCNet analog)
+        # text→tokens bridge: documents tokenized against the vocab
+        # DIMENSION (greedy longest-match) into the north-star shape
+        "doc_tokenize": lambda sf: tp.doc_tokenize(sf),
         # DSIR-style importance selection: target-vs-raw LM weight, exact
         # global top-k via distributed radix select (state/orderstats)
         "doc_dsir_select": lambda sf: tp.doc_dsir_select(sf),
@@ -912,6 +916,90 @@ def _vocab_dim_sql() -> str:
     from product_quality_check_ray.sources.dimensions import ensure_vocab_dim
 
     return ensure_vocab_dim()
+
+
+def _doc_tokenize_oracle_sql() -> str:
+    """SQL twin of ``textprep.doc_tokenize``: per-word recursive greedy
+    longest-match scan against the vocab dimension.  The per-length piece
+    joins are generated from the ACTUAL distinct piece lengths in the
+    dimension parquet (the same file the engine broadcasts), longest
+    first — greedy = coalesce in descending length order; an unmatched
+    position consumes one char and counts as unk."""
+    import pyarrow.parquet as _pq
+
+    path = _vocab_dim_sql()
+    plens = sorted(
+        {
+            len(p)
+            for p in _pq.read_table(path, columns=["piece"])
+            .column("piece")
+            .to_pylist()
+        },
+        reverse=True,
+    )
+    joins = "\n".join(
+        f"            LEFT JOIN vd p{L} ON length(p{L}.piece) = {L} "
+        f"AND substr(s.word, s.pos, {L}) = p{L}.piece"
+        for L in plens
+    )
+    tid = "coalesce(" + ", ".join(f"p{L}.token_id" for L in plens) + ")::INTEGER"
+    mlen = (
+        "CASE "
+        + " ".join(f"WHEN p{L}.token_id IS NOT NULL THEN {L}" for L in plens)
+        + " END"
+    )
+    return rf"""
+        WITH RECURSIVE
+        vd AS MATERIALIZED (
+          SELECT token_id, piece FROM read_parquet('{path}')
+        ),
+        w AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+          FROM documents
+        ),
+        wordt AS (
+          SELECT doc_id, i + 1 AS widx, ws[i + 1] AS word
+          FROM w, unnest(range(len(ws))) AS t(i)
+          WHERE ws[i + 1] <> ''
+        ),
+        scan AS (
+          SELECT doc_id, widx, word, 1 AS pos,
+                 CAST([] AS INTEGER[]) AS toks, 0 AS unk
+          FROM wordt
+          UNION ALL
+          SELECT doc_id, widx, word,
+                 pos + coalesce(mlen, 1),
+                 CASE WHEN tid IS NOT NULL THEN list_append(toks, tid)
+                      ELSE toks END,
+                 unk + CASE WHEN tid IS NULL THEN 1 ELSE 0 END
+          FROM (
+            SELECT s.doc_id, s.widx, s.word, s.pos, s.toks, s.unk,
+                   {tid} AS tid,
+                   {mlen} AS mlen
+            FROM scan s
+{joins}
+            WHERE s.pos <= length(s.word)
+          )
+        ),
+        fin AS (
+          SELECT doc_id, widx, toks, unk FROM scan WHERE pos > length(word)
+        ),
+        perdoc AS (
+          SELECT doc_id,
+                 flatten(list(toks ORDER BY widx)) AS tokens,
+                 sum(len(toks))::INTEGER AS n_tok,
+                 sum(unk)::BIGINT AS n_unk
+          FROM fin GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.tokens, CAST([] AS INTEGER[])) AS tokens,
+               coalesce(p.n_tok, 0)::INTEGER AS n_tok,
+               coalesce(p.n_unk, 0)::BIGINT AS n_unk,
+               d.source
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY d.doc_id
+    """
 
 
 def _seqnd_scored_cte(seq: str) -> str:
@@ -3254,6 +3342,8 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: two mirrored LM CTEs + window rank (generated next to the
         # engine so the mods/fraction can never drift)
         "doc_dsir_select": tp.dsir_oracle_sql(),
+        # recursive greedy longest-match scan vs the vocab dimension
+        "doc_tokenize": _doc_tokenize_oracle_sql(),
         # CCNet terciles: LM CTE + integer microbits key + window rank
         "doc_ccnet_buckets": tp.ccnet_oracle_sql(),
         # capstone: the three component oracles composed on doc_id
