@@ -703,6 +703,132 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 0 if diff.num_rows == 0 else 2
 
 
+def cmd_accept(args: argparse.Namespace) -> int:
+    """The full multi-writer upload-acceptance loop in ONE invocation
+    (VERDICT r4 item 6 — the reference's "upload → check → results" cycle,
+    app.py:453-532, at corpus scale):
+
+        audit --gate (incoming)  →  ingest (content gate vs base)
+        →  validate (admitted rows)  →  manifest (base ∪ admitted)
+
+    Each stage prints its own JSON line; the LAST line is the accept
+    summary. Admitted rows land in ``<out>/admitted/frag-adm-*.parquet``,
+    validation artifacts in ``<out>/validation/``, the combined
+    content-checksum manifest at ``<out>/manifest.parquet``. ``--append``
+    additionally MOVES the validated admitted fragments into the base
+    corpus dir (collision-safe names) — off by default so a dry run never
+    mutates the corpus.
+
+    Exit contract (documented, pinned by e2e test):
+      0 = batch accepted (admitted rows validated clean, manifest written)
+      3 = unreadable incoming shards (retry the upload)
+      2 = audit content findings (schema deviance / length outliers /
+          oversized row groups — reject the batch)
+      5 = incoming key-range layout violation (multi-writer collision)
+      7 = nothing new (every incoming row's content already in base)
+      6 = admitted rows failed row-level validation (reject)
+      1 = usage errors (empty dirs)
+    """
+    import os
+
+    _init_ray(args.num_cpus)
+    rc = cmd_audit(
+        argparse.Namespace(
+            input=args.incoming,
+            num_cpus=None,
+            sortedness=False,
+            sample_probe=False,
+            baseline=None,
+            manifest_out=None,
+            gate=True,
+        )
+    )
+    if rc != 0:
+        print(json.dumps({"accept": "rejected", "stage": "audit", "exit": rc}))
+        return rc
+    admitted_dir = os.path.join(args.out, "admitted")
+    rc = cmd_ingest(
+        argparse.Namespace(
+            base=args.base, new=args.incoming, out=admitted_dir, num_cpus=None
+        )
+    )
+    if rc == 2:
+        print(json.dumps({"accept": "noop", "stage": "ingest", "exit": 7}))
+        return 7
+    if rc != 0:
+        print(json.dumps({"accept": "rejected", "stage": "ingest", "exit": rc}))
+        return rc
+    # normalize admitted fragment names to the frag-*.parquet convention
+    # every downstream reader (resolve_sequences, manifest) requires
+    files = sorted(
+        f for f in os.listdir(admitted_dir) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        if not f.startswith("frag-"):
+            os.replace(
+                os.path.join(admitted_dir, f),
+                os.path.join(admitted_dir, f"frag-adm-{i:05d}.parquet"),
+            )
+    rc = cmd_validate(
+        argparse.Namespace(
+            input=admitted_dir,
+            out=os.path.join(args.out, "validation"),
+            config=None,
+            num_cpus=None,
+            preaudit=False,
+            no_resume=False,
+            no_violations=False,
+            warn_checks=None,
+            write_clean=False,
+            prescreen=False,
+            fail_fast=None,
+            ref_hist=None,
+            export_hist=None,
+        )
+    )
+    if rc != 0:
+        print(json.dumps({"accept": "rejected", "stage": "validate", "exit": 6}))
+        return 6
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from .pipelines.tokens import seq_corpus_manifest
+
+    man = pa.concat_tables(
+        [seq_corpus_manifest(args.base), seq_corpus_manifest(admitted_dir)]
+    ).sort_by("fragment")
+    man_path = os.path.join(args.out, "manifest.parquet")
+    _pq.write_table(man, man_path)
+    appended = 0
+    if args.append:
+        existing = set(os.listdir(args.base))
+        k = 0
+        for f in sorted(os.listdir(admitted_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            dest = f
+            while dest in existing:
+                dest = f"frag-adm{k:07d}.parquet"
+                k += 1
+            os.replace(
+                os.path.join(admitted_dir, f), os.path.join(args.base, dest)
+            )
+            existing.add(dest)
+            appended += 1
+    print(
+        json.dumps(
+            {
+                "accept": "accepted",
+                "manifest": man_path,
+                "manifest_fragments": man.num_rows,
+                "appended": appended,
+                "exit": 0,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_gen(args: argparse.Namespace) -> int:
     from .datagen import write_sequences
 
@@ -901,6 +1027,28 @@ def main(argv: list[str] | None = None) -> int:
     lc.add_argument("--ids-file", default=None, help="file with one doc_id per line")
     lc.add_argument("--num-cpus", type=int, default=None)
     lc.set_defaults(fn=cmd_locate)
+
+    ac = sub.add_parser(
+        "accept",
+        help="multi-writer upload acceptance: audit --gate → ingest → "
+        "validate → manifest in one invocation (exit: 0 accepted, 3 "
+        "unreadable, 2 content findings, 5 layout violation, 7 nothing "
+        "new, 6 validation findings)",
+    )
+    ac.add_argument("--base", required=True, help="base corpus dir (frag-*.parquet)")
+    ac.add_argument(
+        "--incoming", required=True, help="incoming batch dir (frag-*.parquet)"
+    )
+    ac.add_argument(
+        "--out", required=True, help="work dir (admitted/, validation/, manifest)"
+    )
+    ac.add_argument(
+        "--append",
+        action="store_true",
+        help="after validation passes, MOVE admitted fragments into --base",
+    )
+    ac.add_argument("--num-cpus", type=int, default=None)
+    ac.set_defaults(fn=cmd_accept)
 
     g = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     g.add_argument("--out", required=True)

@@ -461,20 +461,34 @@ def doc_tfidf_topk(
 LM_REF_MOD = 11  # reference slice: doc_id % LM_REF_MOD == 0
 
 
-def build_bigram_lm(sf_dir: str, ref_mod: int = LM_REF_MOD):
+_LM_DRIVER_MERGE_CAP = 2_000_000  # partial rows above which the LM merge
+# happens in-Dataset (distributed groupby Sum) instead of driver-side
+
+
+def build_bigram_lm(
+    sf_dir: str, ref_mod: int = LM_REF_MOD, *, distributed: "bool | None" = None
+):
     """Train a word-bigram LM on the reference slice (CCNet trains KenLM on
     Wikipedia; this is the no-model-container analog with exact SQL parity).
 
     ONE fused pass over the corpus: each batch filters to the reference
     slice, splits once, and emits BOTH bigram-count partials and the
     distinct-word rows needed for the smoothing denominator (tagged by
-    `kind`) — Arrow kernels only, no per-row loops. Partials are
-    combiner-sized (per-batch distinct), merged DRIVER-side with one Arrow
-    group_by (measured ~5 s cheaper than Ray's hash-aggregate operator at
-    tiny key counts — BASELINE.md pathology list). The model is a
-    REFERENCE-slice vocabulary (bounded by language, not corpus size); at
-    100 TB trim to the top-M bigrams by count before broadcast and merge
-    partials via the tree reduce.
+    `kind`) — Arrow kernels only, no per-row loops.
+
+    Partial-merge policy (VERDICT r4 item 5 — a 100× reference slice must
+    not become a driver hotspot): the partial stream is materialized and
+    counted; under ``_LM_DRIVER_MERGE_CAP`` total partial rows the merge is
+    ONE driver-side Arrow group_by (measured ~5 s cheaper than Ray's
+    hash-aggregate operator at tiny key counts — BASELINE.md pathology
+    list); above it the partials reduce through a distributed
+    ``groupby(kind, key).Sum`` so the driver receives each DISTINCT
+    vocab/bigram key exactly once (the merged LM — which must fit driver
+    memory regardless, since it is broadcast) instead of O(blocks) per-key
+    partial copies.  ``distributed`` forces either path; both are pinned
+    identical by test.  The model is a REFERENCE-slice vocabulary (bounded
+    by language, not corpus size); at 100 TB trim to the top-M bigrams by
+    count before broadcast.
 
     Returns (vocab_size, w1 sorted, c1, bigram sorted, c2) where c1(w1) is
     the count of reference bigrams starting with w1 (derived from the bigram
@@ -531,9 +545,25 @@ def build_bigram_lm(sf_dir: str, ref_mod: int = LM_REF_MOD):
     partials = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    tbl = pa.concat_tables(
-        [b for b in partials.iter_batches(batch_format="pyarrow")] or [empty]
-    )
+    pm = partials.materialize()
+    if distributed is None:
+        distributed = pm.count() > _LM_DRIVER_MERGE_CAP
+    if distributed:
+        from ray.data.aggregate import Sum
+
+        merged = pm.groupby(["kind", "key"]).aggregate(Sum("cnt", alias_name="cnt"))
+        tbl = pa.concat_tables(
+            [
+                b.select(["kind", "key", "cnt"]).replace_schema_metadata(None)
+                for b in merged.iter_batches(batch_format="pyarrow")
+                if b.num_rows and "key" in b.column_names
+            ]
+            or [empty]
+        )
+    else:
+        tbl = pa.concat_tables(
+            [b for b in pm.iter_batches(batch_format="pyarrow")] or [empty]
+        )
     is_bg = pc.equal(tbl.column("kind"), 1)
     bag = tbl.filter(is_bg).group_by("key").aggregate([("cnt", "sum")])
     bigrams = np.asarray(bag.column("key").to_numpy(zero_copy_only=False), dtype=object)

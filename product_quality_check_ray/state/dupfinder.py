@@ -21,10 +21,12 @@ efficiently, here):
 Scale notes (10^12 rows, 256 nodes): the reduce moves 8 bytes/row of hash +
 8 of count — ~2% of a token-corpus's bytes — and hash ranges give perfectly
 uniform partitioning regardless of doc_id skew (the salting the north rule
-asks for falls out of hashing). For very large runs use a two-level reduce
-(fragment-wave partials → range partials) to bound per-task object counts;
-``ranges`` should then be ~cluster cores. The recover pass assumes
-|duplicates| ≪ |corpus| (training-data QA regime).
+asks for falls out of hashing). For very large runs pass ``wave_size`` to
+enable the TWO-LEVEL reduce (fragment-wave partials → range partials via
+``_combine_range``): per-task ObjectRef counts drop from O(fragments) to
+max(wave_size, n_waves), byte-equal to the one-level path (totals are
+associative; pinned by test). ``ranges`` should then be ~cluster cores.
+The recover pass assumes |duplicates| ≪ |corpus| (training-data QA regime).
 
 Reference analog: cross-row segment dedupe via in-memory ``seen`` set
 (``prompts/banningredients.py:170-183``) — re-architected as a distributed
@@ -61,6 +63,43 @@ def _map_fragment(paths: list[str], ranges: int) -> tuple:
     uv, uc = np.unique(h, return_counts=True)
     idx = np.searchsorted(uv, _range_edges(ranges))
     return tuple(zip(np.split(uv, idx), np.split(uc.astype(np.int64), idx)))
+
+
+@ray.remote
+def _combine_range(*parts) -> tuple:
+    """Wave-level partial combine for one hash range: merge (hash, count)
+    partials into ONE sorted, deduplicated (hash, count) pair WITHOUT the
+    ≥2 filter — the intermediate level of the two-level reduce that bounds
+    per-task ObjectRef counts at O(wave) instead of O(fragments)."""
+    vs = np.concatenate([p[0] for p in parts])
+    if vs.size == 0:
+        return vs, vs.astype(np.int64)
+    cs = np.concatenate([p[1] for p in parts])
+    order = np.argsort(vs, kind="stable")
+    vs, cs = vs[order], cs[order]
+    change = np.empty(vs.size, dtype=bool)
+    change[0] = True
+    np.not_equal(vs[1:], vs[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    return vs[starts], np.add.reduceat(cs, starts)
+
+
+def _maybe_two_level(mapped, ranges: int, wave_size: "int | None"):
+    """Fragment-wave partial combine (the module docstring's 'very large
+    runs' note): when ``wave_size`` is set and more map outputs exist than
+    one wave, each range's partials are first combined per wave of
+    ``wave_size`` map tasks, so no downstream task ever receives more than
+    max(wave_size, n_waves) ObjectRefs. Totals are associative — the final
+    reduce sees identical sums either way (byte-equality pinned by test)."""
+    if wave_size is None or len(mapped) <= wave_size:
+        return mapped
+    waves = [mapped[i : i + wave_size] for i in range(0, len(mapped), wave_size)]
+    return [
+        tuple(
+            _combine_range.remote(*[m[r] for m in wave]) for r in range(ranges)
+        )
+        for wave in waves
+    ]
 
 
 @ray.remote
@@ -179,7 +218,11 @@ def _local_duplicates(paths: list[str]) -> dict[str, int]:
 
 
 def find_duplicates(
-    files: list[str], ranges: int | None = None, *, range_pruning: bool = True
+    files: list[str],
+    ranges: int | None = None,
+    *,
+    range_pruning: bool = True,
+    wave_size: int | None = None,
 ) -> dict[str, int]:
     """Exact global {doc_id: count} for doc_ids appearing more than once.
 
@@ -221,6 +264,11 @@ def find_duplicates(
         _map_fragment.options(num_returns=ranges).remote(g, ranges)
         for g in file_groups
     ]
+    # two-level reduce (opt-in via wave_size): fragment-wave partials →
+    # range partials, bounding per-task ObjectRef counts at very high
+    # fragment counts (10^5 fragments × 256 ranges would otherwise hand
+    # every reduce task 10^5 refs)
+    mapped_refs = _maybe_two_level(mapped_refs, ranges, wave_size)
     dup_refs = [
         _reduce_range.remote(*[m[r] for m in mapped_refs]) for r in range(ranges)
     ]
@@ -349,6 +397,7 @@ def find_dup_hash_values(
     ranges: int | None = None,
     blocks_per_task: int = 8,
     max_count: int | None = None,
+    wave_size: int | None = None,
 ) -> np.ndarray:
     """int64 hash values occurring ≥ 2 times in ``ds[col]`` via the
     hash-range tree reduce (values are assumed uniform 64-bit hashes, so
@@ -379,6 +428,7 @@ def find_dup_hash_values(
         )
         for i in range(0, len(block_refs), blocks_per_task)
     ]
+    mapped = _maybe_two_level(mapped, ranges, wave_size)
     reduced = ray.get(
         [
             _reduce_range.remote(*[m[r] for m in mapped], max_count=max_count)

@@ -176,6 +176,40 @@ def test_dupfinder_matches_dataset_groupby(ray_session, tmp_path):
     assert len(via_tree) > 0
 
 
+def test_dupfinder_two_level_reduce_byte_equal(ray_session, tmp_path):
+    """Opt-in two-level reduce (fragment-wave partials → range partials):
+    byte-equal to the one-level path for both the file-fed count reduce and
+    the block-fed hash-value reduce, including the max_count hot-key drop.
+    wave_size=1 forces a combine for EVERY map output (the degenerate worst
+    case); 16 fragments ≫ wave sizes exercises multi-wave merging."""
+    import ray.data as rd
+
+    from product_quality_check_ray.datagen import write_sequences
+    from product_quality_check_ray.pipelines.validate import input_fragments
+    from product_quality_check_ray.state import dupfinder
+
+    seq = write_sequences(str(tmp_path / "seq"), 4000, seed=11, num_fragments=16)
+    files = input_fragments(seq)
+    one = dupfinder.find_duplicates(files, range_pruning=False)
+    assert len(one) > 0
+    for w in (1, 3):
+        assert (
+            dupfinder.find_duplicates(files, range_pruning=False, wave_size=w)
+            == one
+        )
+
+    ds = rd.read_parquet(files, columns=["n_tok"]).materialize()
+    base = np.sort(dupfinder.find_dup_hash_values(ds, "n_tok"))
+    assert base.size > 0
+    two = np.sort(dupfinder.find_dup_hash_values(ds, "n_tok", wave_size=2))
+    assert np.array_equal(base, two)
+    capped = np.sort(dupfinder.find_dup_hash_values(ds, "n_tok", max_count=3))
+    capped2 = np.sort(
+        dupfinder.find_dup_hash_values(ds, "n_tok", max_count=3, wave_size=2)
+    )
+    assert np.array_equal(capped, capped2)
+
+
 def test_multimodal_stub_contract(fixture_dir):
     from product_quality_check_ray.pipelines.multimodal import (
         FEATURE_SCHEMA,

@@ -270,6 +270,38 @@ def test_boilerplate_strip_tiny_corpus_cap0(ray_session, tmp_path):
     assert (a["n_removed"] > 0).any()
 
 
+def test_span_anchor_exchange_reuse_identical(ray_session):
+    """VERDICT r4 item 7: seq_lcs_pairs + seq_strip_dup_spans fed one
+    shared span_anchor_exchange must equal their independent runs."""
+    from product_quality_check_ray.pipelines import tokspans as ts
+
+    pre = ts.span_anchor_exchange(SF)
+    pairs_shared = ts.seq_lcs_pairs(SF, precomputed_anchors=pre).to_pandas()
+    strip_shared = _sorted_df(
+        ts.seq_strip_dup_spans(SF, precomputed_anchors=pre).to_pandas()
+    )
+    pairs = ts.seq_lcs_pairs(SF).to_pandas()
+    strip = _sorted_df(ts.seq_strip_dup_spans(SF).to_pandas())
+    assert pairs_shared.equals(pairs) and len(pairs) > 0
+    assert strip_shared.equals(strip)
+    assert (strip["n_removed"] > 0).any()
+
+
+def test_bigram_lm_distributed_merge_identical(ray_session):
+    """VERDICT r4 item 5: the DSIR/CCNet bigram LM built via the
+    distributed groupby-Sum merge (the >cap path a 100× reference slice
+    takes) must be byte-identical to the driver-side Arrow group_by merge."""
+    import numpy as np
+
+    from product_quality_check_ray.pipelines.textprep import build_bigram_lm
+
+    a = build_bigram_lm(SF, distributed=False)
+    b = build_bigram_lm(SF, distributed=True)
+    assert a[0] == b[0] and a[0] > 0
+    for i in (1, 2, 3, 4):
+        assert np.array_equal(a[i], b[i])
+
+
 def test_select_training_docs_consistency_and_path_equivalence(ray_session):
     """The capstone's admitted set must equal the intersection of its three
     component verdicts, and the above-cap join path (cap=0) must match the
