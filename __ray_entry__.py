@@ -128,6 +128,11 @@ SUITE_SPECS: dict[str, tuple[MemberSpec, ...]] = {
                     ("src_height", "num"), ("rz_width", "num"),
                     ("rz_height", "num"), ("rz_mean_r", "num"),
                     ("rz_mean_g", "num"), ("rz_mean_b", "num"))),
+        # lossy leg: baseline JPEG encode→decode, exact dims + bounded-
+        # error verdict (the sketch-accuracy grading pattern)
+        MemberSpec("multimodal_jpeg", ("media_id",),
+                   (("sampling", "str"), ("width", "num"),
+                    ("height", "num"), ("ok", "num"))),
     ),
     "table_validators_suite": (
         # the per-table validator family (documents / events / embeddings —
@@ -253,22 +258,23 @@ QUERY_ORDER: tuple[str, ...] = (
     "prepare_training_sequences",
     "seq_pack_execute",
     "seq_neardup_pairs",
-    "seq_minhash_recall",
-    "seq_bigram_topk",
+    "seq_prefix_dups",
     "seq_bpe_merges",
+    "seq_detokenize",
     "seq_decontaminate",
-    "seq_dup_token_arrays",
-    "seq_strip_dup_spans",
-    "seq_corpus_diff",
     "seq_incremental_dedup",
+    "seq_corpus_drift",
+    "seq_corpus_token_drift",
     "seq_split_leakage",
     "seq_partition_verdicts",
     "corpus_audit_suite",
     "seq_ntok_exact_quantiles",
     "table_drift_suite",
-    "seq_repetition_scores",
+    "documents_lang_drift",
     "token_plan_suite",
-    "seq_unigram_lm_score",
+    "seq_mixture_sample",
+    "seq_boundary_audit",
+    "seq_vocab_coverage",
     # validation engine (reference's core loop)
     "seq_row_violations",
     "seq_check_counts",
@@ -283,9 +289,9 @@ QUERY_ORDER: tuple[str, ...] = (
     # local gate)
     "clean_documents_full",
     "prepare_training_corpus",
-    "doc_minhash_dups",
+    "doc_tokenize",
+    "doc_lm_score",
     "doc_boilerplate_strip",
-    "doc_dsir_select",
     "doc_strip_dup_spans",
     "doc_near_dup_clusters",
     "doc_simhash_recall",
@@ -308,13 +314,27 @@ QUERY_ORDER: tuple[str, ...] = (
     "embedding_semantic_dedup",
     "select_training_docs",
     "doc_ccnet_buckets",
-    "knn_ivf",
     "knn_ivfpq",
     "knn_ivfpq_recall",
     "multimodal_suite",
     # --- end of graded window (position 50) ---
+    # round-5 rotation: ten long-green members demoted (every family
+    # keeps a window representative), still locally gated; promoted in
+    # their place: doc_tokenize, seq_prefix_dups, seq_mixture_sample,
+    # seq_boundary_audit, seq_corpus_drift, seq_corpus_token_drift,
+    # documents_lang_drift, doc_lm_score, seq_detokenize,
+    # seq_vocab_coverage — none ever driver-graded before
+    "seq_minhash_recall",
+    "seq_bigram_topk",
+    "seq_dup_token_arrays",
+    "seq_strip_dup_spans",
+    "seq_corpus_diff",
+    "seq_repetition_scores",
+    "seq_unigram_lm_score",
+    "doc_minhash_dups",
+    "doc_dsir_select",
+    "knn_ivf",
     "knn_bruteforce",
-    "doc_tokenize",
     # round-4 continuation rotation: six long-green members demoted
     # (families stay window-represented), still locally gated
     "seq_dup_doc_ids",
@@ -338,20 +358,16 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_source_exact_quantiles",
     "seq_length_outliers",
     "seq_source_entropy",
-    "seq_boundary_audit",
-    "seq_mixture_sample",
-    "seq_prefix_dups",
     "seq_neardup_clusters",
     "seq_bpe_apply",
     "seq_sampled_check_counts",
     "seq_corpus_manifest",
     "seq_dup_id_conflicts",
     "seq_id_source_fd",
-    "seq_corpus_drift",
-    "seq_corpus_token_drift",
     "seq_lcs_pairs",
     "seq_length_batches",
     "multimodal_decode",
+    "multimodal_jpeg",
     "documents_validate",
     "doc_tfidf_topk",
     "seq_shard_stats",
@@ -360,11 +376,8 @@ QUERY_ORDER: tuple[str, ...] = (
     "seq_locate_ids",
     "seq_shard_schema_audit",
     "seq_rowgroup_audit",
-    "seq_vocab_coverage",
     "seq_split_assign",
-    "seq_detokenize",
     "doc_exact_dup_groups",
-    "documents_lang_drift",
     "events_type_drift",
     "embedding_label_stats",
     "embedding_validate",
@@ -390,7 +403,6 @@ QUERY_ORDER: tuple[str, ...] = (
     "doc_statements",
     "doc_safety_hints",
     "doc_segment_dedupe",
-    "doc_lm_score",
     "doc_chunks",
     "doc_shard_assign",
     "doc_pack_examples",
@@ -763,6 +775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frames": mm.multimodal_video_frames,
         # REAL nearest-neighbor pixel resample — closed-form resized-mean oracle
         "multimodal_resize": mm.multimodal_resize,
+        # REAL baseline-JPEG encode→decode (pure-stdlib huffman/DCT codec,
+        # 4:4:4 + 4:2:0): exact dims + bounded mean-error verdict
+        "multimodal_jpeg": mm.multimodal_jpeg,
     }
     for sname, specs in SUITE_SPECS.items():
         base[sname] = lambda sf, _s=specs, _b=base: run_suite(sf, _s, _b)
@@ -4349,6 +4364,19 @@ def oracle_sql() -> dict[str, str]:
                           FROM UNNEST(range(0, {mm_px.RZ_W})) t(x),
                                UNNEST(range(0, {mm_px.RZ_H})) u(y)), 6) AS rz_mean_b
             FROM dims
+        """,
+        # lossy JPEG leg: pixel values are not SQL-replayable, so the
+        # graded surface is exact dims (closed form) + the bounded-error
+        # verdict asserted structurally (ok = 1 everywhere — the
+        # seq_sketch_accuracy pattern; the bound itself is JPEG_MEAN_TOL
+        # with measured worst 1.22 at quality 92)
+        "multimodal_jpeg": f"""
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'p444' ELSE 'p420' END AS sampling,
+                   ({mm_px.PX_BASE} + doc_id % {mm_px.PX_W_MOD})::BIGINT AS width,
+                   ({mm_px.PX_BASE} + (doc_id * 7) % {mm_px.PX_H_MOD})::BIGINT AS height,
+                   1::BIGINT AS ok
+            FROM documents ORDER BY doc_id
         """,
         # closed-form expectations for the REAL WAV decode: the sawtooth
         # fixture (pipelines/multimodal.py AU_* constants) makes per-clip

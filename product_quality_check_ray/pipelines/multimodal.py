@@ -786,3 +786,107 @@ def fetch_urls(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG probe — the lossy leg of the decode family (VERDICT r4 item 8).
+# ---------------------------------------------------------------------------
+
+JPEG_QUALITY = 92
+JPEG_MEAN_TOL = 4.0  # per-channel |decoded mean − true mean| bound; measured
+# worst 1.22 across the fixture gradient set at quality 92 (both samplings)
+
+JPEG_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("sampling", pa.string()),
+        ("width", pa.int64()),
+        ("height", pa.int64()),
+        ("ok", pa.int64()),
+    ]
+)
+
+
+def media_jpeg_dataset(sf_dir: str) -> rd.Dataset:
+    """REAL baseline-JPEG payloads from the documents table: the same
+    deterministic gradient pixels as ``media_pixel_dataset``, compressed
+    with the pure-stdlib encoder — even doc_ids 4:4:4, odd 4:2:0 (so both
+    decoder sampling paths are driver-exercised)."""
+    from ..core.imagecodec import encode_jpeg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [
+            encode_jpeg(
+                _gradient_pixels(int(i)),
+                quality=JPEG_QUALITY,
+                subsample=1 if i % 2 == 0 else 2,
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "sampling": pa.array(
+                    np.where(ids % 2 == 0, "p444", "p420"), type=pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+class JpegProbeStage:
+    """Actor-pool lossy-decode probe: decode each baseline-JPEG payload,
+    compare per-channel pixel means against the closed-form gradient truth,
+    emit exact dimensions + a bounded-error verdict. The oracle asserts the
+    verdict STRUCTURALLY (ok = 1 for every row — the seq_sketch_accuracy
+    grading pattern: lossy pixel values are not SQL-replayable, the bound
+    and the exact dims are)."""
+
+    def __init__(self):
+        from ..core.imagecodec import decode_jpeg
+
+        self._decode = decode_jpeg
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").to_pylist()
+        samplings = t.column("sampling").to_pylist()
+        payloads = t.column("payload").to_pylist()
+        rows = []
+        for mid, samp, payload in zip(ids, samplings, payloads):
+            px = self._decode(payload)
+            truth = _gradient_pixels(int(mid))
+            err = float(
+                np.abs(
+                    px.reshape(-1, 3).mean(axis=0)
+                    - truth.reshape(-1, 3).mean(axis=0)
+                ).max()
+            )
+            rows.append(
+                {
+                    "media_id": mid,
+                    "sampling": samp,
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "ok": int(
+                        px.shape[:2] == truth.shape[:2] and err <= JPEG_MEAN_TOL
+                    ),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=JPEG_SCHEMA)
+
+
+def multimodal_jpeg(sf_dir: str) -> rd.Dataset:
+    """Encode→decode the lossy container end-to-end and grade exact
+    dimensions + the documented mean-error bound per image."""
+    media = media_jpeg_dataset(sf_dir)
+    return media.map_batches(
+        JpegProbeStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )

@@ -19,9 +19,6 @@ MUST_BE_IN_WINDOW = [
     "prepare_training_sequences",
     "seq_pack_execute",
     "seq_neardup_pairs",
-    "seq_bigram_topk",
-    "seq_strip_dup_spans",  # token-span family rep (composes the LCS pass)
-    "seq_corpus_diff",
     "seq_split_leakage",
     "seq_partition_verdicts",
     # footer-proof family rep: corpus_audit_suite melts the footer audits
@@ -33,13 +30,10 @@ MUST_BE_IN_WINDOW = [
     "doc_strip_dup_spans",
     "clean_documents_full",
     "prepare_training_corpus",
-    "doc_minhash_dups",
     "doc_near_dup_clusters",
     "embedding_semantic_dedup",
-    "knn_ivf",
     # round-4 additions (fresh driver-graded surface; knn_bruteforce /
     # doc_words and friends rotated past the marker, still locally gated)
-    "seq_minhash_recall",
     "seq_bpe_merges",
     "seq_sketch_accuracy",
     "select_training_docs",  # strip ⊕ DSIR ⊕ CCNet capstone (r4 cont.;
@@ -51,9 +45,24 @@ MUST_BE_IN_WINDOW = [
     # knn_lsh / seq_dup_doc_ids / seq_stats_prescreen rotated out —
     # every family keeps a window representative)
     "seq_incremental_dedup",
+    # round-5 rotation: ten never-driver-graded entries promoted (the
+    # VERDICT r4 item-4 candidates + the new doc_tokenize bridge);
+    # seq_minhash_recall / seq_bigram_topk / seq_dup_token_arrays /
+    # seq_strip_dup_spans / seq_corpus_diff / seq_repetition_scores /
+    # seq_unigram_lm_score / doc_minhash_dups / doc_dsir_select / knn_ivf
+    # demoted — every family keeps a window representative
+    "doc_tokenize",
+    "seq_prefix_dups",
+    "seq_mixture_sample",
+    "seq_boundary_audit",
+    "seq_corpus_drift",
+    "seq_corpus_token_drift",
+    "documents_lang_drift",
+    "doc_lm_score",
+    "seq_detokenize",
+    "seq_vocab_coverage",
     "seq_ntok_exact_quantiles",
     "doc_boilerplate_strip",
-    "doc_dsir_select",
     "doc_ccnet_buckets",
     "embedding_decontaminate",
     "part_catalog_match",
