@@ -206,7 +206,22 @@ def _bench_query_fns() -> list[tuple[str, object]]:
         ("embedding_semantic_dedup", sim.embedding_semantic_dedup),
         ("embedding_decontaminate", sim.embedding_decontaminate),
         ("multimodal_decode", mm.multimodal_decode),
+        # round 5: text→tokens bridge + lossy decode leg
+        ("doc_tokenize", lambda sf: tp.doc_tokenize(sf)),
+        ("multimodal_jpeg", mm.multimodal_jpeg),
+        # round 5: suite-mode anchor-exchange reuse — both span ops fed ONE
+        # materialized exchange (the corpus is scanned once, not twice);
+        # compare against seq_lcs_pairs + seq_strip_dup_spans above
+        ("seq_span_ops_shared", _span_ops_shared),
     ]
+
+
+def _span_ops_shared(sf: str):
+    from product_quality_check_ray.pipelines import tokspans as tks
+
+    pre = tks.span_anchor_exchange(sf)
+    _consume(tks.seq_lcs_pairs(sf, precomputed_anchors=pre))
+    return tks.seq_strip_dup_spans(sf, precomputed_anchors=pre)
 
 
 def _warm_v2_corpus() -> None:

@@ -111,9 +111,19 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    def fresh_con():
+        # one connection per query: a single long-lived connection across
+        # ~160 heavy oracles fragments the allocator into >64k anonymous
+        # mmaps and dies on vm.max_map_count ("Out of Memory Error" /
+        # "can't start new thread" with 100 GB free — round-5 diagnosis);
+        # closing the connection releases its maps
+        c = duckdb.connect()
+        c.sql("SET temp_directory='/tmp/duckdb_gate_tmp'")
+        for t in TABLES:
+            c.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
 
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -135,7 +145,11 @@ def main():
         if "sf0.01" in sql and "sf0.01" not in sf_dir:
             sql = sql.replace("sf0.01", sf_dir.rstrip("/").split("/")[-1])
         try:
-            oracle = con.sql(sql).df()
+            con = fresh_con()
+            try:
+                oracle = con.sql(sql).df()
+            finally:
+                con.close()
         except Exception as ex:
             print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {ex}")
             n_fail += 1
