@@ -33,7 +33,11 @@ from ..core.rounding import round_half_away as _rha
 
 
 def _emb(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+    """Projected embeddings read with size-aware read-task fan-out for a
+    single large file (see ``core.batches.read_parquet_fanout``)."""
+    from ..core.batches import read_parquet_fanout
+
+    return read_parquet_fanout(os.path.join(sf_dir, "embeddings.parquet"), columns)
 
 
 

@@ -46,7 +46,11 @@ STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    """Projected documents read with size-aware read-task fan-out for a
+    single large file (see ``core.batches.read_parquet_fanout``)."""
+    from ..core.batches import read_parquet_fanout
+
+    return read_parquet_fanout(os.path.join(sf_dir, "documents.parquet"), columns)
 
 
 

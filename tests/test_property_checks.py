@@ -519,3 +519,70 @@ def test_incremental_dedup_matches_python_reference(ray_session, tmp_path_factor
     ]
     got = seq_incremental_dedup_files(fb, fn).column("doc_id").to_pylist()
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# doc_tokenize: hypothesis differential vs a per-char python greedy matcher
+# over RANDOM vocabularies and texts (round 5) — pins the greedy
+# longest-match contract (no backtracking, unk consumes one char, per-word
+# concatenation order) independent of the fixture vocab's structure.
+# ---------------------------------------------------------------------------
+
+_piece = st.text(alphabet="abcxy", min_size=1, max_size=4)
+_word = st.text(alphabet="abcxyz9 ", min_size=0, max_size=14)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    pieces=st.lists(_piece, min_size=1, max_size=30, unique=True),
+    texts=st.lists(_word, min_size=1, max_size=12),
+)
+def test_doc_tokenize_matches_python_greedy(ray_session, pieces, texts):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from product_quality_check_ray.pipelines.textprep import doc_tokenize
+
+    with tempfile.TemporaryDirectory() as d:
+        vt = pa.table(
+            {
+                "token_id": pa.array(range(len(pieces)), type=pa.int32()),
+                "piece": pa.array(pieces, type=pa.string()),
+            }
+        )
+        vp = os.path.join(d, "vocab.parquet")
+        pq.write_table(vt, vp)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            }
+        )
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = doc_tokenize(d, vocab_path=vp).to_pandas().set_index("doc_id")
+
+        p2i = {p: i for i, p in enumerate(pieces)}
+        max_l = max(len(p) for p in pieces)
+        for did, text in enumerate(texts):
+            toks, unk = [], 0
+            for w in text.lower().split():
+                pos = 0
+                while pos < len(w):
+                    for length in range(min(max_l, len(w) - pos), 0, -1):
+                        tid = p2i.get(w[pos : pos + length])
+                        if tid is not None:
+                            toks.append(tid)
+                            pos += length
+                            break
+                    else:
+                        unk += 1
+                        pos += 1
+            row = out.loc[did]
+            assert list(row.tokens) == toks, (text, pieces)
+            assert row.n_unk == unk and row.n_tok == len(toks)
