@@ -882,11 +882,18 @@ class JpegProbeStage:
 
 def multimodal_jpeg(sf_dir: str) -> rd.Dataset:
     """Encode→decode the lossy container end-to-end and grade exact
-    dimensions + the documented mean-error bound per image."""
+    dimensions + the documented mean-error bound per image.
+
+    Task functions, not an actor pool: the probe holds no state and the
+    codec is pure numpy (measured 0.16 s per 100 images), so the
+    multi-second actor-pool startup would dominate the wall (the
+    `_row_check_task` pattern — verify-skill gotcha #4)."""
     media = media_jpeg_dataset(sf_dir)
-    return media.map_batches(
-        JpegProbeStage,
-        batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, 4),
-    )
+
+    def probe(t: pa.Table, _cache={}) -> pa.Table:
+        st = _cache.get("st")
+        if st is None:
+            st = _cache["st"] = JpegProbeStage()
+        return st(t)
+
+    return media.map_batches(probe, batch_format="pyarrow", batch_size=256)
