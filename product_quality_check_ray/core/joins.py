@@ -142,6 +142,10 @@ def semi_join(
     ]
 
     def filt_matched(t: pa.Table, _cache={}) -> pa.Table:
+        # per-WORKER cache of the concatenated matched-key set: heap cost is
+        # workers/node × matched_bytes, bounded by min(|distinct ds keys|,
+        # |keys side|) — the same build-side-per-node bound any hash join
+        # carries, paid once per worker process, never per task
         vals = _cache.get("vals")
         if vals is None:
             # empty ranges come back string-typed (the sentinel schema) —
@@ -228,36 +232,131 @@ def lookup_join(
     Same policy as ``semi_join``: if the dim side holds ≤ ``cap`` rows it is
     ``ray.put`` ONCE and each batch does a local Arrow hash join against the
     per-worker-cached table (zero-copy plasma read, never re-shipped per
-    task); above the cap it falls back to the native hash ``Dataset.join``.
+    task); above the cap the dim is first REDUCED to the rows whose key
+    actually appears in ``ds`` via the same hash-range exchange as
+    ``semi_join`` (ds ships per-block-distinct keys, the dim ships its
+    rows; each range emits its matched dim rows), and the matched dim —
+    bounded by min(|distinct ds keys|, |dim|) — is then the local-join
+    build side. Rows of ``ds`` never shuffle; ``Dataset.join`` (which
+    crashed on zero-column empty partitions, ADVICE r4) is gone.
     Output columns: ``ds``'s columns ⊕ ``value_cols``.
     """
     cap = BROADCAST_KEY_CAP if cap is None else cap
     dim_head = _collect(dim_ds.select_columns([dim_key, *value_cols]).limit(cap + 1))
     out_cols = list(ds.schema().names) + list(value_cols)
-    if dim_head.num_rows <= cap:
-        ref = ray.put(dim_head.combine_chunks())
 
+    def local_join(dim_getter):
         def enrich(t: pa.Table, _cache={}) -> pa.Table:
             dim = _cache.get("dim")
             if dim is None:
-                dim = _cache["dim"] = ray.get(ref)
+                dim = _cache["dim"] = dim_getter()
             j = t.join(
                 dim, keys=[key_col], right_keys=[dim_key], join_type="inner"
             )
             return j.select(out_cols).replace_schema_metadata(None)
 
-        return ds.map_batches(enrich, batch_format="pyarrow")
+        return enrich
 
-    from .batches import strip_schema_metadata
+    if dim_head.num_rows <= cap:
+        ref = ray.put(dim_head.combine_chunks())
+        return ds.map_batches(
+            local_join(lambda: ray.get(ref)), batch_format="pyarrow"
+        )
 
-    joined = strip_schema_metadata(ds).join(
-        strip_schema_metadata(dim_ds.select_columns([dim_key, *value_cols])),
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=(key_col,),
-        right_on=(dim_key,),
+    # --- above-cap: range-reduce the dim to its ds-matched rows ---
+    try:
+        ranges = max(int(ray.cluster_resources().get("CPU", 8)), num_partitions)
+    except Exception:  # pragma: no cover - no cluster
+        ranges = max(8, num_partitions)
+    ranges = max(2, ranges)
+    dim_schema = pa.schema(
+        [
+            (n, t)
+            for n, t in zip(dim_ds.schema().names, dim_ds.schema().types)
+            if n in {dim_key, *value_cols}
+        ]
     )
-    return joined.map_batches(
-        lambda t: t.select(out_cols).replace_schema_metadata(None),
-        batch_format="pyarrow",
+    dim_schema = pa.schema(
+        [(c, dim_schema.field(c).type) for c in [dim_key, *value_cols]]
     )
+    ds_m = ds.materialize()
+    dim_m = dim_ds.materialize()
+    l_refs = [r for b in ds_m.iter_internal_ref_bundles() for r in b.block_refs]
+    r_refs = [r for b in dim_m.iter_internal_ref_bundles() for r in b.block_refs]
+    maps_l = [
+        _sj_split_keys.options(num_returns=ranges).remote(
+            l_refs[i : i + 8], key_col, ranges
+        )
+        for i in range(0, len(l_refs), 8)
+    ]
+    maps_r = [
+        _lj_split_rows.options(num_returns=ranges).remote(
+            r_refs[i : i + 8], dim_key, dim_schema, ranges
+        )
+        for i in range(0, len(r_refs), 8)
+    ]
+    matched_refs = [
+        _lj_match_range.remote(
+            len(maps_l), dim_key, *[m[r] for m in maps_l], *[m[r] for m in maps_r]
+        )
+        for r in range(ranges)
+    ]
+
+    def fetch_matched(_schema=dim_schema):
+        parts = [p for p in ray.get(list(matched_refs)) if p.num_rows]
+        if not parts:
+            return _schema.empty_table()
+        return pa.concat_tables([p.cast(_schema) for p in parts]).combine_chunks()
+
+    return ds_m.map_batches(local_join(fetch_matched), batch_format="pyarrow")
+
+
+@ray.remote
+def _lj_split_rows(
+    block_refs: list, key_col: str, schema: pa.Schema, ranges: int
+) -> tuple:
+    """Split dim ROWS (key + values, projected to ``schema``) into uint64
+    key-hash ranges; tolerates zero-column empty blocks."""
+    from .hashing import hash_ints, hash_strings, range_edges
+
+    cols = list(schema.names)
+    blocks = ray.get(list(block_refs))
+    tables = []
+    for b in blocks:
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows and all(c in t.column_names for c in cols):
+            tables.append(t.select(cols).replace_schema_metadata(None).cast(schema))
+    if not tables:
+        empty = schema.empty_table()
+        return tuple(empty for _ in range(ranges))
+    t = pa.concat_tables(tables)
+    keys = t.column(key_col).combine_chunks()
+    if pa.types.is_integer(keys.type):
+        h = hash_ints(
+            pc.fill_null(keys, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    else:
+        h = hash_strings(pc.fill_null(keys.cast(pa.string()), ""))
+    order = np.argsort(h, kind="stable")
+    t = t.take(pa.array(order))
+    idx = np.searchsorted(h[order], range_edges(ranges))
+    bounds = np.r_[0, idx, t.num_rows]
+    return tuple(
+        t.slice(bounds[r], bounds[r + 1] - bounds[r]) for r in range(ranges)
+    )
+
+
+@ray.remote
+def _lj_match_range(n_l: int, dim_key: str, *parts) -> pa.Table:
+    """One key-hash range's ds-matched dim rows (exact key equality)."""
+    k_parts = [p.column("k") for p in parts[:n_l] if p.num_rows]
+    d_parts = [p for p in parts[n_l:] if p.num_rows]
+    if not k_parts or not d_parts:
+        return d_parts[0].slice(0, 0) if d_parts else pa.table({})
+    dim = pa.concat_tables(d_parts)
+    kt = dim.column(dim_key).type
+    kv = pa.concat_arrays(
+        [c.cast(kt) for p in k_parts for c in p.chunks]
+    )
+    mask = pc.fill_null(pc.is_in(dim.column(dim_key), value_set=kv), False)
+    return dim.filter(mask)

@@ -656,6 +656,37 @@ def test_lookup_join_broadcast_and_shuffle_paths_agree(ray_session):
     assert len(a) > 0 and a.equals(b[list(a.columns)])
 
 
+def test_lookup_join_tiny_dim_cap0(ray_session):
+    """ADVICE-r4 class regression for the enrichment path: cap=0 forces
+    the range exchange with ranges ≫ keys (empty ranges on both sides) —
+    must match the broadcast result exactly, null ds keys unenriched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from product_quality_check_ray.core.joins import lookup_join
+
+    facts = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, None, 9], type=pa.int64()),
+                  "v": pa.array(list("abcde"))})
+    )
+    dim = rd.from_arrow(
+        pa.table({"dk": pa.array([1, 2, 3], type=pa.int64()),
+                  "name": pa.array(["one", "two", "three"])})
+    )
+
+    def run(cap):
+        return (
+            lookup_join(facts, "k", dim, "dk", ["name"], cap=cap)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run(None), run(0)
+    assert a.equals(b)
+    assert sorted(a["name"]) == ["one", "two", "two"]  # inner: null + 9 drop
+
+
 def test_grouped_topk_orders_join_fallback_matches(ray_session, monkeypatch):
     from product_quality_check_ray.core import joins
     from product_quality_check_ray.pipelines import relational
