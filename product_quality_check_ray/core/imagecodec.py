@@ -368,7 +368,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90, subsample: int = 1) -> by
         plane = np.pad(plane, ((0, bh * 8 - ph), (0, bw * 8 - pw)), mode="edge")
         blk = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
         coef = np.einsum("ux,nmxy,vy->nmuv", M, blk, M)
-        return np.round(coef / q).astype(np.int64).reshape(bh * bw, 8, 8)
+        # clamp to the baseline-codable coefficient range (T.81 8-bit mode):
+        # at quality 100 the quant step is 1 and a raw DCT coefficient can
+        # reach ±1024, whose DC diff (size 12) / AC magnitude (size 11)
+        # have no huffman category in baseline tables
+        q_coef = np.clip(np.round(coef / q), -1023, 1023)
+        return q_coef.astype(np.int64).reshape(bh * bw, 8, 8)
 
     if subsample == 1:
         by, bx = -(-h // 8), -(-w // 8)

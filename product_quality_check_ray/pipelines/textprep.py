@@ -1862,6 +1862,10 @@ def doc_tokenize(sf_dir: str, vocab_path: "str | None" = None) -> rd.Dataset:
             pc.fill_null(t.column("text").combine_chunks(), "")
         )
         nw = int(off[-1] - off[0])
+        # the values buffer can start past 0 / extend past the last list
+        # (sliced or combined chunks) — index word j at off[0] + j
+        if int(off[0]) != 0 or len(flat) != nw:
+            flat = flat.slice(int(off[0]), nw)
         cur = np.asarray(flat.to_pandas(), dtype=object)
         unk = np.zeros(nw, dtype=np.int64)
         rounds_idx: list[np.ndarray] = []

@@ -229,3 +229,21 @@ def test_jpeg_restart_intervals_decode():
     dri = b"\xff\xdd\x00\x04\x00\x00"  # DRI with interval 0 (disabled)
     patched = bytes(j[:sos]) + dri + bytes(j[sos:])
     assert (decode_jpeg(patched) == decode_jpeg(bytes(j))).all()
+
+
+def test_jpeg_quality_100_extreme_pixels():
+    """Quality 100 (quant step 1): raw DCT coefficients reach ±1024 whose
+    magnitude categories don't exist in baseline tables — the encoder must
+    clamp to the T.81 8-bit codable range and round-trip near-losslessly."""
+    import numpy as np
+
+    from product_quality_check_ray.core.imagecodec import decode_jpeg, encode_jpeg
+
+    # checkerboard of extremes maximizes |DCT| and DC jumps between blocks
+    y, x = np.mgrid[0:16, 0:16]
+    px = np.where(((x // 8 + y // 8) % 2)[:, :, None] == 0, 0, 255).astype(np.uint8)
+    px = np.repeat(px, 3).reshape(16, 16, 3)
+    for sub in (1, 2):
+        out = decode_jpeg(encode_jpeg(px, quality=100, subsample=sub))
+        assert out.shape == px.shape
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 8.0
