@@ -1817,12 +1817,22 @@ def doc_tokenize(sf_dir: str, vocab_path: "str | None" = None) -> rd.Dataset:
     empty token list).
 
     Scale shape: the vocab dimension is broadcast ONCE (``ray.put``; each
-    worker builds per-piece-length dicts in a task cache — tiny state, so
-    task functions, not an actor pool).  Per batch the scan is vectorized
-    ROUNDS over all still-active words simultaneously (each round advances
-    every active word by ≥1 char: per-length pandas slice + C-speed dict
-    map), so per-batch work is O(max_word_len) vectorized passes, never a
-    per-word Python loop.  Rows never shuffle; output order is input order.
+    worker builds per-byte-length sorted code tables in a task cache —
+    tiny state, so task functions, not an actor pool).  Per batch the scan
+    is vectorized ROUNDS over all still-active words simultaneously,
+    operating directly on the Arrow string values' UTF-8 BYTE buffer — no
+    pandas object dtype anywhere in the hot path: each round packs the
+    next ≤8 bytes of every active word into uint64 codes and matches them
+    against per-length sorted vocab-code arrays via ``searchsorted``
+    (packing is injective per length, so matches are EXACT, no hashing).
+    Byte matching equals character matching for UTF-8 (a whole-character
+    piece can only byte-match at character boundaries — UTF-8 is
+    self-synchronizing), and an unmatched position consumes one
+    CHARACTER (starter byte + its continuation bytes).  Pieces longer
+    than 8 bytes take a per-candidate fallback (none exist in the
+    dimension vocab).  Per-batch work is O(max_word_len) vectorized
+    passes, never a per-word Python loop; rows never shuffle; output
+    order is input order.
 
     Reference analog: segmentation with row backref (M6,
     banningredients.py:87-118) composed with the vocab dimension loader
@@ -1849,11 +1859,28 @@ def doc_tokenize(sf_dir: str, vocab_path: "str | None" = None) -> rd.Dataset:
             v = ray.get(vref)
             ids = v.column("token_id").to_numpy(zero_copy_only=False).astype(np.int64)
             pieces = v.column("piece").to_pylist()
-            by_len: dict[int, dict] = {}
+            # per-BYTE-length packed uint64 code tables (sorted, with the
+            # ids co-sorted): code = big-endian byte packing, injective at
+            # fixed length → searchsorted matching is exact
+            by_len_codes: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            big: dict[int, dict[bytes, int]] = {}
+            grouped: dict[int, list] = {}
             for p, i in zip(pieces, ids):
-                by_len.setdefault(len(p), {})[p] = i
-            st = _cache["st"] = (by_len, sorted(by_len, reverse=True))
-        by_len, lens_desc = st
+                b = p.encode("utf-8")
+                grouped.setdefault(len(b), []).append((b, i))
+            for L, entries in grouped.items():
+                if L > 8:
+                    big[L] = {b: i for b, i in entries}
+                    continue
+                codes = np.array(
+                    [int.from_bytes(b, "big") for b, _ in entries], dtype=np.uint64
+                )
+                lids = np.array([i for _, i in entries], dtype=np.int64)
+                order = np.argsort(codes)
+                by_len_codes[L] = (codes[order], lids[order])
+            lens_desc = sorted(set(by_len_codes) | set(big), reverse=True)
+            st = _cache["st"] = (by_len_codes, big, lens_desc)
+        by_len_codes, big, lens_desc = st
         if t.num_rows == 0:
             return _TOKENIZE_SCHEMA.empty_table()
         from .text import _split_words
@@ -1863,38 +1890,74 @@ def doc_tokenize(sf_dir: str, vocab_path: "str | None" = None) -> rd.Dataset:
         )
         nw = int(off[-1] - off[0])
         # the values buffer can start past 0 / extend past the last list
-        # (sliced or combined chunks) — index word j at off[0] + j
+        # (sliced or combined chunks) — slice to exactly this batch's words
         if int(off[0]) != 0 or len(flat) != nw:
             flat = flat.slice(int(off[0]), nw)
-        cur = np.asarray(flat.to_pandas(), dtype=object)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        bufs = flat.buffers()
+        odt = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+        boff = np.frombuffer(bufs[1], odt)[flat.offset : flat.offset + nw + 1]
+        data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        pos = boff[:-1].astype(np.int64).copy()  # current byte position
+        end = boff[1:].astype(np.int64)
         unk = np.zeros(nw, dtype=np.int64)
         rounds_idx: list[np.ndarray] = []
         rounds_tok: list[np.ndarray] = []
-        active = np.flatnonzero(pd.Series(cur).str.len().to_numpy() > 0)
+        active = np.flatnonzero(pos < end)
         while active.size:
-            s = pd.Series(cur[active])
+            p = pos[active]
+            rem = end[active] - p
             matched = np.full(active.size, -1, dtype=np.int64)
-            consumed = np.ones(active.size, dtype=np.int64)
+            consumed = np.zeros(active.size, dtype=np.int64)
             for L in lens_desc:
                 unm = matched < 0
                 if not unm.any():
                     break
-                m = s.str.slice(0, L).map(by_len[L])
-                hitv = m.to_numpy(dtype=np.float64, na_value=np.nan)
-                hit = unm & ~np.isnan(hitv)
-                matched[hit] = hitv[hit].astype(np.int64)
-                consumed[hit] = L
+                cand = np.flatnonzero(unm & (rem >= L))
+                if cand.size == 0:
+                    continue
+                if L > 8:
+                    dL = big[L]
+                    for j in cand:  # rare path: pieces over 8 bytes
+                        b = data[p[j] : p[j] + L].tobytes()
+                        tid = dL.get(b)
+                        if tid is not None:
+                            matched[j] = tid
+                            consumed[j] = L
+                    continue
+                wb = data[p[cand][:, None] + np.arange(L)].astype(np.uint64)
+                code = wb[:, 0]
+                for k in range(1, L):
+                    code = (code << np.uint64(8)) | wb[:, k]
+                codes_L, ids_L = by_len_codes[L]
+                loc = np.minimum(
+                    np.searchsorted(codes_L, code), codes_L.size - 1
+                )
+                hit = codes_L[loc] == code
+                hi = cand[hit]
+                matched[hi] = ids_L[loc[hit]]
+                consumed[hi] = L
+            unm = matched < 0
+            if unm.any():
+                # unmatched: consume ONE CHARACTER — the starter byte plus
+                # its UTF-8 continuation bytes (0b10xxxxxx)
+                ui = np.flatnonzero(unm)
+                c = np.ones(ui.size, dtype=np.int64)
+                for k in (1, 2, 3):
+                    look = p[ui] + k
+                    cont = (
+                        (c == k)
+                        & (look < end[active][ui])
+                        & ((data[np.minimum(look, data.size - 1)] & 0xC0) == 0x80)
+                    )
+                    c[cont] += 1
+                consumed[ui] = c
+                np.add.at(unk, active[ui], 1)
             hitmask = matched >= 0
             rounds_idx.append(active[hitmask])
             rounds_tok.append(matched[hitmask])
-            np.add.at(unk, active[~hitmask], 1)
-            adv = np.empty(active.size, dtype=object)
-            for c in np.unique(consumed):
-                sel = consumed == c
-                adv[sel] = s[sel].str.slice(int(c)).to_numpy(dtype=object)
-            cur[active] = adv
-            still = pd.Series(adv).str.len().to_numpy() > 0
-            active = active[still]
+            pos[active] = p + consumed
+            active = active[pos[active] < end[active]]
         if rounds_idx:
             idx = np.concatenate(rounds_idx)
             tks = np.concatenate(rounds_tok)

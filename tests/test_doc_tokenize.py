@@ -90,6 +90,41 @@ def test_greedy_restarts_after_unk_and_mid_word(ray_session, tmp_path):
     assert list(out.loc[2, "tokens"]) == [1, 11] and out.loc[2, "n_unk"] == 1
 
 
+def test_unk_consumes_one_character_not_one_byte(ray_session, tmp_path):
+    """The byte-level scan must consume whole UTF-8 CHARACTERS on unk (a
+    multibyte char counts one n_unk and scanning resumes at the next
+    character), and multibyte PIECES must match exactly."""
+    from product_quality_check_ray.pipelines.textprep import doc_tokenize
+
+    vocab = _write_vocab(
+        tmp_path / "vocab.parquet", [("a", 1), ("ñe", 7), ("€", 9)]
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "aña",  # a, unk 'ñ' (2 bytes, ONE char), a
+                    "ñea€",  # piece 'ñe' (3 bytes), a, piece '€' (3 bytes)
+                    "日a",  # unk '日' (3 bytes, ONE char), a
+                ]
+            ),
+            "lang": pa.array(["x"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([3, 4, 2], type=pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = (
+        doc_tokenize(str(tmp_path), vocab_path=vocab)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out.loc[1, "tokens"]) == [1, 1] and out.loc[1, "n_unk"] == 1
+    assert list(out.loc[2, "tokens"]) == [7, 1, 9] and out.loc[2, "n_unk"] == 0
+    assert list(out.loc[3, "tokens"]) == [1] and out.loc[3, "n_unk"] == 1
+
+
 def test_doc_tokenize_matches_python_reference(ray_session):
     """Differential: the vectorized round scan equals a per-char Python
     greedy matcher over the real fixture vocab on every sf0.001 doc."""
